@@ -1,0 +1,196 @@
+"""Aggregations (SURVEY §2.4) and the TPC-H-Q1-shaped pricing summary.
+
+A1 (GenStatistics, Library.fs:328-367) is the reference's only real
+aggregate: one pass over sources producing conditional counts, one of which
+depends on the existence of an out-edge (a semi-join flag).  Q1 is the
+bench-headline groupBy-agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.operators._util import davg, dsum, sql_davg, sql_dsum
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+
+@query(
+    "A1_gen_statistics",
+    oracle="""
+    WITH flagged AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+             EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+               AS has_orders
+      FROM customer c
+    )
+    SELECT COUNT(*) AS total_customers,
+           COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_building,
+           COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n_machinery,
+           COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_overdrawn,
+           COUNT(CASE WHEN has_orders THEN 1 END) AS n_active,
+           COUNT(CASE WHEN NOT has_orders THEN 1 END) AS n_inactive
+    FROM flagged
+    """,
+)
+def a1_gen_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GenStatistics (Library.fs:328-367): single-pass conditional counts;
+    'active' mirrors 'primary source' = existence of a HasTemporalExtent
+    out-edge, computed as a left-semi flag then aggregated.
+
+    Scale note: the existence flag is a map-side-combinable aggregate over
+    the fact side (groupBy custkey on orders), then a broadcast-friendly
+    join — no row explosion."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    order_custs = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    flagged = c.join(
+        order_custs.withColumn("has_orders", F.lit(True)), "c_custkey", "left"
+    ).withColumn("has_orders", F.coalesce("has_orders", F.lit(False)))
+    return flagged.agg(
+        F.count("*").alias("total_customers"),
+        F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n_building"),
+        F.count(F.when(F.col("c_mktsegment") == "MACHINERY", 1)).alias("n_machinery"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_overdrawn"),
+        F.count(F.when(F.col("has_orders"), 1)).alias("n_active"),
+        F.count(F.when(~F.col("has_orders"), 1)).alias("n_inactive"),
+    )
+
+
+@query(
+    "Q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate (TPC-H Q1 shape) — the statistics-view
+    pattern (A1/A7) at fact-table scale.  Partial aggregation happens
+    map-side (hash aggregate), so the shuffle carries only
+    |groups| x |partitions| rows; scaled-integer sums keep it
+    order-independent (see _util)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "A2_group_by_type",
+    oracle="""
+    SELECT o_orderstatus AS node_type,
+           COUNT(*) AS n,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a2_group_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodesByType (Storage.fs:188-193): group the index by type.  The
+    per-type Map becomes a grouped summary (collect_map is driver-hostile
+    at scale; the grouped table IS the index)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("node_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "A4_duplicate_guard",
+    oracle="""
+    SELECT l_orderkey, l_partkey, COUNT(*) AS n_dup
+    FROM lineitem
+    GROUP BY l_orderkey, l_partkey
+    HAVING COUNT(*) > 1
+    ORDER BY l_orderkey, l_partkey
+    LIMIT 50
+    """,
+)
+def a4_duplicate_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate guard (Storage.fs:425-427: distinct-length mismatch is an
+    error) → groupBy-count-filter, the scalable emptiness check."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.count("*").alias("n_dup"))
+        .where(F.col("n_dup") > 1)
+        .orderBy("l_orderkey", "l_partkey")
+        .limit(50)
+    )
+
+
+@query(
+    "A5_array_sections_complete",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_sort(list_distinct(list(DISTINCT o_orderpriority))) AS seen
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(CASE WHEN len(list_filter(
+                   ['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'],
+                   p -> NOT list_contains(seen, p))) = 0 THEN 1 END)
+             AS n_complete,
+           COUNT(*) AS n_customers
+    FROM per_cust
+    """,
+)
+def a5_sections_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allSectionsComplete (Library.fs:720-722): required-set minus
+    completed-set emptiness, via array_except on a collect_set."""
+    required = F.array(*[
+        F.lit(p) for p in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    ])
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.collect_set("o_orderpriority").alias("seen"))
+    )
+    return per_cust.agg(
+        F.count(
+            F.when(F.size(F.array_except(required, F.col("seen"))) == 0, 1)
+        ).alias("n_complete"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query(
+    "A6_next_id",
+    oracle="SELECT MAX(o_orderkey) + 1 AS next_id FROM orders",
+)
+def a6_next_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-batch-row id = max key + 1 (Library.fs:608 Map.maxKeyValue)."""
+    return table(spark, sf_dir, "orders").agg(
+        (F.max("o_orderkey") + 1).alias("next_id")
+    )

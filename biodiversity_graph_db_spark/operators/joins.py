@@ -1,0 +1,297 @@
+"""Joins / traversals (SURVEY §2.3).
+
+The reference's "queries" are 1-hop edge traversals and chained hops
+(Graph.fs:744-764; Library.fs:842-902).  On Spark these are equi-joins;
+dimension sides are broadcast, fact-fact joins shuffle on their keys and
+AQE handles skew.  The range join (J8) uses the bucketize-then-equi-join
+strategy so it stays O(n) at 100 TB instead of a nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.operators._util import dquant, dsum, sql_dquant, sql_dsum
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+
+@query(
+    "J1_one_hop_traversal",
+    oracle="""
+    SELECT o.o_orderkey AS sink_key, o.o_totalprice, o.o_orderstatus
+    FROM orders o
+    WHERE o.o_custkey = 419
+    ORDER BY o.o_orderkey
+    """,
+)
+def j1_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core traversal (Relations.nodeIdsByRelation, Graph.fs:744-764):
+    from one node, follow out-edges of one relation to sink ids.  The
+    customer→orders FK is the edge table; filter on source key + relation,
+    project sinks."""
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") == 419)
+        .select(
+            F.col("o_orderkey").alias("sink_key"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+        .orderBy("sink_key")
+    )
+
+
+@query(
+    "J2_multihop_extract",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+)
+def j2_multihop_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop view traversal (Library.fs:842-902: source→timeline→
+    context/dates/years chains): a 4-hop chain rolled up.  region/nation
+    are broadcast; customer⋈orders⋈lineitem shuffle on their join keys
+    once each and AQE coalesces."""
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "J3_reverse_membership",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+    ORDER BY s.s_suppkey
+    """,
+)
+def j3_reverse_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pointsTo (Graph.fs:108-111): does any edge point at this node?
+    → left-semi join on the sink key (no row duplication, map-side
+    prunable)."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "J4_fk_violation_check",
+    oracle="""
+    SELECT COUNT(*) AS n_bad_source, (
+      SELECT COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    ) AS n_bad_sink
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def j4_fk_violation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endpoint validation on edge insert (Graph.fs:136-152): both ends
+    must exist → anti-join the proposed edges against nodes and count
+    violations (0 on clean data, but the operator is the check itself)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    bad_src = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
+    bad_sink = li.join(p, li.l_partkey == p.p_partkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(bad_src, bad_sink)], "n_bad_source long, n_bad_sink long"
+    )
+
+
+@query(
+    "J5_signature_check",
+    oracle="""
+    WITH sigs(status, priority) AS (
+      VALUES ('F','1-URGENT'), ('F','2-HIGH'), ('F','3-MEDIUM'),
+             ('F','4-NOT SPECIFIED'), ('F','5-LOW'),
+             ('O','1-URGENT'), ('O','2-HIGH'), ('O','3-MEDIUM'),
+             ('O','4-NOT SPECIFIED'), ('O','5-LOW')
+    )
+    SELECT o.o_orderstatus AS status, o.o_orderpriority AS priority,
+           COUNT(*) AS n_violations
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM sigs s
+                      WHERE s.status = o.o_orderstatus
+                        AND s.priority = o.o_orderpriority)
+    GROUP BY o.o_orderstatus, o.o_orderpriority
+    ORDER BY status, priority
+    """,
+)
+def j5_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-signature validation (makeRelation, Graph.fs:617-712 — the
+    reference's reflection check is disabled; here it's a static signature
+    dim + broadcast anti-join, grouped into a violation report)."""
+    sigs = spark.createDataFrame(
+        [(s, p) for s in ["F", "O"]
+         for p in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]],
+        "status string, priority string",
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(sigs),
+            (o.o_orderstatus == sigs.status) & (o.o_orderpriority == sigs.priority),
+            "left_anti",
+        )
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "J6_hyperedge_star",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_orderstatus, p.p_brand, s.s_name,
+           {sql_dquant('l.l_extendedprice * (1 - l.l_discount)')} AS net_price
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.l_quantity = 50 AND l.l_discount >= 0.09
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def j6_hyperedge_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperedge star expansion (addProxiedTaxon'/commitProxiedTaxon,
+    Storage.fs:396-423; the proxy⇄method⇄taxon⇄outcome hub): the lineitem
+    row is the hyperedge, its FKs are the InferredFrom/Using/As spokes.
+    part/supplier broadcast; orders joins on the already-partitioned key."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") == 50) & (F.col("l_discount") >= 0.09)
+    )
+    o = table(spark, sf_dir, "orders")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    net = dquant(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderstatus",
+            "p_brand",
+            "s_name",
+            net.alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def bucketed_range_join(
+    facts: DataFrame,
+    fact_ts: Column,
+    periods: DataFrame,
+    start: Column,
+    end: Column,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Range join via bucketization (J8; guide 'as-of/range join' pattern).
+
+    Explode each period into the epoch buckets it overlaps, equi-join facts
+    on their bucket, then apply the exact BETWEEN filter.  Turns an
+    O(n x m) nested loop into a shuffle-free broadcast equi-join when the
+    period side is small, and a plain hash join otherwise — this is the
+    100 TB-safe plan; Spark's default for a non-equi join is a nested loop.
+    """
+    b_us = F.lit(bucket_seconds * 1_000_000)
+    # Normalize every bound to epoch microseconds (handles TIMESTAMP_NTZ,
+    # which Spark 4 won't cast straight to long; the session runs in UTC so
+    # NTZ and instant timestamps agree) — full precision, exact BETWEEN.
+    s_us = F.unix_micros(start.cast("timestamp"))
+    e_us = F.unix_micros(end.cast("timestamp"))
+    f_us = F.unix_micros(fact_ts.cast("timestamp"))
+    periods_b = periods.withColumn(
+        "__bucket", F.explode(F.sequence(F.floor(s_us / b_us), F.floor(e_us / b_us)))
+    )
+    facts_b = facts.withColumn("__bucket", F.floor(f_us / b_us))
+    joined = facts_b.join(F.broadcast(periods_b), "__bucket").where(
+        f_us.between(s_us, e_us)
+    )
+    return joined.drop("__bucket")
+
+
+@query(
+    "J8_interval_containment",
+    oracle=f"""
+    WITH periods AS (
+      SELECT o_orderpriority AS period,
+             MIN(o_orderdate) AS p_start,
+             MAX(o_orderdate) AS p_end
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT p.period,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value')} AS total_value
+    FROM events e
+    JOIN periods p ON e.ts BETWEEN p.p_start AND p.p_end
+    GROUP BY p.period
+    ORDER BY p.period
+    """,
+)
+def j8_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment (J8: period↔years via Contains/EarliestTime/
+    LatestTime edges, Exposure.fs:125-127) — the reference materializes
+    membership as edges; at scale we range-join facts to period bounds
+    via bucketization instead."""
+    o = table(spark, sf_dir, "orders")
+    ev = table(spark, sf_dir, "events")
+    periods = o.groupBy(F.col("o_orderpriority").alias("period")).agg(
+        F.min("o_orderdate").alias("p_start"), F.max("o_orderdate").alias("p_end")
+    )
+    joined = bucketed_range_join(
+        ev,
+        F.col("ts"),
+        periods,
+        F.col("p_start"),
+        F.col("p_end"),
+        bucket_seconds=7 * 24 * 3600,
+    )
+    return (
+        joined.groupBy("period")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy("period")
+    )

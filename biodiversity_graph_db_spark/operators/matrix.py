@@ -1,0 +1,114 @@
+"""Array / matrix operators (SURVEY §2.9): the DataTable2D wide matrix.
+
+The reference stores digitised count tables as float[,] (Datasets.fs:23-28).
+The scalable form is long (one row per cell); wide↔long conversion is
+unpivot (stack) and pivot (conditional aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.operators._util import dsum, sql_dsum
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+
+@query(
+    "M1_unpivot_wide_matrix",
+    oracle=f"""
+    WITH long AS (
+      SELECT l_orderkey, 'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'tax', l_tax FROM lineitem
+    )
+    SELECT measure, COUNT(*) AS n_cells, {sql_dsum('value')} AS total
+    FROM long GROUP BY measure ORDER BY measure
+    """,
+)
+def m1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataTable2D → long form (M1; Datasets.fs:23-28).  The wide matrix
+    columns become (measure, value) rows via stack — a narrow transform,
+    no shuffle until the aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_orderkey",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) AS (measure, value)"
+        ),
+    )
+    return (
+        long.groupBy("measure")
+        .agg(F.count("*").alias("n_cells"), dsum("value").alias("total"))
+        .orderBy("measure")
+    )
+
+
+_QTY_F = sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")
+_QTY_O = sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")
+
+
+@query(
+    "M2_pivot_row_view",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_QTY_F} AS qty_F,
+           {_QTY_O} AS qty_O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def m2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-slice view of the matrix (M2: depths → Map of morphotype→value,
+    Datasets.fs:92-95) = pivot back to wide.  Conditional aggregation with
+    explicit aliases (stable names; Spark's .pivot() infers them)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias(
+                "qty_F"
+            ),
+            dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias(
+                "qty_O"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "M3_shape_check",
+    oracle="""
+    WITH cells AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             COUNT(DISTINCT l_linenumber) AS n_distinct_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN n_lines <> n_distinct_lines THEN 1 END) AS n_ragged
+    FROM cells
+    """,
+)
+def m3_shape_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix shape validation (M3: isValid, Datasets.fs:87-90 — data dims
+    must match index/morphotype lengths) as count assertions."""
+    cells = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("l_linenumber").alias("n_distinct_lines"),
+        )
+    )
+    return cells.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("n_lines") != F.col("n_distinct_lines"), 1)).alias(
+            "n_ragged"
+        ),
+    )

@@ -1,0 +1,211 @@
+"""Scans, filters, predicates, sorts, limits, set ops (SURVEY §2.2, §2.6, §2.7).
+
+Each query mirrors a reference operator (citations into /root/reference) but
+is expressed on the driver's star schema so the DuckDB oracle can verify it.
+All filters/projections are plain Column expressions → Catalyst pushes them
+into the parquet scan (verified via .explain: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+
+@query(
+    "F1_point_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_custkey = 419
+    """,
+)
+def f1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-equality point read (Graph.fs:54-61 getAtom; Storage.fs:107-112
+    loadAtom).  The reference scans an in-memory list O(N); here the key
+    predicate is pushed to the parquet footer (file/row-group skipping)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") == 419)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "S4_batch_key_lookup",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer WHERE c_custkey IN (1, 7, 42, 419, 1001, 1499)
+    """,
+)
+def s4_batch_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read by key list (Storage.fs:114-122 loadAtoms;
+    Storage.fs:233-237 atomsByKey).  IN-list predicate, pushdown-friendly."""
+    return (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey").isin(1, 7, 42, 419, 1001, 1499))
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "F3_typed_predicate_scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, p_retailprice
+    FROM part
+    WHERE p_type LIKE '%BRASS%' AND p_size BETWEEN 10 AND 20
+    """,
+)
+def f3_typed_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-guarded predicate search (Graph.fs:556-585 tryFindTaxon etc.):
+    project to a subtype and test a condition on its payload."""
+    return (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type").like("%BRASS%") & F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_name", "p_type", "p_retailprice")
+    )
+
+
+@query(
+    "F6_derived_column_match",
+    oracle="""
+    SELECT p_partkey,
+           lower(replace(p_name, ' ', '_')) AS derived_key
+    FROM part
+    WHERE lower(replace(p_name, ' ', '_')) LIKE 'alm%'
+    """,
+)
+def f6_derived_column_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match on a column derived from payload (Storage.fs:368-388
+    tryFindTaxonByName computes a latin-name string, then compares)."""
+    part = table(spark, sf_dir, "part")
+    derived = F.lower(F.regexp_replace(F.col("p_name"), " ", "_"))
+    return (
+        part.select("p_partkey", derived.alias("derived_key"))
+        .where(F.col("derived_key").like("alm%"))
+    )
+
+
+@query(
+    "F8_substring_search",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE contains(lower(c_name), '00042') AND c_mktsegment <> 'MACHINERY'
+    """,
+)
+def f8_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UI search: substring over display names + hide-excluded toggle
+    (Library.fs:77, 165, 262)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .where(
+            F.lower(F.col("c_name")).contains("00042")
+            & (F.col("c_mktsegment") != "MACHINERY")
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "F10_conditional_route",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value <= 50.0 THEN 'in_scope_' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                ELSE 'out_of_scope' END AS routed_key
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def f10_conditional_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scope routing (Scenarios.fs:37-40; Library.fs:931-942): a value in
+    range maps to a keyed node, out-of-range to a sentinel label."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    routed = F.when(
+        F.col("value") <= 50.0,
+        F.concat(F.lit("in_scope_"), F.floor("value").cast("bigint").cast("string")),
+    ).otherwise(F.lit("out_of_scope"))
+    return ev.select("event_id", routed.alias("routed_key"))
+
+
+@query(
+    "O1_index_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    ORDER BY o_orderstatus, o_orderkey
+    LIMIT 100
+    """,
+)
+def o1_index_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index sort by (NodeTypeName, NodeId) + truncation (Storage.fs:165,
+    260).  Total order via unique key tiebreak keeps the limit stable.
+    Spark executes this as TakeOrderedAndProject — no full sort at scale."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy("o_orderstatus", "o_orderkey")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .limit(100)
+    )
+
+
+@query(
+    "O3_display_truncation",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 12) AS short_name,
+           CASE WHEN length(c_name) > 12 THEN substr(c_name, 1, 12) || '...'
+                ELSE c_name END AS display_name
+    FROM customer
+    WHERE c_custkey <= 50
+    """,
+)
+def o3_display_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display truncation: first-50-chars / et-al. style (Graph.fs:354,
+    Types.fs:304-309, Library.fs:917)."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 50)
+    short = F.substring("c_name", 1, 12)
+    return c.select(
+        "c_custkey",
+        short.alias("short_name"),
+        F.when(F.length("c_name") > 12, F.concat(short, F.lit("...")))
+        .otherwise(F.col("c_name"))
+        .alias("display_name"),
+    )
+
+
+@query(
+    "U5_edge_dedup",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate IS NOT NULL AS has_date
+    FROM lineitem
+    """,
+)
+def u5_edge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-tuple dedup (Graph.fs:146-149: an edge equal in all of
+    source/sink/weight/data is not duplicated) → dropDuplicates."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").isNotNull().alias("has_date"),
+    ).dropDuplicates()
+
+
+@query(
+    "U6_set_difference",
+    oracle="""
+    SELECT DISTINCT o_orderpriority FROM orders
+    EXCEPT
+    SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def u6_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (Graph.fs:88 List.except; Library.fs:721
+    Set.difference): priorities never seen on finished orders."""
+    o = table(spark, sf_dir, "orders")
+    all_p = o.select("o_orderpriority").distinct()
+    f_p = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority").distinct()
+    return all_p.exceptAll(f_p)

@@ -1,0 +1,184 @@
+"""Window computations (SURVEY §2.5) + top-k per group and sessionization.
+
+The reference has three windows-in-disguise: the year Next chain (W1),
+per-timeline temporal extent (W2), and uncertainty-band smoothing (W3).
+All partition by a key before ordering, so at scale each window is one
+shuffle on the partition key with no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+
+@query(
+    "W1_next_in_sequence",
+    oracle="""
+    SELECT event_id,
+           LEAD(event_id) OVER w AS next_event_id,
+           CAST(date_diff('second', ts, LEAD(ts) OVER w) AS BIGINT)
+             AS gap_seconds
+    FROM events
+    WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def w1_next_in_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The year→year Next chain (Exposure.fs:123; never materialized in the
+    reference — ordering lives in key arithmetic).  lead() over an ordered
+    window materializes it."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    return (
+        ev.select(
+            "event_id",
+            F.lead("event_id").over(w).alias("next_event_id"),
+            (F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long"))
+            .alias("gap_seconds"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "W2_temporal_extent",
+    oracle="""
+    SELECT o_custkey,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS earliest,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS latest,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def w2_temporal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeline temporal extent (ExtentEarliest/ExtentLatest edges,
+    Exposure.fs:138-143; Library.fs:845-849): earliest/latest per entity.
+    groupBy-min/max — partial-aggregated map-side, one shuffle."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("earliest"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("latest"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "W3_moving_smooth",
+    oracle="""
+    SELECT event_id,
+           SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w
+             / COUNT(value) OVER w / 10000.0 AS smoothed
+    FROM events
+    WHERE event_type = 'view'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def w3_moving_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty-band neighbourhood smoothing (Scenarios.fs:160-197 turns
+    year±error into extra edges; the analytics form is a rowsBetween moving
+    average).  Decimal sum inside the frame keeps it hash-stable."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    smoothed = (
+        F.sum(F.floor(F.col("value") * 10000)).over(w)
+        / F.count("value").over(w)
+        / F.lit(10000.0)
+    )
+    return ev.select("event_id", smoothed.alias("smoothed")).orderBy("event_id")
+
+
+@query(
+    "O2_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3 AND o_custkey <= 200
+    ORDER BY o_custkey, rk
+    """,
+)
+def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match / top-k per group (Library.fs:845-848 Seq.tryHead over
+    sorted hops).  row_number with a unique tiebreak; Spark runs this as a
+    partial top-k within each partition before the shuffle."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 3) & (F.col("o_custkey") <= 200))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+@query(
+    "W4_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MAX(session_no) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (the batch form of §2.10's session windows): lag-gap
+    flag + running sum.  One shuffle on user_id covers both windows and
+    the final groupBy (same partitioning reused across stages)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = table(spark, sf_dir, "events")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_no", F.sum("is_new").over(wrun))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_no").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configs are the
+ones we would ship to a 1000-executor cluster (AQE on, skew-join handling,
+sane shuffle partitioning, Arrow for the few Pandas-UDF paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "biodiversity-graph-db-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # UTC so timestamp semantics match the DuckDB oracle (UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ~1 shuffle partition per core locally; on a real cluster this is
+        # sized by AQE's advisory target instead of a static number.
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # Arrow transfer for pandas_udf / applyInPandas / toPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast anything under 64 MB — dims here (region, nation,
+        # supplier, part, the 14k-row time index) are all far below this.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark
+        # rejects; read as long and convert in tables.load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    return builder.getOrCreate()

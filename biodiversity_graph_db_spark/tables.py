@@ -1,0 +1,56 @@
+"""Load the driver's synthetic star schema (TESTDATA.md) and register views.
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under the scale-factor dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any scale factor we target.
+BROADCAST_DIMS = {"region", "nation"}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every table and register it as a temp view.
+
+    Reads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+    pushdown / column pruning; callers should ``select`` only what they need.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(name)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet, read as long nanos
+        # (see session.py).  The sub-microsecond digits are zero in the
+        # driver's data, so converting to a microsecond timestamp is
+        # lossless and matches DuckDB's view of the same file.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df

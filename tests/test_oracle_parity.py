@@ -1,0 +1,27 @@
+"""Every registered query must hash-match its DuckDB oracle — the local
+replica of the driver's t2 correctness gate (run at sf0.001 for speed;
+set SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 for the full gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from biodiversity_graph_db_spark import registry
+from tests.oracle_harness import compare
+
+registry.load_all()
+
+ORACLE_CASES = sorted(registry.ORACLE)
+NO_ORACLE = sorted(set(registry.QUERIES) - set(registry.ORACLE))
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(spark, sf_dir, name):
+    compare(spark, sf_dir, name, registry.QUERIES[name], registry.ORACLE[name])
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only(spark, sf_dir, name):
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert df.schema is not None
