@@ -1,0 +1,250 @@
+"""Graph-semantics tests mirroring the reference's
+(tests/BiodiversityCoder.Core.Tests/Graph.fs + SURVEY §5 strategy):
+seed cardinalities, duplicate-key rejection, idempotent upsert, cascade
+delete, edge dedup, signature validation, hyperedge integrity, traversal.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.graph.seed import (
+    HOLOCENE_KEY,
+    LIFE_KEY,
+    seed_graph,
+)
+from biodiversity_graph_db_spark.graph.store import GraphIntegrityError, GraphStore
+from biodiversity_graph_db_spark.graph import traversal
+
+
+@pytest.fixture(scope="module")
+def seeded(spark):
+    return seed_graph(spark).cache()
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, node_type string, pretty_name string"
+    )
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "source_key string, sink_key string, relation string"
+    )
+
+
+class TestSeed:
+    def test_cardinalities(self, seeded):
+        # Seed.fs:55 (years), 64-85 (outcomes/Life/Holocene), 96-98 (edges)
+        by_type = dict(
+            seeded.nodes.groupBy("node_type").count().collect()
+        )
+        assert by_type == {
+            "CalYearNode": 14073,
+            "BiodiversityDimensionNode": 6,
+            "TaxonNode": 1,
+            "QualitativeLabelNode": 1,
+        }
+        assert seeded.edges.count() == 2
+
+    def test_seed_edges(self, seeded):
+        rows = {
+            (r.sink_key, r.relation)
+            for r in seeded.out_edges(HOLOCENE_KEY).collect()
+        }
+        assert rows == {
+            ("calyearnode_11650ybp", "EarliestTime"),
+            ("calyearnode_0ybp", "LatestTime"),
+        }
+
+    def test_year_key_format(self, seeded):
+        # Graph.fs:527 — "{n}ybp"
+        assert (
+            seeded.nodes.where(F.col("year_value") == -72)
+            .select("key")
+            .first()
+            .key
+            == "calyearnode_-72ybp"
+        )
+
+
+class TestMutations:
+    def test_duplicate_key_rejected(self, spark, seeded):
+        # Graph.fs:63-70 addNode errors on existing key
+        with pytest.raises(GraphIntegrityError, match="already exists"):
+            seeded.add_nodes(
+                _nodes(spark, [(LIFE_KEY, "TaxonNode", "Life")])
+            )
+
+    def test_add_or_skip_idempotent(self, spark, seeded):
+        # Graph.fs:72-79 addNodeOrSkip
+        n0 = seeded.nodes.count()
+        s2 = seeded.add_nodes(
+            _nodes(
+                spark,
+                [
+                    (LIFE_KEY, "TaxonNode", "Life"),
+                    ("taxonnode_kingdom_plantae", "TaxonNode", "Plantae"),
+                ],
+            ),
+            on_conflict="skip",
+        )
+        assert s2.nodes.count() == n0 + 1
+
+    def test_replace_node_data_keeps_adjacency(self, spark, seeded):
+        # Graph.fs:81-90
+        s2 = seeded.replace_node_data(
+            _nodes(spark, [(HOLOCENE_KEY, "QualitativeLabelNode", "Holocene epoch")])
+        )
+        assert (
+            s2.nodes.where(F.col("key") == HOLOCENE_KEY).first().pretty_name
+            == "Holocene epoch"
+        )
+        assert s2.out_edges(HOLOCENE_KEY).count() == 2
+
+    def test_replace_missing_node_fails(self, spark, seeded):
+        with pytest.raises(GraphIntegrityError, match="doesn't already exist"):
+            seeded.replace_node_data(
+                _nodes(spark, [("taxonnode_nope", "TaxonNode", "x")])
+            )
+
+    def test_remove_node_cascades(self, spark, seeded):
+        # Graph.fs:119-132 removeNode deletes incoming+outgoing edges
+        s2 = seeded.remove_nodes(
+            spark.createDataFrame([(HOLOCENE_KEY,)], "key string")
+        )
+        assert s2.nodes.where(F.col("key") == HOLOCENE_KEY).isEmpty()
+        assert s2.edges.isEmpty()
+
+    def test_edge_dedup(self, spark, seeded):
+        # Graph.fs:146-149 identical edge not duplicated
+        dup = _edges(
+            spark, [(HOLOCENE_KEY, "calyearnode_11650ybp", "EarliestTime")]
+        )
+        assert seeded.add_relations(dup).edges.count() == 2
+
+    def test_edge_fk_validated(self, spark, seeded):
+        # Graph.fs:136-152 both endpoints must exist
+        with pytest.raises(GraphIntegrityError, match="endpoint missing"):
+            seeded.add_relations(
+                _edges(spark, [(HOLOCENE_KEY, "calyearnode_99999ybp", "Contains")])
+            )
+
+    def test_edge_signature_validated(self, spark, seeded):
+        # J5: QualitativeLabelNode -[IsA]-> CalYearNode is not in the
+        # signature vocabulary (IsA is taxon->taxon, Population.fs:173-195)
+        with pytest.raises(GraphIntegrityError, match="signature"):
+            seeded.add_relations(
+                _edges(spark, [(HOLOCENE_KEY, "calyearnode_0ybp", "IsA")])
+            )
+
+
+class TestHyperedge:
+    @pytest.fixture()
+    def with_evidence(self, spark, seeded):
+        nodes = _nodes(
+            spark,
+            [
+                ("individualtimelinenode_t1", "IndividualTimelineNode", "t1"),
+                ("bioticproxynode_morphotype_pollen_betula", "BioticProxyNode", "Betula pollen"),
+                ("inferencemethodnode_implicit", "InferenceMethodNode", "Implicit"),
+                ("taxonnode_genus_betula", "TaxonNode", "Betula"),
+            ],
+        )
+        return seeded.add_nodes(nodes)
+
+    def test_hyperedge_transaction(self, spark, with_evidence):
+        # Storage.fs:396-423 + Library.fs:204-251
+        s2 = with_evidence.add_proxied_taxon(
+            "proxiedtaxonnode_h1",
+            "individualtimelinenode_t1",
+            "bioticproxynode_morphotype_pollen_betula",
+            "inferencemethodnode_implicit",
+            ["taxonnode_genus_betula"],
+            outcome_key="biodiversitydimensionnode_abundance",
+        )
+        spokes = {
+            (r.relation, r.sink_key)
+            for r in s2.out_edges("proxiedtaxonnode_h1").collect()
+        }
+        assert spokes == {
+            ("InferredFrom", "bioticproxynode_morphotype_pollen_betula"),
+            ("InferredUsing", "inferencemethodnode_implicit"),
+            ("InferredAs", "taxonnode_genus_betula"),
+            ("MeasuredBy", "biodiversitydimensionnode_abundance"),
+        }
+        assert (
+            s2.out_edges("individualtimelinenode_t1", "HasProxyInfo").count() == 1
+        )
+
+    def test_duplicate_taxa_rejected(self, with_evidence):
+        # Storage.fs:425-427
+        with pytest.raises(GraphIntegrityError, match="duplicate taxa"):
+            with_evidence.add_proxied_taxon(
+                "proxiedtaxonnode_h2",
+                "individualtimelinenode_t1",
+                "bioticproxynode_morphotype_pollen_betula",
+                "inferencemethodnode_implicit",
+                ["taxonnode_genus_betula", "taxonnode_genus_betula"],
+            )
+
+
+class TestTraversal:
+    @pytest.fixture(scope="class")
+    def taxonomy(self, spark):
+        # life <- kingdom <- genus <- species chain + a second kingdom
+        return _edges(
+            spark,
+            [
+                ("taxonnode_kingdom_plantae", "taxonnode_life", "IsA"),
+                ("taxonnode_kingdom_animalia", "taxonnode_life", "IsA"),
+                ("taxonnode_genus_betula", "taxonnode_kingdom_plantae", "IsA"),
+                ("taxonnode_species_betula_nana_l", "taxonnode_genus_betula", "IsA"),
+            ],
+        )
+
+    def test_transitive_closure(self, taxonomy):
+        rows = {
+            (r.descendant, r.ancestor, r.depth)
+            for r in traversal.transitive_closure(
+                taxonomy.select("source_key", "sink_key")
+            ).collect()
+        }
+        assert ("taxonnode_species_betula_nana_l", "taxonnode_life", 3) in rows
+        assert ("taxonnode_genus_betula", "taxonnode_life", 2) in rows
+        assert len(rows) == 4 + 2 + 1  # depth-1 + depth-2 + depth-3 pairs
+
+    def test_bfs(self, taxonomy):
+        dists = {
+            r.key: r.dist
+            for r in traversal.bfs(
+                taxonomy.withColumnRenamed("source_key", "source_key"),
+                "taxonnode_species_betula_nana_l",
+            ).collect()
+        }
+        assert dists["taxonnode_life"] == 3
+
+    def test_connected_components(self, spark, taxonomy):
+        extra = _edges(
+            spark, [("contextnode_x", "contextnode_y", "IsLocatedAt")]
+        )
+        labels = {
+            r.key: r.component
+            for r in traversal.connected_components(
+                taxonomy.unionByName(extra)
+            ).collect()
+        }
+        assert labels["taxonnode_species_betula_nana_l"] == labels["taxonnode_kingdom_animalia"]
+        assert labels["contextnode_x"] == labels["contextnode_y"]
+        assert labels["contextnode_x"] != labels["taxonnode_life"]
+
+    def test_k_hop(self, spark, taxonomy):
+        start = spark.createDataFrame(
+            [("taxonnode_species_betula_nana_l",)], "key string"
+        )
+        ends = traversal.k_hop(taxonomy, start, ["IsA", "IsA"]).collect()
+        assert [(r.start_key, r.end_key) for r in ends] == [
+            ("taxonnode_species_betula_nana_l", "taxonnode_kingdom_plantae")
+        ]
