@@ -1,0 +1,246 @@
+"""Near-duplicate detection at pretraining scale (BASELINE.json mandate):
+
+- exact dedup: hash-groupBy on a normalized fingerprint (textstats.T3)
+- n-gram Jaccard: exact set similarity via shingle explode + self-join —
+  correct but O(Σ posting²); the oracle-checked form is bounded, the
+  scale path is MinHash below
+- MinHash + LSH: shingle → H minhashes → band buckets → candidate pairs →
+  exact verify.  One shuffle per stage, no pairwise blowup: candidates
+  are generated only inside buckets (the standard banding scheme).
+
+Everything hashes with md5 (bit-identical across engines), min/agg over
+hex strings — deterministic, so the DuckDB oracle can verify the whole
+pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.operators._util import sql_dquant
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands of 4 rows
+
+
+def _toks(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def unigram_shingles(text: Column) -> Column:
+    """Distinct token set — the shingle space for MinHash here."""
+    return F.array_distinct(_toks(text))
+
+
+def word_ngram_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (contiguous)."""
+    toks = _toks(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(id, shingles array) → (id, h, sig): sig = min over shingles of
+    md5('{h}:{shingle}').  Exploding shingles × hashes is a narrow
+    transform; the min is a map-side-combinable aggregate."""
+    ex = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
+    return ex.groupBy("doc_id", "h").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("h"), F.col("shingle")))).alias("sig")
+    )
+
+
+def lsh_candidates(minhashes: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Band the signatures and bucket-join: only docs agreeing on a full
+    band become candidate pairs.  The join key (band, band_key) keeps the
+    pair generation inside buckets — at 100 TB this is the difference
+    between O(n²) and O(n·bucket)."""
+    bands = minhashes.withColumn("band", F.floor(F.col("h") / band_size)).groupBy(
+        "doc_id", "band"
+    ).agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "sig"))),
+                    lambda s: s["sig"],
+                ),
+            )
+        ).alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+
+
+def exact_jaccard(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Verify candidates with exact set Jaccard (only over the candidate
+    set, never all pairs)."""
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
+    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    inter = (
+        pairs.join(ex.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
+        .join(
+            ex.alias("eb"),
+            (F.col("doc_b") == F.col("eb.doc_id"))
+            & (F.col("ea.shingle") == F.col("eb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+    )
+
+
+_SHINGLES_SQL_3GRAM = """
+  list_distinct(list_transform(
+    generate_series(1, len(string_split_regex(trim(lower(text)), '\\s+')) - 2),
+    i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+         string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+         string_split_regex(trim(lower(text)), '\\s+')[i+2]))
+"""
+
+
+@query(
+    "E1_ngram_jaccard_topk",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES_SQL_3GRAM} AS sh
+      FROM documents WHERE doc_id < 100
+    ), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           {sql_dquant('n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE)')}
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def e1_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard, top-20 most similar pairs (bounded to
+    100 docs — the exact algorithm; MinHash E2 is the 100 TB path)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    shingled = d.select(
+        "doc_id", word_ngram_shingles(F.col("text")).alias("shingles")
+    )
+    all_pairs = (
+        shingled.selectExpr("doc_id AS doc_a")
+        .join(shingled.selectExpr("doc_id AS doc_b"), F.col("doc_a") < F.col("doc_b"))
+    )
+    j = exact_jaccard(shingled, all_pairs).where(F.col("n_inter") > 0)
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.floor(F.col("jaccard") * 10000) / 10000.0).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "E2_minhash_lsh_neardup",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sh
+      FROM documents WHERE doc_id < 200
+    ), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    hs AS (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS h),
+    mh AS (
+      SELECT doc_id, h,
+             MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS sig
+      FROM ex CROSS JOIN hs GROUP BY doc_id, h
+    ),
+    bands AS (
+      SELECT doc_id, h // {BAND_SIZE} AS band,
+             md5(string_agg(sig, '|' ORDER BY h)) AS band_key
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.doc_a
+      JOIN ex eb ON eb.doc_id = c.doc_b AND ea.shingle = eb.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           {sql_dquant('v.n_inter / CAST(sa.n + sb.n - v.n_inter AS DOUBLE)')}
+             AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_a
+    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE v.n_inter / CAST(sa.n + sb.n - v.n_inter AS DOUBLE) >= 0.7
+    ORDER BY v.doc_a, v.doc_b
+    """,
+)
+def e2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline end-to-end: shingle → minhash →
+    band-bucket join → candidates → exact-Jaccard verify ≥ 0.7.  This is
+    the scalable dedup path (no all-pairs stage anywhere)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    shingled = d.select(
+        "doc_id", unigram_shingles(F.col("text")).alias("shingles")
+    ).cache()
+    mh = minhash_signatures(shingled)
+    cand = lsh_candidates(mh)
+    verified = exact_jaccard(shingled, cand)
+    return (
+        verified.where(F.col("jaccard") >= 0.7)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(F.col("jaccard") * 10000) / 10000.0).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

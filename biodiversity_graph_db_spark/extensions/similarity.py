@@ -1,0 +1,264 @@
+"""Similarity search over embedding columns (BASELINE.json mandate).
+
+- brute-force cosine top-k: the correctness baseline.  Dot products are
+  accumulated as scaled BIGINTs (floor(x·y·1e12)) so the result is
+  order-independent and bit-identical to the DuckDB oracle.
+- IVF (inverted-file) top-k: the scale path — assign vectors to the
+  nearest of k centroids once (one narrow pass), then search only the
+  probed clusters.  At 100 TB this turns every query from a full scan
+  into a partition-pruned scan (cluster id is the partition key).
+
+Embeddings are float32 arrays; every element is cast to double before
+arithmetic so both engines do identical IEEE math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+_S = 1e12  # dot-product term scale (values ≲0.6, 64 dims → sums ≪ 2^63)
+
+
+def _scaled_dot(a: Column, b: Column) -> Column:
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(_S)).cast(
+            "long"
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _scaled_norm(a: Column) -> Column:
+    return _scaled_dot(a, a)
+
+
+def cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cos = scaled_dot / sqrt(na·nb), computed identically everywhere."""
+    return _scaled_dot(a, b) / F.sqrt(na.cast("double") * nb.cast("double"))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("norm_sq", _scaled_norm(F.col(vec_col)))
+
+
+def brute_force_topk(
+    queries_df: DataFrame, candidates: DataFrame, k: int = 5
+) -> DataFrame:
+    """Top-k by cosine for each query vector.  The query side is tiny →
+    broadcast; candidates stream through once; per-query top-k is a
+    partial aggregation (no global sort)."""
+    q = F.broadcast(
+        with_norm(queries_df).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    c = with_norm(candidates).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    pairs = c.join(q, F.col("q_id") != F.col("c_id"))
+    cos = pairs.withColumn(
+        "cosine",
+        cosine(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "rank",
+            "c_id",
+            (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries_df: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: centroids = the first ``n_centroids``
+    vectors by vec_id (deterministic, no iterative k-means needed for the
+    pruning structure); each candidate is assigned to its nearest
+    centroid once; each query searches only its ``n_probe`` nearest
+    clusters.  Returns the same schema as brute_force_topk."""
+    cents = F.broadcast(
+        with_norm(emb.orderBy("vec_id").limit(n_centroids)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("norm_sq").alias("cent_norm"),
+        )
+    )
+
+    def assign(df: DataFrame, id_col: str, emb_col: str, norm_col: str, top: int) -> DataFrame:
+        scored = df.join(cents, how="cross").withColumn(
+            "cent_cos",
+            cosine(
+                F.col(emb_col), F.col("cent_emb"), F.col(norm_col), F.col("cent_norm")
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cent_cos").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .where(F.col("crk") <= top)
+            .drop("cent_emb", "cent_norm", "cent_cos", "crk")
+        )
+
+    c = with_norm(emb).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    c_assigned = assign(c, "c_id", "c_emb", "c_norm", top=1)
+    q = with_norm(queries_df).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    q_assigned = assign(q, "q_id", "q_emb", "q_norm", top=n_probe)
+    pairs = q_assigned.join(c_assigned, "cent_id").where(
+        F.col("q_id") != F.col("c_id")
+    )
+    cos = pairs.withColumn(
+        "cosine",
+        cosine(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "rank",
+            "c_id",
+            (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
+        )
+    )
+
+
+_NORM_SQL = """
+  SELECT vec_id,
+         SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12)
+             AS BIGINT)) AS norm_sq
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+  GROUP BY vec_id
+"""
+
+
+@query(
+    "V1_cosine_topk",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+    terms AS (
+      SELECT q_id, c_id, unnest(qe) AS qa, unnest(ce) AS cb
+      FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    dots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM terms GROUP BY q_id, c_id
+    ),
+    cos AS (
+      SELECT d.q_id, d.c_id,
+             d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                          * CAST(nc.norm_sq AS DOUBLE)) AS cosv
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms nc ON nc.vec_id = d.c_id
+    )
+    SELECT q_id, rank, c_id, FLOOR(cosv * 1e6) / 1e6 AS cosine FROM (
+      SELECT q_id, c_id, cosv,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosv DESC, c_id) AS rank
+      FROM cos
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors — the ANN
+    correctness baseline (IVF in ivf_topk is the scale path, tested for
+    recall against this in tests/)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    ).orderBy("q_id", "rank")
+
+
+@query(
+    "V2_embedding_neardup",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    terms AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT va, vb,
+             SUM(CAST(FLOOR(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM terms GROUP BY va, vb
+    )
+    SELECT d.va AS vec_a, d.vb AS vec_b,
+           FLOOR(d.dot / sqrt(CAST(na.norm_sq AS DOUBLE)
+                              * CAST(nb.norm_sq AS DOUBLE)) * 1e6) / 1e6
+             AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.va
+    JOIN norms nb ON nb.vec_id = d.vb
+    WHERE d.dot / sqrt(CAST(na.norm_sq AS DOUBLE)
+                       * CAST(nb.norm_sq AS DOUBLE)) >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def v2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (θ=0.35 on this data; bounded to
+    200 vectors — the all-pairs form; at scale the pair generation runs
+    inside IVF clusters instead)."""
+    emb = with_norm(table(spark, sf_dir, "embeddings")).where(
+        F.col("vec_id") < 200
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm_sq").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm_sq").alias("nb"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = pairs.withColumn(
+        "cosv", cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    )
+    return (
+        cos.where(F.col("cosv") >= 0.35)
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.floor(F.col("cosv") * 1e6) / 1e6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

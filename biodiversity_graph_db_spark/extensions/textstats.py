@@ -1,0 +1,197 @@
+"""Text analysis for a training-data pipeline (BASELINE.json extension
+mandate): token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  All pure Column expressions — JVM-side, codegen-friendly,
+no Python in the hot path; at 100 TB these are embarrassingly parallel
+narrow transforms over the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.operators._util import sql_dquant
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+# Function-word votes per language for the n-gram/stopword language-ID
+# heuristic (the classic stopword-profile method).
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "for")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(n_chars: Column) -> Column:
+    """BPE-ish estimate: ~4 chars/token (the standard approximation)."""
+    return F.ceil(n_chars / 4.0).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(stops) / F.size(toks)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Share of characters that are letters or spaces."""
+    clean = F.regexp_replace(text, r"[^A-Za-z ]", "")
+    return F.length(clean) / F.length(text)
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite quality score in [0,1]: length saturation + lexical
+    diversity + alphabetic cleanliness (the usual pretraining filters)."""
+    length_score = F.least(F.lit(1.0), n_chars / 400.0)
+    toks = tokens(F.lower(text))
+    diversity = F.size(F.array_distinct(toks)) / F.size(toks)
+    return 0.4 * length_score + 0.4 * diversity + 0.2 * alpha_ratio(text)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the casefolded, space-collapsed text
+    (the exact-dedup key; md5 is identical across engines)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "T1_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_estimate,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 w -> list_contains({_STOP_SQL}, w)))
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, bpe_estimate,
+           {sql_dquant('n_stop / CAST(n_tokens AS DOUBLE)')} AS stop_ratio
+    FROM t WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish estimate, stopword
+    ratio."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_estimate(F.col("n_chars")).alias("bpe_estimate"),
+        (F.floor(stopword_ratio(F.col("text")) * 10000) / 10000.0).alias(
+            "stop_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "T2_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             least(1.0, n_chars / 400.0) AS length_score,
+             len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+               / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE)
+               AS diversity,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           {sql_dquant('0.4 * length_score + 0.4 * diversity + 0.2 * alpha')}
+             AS quality
+    FROM t
+    WHERE 0.4 * length_score + 0.4 * diversity + 0.2 * alpha >= 0.7
+    ORDER BY doc_id
+    """,
+)
+def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + threshold filter (the pretraining quality gate)."""
+    d = table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"), F.col("n_chars"))
+    return (
+        d.select(
+            "doc_id", q.alias("q_raw"),
+            (F.floor(q * 10000) / 10000.0).alias("quality"),
+        )
+        .where(F.col("q_raw") >= 0.7)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "T3_fingerprint_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+)
+def t3_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (hash-groupBy; the
+    map-side-combinable exact pass that precedes MinHash at scale).
+    Keeper = min doc_id per group."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint(F.col("text")).alias("fingerprint"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "T4_lang_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           {sql_dquant('SUM(n_chars) / CAST(SUM(n_tokens) AS DOUBLE)')}
+             AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def t4_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language profile (the aggregate view a lang-ID pass feeds):
+    docs / tokens / chars-per-token by language."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", token_count(F.col("text")).alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.floor(
+                    F.sum("n_chars") / F.sum("n_tokens").cast("double") * 10000
+                )
+                / 10000.0
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

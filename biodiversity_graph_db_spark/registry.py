@@ -50,6 +50,7 @@ def load_all() -> None:
     )
     from biodiversity_graph_db_spark.extensions import (  # noqa: F401
         dedup,
+        multimodal,
         similarity,
         textstats,
     )
