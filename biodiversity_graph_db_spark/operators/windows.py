@@ -105,6 +105,46 @@ def w3_moving_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "W5_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 10000) AS BIGINT)) / 10000.0
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def w5_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate — the batch twin of
+    streaming.ingest.tumbling_counts (same windowing expression Structured
+    Streaming executes incrementally; §2.10).  1-hour windows align with
+    date_trunc in the oracle."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 10000)) / 10000.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
     "O2_topk_per_group",
     oracle="""
     SELECT * FROM (

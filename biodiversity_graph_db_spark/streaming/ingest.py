@@ -1,0 +1,140 @@
+"""Structured Streaming ingestion (SURVEY §2.10, build plan M6).
+
+The reference has no streaming — its incremental patterns (append-only
+source import S9/S13, idempotent upsert U2, monotone index merge A3) map
+here to:
+
+- file-source ``readStream`` over the events directory
+- watermark + ``dropDuplicates`` on the natural key (U2-streaming)
+- tumbling / sliding / session windowed aggregation with late-data
+  handling
+- ``foreachBatch`` upsert into the graph tables (the MERGE path)
+
+Scale notes: watermark state is bounded by (watermark horizon ×
+arrival rate); dropDuplicates keys state by event_id only within the
+horizon.  Windowed aggs shuffle once on (window, key); session windows
+use Spark's native session_window (state-store backed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over an events directory (new files appear →
+    new micro-batches; maxFilesPerTrigger bounds batch size)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """U2 as a stream: idempotent insert = watermark + dropDuplicates on
+    the natural key.  State is bounded by the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window aggregate with late-data tolerance."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000)).alias("value_scaled"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("value_scaled") / 10000.0).alias("total_value"),
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window average value per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n", "avg_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based) per user — the streaming form of
+    W4_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def merge_events_into_graph(
+    events: DataFrame, nodes_path: str, checkpoint: str
+):
+    """foreachBatch upsert (the Delta-MERGE shape on plain parquet):
+    each micro-batch becomes idempotent node rows keyed by event_id —
+    duplicates across batches are dropped by the anti-join, mirroring
+    GraphStore.add_nodes(on_conflict='skip')."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new_nodes = batch.select(
+            F.concat(F.lit("eventnode_"), F.col("event_id")).alias("key"),
+            F.lit("EventNode").alias("node_type"),
+            F.col("event_type").alias("pretty_name"),
+            F.to_json(F.struct("ts", "user_id", "value")).alias("payload"),
+        ).dropDuplicates(["key"])
+        try:
+            existing = spark.read.parquet(nodes_path).select("key")
+            fresh = new_nodes.join(existing, "key", "left_anti")
+        except Exception:
+            fresh = new_nodes
+        fresh.write.mode("append").parquet(nodes_path)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,132 @@
+"""Connector tests (S8/S9/S12/S10): BibTeX regex extraction, Colandr
+screening filter, data-table validation + unpivot, CrossRef stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.sources import bibtex, colandr, datatable, enrichment
+
+BIB = (
+    "@article{smith1998,\n"
+    "author = {Smith, A. B.},\n"
+    "title = {The Holocene Pollen Record},\n"
+    "journal = {Journal of Quaternary Science},\n"
+    "year = 1998,\n"
+    "volume = {13},\n"
+    "number = {2},\n"
+    "pages = {101--115},\n"
+    "month = {jan}}\n"
+    "@article{jones2005,\n"
+    "author = {Jones, C.},\n"
+    "title = {Arctic Diatoms},\n"
+    "journal = {Polar Biology},\n"
+    "year = 2005,\n"
+    "volume = {28},\n"
+    "number = {4},\n"
+    "pages = {200--210},\n"
+    "month = {may}}\n"
+)
+
+
+class TestBibtex:
+    def test_parse_records(self, spark):
+        records = spark.createDataFrame([(r,) for r in BIB.split("@article")[1:]], "record string")
+        records = records.select(F.concat(F.lit("@article"), "record").alias("record"))
+        rows = bibtex.parse_bibtex_records(records).collect()
+        assert len(rows) == 2
+        first = {r.citekey: r for r in rows}["smith1998"]
+        assert first.author == "Smith, A. B."
+        assert first.year == 1998
+        assert (first.page_start, first.page_end) == (101, 115)
+        assert first.month == "jan"
+
+    def test_source_nodes_keys(self, spark):
+        records = spark.createDataFrame([(BIB.split("@article")[1],)], "record string")
+        records = records.select(F.concat(F.lit("@article"), "record").alias("record"))
+        nodes = bibtex.bibtex_to_source_nodes(
+            bibtex.parse_bibtex_records(records)
+        ).collect()
+        # pub_{lastname}_{title-initials}_{year} (Graph.fs:502-507)
+        assert nodes[0].key == "sourcenode_pub_smith_thpr_1998"
+        assert nodes[0].screening_state == "Unscreened"
+
+    def test_unparseable_quarantined(self, spark):
+        records = spark.createDataFrame(
+            [("@article{broken, nope}",)], "record string"
+        )
+        rows = bibtex.parse_bibtex_records(records).collect()
+        assert rows[0].parse_ok is False
+
+
+class TestColandr:
+    def test_included_filter(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("included", "A, B", "T1", "J1", "1999", "10"),
+                ("excluded", "C, D", "T2", "J2", "2000", "11"),
+                ("included", "E, F", "T3", "J3", "not_a_year", None),
+            ],
+            "citation_screening_status string, citation_authors string,"
+            "citation_title string, citation_journal_name string,"
+            "citation_pub_year string, citation_journal_volume string",
+        )
+        rows = colandr.colandr_rows(df).collect()
+        assert [r.title for r in rows] == ["T1", "T3"]
+        assert rows[0].year == 1999 and rows[1].year is None
+
+
+class TestDataTable:
+    GOOD = "depth\tBetula\tPinus\n0.5\t12\t3\n1.0\t10\t5\n1.5\t8\t0"
+
+    def test_long_form(self, spark):
+        long = datatable.parse_data_table(spark, self.GOOD)
+        rows = long.collect()
+        assert len(rows) == 6  # 3 depths x 2 morphotypes
+        assert {r.index_unit for r in rows} == {"Depths"}
+        got = {(r.index_value, r.morphotype): r.value for r in rows}
+        assert got[(0.5, "Betula")] == 12.0
+        assert got[(1.5, "Pinus")] == 0.0
+
+    def test_wide_round_trip(self, spark):
+        long = datatable.parse_data_table(spark, self.GOOD)
+        wide = datatable.wide_view(long)
+        assert wide.columns == ["index_value", "index_unit", "Betula", "Pinus"]
+        assert wide.count() == 3
+
+    def test_empty_rejected(self, spark):
+        with pytest.raises(datatable.DataTableError, match="empty"):
+            datatable.parse_data_table(spark, "")
+
+    def test_ragged_rejected(self, spark):
+        with pytest.raises(datatable.DataTableError, match="same number"):
+            datatable.parse_data_table(spark, "depth\tA\n1\t2\t3")
+
+    def test_bad_index_unit_rejected(self, spark):
+        with pytest.raises(datatable.DataTableError, match="first column"):
+            datatable.parse_data_table(spark, "banana\tA\n1\t2")
+
+    def test_age_units(self):
+        assert datatable.index_unit("Cal yr BP") == "CalYrBP"
+        assert datatable.index_unit("YEAR BEFORE PRESENT") == "BP"
+        assert datatable.index_unit("ad") == "HistoryYearAD"
+
+
+class TestCrossRef:
+    def test_score_gap_heuristic(self, spark):
+        df = spark.createDataFrame(
+            [("Pollen of the north",), ("Diatoms of the south",)],
+            "title string",
+        )
+        rows = enrichment.crossref_match(df).collect()
+        assert len(rows) == 2
+        for r in rows:
+            expect = abs(r.score_best - r.score_second) > 1.0
+            assert (r.match_confident == "true") is expect
+            assert r.matched_doi.startswith("10.5555/")
+
+    def test_gpp_stubbed(self, spark):
+        df = spark.createDataFrame([("Salix herbacea",)], "latin_name string")
+        with pytest.raises(NotImplementedError):
+            enrichment.gpp_backbone_lookup(df)

@@ -1,0 +1,139 @@
+"""Structured Streaming tests: stream results must equal the batch
+computation on the same data (availableNow trigger, memory/parquet sinks)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.streaming import ingest
+from biodiversity_graph_db_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Copy events into a plain directory the file-source can stream,
+    converting the nanos timestamp once (streaming schema wants µs)."""
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    # Files must arrive roughly in event-time order (as a real ingest
+    # would), else later files are legitimately dropped as late data:
+    # range-partition by ts so part-0000i holds the i-th time slice.
+    (
+        table(spark, sf_dir, "events")
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/events")
+    )
+    yield f"{tmp}/events"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_to_memory(stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+class TestStreaming:
+    def test_stream_dedup_matches_batch(self, spark, events_dir):
+        stream = ingest.dedup_stream(
+            ingest.read_events_stream(spark, events_dir)
+        )
+        _run_to_memory(stream.select("event_id"), "dedup_t", "append")
+        got = spark.sql("SELECT COUNT(DISTINCT event_id) AS n FROM dedup_t").first().n
+        want = (
+            spark.read.parquet(events_dir).select("event_id").distinct().count()
+        )
+        assert got == want
+
+    def test_tumbling_counts_match_batch(self, spark, events_dir):
+        stream = ingest.tumbling_counts(
+            ingest.read_events_stream(spark, events_dir)
+        )
+        _run_to_memory(stream, "tumbling_t", "append")
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM tumbling_t").collect()
+        }
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                (F.sum(F.floor(F.col("value") * 10000)) / 10000.0).alias(
+                    "total_value"
+                ),
+            )
+        )
+        want = {
+            (r.w.start, r.event_type): (r.n_events, r.total_value)
+            for r in batch.collect()
+        }
+        # Append mode only emits windows already finalized by the
+        # watermark — the tail of the data stays in state.  Every emitted
+        # window must match the batch result exactly.
+        assert got, "no windows emitted"
+        for key, vals in got.items():
+            assert want[key] == vals, f"window {key}: {vals} != {want[key]}"
+        assert len(got) >= len(want) // 2
+
+    def test_session_windows_run(self, spark, events_dir):
+        stream = ingest.session_counts(
+            ingest.read_events_stream(spark, events_dir)
+        )
+        _run_to_memory(stream, "session_t", "append")
+        rows = spark.sql(
+            "SELECT COUNT(*) AS n, SUM(n_events) AS total, MIN(n_events) AS mn"
+            " FROM session_t"
+        ).first()
+        total_events = spark.read.parquet(events_dir).count()
+        # watermark holds back trailing sessions; emitted ones are final
+        assert 0 < rows.total <= total_events
+        assert rows.mn >= 1
+        # emitted sessions must not overlap: per user, sorted intervals
+        overlaps = spark.sql(
+            """
+            SELECT COUNT(*) AS n FROM (
+              SELECT user_id, session_start,
+                     LAG(session_end) OVER (PARTITION BY user_id
+                                            ORDER BY session_start) AS prev_end
+              FROM session_t
+            ) WHERE prev_end IS NOT NULL AND session_start < prev_end
+            """
+        ).first()
+        assert overlaps.n == 0
+
+    def test_foreach_batch_merge_idempotent(self, spark, events_dir):
+        tmp = tempfile.mkdtemp(prefix="graph_sink_")
+        nodes_path = f"{tmp}/nodes"
+        try:
+            stream = ingest.read_events_stream(spark, events_dir)
+            q = ingest.merge_events_into_graph(
+                stream, nodes_path, f"{tmp}/ckpt1"
+            ).start()
+            q.awaitTermination(120)
+            n1 = spark.read.parquet(nodes_path).count()
+            # replay the whole source with a fresh checkpoint: anti-join
+            # must keep the table unchanged
+            q2 = ingest.merge_events_into_graph(
+                ingest.read_events_stream(spark, events_dir),
+                nodes_path,
+                f"{tmp}/ckpt2",
+            ).start()
+            q2.awaitTermination(120)
+            n2 = spark.read.parquet(nodes_path).count()
+            assert n1 == n2 == spark.read.parquet(events_dir).count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
