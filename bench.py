@@ -22,6 +22,11 @@ HEADLINE = [
     "W4_sessionize",
     "O2_topk_per_group",
     "M1_unpivot_wide_matrix",
+    "G2_hierarchy_closure",
+    "E2_minhash_lsh_neardup",
+    "V1_cosine_topk",
+    "T1_token_stats",
+    "W5_tumbling_window",
 ]
 
 

@@ -78,8 +78,12 @@ def lsh_candidates(minhashes: DataFrame, band_size: int = BAND_SIZE) -> DataFram
             )
         ).alias("band_key")
     )
+    bands = bands.cache()
     a = bands.alias("a")
-    b = bands.alias("b")
+    # band rows per doc = n_hashes/band_size (tiny) → broadcast the build
+    # side; at petabyte scale this becomes a shuffled hash join on
+    # (band, band_key) — still never all-pairs.
+    b = F.broadcast(bands.alias("b"))
     return (
         a.join(
             b,

@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale (pushdown, pruning, broadcast, partial aggregation) must stay in
+the plan — a correctness-preserving change that loses them is a perf bug.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from biodiversity_graph_db_spark import registry
+
+registry.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+class TestPlans:
+    def test_q1_filter_pushdown_and_pruning(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "Q1_pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+        # column pruning: the scan must not read join keys it doesn't need
+        assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+        # two-phase aggregation (map-side partial)
+        assert plan.count("HashAggregate") >= 2
+
+    def test_j2_broadcasts_dimensions(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "J2_multihop_extract")
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_f1_point_lookup_pushdown(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "F1_point_lookup")
+        assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,419)]" in plan
+
+    def test_j8_range_join_is_not_nested_loop(self, spark, sf_dir):
+        # the bucketized range join must stay an equi-join
+        plan = _plan(spark, sf_dir, "J8_interval_containment")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_o1_sort_is_topk(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "O1_index_sort")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_j3_semi_join(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "J3_reverse_membership")
+        assert "LeftSemi" in plan
+
+    def test_e2_no_cartesian(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "E2_minhash_lsh_neardup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_v1_query_side_broadcast(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "V1_cosine_topk")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # candidate side streams once; per-query top-k via window
+        assert "RunningWindowFunction" in plan or "Window" in plan
