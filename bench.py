@@ -24,7 +24,9 @@ HEADLINE = [
     "M1_unpivot_wide_matrix",
     "G2_hierarchy_closure",
     "E2_minhash_lsh_neardup",
+    "E3_simhash_neardup",
     "V1_cosine_topk",
+    "V3_ivf_topk",
     "T1_token_stats",
     "W5_tumbling_window",
 ]

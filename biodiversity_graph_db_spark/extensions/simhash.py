@@ -1,0 +1,171 @@
+"""SimHash near-duplicate detection (BASELINE.json dedup mandate).
+
+The third dedup family next to exact-fingerprint (textstats.T3) and
+MinHash+LSH (dedup.E2): each document gets one fixed-width bit signature
+(a per-bit majority vote over its shingle hashes), near-duplicates are
+pairs within a small Hamming radius.  Candidate generation uses the
+standard pigeonhole banding: with B bands of the signature, two docs
+within Hamming distance d < B must agree exactly on at least one band,
+so a band-equality hash join finds every such pair without any all-pairs
+stage — at 100 TB the join key (band, band_val) keeps pair generation
+inside buckets exactly like MinHash LSH.
+
+Shingles are word 3-grams (unigrams degenerate on small vocabularies:
+every doc has the same token set, so signatures collapse and the band
+join blows up — measured 73k/125k "near-dup" pairs on the sf0.01 corpus
+vs 21 with 3-grams).  Signature width is 32 bits = the high bit of each
+md5-hex nibble, so the whole pipeline is substring + integer SQL the
+DuckDB oracle replicates bit-for-bit.  (Production would widen to 64
+bits with a second keyed hash; the plan shape is identical.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.extensions.dedup import word_ngram_shingles
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import fan_out, table
+
+N_BITS = 32
+N_BANDS = 4
+BAND_BITS = N_BITS // N_BANDS  # 8 bits → band values 0..255
+HAMMING_MAX = 3  # < N_BANDS, so banding is lossless at this radius
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, sig): one groupBy with 32 conditional
+    sums (map-side combinable, JVM-only — no UDF, no second shuffle).
+
+    Vote for bit i: +1 if the high bit of md5-hex nibble i is set
+    (hex digit ≥ '8'), else −1; sig bit i = vote ≥ 0.
+    """
+    ex = docs.select(
+        "doc_id",
+        F.explode(word_ngram_shingles(F.col(text_col))).alias("tok"),
+    ).withColumn("hx", F.md5("tok"))
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("hx", i + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(N_BITS)
+        ]
+    )
+    sig = None
+    for i in range(N_BITS):
+        bit = F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc_id", sig.cast("long").alias("sig"))
+
+
+def band_values(sig: Column) -> list[Column]:
+    """Split the signature into N_BANDS integer band values (arithmetic
+    only, so Spark and the SQL oracle compute identically)."""
+    width = 2**BAND_BITS
+    return [
+        ((sig / F.lit(width**b)).cast("long") % width).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+
+
+def simhash_candidates(sigs: DataFrame) -> DataFrame:
+    """Band-equality self-join: every pair within HAMMING_MAX shares at
+    least one exact band (pigeonhole), so candidates = pairs agreeing on
+    (band index, band value).  Never all-pairs."""
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(F.array(*band_values(F.col("sig")))).alias(
+            "band", "band_val"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_neardups(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Full pipeline: signature → banded candidates → Hamming verify."""
+    sigs = simhash_signatures(docs)
+    cand = simhash_candidates(sigs)
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SHINGLES_SQL = """
+  list_distinct(list_transform(
+    generate_series(1, len(string_split_regex(trim(lower(text)), '\\s+')) - 2),
+    i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+         string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+         string_split_regex(trim(lower(text)), '\\s+')[i+2]))
+"""
+_VOTES_SQL = ",\n             ".join(
+    f"SUM(CASE WHEN substr(hx, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(N_BITS)
+)
+_SIG_SQL = " + ".join(
+    f"(CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(N_BITS)
+)
+_BANDS_SQL = ", ".join(
+    f"(sig // {(2**BAND_BITS)**b}) % {2**BAND_BITS}" for b in range(N_BANDS)
+)
+
+
+@query(
+    "E3_simhash_neardup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {_VOTES_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, CAST({_SIG_SQL} AS BIGINT) AS sig FROM votes),
+    banded AS (
+      SELECT doc_id, sig, b.band, ([{_BANDS_SQL}])[b.band + 1] AS band_val
+      FROM sigs CROSS JOIN (
+        SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def e3_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the full documents table: 32-bit
+    3-gram signatures, 4-band candidate join, Hamming ≤ 3 verify."""
+    d = fan_out(table(spark, sf_dir, "documents"), spark)
+    return simhash_neardups(d).orderBy("doc_a", "doc_b")

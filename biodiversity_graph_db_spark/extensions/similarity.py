@@ -204,6 +204,97 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+_CENTS_SQL = """
+  SELECT vec_id AS cent_id, embedding AS cent_emb
+  FROM embeddings ORDER BY vec_id LIMIT 8
+"""
+
+# centroid-assignment cosine for every vector (queries are a subset, so
+# one scored CTE serves both sides)
+_ASSIGN_SQL = f"""
+    cents AS ({_CENTS_SQL}),
+    aterms AS (
+      SELECT e.vec_id AS c_id, c.cent_id,
+             unnest(e.embedding) AS xa, unnest(c.cent_emb) AS xb
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    adots AS (
+      SELECT c_id, cent_id,
+             SUM(CAST(FLOOR(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM aterms GROUP BY c_id, cent_id
+    ),
+    acos AS (
+      SELECT d.c_id, d.cent_id,
+             d.dot / sqrt(CAST(nv.norm_sq AS DOUBLE)
+                          * CAST(nc.norm_sq AS DOUBLE)) AS cosv
+      FROM adots d
+      JOIN norms nv ON nv.vec_id = d.c_id
+      JOIN norms nc ON nc.vec_id = d.cent_id
+    ),
+    aranked AS (
+      SELECT c_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY c_id
+                                ORDER BY cosv DESC, cent_id) AS crk
+      FROM acos
+    )
+"""
+
+
+@query(
+    "V3_ivf_topk",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    {_ASSIGN_SQL},
+    cassign AS (SELECT c_id, cent_id FROM aranked WHERE crk = 1),
+    qassign AS (SELECT c_id AS q_id, cent_id FROM aranked
+                WHERE crk <= 2 AND c_id < 10),
+    pairs AS (
+      SELECT q.q_id, c.c_id
+      FROM qassign q JOIN cassign c USING (cent_id)
+      WHERE q.q_id <> c.c_id
+    ),
+    pterms AS (
+      SELECT p.q_id, p.c_id, unnest(eq.embedding) AS qa,
+             unnest(ec.embedding) AS cb
+      FROM pairs p
+      JOIN embeddings eq ON eq.vec_id = p.q_id
+      JOIN embeddings ec ON ec.vec_id = p.c_id
+    ),
+    pdots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM pterms GROUP BY q_id, c_id
+    ),
+    pcos AS (
+      SELECT d.q_id, d.c_id,
+             d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                          * CAST(nc.norm_sq AS DOUBLE)) AS cosv
+      FROM pdots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms nc ON nc.vec_id = d.c_id
+    )
+    SELECT q_id, rank, c_id, FLOOR(cosv * 1e6) / 1e6 AS cosine FROM (
+      SELECT q_id, c_id, cosv,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosv DESC, c_id) AS rank
+      FROM pcos
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for the first 10 query vectors — the ANN
+    scale path (deterministic centroids, nprobe=2): each query scans only
+    its probed clusters instead of the full corpus.  At 100 TB the
+    cluster id is the partition key, so this is a partition-pruned scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), n_centroids=8, n_probe=2, k=5
+    ).orderBy("q_id", "rank")
+
+
 @query(
     "V2_embedding_neardup",
     oracle=f"""

@@ -195,3 +195,94 @@ def t4_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# language marker tokens (the unigram form of an n-gram profile; each
+# language scores by marker hits and argmax wins)
+_LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "y", "que", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{tok}')"
+    for lang, toks in sorted(_LANG_MARKERS.items())
+    for tok in toks
+)
+
+
+@query(
+    "T5_langid_ngram",
+    oracle=f"""
+    WITH markers(cand, marker) AS (VALUES {_MARKER_VALUES}),
+    toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, t.lang, m.cand, COUNT(*) AS n_hits
+      FROM toks t JOIN markers m ON t.tok = m.marker
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT doc_id, lang, cand AS predicted FROM (
+        SELECT doc_id, lang, cand,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n_hits DESC, cand) AS rk
+        FROM hits
+      ) WHERE rk = 1
+    ),
+    labeled AS (
+      SELECT d.doc_id, d.lang, COALESCE(b.predicted, 'unknown') AS predicted
+      FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    )
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM labeled GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+)
+def t5_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (BASELINE.json text-analysis mandate):
+    marker-token profile scoring, argmax per doc, rendered as a
+    lang × predicted confusion matrix.  The marker dim is broadcast;
+    scoring is one explode + one map-side-combinable count."""
+    d = table(spark, sf_dir, "documents")
+    markers = F.broadcast(
+        spark.createDataFrame(
+            [
+                (lang, tok)
+                for lang, toks in sorted(_LANG_MARKERS.items())
+                for tok in toks
+            ],
+            "cand string, marker string",
+        )
+    )
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    hits = (
+        toks.join(markers, toks.tok == markers.marker)
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("cand")
+    )
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    labeled = d.select("doc_id", "lang").join(best, "doc_id", "left").select(
+        "lang", F.coalesce("predicted", F.lit("unknown")).alias("predicted")
+    )
+    return (
+        labeled.groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )

@@ -194,3 +194,51 @@ def a6_next_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").agg(
         (F.max("o_orderkey") + 1).alias("next_id")
     )
+
+
+@query(
+    "A3_merge_into_index",
+    oracle="""
+    WITH base AS (
+      SELECT 'nation_' || n_nationkey AS key, 'NationNode' AS node_type,
+             trim(n_name) AS pretty_name
+      FROM nation
+    ),
+    incoming AS (
+      SELECT 'nation_' || n_nationkey, 'NationNode', trim(n_name)
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT 'region_' || r_regionkey, 'RegionNode', trim(r_name)
+      FROM region
+    )
+    SELECT key, node_type, pretty_name
+    FROM (SELECT * FROM base UNION SELECT * FROM incoming)
+    ORDER BY node_type, key
+    """,
+)
+def a3_merge_into_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeIntoIndex (A3, Storage.fs:160-168): concat + distinct + sort
+    by (type, id).  Union + dropDuplicates is one shuffle; the sort rides
+    the same exchange when AQE coalesces."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    base = nation.select(
+        F.concat(F.lit("nation_"), F.col("n_nationkey")).alias("key"),
+        F.lit("NationNode").alias("node_type"),
+        F.trim(F.col("n_name")).alias("pretty_name"),
+    )
+    incoming = (
+        base.where(F.col("key").isin(*[f"nation_{i}" for i in range(10)]))
+        .unionByName(
+            region.select(
+                F.concat(F.lit("region_"), F.col("r_regionkey")).alias("key"),
+                F.lit("RegionNode").alias("node_type"),
+                F.trim(F.col("r_name")).alias("pretty_name"),
+            )
+        )
+    )
+    return (
+        base.unionByName(incoming)
+        .dropDuplicates()
+        .orderBy("node_type", "key")
+    )

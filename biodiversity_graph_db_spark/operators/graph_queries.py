@@ -260,3 +260,79 @@ def x5_old_date_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_scope"
         ),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "F5_pretty_name_lookup",
+    oracle="SELECT '9999 cal yr BP' AS pretty_name",
+)
+def f5_pretty_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """atomFriendlyNameByKey (F5, Storage.fs:227-230): key → display name
+    as a point projection on the real seed nodes."""
+    return (
+        _seed_nodes(spark)
+        .where(F.col("key") == "calyearnode_9999ybp")
+        .select("pretty_name")
+    )
+
+
+@query(
+    "F7_nodes_of_type",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('biodiversitydimensionnode_abundance', 'Abundance'),
+      ('biodiversitydimensionnode_beta_diversity', 'DiversityBeta'),
+      ('biodiversitydimensionnode_evenness', 'Evenness'),
+      ('biodiversitydimensionnode_presence', 'PresenceOnly'),
+      ('biodiversitydimensionnode_presence_absence', 'PresenceAbsence'),
+      ('biodiversitydimensionnode_richness', 'Richness')
+    ) AS t(key, pretty_name)
+    ORDER BY key
+    """,
+)
+def f7_nodes_of_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileBasedGraph.Nodes<'c>() (F7, Storage.fs:50-54): all (key,
+    pretty_name) of one node type — a partition-pruned projection; the
+    oracle pins the outcome-key golden (Graph.fs:534-543)."""
+    return (
+        _seed_nodes(spark)
+        .where(F.col("node_type") == "BiodiversityDimensionNode")
+        .select("key", "pretty_name")
+        .orderBy("key")
+    )
+
+
+@query(
+    "F9_nearest_year_select",
+    oracle="""
+    SELECT o_orderkey,
+           'calyearnode_' || CAST(1950 - year(o_orderdate) AS VARCHAR)
+             || 'ybp' AS year_key,
+           CAST(1950 - year(o_orderdate) AS BIGINT) AS year_value
+    FROM orders
+    WHERE o_orderkey <= 100
+      AND 1950 - year(o_orderdate) BETWEEN -72 AND 14000
+    ORDER BY o_orderkey
+    """,
+)
+def f9_nearest_year_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trySelectTimeNodeByYear (F9, Scenarios.fs:24-33): date → cal-yr-BP
+    → year key, existence-checked by an equi-join against the broadcast
+    time dimension (14k rows — always the build side)."""
+    from biodiversity_graph_db_spark.functions import dates
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    with_bp = o.select(
+        "o_orderkey",
+        dates.to_cal_yr_bp(F.lit("AD"), F.year("o_orderdate")).alias("bp"),
+    )
+    years = F.broadcast(
+        _seed_nodes(spark)
+        .where(F.col("node_type") == "CalYearNode")
+        .select(F.col("key").alias("year_key"), "year_value")
+    )
+    return (
+        with_bp.join(years, with_bp.bp == years.year_value)
+        .select("o_orderkey", "year_key", "year_value")
+        .orderBy("o_orderkey")
+    )

@@ -112,3 +112,44 @@ def m3_shape_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ragged"
         ),
     )
+
+
+_T_CASE = "CASE WHEN l_linestatus = '{s}' THEN l_quantity END"
+
+
+@query(
+    "M4_transpose",
+    oracle=f"""
+    WITH long AS (
+      SELECT l_returnflag, 'qty_' || l_linestatus AS measure,
+             {sql_dsum('l_quantity')} AS value
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT measure,
+           MAX(CASE WHEN l_returnflag = 'A' THEN value END) AS ret_A,
+           MAX(CASE WHEN l_returnflag = 'N' THEN value END) AS ret_N,
+           MAX(CASE WHEN l_returnflag = 'R' THEN value END) AS ret_R
+    FROM long GROUP BY measure ORDER BY measure
+    """,
+)
+def m4_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix transpose (M4: List.flip, Types.fs:137-153): the M2 wide
+    view melted to long and re-pivoted the other way — rows become
+    columns.  Two conditional-agg passes; no driver-side collect."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.groupBy(
+        "l_returnflag",
+        F.concat(F.lit("qty_"), F.col("l_linestatus")).alias("measure"),
+    ).agg(dsum("l_quantity").alias("value"))
+    return (
+        long.groupBy("measure")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("l_returnflag") == flag, F.col("value"))
+                ).alias(f"ret_{flag}")
+                for flag in ("A", "N", "R")
+            ]
+        )
+        .orderBy("measure")
+    )

@@ -209,3 +209,64 @@ def u6_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_p = o.select("o_orderpriority").distinct()
     f_p = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority").distinct()
     return all_p.exceptAll(f_p)
+
+
+_AUTHOR_ROWS = [
+    (1, "Smith, J.A.; Jones, B.; Brown, C.D.; Taylor, E.; White, F.;"
+        " Green, G.; Black, H."),
+    (2, "Doe, J."),
+    (3, "Martin, Q.R.; Stone, S."),
+    (4, "de Vries, A.B.; O-Neil, T."),
+]
+_AUTHOR_VALUES = ", ".join(
+    "({}, '{}')".format(i, s.replace("'", "''")) for i, s in _AUTHOR_ROWS
+)
+
+
+@query(
+    "X7_author_display",
+    oracle=f"""
+    WITH src(author_id, authors) AS (VALUES {_AUTHOR_VALUES}),
+    parsed AS (
+      SELECT author_id,
+             list_transform(string_split(authors, ';'), a -> trim(a))
+               AS alist
+      FROM src
+    )
+    SELECT author_id,
+           len(alist) AS n_authors,
+           regexp_extract(alist[1], '^([^,]+)', 1) AS lead_surname,
+           CASE WHEN len(alist) > 5
+                THEN array_to_string(list_slice(alist, 1, 5), '; ')
+                     || ' et al.'
+                ELSE array_to_string(alist, '; ')
+           END AS display
+    FROM parsed
+    ORDER BY author_id
+    """,
+)
+def x7_author_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Author parsing + truncated display (X7, Types.fs:265-309 + O3
+    first-5-authors 'et al.', Types.fs:304-309; X20 split-and-trim,
+    Library.fs:651): regex surname extraction, array slice, et-al.
+    rendering — all JVM Column expressions."""
+    src = spark.createDataFrame(
+        _AUTHOR_ROWS, "author_id int, authors string"
+    )
+    alist = F.transform(F.split(F.col("authors"), ";"), lambda a: F.trim(a))
+    parsed = src.select("author_id", alist.alias("alist"))
+    return parsed.select(
+        "author_id",
+        F.size("alist").alias("n_authors"),
+        F.regexp_extract(F.element_at("alist", 1), "^([^,]+)", 1).alias(
+            "lead_surname"
+        ),
+        F.when(
+            F.size("alist") > 5,
+            F.concat(
+                F.concat_ws("; ", F.slice("alist", 1, 5)), F.lit(" et al.")
+            ),
+        )
+        .otherwise(F.concat_ws("; ", F.col("alist")))
+        .alias("display"),
+    ).orderBy("author_id")

@@ -145,6 +145,54 @@ def w5_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "W6_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts)
+               - k.k * INTERVAL '5 minutes' AS ws,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 10000) AS BIGINT)) / 10000.0
+             AS total_value
+    FROM starts
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def w6_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (10-minute windows every 5 minutes): the
+    overlapping-window twin of W5, the same expression Structured
+    Streaming runs incrementally.  Each event lands in exactly
+    duration/slide = 2 windows; the oracle reconstructs the window set
+    with time_bucket arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 10000)) / 10000.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
     "O2_topk_per_group",
     oracle="""
     SELECT * FROM (

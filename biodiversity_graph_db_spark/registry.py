@@ -52,5 +52,6 @@ def load_all() -> None:
         dedup,
         multimodal,
         similarity,
+        simhash,
         textstats,
     )

@@ -54,3 +54,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
     return df
+
+
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a small scan across the cluster before a compute-heavy map.
+
+    The local test files arrive as one parquet row group → one partition,
+    which serializes expensive per-row work (hashing, shingling, vector
+    math).  A round-robin repartition to the default parallelism costs
+    one tiny shuffle and unlocks every core.  On a real cluster reading
+    100 TB the scan already has thousands of partitions, so this is a
+    no-op-shaped safeguard, not a scale crutch.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
