@@ -138,3 +138,14 @@ RELATION_SIGNATURES: list[tuple[str, str, str]] = [
 ]
 
 RELATIONS = tuple(sorted({r for r, _, _ in RELATION_SIGNATURES}))
+
+
+def payload_field(payload_col, field: str):
+    """Parse-on-demand access to a payload JSON field (X19: the typed
+    body stays canonical JSON, Storage.fs:3-29; query-bearing fields are
+    promoted to real columns at ingest and this accessor covers the long
+    tail)."""
+    from pyspark.sql import functions as F
+
+    col = payload_col if not isinstance(payload_col, str) else F.col(payload_col)
+    return F.get_json_object(col, f"$.{field}")

@@ -273,3 +273,29 @@ class GraphStore:
         if relation is not None:
             e = e.where(F.col("relation") == relation)
         return e.select("sink_key", "relation")
+
+
+def save_jsonl(store: GraphStore, path: str) -> None:
+    """S7 serialiseToStream (Storage.fs:17-29): the reference writes each
+    record on a single line inside a JSON array; the Spark-native
+    equivalent is JSON-lines (one object per line, splittable — at 100 TB
+    an array file would be unsplittable and unreadable in parallel)."""
+    store.nodes.write.mode("overwrite").json(f"{path}/nodes")
+    store.edges.write.mode("overwrite").json(f"{path}/edges")
+
+
+def load_jsonl(spark: SparkSession, path: str) -> GraphStore:
+    """S1-via-JSON (Storage.fs:195-220 reads one JSON file per atom): a
+    permissive-mode JSON scan with the explicit table schema — corrupt
+    records land in the default _corrupt_record handling rather than
+    failing the load."""
+    from biodiversity_graph_db_spark.graph.schema import (
+        EDGES_SCHEMA,
+        NODES_SCHEMA,
+    )
+
+    return GraphStore(
+        spark,
+        spark.read.schema(NODES_SCHEMA).json(f"{path}/nodes"),
+        spark.read.schema(EDGES_SCHEMA).json(f"{path}/edges"),
+    )

@@ -270,3 +270,133 @@ def x7_author_display(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat_ws("; ", F.col("alist")))
         .alias("display"),
     ).orderBy("author_id")
+
+
+from biodiversity_graph_db_spark.functions import validation as V
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_STAGING_ROWS = [
+    (1, "Smith, J. A.", "https://doi.org/10.1126/science.aar3646",
+     "12 - 14", 0.5, 64.2, -21.1, "40°26'46\"N,79°01'00\"W",
+     "POLYGON((30 10, 40 40, 20 40, 10 20, 30 10))", 12.5, "cal yr bp", 3),
+    (2, "NoComma", "not-a-doi", "12-14", 1.5, 95.0, 200.0, "40N79W",
+     "POLYGON((30 10, 40 40))", -3.0, "fortnights", 13),
+    (3, "de Vries, A.B.", "10.5194/cp-2020-1", "9 - 3", 0.0, -89.9, 180.0,
+     "5:3'9\"S,100:59'59.5\"E", "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))",
+     0.0, "AD", 12),
+]
+_STAGING_SCHEMA = (
+    "row_id int, author string, doi string, pages string, pct double,"
+    " lat double, lon double, dms string, wkt string, depth double,"
+    " header string, month_n int"
+)
+_STAGING_VALUES = ",\n      ".join(
+    "({})".format(
+        ", ".join(
+            _sql_str(v) if isinstance(v, str) else repr(v) for v in row
+        )
+    )
+    for row in _STAGING_ROWS
+)
+_AU = _sql_str(V.AUTHOR_REGEX)
+_MONTH_CASES = " ".join(
+    f"WHEN {i + 1} THEN '{m}'" for i, m in enumerate(V.MONTHS)
+)
+
+
+@query(
+    "X13_validation_suite",
+    oracle=f"""
+    WITH staging(row_id, author, doi, pages, pct, lat, lon, dms, wkt,
+                 depth, header, month_n) AS (VALUES
+      {_STAGING_VALUES}
+    ),
+    wkt_parsed AS (
+      SELECT row_id,
+             regexp_extract(wkt, {_sql_str(V.WKT_POLYGON_REGEX)}, 1) AS inner,
+             list_transform(
+               string_split(
+                 regexp_extract(wkt, {_sql_str(V.WKT_POLYGON_REGEX)}, 1), ','),
+               p -> struct_pack(
+                 lon := TRY_CAST(string_split(trim(p), ' ')[1] AS DOUBLE),
+                 lat := TRY_CAST(string_split(trim(p), ' ')[2] AS DOUBLE)))
+               AS pts
+      FROM staging
+    )
+    SELECT s.row_id,
+           regexp_matches(author, {_AU}) AS author_ok,
+           CASE WHEN regexp_matches(author, {_AU}) THEN
+             regexp_extract(author, {_AU}, 1) || ', ' ||
+             array_to_string(list_filter(
+               [regexp_extract(author, {_AU}, 3),
+                regexp_extract(author, {_AU}, 4),
+                regexp_extract(author, {_AU}, 5)], x -> x <> ''), '. ')
+           END AS author_display,
+           NULLIF(regexp_extract(doi, {_sql_str(V.DOI_REGEX)}, 1), '')
+             AS doi_parsed,
+           CASE WHEN regexp_matches(pages, {_sql_str(V.INT_RANGE_REGEX)})
+                THEN LEAST(
+                  CAST(regexp_extract(pages,
+                       {_sql_str(V.INT_RANGE_REGEX)}, 1) AS INTEGER),
+                  CAST(regexp_extract(pages,
+                       {_sql_str(V.INT_RANGE_REGEX)}, 2) AS INTEGER))
+           END AS range_lo,
+           CASE WHEN regexp_matches(pages, {_sql_str(V.INT_RANGE_REGEX)})
+                THEN GREATEST(
+                  CAST(regexp_extract(pages,
+                       {_sql_str(V.INT_RANGE_REGEX)}, 1) AS INTEGER),
+                  CAST(regexp_extract(pages,
+                       {_sql_str(V.INT_RANGE_REGEX)}, 2) AS INTEGER))
+           END AS range_hi,
+           CASE WHEN pct BETWEEN 0.0 AND 1.0
+                THEN CAST(pct AS DOUBLE) * 100.0 END AS pct100,
+           lat BETWEEN -89.9 AND 89.9 AS lat_ok,
+           lon BETWEEN -180.0 AND 180.0 AS lon_ok,
+           regexp_matches(dms, {_sql_str(V.DMS_REGEX)}) AS dms_ok,
+           (w.inner <> '' AND len(w.pts) >= 3
+            AND len(list_filter(w.pts, p ->
+                  p.lon IS NOT NULL AND p.lat IS NOT NULL
+                  AND p.lat BETWEEN -89.9 AND 89.9
+                  AND p.lon BETWEEN -180.0 AND 180.0)) = len(w.pts))
+             AS wkt_ok,
+           depth >= 0.0 AS depth_ok,
+           CASE lower(header)
+             WHEN 'depth' THEN 'Depths'
+             WHEN 'year before present' THEN 'BP'
+             WHEN 'bp' THEN 'BP'
+             WHEN 'calendar year before present' THEN 'CalYrBP'
+             WHEN 'cal yr bp' THEN 'CalYrBP'
+             WHEN 'ad' THEN 'AD'
+             WHEN 'bc' THEN 'BC'
+           END AS idx_type,
+           CASE month_n {_MONTH_CASES} END AS month_name
+    FROM staging s JOIN wkt_parsed w USING (row_id)
+    ORDER BY s.row_id
+    """,
+)
+def x13_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §1.4 smart-constructor suite (X7-X17) applied to a staging
+    frame: author/DOI/range/percent/coordinate/WKT/depth/header/month
+    validation and parsing, all as scan-side Column expressions (the
+    quarantine ingest path uses exactly these rules)."""
+    src = spark.createDataFrame(_STAGING_ROWS, _STAGING_SCHEMA)
+    return src.select(
+        "row_id",
+        V.author_valid(F.col("author")).alias("author_ok"),
+        V.author_display(F.col("author")).alias("author_display"),
+        F.nullif(V.doi_extract(F.col("doi")), F.lit("")).alias("doi_parsed"),
+        V.int_range_parse(F.col("pages"))["lo"].alias("range_lo"),
+        V.int_range_parse(F.col("pages"))["hi"].alias("range_hi"),
+        V.percent_create(F.col("pct")).alias("pct100"),
+        V.lat_valid(F.col("lat")).alias("lat_ok"),
+        V.lon_valid(F.col("lon")).alias("lon_ok"),
+        V.dms_valid(F.col("dms")).alias("dms_ok"),
+        V.wkt_polygon_valid(F.col("wkt")).alias("wkt_ok"),
+        V.depth_valid(F.col("depth")).alias("depth_ok"),
+        V.index_column_type(F.col("header")).alias("idx_type"),
+        V.month_name(F.col("month_n")).alias("month_name"),
+    ).orderBy("row_id")

@@ -248,3 +248,21 @@ class TestTraversal:
         assert [(r.start_key, r.end_key) for r in ends] == [
             ("taxonnode_species_betula_nana_l", "taxonnode_kingdom_plantae")
         ]
+
+
+class TestJsonRoundTrip:
+    def test_jsonl_round_trip(self, spark, seeded, tmp_path):
+        from biodiversity_graph_db_spark.graph import store as st
+        from biodiversity_graph_db_spark.graph.schema import payload_field
+        from pyspark.sql import functions as F
+
+        st.save_jsonl(seeded, str(tmp_path / "g"))
+        back = st.load_jsonl(spark, str(tmp_path / "g"))
+        assert back.nodes.count() == seeded.nodes.count()
+        assert back.edges.count() == seeded.edges.count()
+        yr = (
+            back.nodes.where(F.col("key") == "calyearnode_9999ybp")
+            .select(payload_field("payload", "Year").alias("y"))
+            .first()
+        )
+        assert yr.y == "9999"
