@@ -138,3 +138,63 @@ def merge_events_into_graph(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def running_user_totals(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): a running
+    per-user ledger — event count, scaled-int value total, last-seen
+    event time — updated each micro-batch and emitted on every change.
+
+    This is the pattern the built-in windowed aggregates can't express:
+    arbitrary per-key state with user-defined merge logic.  State is one
+    tiny tuple per user (bounded by |users|, not by stream length); rows
+    arrive Arrow-batched per key group.  Value totals accumulate as
+    floor(value·10⁴) integers so the running sum is order-insensitive
+    and replay-stable (same convention as the batch oracle queries).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, last_ts timestamp"
+    )
+    state_schema = "n long, total_scaled long, last_us long"
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, total_scaled, last_us = (
+            state.get if state.exists else (0, 0, None)
+        )
+        import math
+
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total_scaled += int(
+                sum(math.floor(v * 10000) for v in pdf["value"])
+            )
+            batch_max = pdf["ts"].max()
+            batch_us = int(batch_max.value // 1000)
+            last_us = batch_us if last_us is None else max(last_us, batch_us)
+        state.update((n, total_scaled, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total_scaled / 10000.0],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -6,6 +6,7 @@ the plan — a correctness-preserving change that loses them is a perf bug.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from biodiversity_graph_db_spark import registry
 
@@ -65,3 +66,51 @@ class TestPlans:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         # candidate side streams once; per-query top-k via window
         assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+class TestLayout:
+    def test_bucketed_join_has_no_shuffle(self, spark, sf_dir, tmp_path):
+        from biodiversity_graph_db_spark.plans import layout
+        from biodiversity_graph_db_spark.tables import table
+
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).withColumnRenamed("l_orderkey", "o_orderkey")
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force the shuffle-join path: bucketing's win is eliding the
+            # Exchange of a sort-merge join (broadcast would hide it)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            layout.write_bucketed(orders, "b_orders", "o_orderkey", 8)
+            layout.write_bucketed(li, "b_lineitem", "o_orderkey", 8)
+            joined = layout.bucketed_join(
+                spark, "b_orders", "b_lineitem", "o_orderkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            # sanity: same result as the plain join
+            want = orders.join(li, "o_orderkey").count()
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+    def test_salted_join_matches_plain_join(self, spark, sf_dir):
+        from biodiversity_graph_db_spark.plans import layout
+        from biodiversity_graph_db_spark.tables import table
+
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        part = table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("l_partkey"), "p_name"
+        )
+        got = layout.salted_join(li, part, "l_partkey", n_salt=8)
+        want = li.join(part, "l_partkey")
+        assert got.count() == want.count()
+        assert got.exceptAll(want).isEmpty()

@@ -137,3 +137,33 @@ class TestStreaming:
             assert n1 == n2 == spark.read.parquet(events_dir).count()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_stateful_running_totals_match_batch(self, spark, events_dir):
+        stream = ingest.running_user_totals(
+            ingest.read_events_stream(spark, events_dir)
+        )
+        _run_to_memory(stream, "running_t", "update")
+        # update mode emits one row per user per batch; the final state is
+        # the row with the highest n_events per user
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                """
+                SELECT user_id, n_events, total_value FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) AS rk
+                  FROM running_t) WHERE rk = 1
+                """
+            ).collect()
+        }
+        want = {
+            r.user_id: (r.n, r.tv)
+            for r in spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum(F.floor(F.col("value") * 10000)) / 10000.0).alias("tv"),
+            )
+            .collect()
+        }
+        assert got == want
