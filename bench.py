@@ -46,6 +46,10 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so we measure query time, not
     # first-touch session cost.
+    from biodiversity_graph_db_spark.tables import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
     registry.QUERIES["Q1_pricing_summary"](spark, sf_dir).collect()
 
     names = [n for n in HEADLINE if n in registry.QUERIES]

@@ -54,16 +54,20 @@ def transitive_closure(
 
     Returns (descendant, ancestor, depth) with depth ≥ 1.
     """
-    edges = parent_edges.select(
-        F.col(parent_edges.columns[0]).alias("descendant"),
-        F.col(parent_edges.columns[1]).alias("ancestor"),
-    ).dropDuplicates()
+    edges = (
+        parent_edges.select(
+            F.col(parent_edges.columns[0]).alias("descendant"),
+            F.col(parent_edges.columns[1]).alias("ancestor"),
+        )
+        .dropDuplicates()
+        .cache()  # the static join side — never recompute it per round
+    )
     step = edges.select(
         F.col("descendant").alias("e_desc"), F.col("ancestor").alias("e_anc")
     )
-    closure = edges.withColumn("depth", F.lit(1)).cache()
+    closure = edges.withColumn("depth", F.lit(1))
     frontier = closure
-    for _ in range(max_depth - 1):
+    for i in range(max_depth - 1):
         nxt = (
             frontier.alias("f")
             .join(step.alias("s"), F.col("f.ancestor") == F.col("s.e_desc"))
@@ -80,9 +84,14 @@ def transitive_closure(
             )
             .cache()
         )
-        if nxt.isEmpty():
+        # one job materializes the cache AND answers the fixpoint test
+        if nxt.count() == 0:
             break
-        closure = closure.unionByName(nxt).localCheckpoint()
+        closure = closure.unionByName(nxt)
+        if i % 3 == 2:
+            # lineage grows linearly (union per round); truncate every
+            # few rounds instead of every round — fewer barrier jobs
+            closure = closure.localCheckpoint()
         frontier = nxt
     return closure
 

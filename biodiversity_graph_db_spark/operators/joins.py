@@ -69,18 +69,26 @@ def j2_multihop_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # Pre-aggregate revenue to one row per order BEFORE the distinct
+    # aggregation: two countDistincts over raw lineitem would Expand the
+    # fact 3x; after this rollup the only distinct left is c_custkey and
+    # n_orders is a plain count.  The scaled-long sum is associative, so
+    # splitting it across two groupBys is exact (same value as dsum).
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        ).alias("rev_scaled")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_rev.join(o, li_rev.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            F.count("o_orderkey").alias("n_orders"),
+            (F.sum("rev_scaled") / 10000.0).alias("revenue"),
         )
         .orderBy("region", "nation")
     )
