@@ -24,10 +24,11 @@ def _registry():
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the multi-hop extract view
-    (SURVEY §3.3) — region→nation→customer→orders→lineitem chain rolled up."""
+    """Flagship query: the reference's extract view (SURVEY §3.3) on the
+    real evidence graph — seed + FIXTURES subgraph built through the
+    validated mutation path, then the hyperedge star join."""
     reg = _registry()
-    return reg.QUERIES["J2_multihop_extract"](spark, "/root/testdata/sf0.001")
+    return reg.QUERIES["J2G_evidence_extract"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

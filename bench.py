@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "Q1_pricing_summary",
+    # J2G_evidence_extract is the correctness flagship (entry()) but not a
+    # bench headline: its one-shot time is ~4 plan-compiles of the
+    # validated build path (fixed driver latency), not data throughput.
     "J2_multihop_extract",
     "J6_hyperedge_star",
     "J8_interval_containment",

@@ -46,7 +46,16 @@ def year_nodes(spark: SparkSession):
 
 def seed_graph(spark: SparkSession) -> GraphStore:
     """Seed.initGraph (Seed.fs:48-98): Life + Holocene + outcomes + time
-    index, then the two Holocene extent edges."""
+    index, then the two Holocene extent edges.
+
+    Constructed directly (as the reference does) rather than through the
+    validated mutation path: the seed is fixed and deterministic, so the
+    per-batch FK/duplicate checks would only re-prove invariants the
+    seed-cardinality tests and S14 oracle already pin — and each check
+    is a driver-side job (8+ jobs ≈ 14 s per session before this).
+    User mutations still go through ``add_nodes``/``add_relations``.
+    """
+    empty = GraphStore.empty(spark)
     fixed = spark.createDataFrame(
         [
             (LIFE_KEY, "TaxonNode", "Life"),
@@ -61,17 +70,27 @@ def seed_graph(spark: SparkSession) -> GraphStore:
         F.lit("BiodiversityDimensionNode").alias("node_type"),
         F.col("measure").alias("pretty_name"),
     )
-    store = (
-        GraphStore.empty(spark)
-        .add_nodes(fixed, on_conflict="error")
-        .add_nodes(outcomes, on_conflict="error")
-        .add_nodes(year_nodes(spark), on_conflict="error")
+    nodes = (
+        empty._conform(fixed)
+        .unionByName(empty._conform(outcomes))
+        .unionByName(empty._conform(year_nodes(spark)))
     )
     seed_edges = spark.createDataFrame(
         [
-            (HOLOCENE_KEY, "calyearnode_11650ybp", "EarliestTime"),
-            (HOLOCENE_KEY, "calyearnode_0ybp", "LatestTime"),
+            (HOLOCENE_KEY, "calyearnode_11650ybp", "EarliestTime",
+             "QualitativeLabelNode", "CalYearNode"),
+            (HOLOCENE_KEY, "calyearnode_0ybp", "LatestTime",
+             "QualitativeLabelNode", "CalYearNode"),
         ],
-        "source_key string, sink_key string, relation string",
+        "source_key string, sink_key string, relation string,"
+        " source_type string, sink_type string",
+    ).select(
+        "source_key",
+        "sink_key",
+        "relation",
+        F.lit(1).alias("weight"),
+        F.lit(None).cast("string").alias("payload"),
+        "source_type",
+        "sink_type",
     )
-    return store.add_relations(seed_edges)
+    return GraphStore(spark, nodes, seed_edges)

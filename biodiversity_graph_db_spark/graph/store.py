@@ -92,23 +92,21 @@ class GraphStore:
         """
         new_nodes = self._conform(new_nodes)
         if on_conflict == "error":
-            dups = (
+            # one probe job covers both invariants: existing-key conflict
+            # and in-batch duplicates (A4 guard, Storage.fs:425-427)
+            exists_probe = (
                 new_nodes.join(self.nodes, "key", "left_semi")
-                .select("key")
-                .limit(1)
-                .collect()
+                .select("key", F.lit("node already exists").alias("why"))
             )
-            if dups:
-                raise GraphIntegrityError(f"node already exists: {dups[0].key}")
-            # duplicate keys within the batch are also an error (A4 guard,
-            # Storage.fs:425-427)
-            batch_dups = (
-                new_nodes.groupBy("key").count().where(F.col("count") > 1).limit(1).collect()
+            batch_probe = (
+                new_nodes.groupBy("key")
+                .count()
+                .where(F.col("count") > 1)
+                .select("key", F.lit("duplicate key in batch").alias("why"))
             )
-            if batch_dups:
-                raise GraphIntegrityError(
-                    f"duplicate key in batch: {batch_dups[0].key}"
-                )
+            bad = exists_probe.unionByName(batch_probe).limit(1).collect()
+            if bad:
+                raise GraphIntegrityError(f"{bad[0].why}: {bad[0].key}")
             fresh = new_nodes
         elif on_conflict == "skip":
             fresh = new_nodes.dropDuplicates(["key"]).join(
@@ -182,34 +180,43 @@ class GraphStore:
             )
         )
         if validate:
-            bad_fk = (
-                e.where(F.col("source_type").isNull() | F.col("sink_type").isNull())
-                .limit(1)
-                .collect()
-            )
-            if bad_fk:
-                raise GraphIntegrityError(
-                    f"edge endpoint missing: {bad_fk[0].source_key} -> {bad_fk[0].sink_key}"
-                )
+            # one probe job covers both invariants (FK endpoints exist,
+            # relation signature valid); FK failures are excluded from the
+            # signature probe so their message names the real problem
             sigs = F.broadcast(
                 self.signature_dim().withColumnRenamed("relation", "sig_relation")
             )
-            bad_sig = (
-                e.join(
+            fk_probe = e.where(
+                F.col("source_type").isNull() | F.col("sink_type").isNull()
+            ).select(
+                F.concat_ws(
+                    " -> ", "source_key", "sink_key"
+                ).alias("what"),
+                F.lit("edge endpoint missing").alias("why"),
+            )
+            sig_probe = (
+                e.where(
+                    F.col("source_type").isNotNull()
+                    & F.col("sink_type").isNotNull()
+                )
+                .join(
                     sigs,
                     (e["relation"] == sigs["sig_relation"])
                     & (e["source_type"] == sigs["sig_source"])
                     & (e["sink_type"] == sigs["sig_sink"]),
                     "left_anti",
                 )
-                .limit(1)
-                .collect()
-            )
-            if bad_sig:
-                r = bad_sig[0]
-                raise GraphIntegrityError(
-                    f"invalid relation signature: {r.source_type}-[{r.relation}]->{r.sink_type}"
+                .select(
+                    F.concat(
+                        "source_type", F.lit("-["), "relation", F.lit("]->"),
+                        "sink_type",
+                    ).alias("what"),
+                    F.lit("invalid relation signature").alias("why"),
                 )
+            )
+            bad = fk_probe.unionByName(sig_probe).limit(1).collect()
+            if bad:
+                raise GraphIntegrityError(f"{bad[0].why}: {bad[0].what}")
         e = e.select([f.name for f in EDGES_SCHEMA.fields])
         # U5: identical (source, sink, relation, payload) inserted once
         merged = (

@@ -336,3 +336,202 @@ def f9_nearest_year_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "year_key", "year_value")
         .orderBy("o_orderkey")
     )
+
+
+# --- the §3.3 extract view on a real evidence graph ----------------------
+
+_EV_NODES = [
+    ("sourcenode_pub_aaby_tpios_1986", "SourceNode", "Aaby 1986"),
+    ("sourcenode_pub_birks_hhpd_1991", "SourceNode", "Birks 1991"),
+    ("individualtimelinenode_tl1", "IndividualTimelineNode", "Timeline 1"),
+    ("individualtimelinenode_tl2", "IndividualTimelineNode", "Timeline 2"),
+    ("individualtimelinenode_tl3", "IndividualTimelineNode", "Timeline 3"),
+    ("contextnode_ctx1", "ContextNode", "Lake Alpha"),
+    ("contextnode_ctx2", "ContextNode", "Mire Beta"),
+    ("contextnode_ctx3", "ContextNode", "Fjord Gamma"),
+    ("bioticproxynode_pollen_betula", "BioticProxyNode", "Betula (pollen)"),
+    ("bioticproxynode_pollen_salix", "BioticProxyNode", "Salix (pollen)"),
+    ("inferencemethodnode_atlas_key", "InferenceMethodNode", "Atlas/key"),
+    ("taxonnode_genus_betula", "TaxonNode", "Betula"),
+    ("taxonnode_genus_salix", "TaxonNode", "Salix"),
+    ("proxiedtaxonnode_he1", "ProxiedTaxonNode", None),
+    ("proxiedtaxonnode_he2", "ProxiedTaxonNode", None),
+    ("proxiedtaxonnode_he3", "ProxiedTaxonNode", None),
+    ("proxiedtaxonnode_he4", "ProxiedTaxonNode", None),
+]
+
+_EV_EDGES = [
+    ("sourcenode_pub_aaby_tpios_1986", "individualtimelinenode_tl1", "HasTemporalExtent"),
+    ("sourcenode_pub_aaby_tpios_1986", "individualtimelinenode_tl2", "HasTemporalExtent"),
+    ("sourcenode_pub_birks_hhpd_1991", "individualtimelinenode_tl3", "HasTemporalExtent"),
+    ("individualtimelinenode_tl1", "contextnode_ctx1", "IsLocatedAt"),
+    ("individualtimelinenode_tl2", "contextnode_ctx2", "IsLocatedAt"),
+    ("individualtimelinenode_tl3", "contextnode_ctx3", "IsLocatedAt"),
+    ("individualtimelinenode_tl1", "calyearnode_12000ybp", "ExtentEarliestSpecified"),
+    ("individualtimelinenode_tl1", "calyearnode_500ybp", "ExtentLatestSpecified"),
+    ("individualtimelinenode_tl2", "calyearnode_8000ybp", "ExtentEarliestSpecified"),
+    ("individualtimelinenode_tl2", "calyearnode_0ybp", "ExtentLatestSpecified"),
+    ("individualtimelinenode_tl3", "calyearnode_11000ybp", "ExtentEarliestSpecified"),
+    ("individualtimelinenode_tl3", "calyearnode_2000ybp", "ExtentLatestSpecified"),
+    ("individualtimelinenode_tl1", "proxiedtaxonnode_he1", "HasProxyInfo"),
+    ("individualtimelinenode_tl1", "proxiedtaxonnode_he2", "HasProxyInfo"),
+    ("individualtimelinenode_tl2", "proxiedtaxonnode_he3", "HasProxyInfo"),
+    ("individualtimelinenode_tl3", "proxiedtaxonnode_he4", "HasProxyInfo"),
+    ("proxiedtaxonnode_he1", "bioticproxynode_pollen_betula", "InferredFrom"),
+    ("proxiedtaxonnode_he1", "inferencemethodnode_atlas_key", "InferredUsing"),
+    ("proxiedtaxonnode_he1", "taxonnode_genus_betula", "InferredAs"),
+    ("proxiedtaxonnode_he1", "biodiversitydimensionnode_abundance", "MeasuredBy"),
+    ("proxiedtaxonnode_he2", "bioticproxynode_pollen_salix", "InferredFrom"),
+    ("proxiedtaxonnode_he2", "inferencemethodnode_atlas_key", "InferredUsing"),
+    ("proxiedtaxonnode_he2", "taxonnode_genus_salix", "InferredAs"),
+    ("proxiedtaxonnode_he2", "biodiversitydimensionnode_richness", "MeasuredBy"),
+    ("proxiedtaxonnode_he3", "bioticproxynode_pollen_betula", "InferredFrom"),
+    ("proxiedtaxonnode_he3", "inferencemethodnode_atlas_key", "InferredUsing"),
+    ("proxiedtaxonnode_he3", "taxonnode_genus_betula", "InferredAs"),
+    ("proxiedtaxonnode_he3", "biodiversitydimensionnode_presence_absence", "MeasuredBy"),
+    ("proxiedtaxonnode_he4", "bioticproxynode_pollen_salix", "InferredFrom"),
+    ("proxiedtaxonnode_he4", "inferencemethodnode_atlas_key", "InferredUsing"),
+    ("proxiedtaxonnode_he4", "taxonnode_genus_salix", "InferredAs"),
+    ("proxiedtaxonnode_he4", "biodiversitydimensionnode_richness", "MeasuredBy"),
+]
+
+
+def _evidence_store(spark: SparkSession):
+    """Seed + the FIXTURES.md evidence subgraph, built through the real
+    mutation path (FK + signature validation on, J4/J5)."""
+    if "ev_nodes" not in _SEED_CACHE:
+        from biodiversity_graph_db_spark.graph.seed import seed_graph
+
+        nodes = spark.createDataFrame(
+            _EV_NODES, "key string, node_type string, pretty_name string"
+        )
+        edges = spark.createDataFrame(
+            _EV_EDGES, "source_key string, sink_key string, relation string"
+        )
+        # seed stays lazy (its plan is a cheap range+union — recomputing
+        # it inside the two validation probes is cheaper than a separate
+        # cache-materialization job at this scale)
+        store = seed_graph(spark).add_nodes(nodes).add_relations(edges)
+        _SEED_CACHE["ev_nodes"] = store.nodes.cache()
+        _SEED_CACHE["ev_edges"] = store.edges.cache()
+    return _SEED_CACHE["ev_nodes"], _SEED_CACHE["ev_edges"]
+
+
+def _sql_values(rows, with_null="NULL"):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if v is None:
+                vals.append(with_null)
+            else:
+                vals.append("'" + str(v).replace("'", "''") + "'")
+        out.append("(" + ", ".join(vals) + ")")
+    return ",\n      ".join(out)
+
+
+@query(
+    "J2G_evidence_extract",
+    oracle=f"""
+    WITH nodes(key, node_type, pretty_name) AS (VALUES
+      {_sql_values(_EV_NODES)}
+    ),
+    edges(source_key, sink_key, relation) AS (VALUES
+      {_sql_values(_EV_EDGES)}
+    ),
+    outcomes(key, pretty_name) AS (VALUES
+      ('biodiversitydimensionnode_abundance', 'Abundance'),
+      ('biodiversitydimensionnode_richness', 'Richness'),
+      ('biodiversitydimensionnode_presence_absence', 'PresenceAbsence')
+    )
+    SELECT s.key AS source_key, t.sink_key AS timeline_key,
+           ctxn.pretty_name AS context,
+           CAST(regexp_extract(ee.sink_key,
+                'calyearnode_(-?[0-9]+)ybp', 1) AS BIGINT) AS earliest,
+           CAST(regexp_extract(el.sink_key,
+                'calyearnode_(-?[0-9]+)ybp', 1) AS BIGINT) AS latest,
+           hp.sink_key AS hyperedge_key,
+           pxn.pretty_name AS proxy, imn.pretty_name AS method,
+           txn.pretty_name AS taxon, o.pretty_name AS outcome
+    FROM nodes s
+    JOIN edges t ON t.source_key = s.key AND t.relation = 'HasTemporalExtent'
+    JOIN edges loc ON loc.source_key = t.sink_key AND loc.relation = 'IsLocatedAt'
+    JOIN nodes ctxn ON ctxn.key = loc.sink_key
+    JOIN edges ee ON ee.source_key = t.sink_key
+                 AND ee.relation = 'ExtentEarliestSpecified'
+    JOIN edges el ON el.source_key = t.sink_key
+                 AND el.relation = 'ExtentLatestSpecified'
+    JOIN edges hp ON hp.source_key = t.sink_key AND hp.relation = 'HasProxyInfo'
+    JOIN edges inf ON inf.source_key = hp.sink_key AND inf.relation = 'InferredFrom'
+    JOIN nodes pxn ON pxn.key = inf.sink_key
+    JOIN edges inu ON inu.source_key = hp.sink_key AND inu.relation = 'InferredUsing'
+    JOIN nodes imn ON imn.key = inu.sink_key
+    JOIN edges ina ON ina.source_key = hp.sink_key AND ina.relation = 'InferredAs'
+    JOIN nodes txn ON txn.key = ina.sink_key
+    JOIN edges mb ON mb.source_key = hp.sink_key AND mb.relation = 'MeasuredBy'
+    JOIN outcomes o ON o.key = mb.sink_key
+    WHERE s.node_type = 'SourceNode'
+    ORDER BY source_key, timeline_key, hyperedge_key
+    """,
+)
+def j2g_evidence_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's extract view (§3.3, Library.fs:842-902, 1900-1921)
+    on the REAL evidence graph: source -HasTemporalExtent-> timeline
+    -{IsLocatedAt, ExtentEarliest/LatestSpecified, HasProxyInfo}-> and
+    the 4-spoke hyperedge star — one star join around the hyperedge plus
+    three 2-hop chains, all equi-joins on the partition-pruned edges
+    table; node lookups hit the broadcast-size dimension slices."""
+    nodes, edges = _evidence_store(spark)
+
+    def rel(name: str, src: str, sink: str) -> DataFrame:
+        return edges.where(F.col("relation") == name).select(
+            F.col("source_key").alias(src), F.col("sink_key").alias(sink)
+        )
+
+    names = nodes.select("key", "pretty_name")
+    years = nodes.select("key", "year_value")
+
+    t = rel("HasTemporalExtent", "source_key", "timeline_key")
+    loc = rel("IsLocatedAt", "timeline_key", "ctx_key").join(
+        names.withColumnRenamed("key", "ctx_key").withColumnRenamed(
+            "pretty_name", "context"
+        ),
+        "ctx_key",
+    )
+    ee = rel("ExtentEarliestSpecified", "timeline_key", "e_key").join(
+        years.withColumnRenamed("key", "e_key").withColumnRenamed(
+            "year_value", "earliest"
+        ),
+        "e_key",
+    )
+    el = rel("ExtentLatestSpecified", "timeline_key", "l_key").join(
+        years.withColumnRenamed("key", "l_key").withColumnRenamed(
+            "year_value", "latest"
+        ),
+        "l_key",
+    )
+    hp = rel("HasProxyInfo", "timeline_key", "hyperedge_key")
+
+    def spoke(relation: str, out: str) -> DataFrame:
+        return rel(relation, "hyperedge_key", "spoke_key").join(
+            names.withColumnRenamed("key", "spoke_key").withColumnRenamed(
+                "pretty_name", out
+            ),
+            "spoke_key",
+        ).drop("spoke_key")
+
+    return (
+        t.join(loc.drop("ctx_key"), "timeline_key")
+        .join(ee.drop("e_key"), "timeline_key")
+        .join(el.drop("l_key"), "timeline_key")
+        .join(hp, "timeline_key")
+        .join(spoke("InferredFrom", "proxy"), "hyperedge_key")
+        .join(spoke("InferredUsing", "method"), "hyperedge_key")
+        .join(spoke("InferredAs", "taxon"), "hyperedge_key")
+        .join(spoke("MeasuredBy", "outcome"), "hyperedge_key")
+        .select(
+            "source_key", "timeline_key", "context", "earliest", "latest",
+            "hyperedge_key", "proxy", "method", "taxon", "outcome",
+        )
+        .orderBy("source_key", "timeline_key", "hyperedge_key")
+    )
