@@ -1,0 +1,196 @@
+"""Graph-analytic algorithms (SURVEY §2.12; BASELINE.json north star:
+"GraphX for analytical queries, not OLTP traversal").
+
+GraphFrames/GraphX are not importable in this container, so the classic
+GraphX algorithm set is implemented DataFrame-native — the same
+bulk-synchronous iteration GraphX's Pregel runs, expressed as joins:
+
+- ``pagerank``        — iterative rank propagation (integer micro-units,
+                        so the DuckDB oracle matches bit-for-bit)
+- ``triangle_count``  — per-vertex triangle counting on the canonical
+                        a<b oriented edge set (one 3-way self-join)
+- ``shortest_paths``  — multi-source BFS distances to a landmark set
+- ``label_propagation`` — community detection by synchronous majority
+                        vote with deterministic (count desc, label asc)
+                        tie-break
+
+Scale notes: each iteration is one shuffle keyed by vertex id; the edge
+relation is cached once and re-joined per round (Pregel does the same —
+edges stay partitioned, messages move).  Lineage is truncated with
+``localCheckpoint`` every few rounds.  Skewed high-degree vertices are
+the known hazard for triangle counting; orienting edges low-key→high-key
+(the standard degree/ID ordering trick) bounds the join fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_UNIT = 1_000_000  # PageRank fixed-point micro-units
+
+
+def _pairs(edges: DataFrame) -> DataFrame:
+    """First two columns → (src, dst), deduplicated."""
+    a, b = edges.columns[:2]
+    return edges.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).dropDuplicates()
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Symmetric closure of the edge set (for undirected algorithms)."""
+    p = _pairs(edges)
+    return (
+        p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """PageRank over (src, dst) edges, returning (key, rank_micro).
+
+    Fixed-point arithmetic: ranks live in BIGINT micro-units and every
+    per-edge contribution is ``FLOOR(rank * d / deg)`` — IEEE multiply,
+    divide and floor are bit-identical across engines, and the BIGINT sum
+    is order-independent, so an unrolled SQL oracle reproduces the exact
+    ranks (double-sum PageRank would hash-mismatch).  Dangling vertices
+    keep the teleport term only (mass leaks — the simple variant; both
+    sides compute identically).  One shuffle per iteration (groupBy dst);
+    the degree-annotated edge list is computed once and cached.
+    """
+    e = _pairs(edges).cache()
+    nodes = (
+        e.select(F.col("src").alias("key"))
+        .unionByName(e.select(F.col("dst").alias("key")))
+        .dropDuplicates()
+        .cache()
+    )
+    n = nodes.count()
+    d_pct = int(round(damping * 100))
+    base = int((RANK_UNIT * (100 - d_pct)) // (100 * n))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    out = e.join(deg, "src").cache()
+    out.count()  # materialize the static join side once
+    ranks = nodes.withColumn("rank_micro", F.lit(int(RANK_UNIT // n)))
+    for i in range(iterations):
+        contrib = (
+            out.join(ranks, out.src == ranks.key)
+            .select(
+                F.col("dst").alias("key"),
+                F.floor(
+                    (F.col("rank_micro") * d_pct) / (100 * F.col("deg"))
+                ).alias("c"),
+            )
+            .groupBy("key")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "key", "left")
+            .select(
+                "key",
+                (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
+                .cast("long")
+                .alias("rank_micro"),
+            )
+        )
+        if i % 3 == 2:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts, GraphX ``triangleCount`` semantics.
+
+    Canonicalize to an oriented a<b edge set, enumerate wedges
+    (a,b)+(b,c) and close them against (a,c) — each triangle found
+    exactly once, then credited to its three vertices.  The oriented
+    self-join is the standard bound on fan-out (no vertex pairs twice).
+    """
+    und = undirect(edges)
+    ord_e = und.where(F.col("src") < F.col("dst")).cache()
+    e1 = ord_e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = ord_e.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    e3 = ord_e.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tris = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    per_vertex = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return per_vertex
+
+
+def shortest_paths(
+    edges: DataFrame, landmarks: list[str], max_hops: int = 10
+) -> DataFrame:
+    """BFS distance from every reachable vertex to each landmark
+    (GraphX ``shortestPaths``): returns (key, landmark, dist).
+
+    Multi-source frontier expansion: all landmarks advance in the same
+    round, so the work is max_hops shuffles total, not per-landmark.
+    """
+    spark = edges.sparkSession
+    e = _pairs(edges).cache()
+    visited = spark.createDataFrame(
+        [(lm, lm, 0) for lm in landmarks], "key string, landmark string, dist int"
+    )
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.key") == F.col("e.src"))
+            .select(F.col("e.dst").alias("key"), F.col("f.landmark").alias("landmark"))
+            .dropDuplicates()
+            .join(visited.select("key", "landmark"), ["key", "landmark"], "left_anti")
+            .withColumn("dist", F.lit(d))
+            .cache()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
+    """Synchronous label propagation (GraphX ``labelPropagation``) with a
+    deterministic tie-break: each round every vertex adopts the most
+    frequent label among its neighbours, ties broken by smallest label.
+    Runs a fixed number of rounds (LPA has no guaranteed fixpoint —
+    labels can oscillate; fixed rounds keep it oracle-reproducible).
+    Returns (key, label)."""
+    und = undirect(edges).cache()
+    labels = und.select(F.col("src").alias("key")).dropDuplicates().withColumn(
+        "label", F.col("key")
+    )
+    for i in range(max_iter):
+        votes = (
+            und.join(labels, und.dst == labels.key)
+            .groupBy(F.col("src").alias("k"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        best = (
+            votes.groupBy("k")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("neg_n"), F.col("label").alias("l")
+                    )
+                ).alias("top")
+            )
+            .select(F.col("k").alias("key"), F.col("top.l").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "key", "left")
+            .select("key", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

@@ -1,0 +1,235 @@
+"""Oracle-checked graph analytics (SURVEY §2.12; north star "GraphX for
+analytical queries").
+
+Each classic GraphX algorithm from ``graph/algorithms.py`` runs against a
+graph derived from the driver's star schema (so the DuckDB oracle can
+rebuild the identical graph in SQL) and is verified value-for-value:
+
+- G5 triangle counting      — order/part/supplier co-occurrence graph
+- G6 PageRank               — customer→nation→region hierarchy,
+                              fixed-point micro-unit arithmetic
+- G7 multi-source BFS dist  — unrolled-BFS SQL oracle
+- G8 motif finding          — GraphFrames pattern compiled to joins,
+                              on the real evidence graph
+
+The lineitem-derived graph is bounded (l_orderkey <= 600 ≈ 2.4k triples
+at every sf) so the oracle's quadratic-ish SQL stays cheap; the Spark
+side's plan shape is sf-independent (the bound is a pushed-down scan
+filter, not a collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.graph import algorithms, motif
+from biodiversity_graph_db_spark.operators.graph_queries import (
+    _EV_EDGES,
+    _evidence_store,
+    _sql_values,
+    star_edges,
+)
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+_LI_BOUND = 600
+
+_LI_GRAPH_SQL = f"""
+    li AS (
+      SELECT DISTINCT 'o_' || l_orderkey AS o, 'p_' || l_partkey AS p,
+             's_' || l_suppkey AS s
+      FROM lineitem WHERE l_orderkey <= {_LI_BOUND}
+    ),
+    raw AS (
+      SELECT o AS x, p AS y FROM li
+      UNION SELECT o, s FROM li
+      UNION SELECT p, s FROM li
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+      FROM raw WHERE x <> y
+    )
+"""
+
+
+def li_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order/part/supplier co-occurrence graph: each lineitem row
+    links its order, part and supplier pairwise (a tripartite graph with
+    a triangle per lineitem row)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= _LI_BOUND)
+        .select(
+            F.concat(F.lit("o_"), F.col("l_orderkey")).alias("o"),
+            F.concat(F.lit("p_"), F.col("l_partkey")).alias("p"),
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
+        )
+        .dropDuplicates()
+    )
+    return (
+        li.select(F.col("o").alias("src"), F.col("p").alias("dst"))
+        .unionByName(li.select(F.col("o").alias("src"), F.col("s").alias("dst")))
+        .unionByName(li.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+        .dropDuplicates()
+    )
+
+
+@query(
+    "G5_triangle_count",
+    oracle=f"""
+    WITH {_LI_GRAPH_SQL},
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pv AS (
+      SELECT key, COUNT(*) AS triangles
+      FROM (
+        SELECT a AS key FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY key
+    )
+    SELECT key, triangles FROM pv ORDER BY key
+    """,
+)
+def g5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphX-style per-vertex triangle counting on the o/p/s graph —
+    oriented a<b edge set, wedge join closed against the third edge
+    (each triangle enumerated once)."""
+    return algorithms.triangle_count(li_graph(spark, sf_dir)).orderBy("key")
+
+
+def _pagerank_oracle(iterations: int = 10) -> str:
+    d_pct, unit = 85, algorithms.RANK_UNIT
+    its = [
+        f"""it0 AS (
+      SELECT n.key, CAST({unit} // p.n AS BIGINT) AS rank_micro
+      FROM nodes n CROSS JOIN p
+    )"""
+    ]
+    for k in range(iterations):
+        its.append(f"""it{k + 1} AS (
+      SELECT n.key,
+             CAST({unit * (100 - d_pct)} // (100 * p.n)
+                  + COALESCE(c.m, 0) AS BIGINT) AS rank_micro
+      FROM nodes n CROSS JOIN p
+      LEFT JOIN (
+        SELECT e.dst AS key,
+               SUM(CAST(FLOOR((r.rank_micro * {d_pct}) / (100 * d.deg))
+                        AS BIGINT)) AS m
+        FROM edges e
+        JOIN deg d ON d.src = e.src
+        JOIN it{k} r ON r.key = e.src
+        GROUP BY e.dst
+      ) c ON c.key = n.key
+    )""")
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT 'customer_' || c_custkey AS src,
+             'nation_' || c_nationkey AS dst FROM customer
+      UNION SELECT 'nation_' || n_nationkey, 'region_' || n_regionkey
+      FROM nation
+    ),
+    nodes AS (
+      SELECT DISTINCT key FROM (
+        SELECT src AS key FROM edges UNION SELECT dst FROM edges)
+    ),
+    p AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    {its_sql}
+    SELECT key, rank_micro FROM it{iterations}
+    WHERE key NOT LIKE 'customer_%'
+    ORDER BY key
+    """
+
+
+@query("G6_pagerank", oracle=_pagerank_oracle())
+def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration PageRank on the customer→nation→region hierarchy in
+    BIGINT micro-units (bit-identical across engines — see
+    algorithms.pagerank); nations/regions reported, the sf-scaled
+    customer mass feeds them."""
+    ranks = algorithms.pagerank(
+        star_edges(spark, sf_dir).select("source_key", "sink_key"),
+        iterations=10,
+    )
+    return (
+        ranks.where(~F.col("key").like("customer_%"))
+        .select("key", "rank_micro")
+        .orderBy("key")
+    )
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    its = []
+    for k in range(max_hops):
+        its.append(f"""v{k + 1} AS (
+      SELECT key, MIN(dist) AS dist FROM (
+        SELECT key, dist FROM v{k}
+        UNION ALL
+        SELECT e.dst AS key, v.dist + 1 AS dist
+        FROM und2 e JOIN v{k} v ON e.src = v.key
+      ) GROUP BY key
+    )""")
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH {_LI_GRAPH_SQL},
+    und2 AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    v0 AS (SELECT 'o_1' AS key, 0 AS dist),
+    {its_sql}
+    SELECT key, 'o_1' AS landmark, CAST(dist AS INTEGER) AS dist
+    FROM v{max_hops}
+    ORDER BY dist, key
+    """
+
+
+@query("G7_shortest_paths", oracle=_bfs_oracle())
+def g7_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distances (GraphX shortestPaths) from order o_1
+    over the undirected o/p/s graph, 4 hops; the oracle unrolls the same
+    BFS as chained min-aggregations."""
+    und = algorithms.undirect(li_graph(spark, sf_dir))
+    return (
+        algorithms.shortest_paths(und, ["o_1"], max_hops=4)
+        .select("key", "landmark", "dist")
+        .orderBy("dist", "key")
+    )
+
+
+@query(
+    "G8_motif_find",
+    oracle=f"""
+    WITH edges(source_key, sink_key, relation) AS (VALUES
+      {_sql_values(_EV_EDGES)}
+    )
+    SELECT s.source_key AS s, s.sink_key AS tl, h.sink_key AS h,
+           t.sink_key AS taxon, m.sink_key AS outcome,
+           m.relation AS e_relation
+    FROM edges s
+    JOIN edges h ON h.source_key = s.sink_key AND h.relation = 'HasProxyInfo'
+    JOIN edges t ON t.source_key = h.sink_key AND t.relation = 'InferredAs'
+    JOIN edges m ON m.source_key = h.sink_key AND m.relation = 'MeasuredBy'
+    WHERE s.relation = 'HasTemporalExtent'
+    ORDER BY s, tl, h, taxon, outcome
+    """,
+)
+def g8_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames-style motif on the real evidence graph: the hyperedge
+    star as a declarative pattern, compiled to partition-pruned joins."""
+    _, edges = _evidence_store(spark)
+    found = motif.find(
+        edges,
+        "(s)-[:HasTemporalExtent]->(tl); (tl)-[:HasProxyInfo]->(h);"
+        " (h)-[:InferredAs]->(taxon); (h)-[e:MeasuredBy]->(outcome)",
+    )
+    return found.select(
+        "s", "tl", "h", "taxon", "outcome", "e_relation"
+    ).orderBy("s", "tl", "h", "taxon", "outcome")

@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from biodiversity_graph_db_spark.operators import (  # noqa: F401
         aggregations,
+        graph_analytics,
         graph_queries,
         joins,
         matrix,

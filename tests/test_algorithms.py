@@ -1,0 +1,159 @@
+"""Unit tests for the GraphX-style analytics layer (graph/algorithms.py,
+graph/motif.py) on small hand-built graphs with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.graph import algorithms, motif
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_triangle_count_known_graph(spark):
+    # K3 (a,b,c) plus a pendant edge c-d: a,b,c in 1 triangle, d in 0
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = {r.key: r.triangles for r in algorithms.triangle_count(e).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_count_direction_and_dup_insensitive(spark):
+    # same triangle given with reversed/duplicated edges counts once
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"), ("a", "c")],
+    )
+    got = {r.key: r.triangles for r in algorithms.triangle_count(e).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_pagerank_star_orders_hub_highest(spark):
+    # all spokes point at the hub: hub rank must dominate, ranks conserve
+    e = _edges(spark, [(f"s{i}", "hub") for i in range(4)])
+    ranks = {r.key: r.rank_micro for r in algorithms.pagerank(e).collect()}
+    assert ranks["hub"] > max(v for k, v in ranks.items() if k != "hub")
+    # spokes are symmetric
+    assert len({v for k, v in ranks.items() if k != "hub"}) == 1
+    # total mass ≤ initial unit (floor rounding + dangling leak only)
+    assert 0 < sum(ranks.values()) <= algorithms.RANK_UNIT
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # a 3-cycle is symmetric: all ranks identical and stable
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    ranks = [r.rank_micro for r in algorithms.pagerank(e, iterations=5).collect()]
+    assert len(set(ranks)) == 1
+
+
+def test_shortest_paths_path_graph(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    und = algorithms.undirect(e)
+    got = {
+        (r.key, r.landmark): r.dist
+        for r in algorithms.shortest_paths(und, ["a"], max_hops=10).collect()
+    }
+    assert got == {("a", "a"): 0, ("b", "a"): 1, ("c", "a"): 2, ("d", "a"): 3}
+
+
+def test_shortest_paths_multi_landmark_single_pass(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    und = algorithms.undirect(e)
+    got = {
+        (r.key, r.landmark): r.dist
+        for r in algorithms.shortest_paths(und, ["a", "c"], max_hops=5).collect()
+    }
+    assert got[("b", "a")] == 1 and got[("b", "c")] == 1
+    assert got[("c", "a")] == 2 and got[("a", "c")] == 2
+
+
+def test_shortest_paths_respects_max_hops(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r.key for r in algorithms.shortest_paths(e, ["a"], max_hops=2).collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by one bridge edge: each clique converges to
+    # its own min label
+    clique1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    clique2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    e = _edges(spark, clique1 + clique2 + [("a3", "b1")])
+    labels = {
+        r.key: r.label for r in algorithms.label_propagation(e, max_iter=5).collect()
+    }
+    assert labels["a1"] == labels["a2"] == labels["a3"]
+    assert labels["b2"] == labels["b3"]
+    assert labels["a1"] != labels["b2"]
+
+
+def _ev_edges(spark):
+    rows = [
+        ("s1", "t1", "HasTemporalExtent"),
+        ("t1", "h1", "HasProxyInfo"),
+        ("h1", "x1", "InferredAs"),
+        ("h1", "o1", "MeasuredBy"),
+        ("t1", "c1", "IsLocatedAt"),
+    ]
+    return spark.createDataFrame(
+        rows, "source_key string, sink_key string, relation string"
+    )
+
+
+def test_motif_chain(spark):
+    rows = motif.find(
+        _ev_edges(spark),
+        "(a)-[:HasTemporalExtent]->(b); (b)-[:HasProxyInfo]->(c)",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("s1", "t1", "h1")]
+
+
+def test_motif_edge_variable_and_anonymous_relation(spark):
+    rows = motif.find(_ev_edges(spark), "(t)-[e]->(x)").collect()
+    assert len(rows) == 5
+    assert set(rows[0].asDict()) == {"t", "x", "e_relation"}
+
+
+def test_motif_star_shares_center(spark):
+    rows = motif.find(
+        _ev_edges(spark),
+        "(h)-[:InferredAs]->(t); (h)-[:MeasuredBy]->(o)",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("h1", "x1", "o1")]
+
+
+def test_motif_rejects_bad_patterns(spark):
+    with pytest.raises(motif.MotifError):
+        motif.find(_ev_edges(spark), "(a)->(b)")
+    with pytest.raises(motif.MotifError):
+        motif.find(_ev_edges(spark), "")
+    with pytest.raises(motif.MotifError):
+        # disconnected term ⇒ cartesian — refused
+        motif.find(_ev_edges(spark), "(a)-[]->(b); (c)-[]->(d)")
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """Cross-check the fixed-point arithmetic against a plain float power
+    iteration on a small asymmetric graph (same damping/iterations)."""
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    ranks = {
+        r.key: r.rank_micro
+        for r in algorithms.pagerank(_edges(spark, pairs), iterations=10).collect()
+    }
+    nodes = sorted({x for p in pairs for x in p})
+    out = {}
+    for s, d in pairs:
+        out.setdefault(s, []).append(d)
+    r = {n: algorithms.RANK_UNIT // len(nodes) for n in nodes}
+    base = (algorithms.RANK_UNIT * 15) // (100 * len(nodes))
+    import math
+
+    for _ in range(10):
+        incoming = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                incoming[d] += math.floor((r[s] * 85) / (100 * len(ds)))
+        r = {n: base + incoming[n] for n in nodes}
+    assert ranks == r
