@@ -86,7 +86,11 @@ def lsh_candidates(minhashes: DataFrame, band_size: int = BAND_SIZE) -> DataFram
             )
         ).alias("band_key")
     )
-    bands = bands.cache()
+    # localCheckpoint (not cache): the band table feeds both sides of the
+    # self-join; checkpointing also truncates the minhash logical plan,
+    # which Catalyst otherwise re-analyzes once per join side (driver
+    # time comparable to the execution itself at small sf)
+    bands = bands.localCheckpoint()
     a = bands.alias("a")
     # band rows per doc = n_hashes/band_size (tiny) → broadcast the build
     # side; at petabyte scale this becomes a shuffled hash join on
@@ -243,9 +247,11 @@ def e2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(
         table(spark, sf_dir, "documents").where(F.col("doc_id") < 200), spark
     )
+    # checkpoint: the shingle table appears in 3 plan branches (minhash +
+    # both sides of the exact-Jaccard verify)
     shingled = d.select(
         "doc_id", unigram_shingles(F.col("text")).alias("shingles")
-    ).cache()
+    ).localCheckpoint()
     mh = minhash_signatures(shingled)
     cand = lsh_candidates(mh)
     verified = exact_jaccard(shingled, cand)

@@ -13,10 +13,16 @@ inside buckets exactly like MinHash LSH.
 Shingles are word 3-grams (unigrams degenerate on small vocabularies:
 every doc has the same token set, so signatures collapse and the band
 join blows up — measured 73k/125k "near-dup" pairs on the sf0.01 corpus
-vs 21 with 3-grams).  Signature width is 32 bits = the high bit of each
-md5-hex nibble, so the whole pipeline is substring + integer SQL the
-DuckDB oracle replicates bit-for-bit.  (Production would widen to 64
-bits with a second keyed hash; the plan shape is identical.)
+vs 21 with 3-grams).  Signature width is 48 bits, all drawn from one md5:
+bit i<32 is the high bit of hex nibble i, bit 32+j is the second bit of
+nibble j — substring + integer SQL the DuckDB oracle replicates
+bit-for-bit.  48 bits → 12-bit bands (4096 values): band buckets stay
+collision-sparse (an 8-bit/256-value band was measured generating 201k
+candidate pairs from 5k docs — pure birthday collisions the Hamming
+verify then discards; 12-bit bands cut that ~100×, which is also the
+100 TB behaviour: bucket occupancy must track corpus size).  The sig
+fits a positive BIGINT so band extraction is plain division/modulo in
+both engines.
 """
 
 from __future__ import annotations
@@ -28,18 +34,30 @@ from biodiversity_graph_db_spark.extensions.dedup import word_ngram_shingles
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import fan_out, table
 
-N_BITS = 32
+N_BITS = 48
 N_BANDS = 4
-BAND_BITS = N_BITS // N_BANDS  # 8 bits → band values 0..255
+BAND_BITS = N_BITS // N_BANDS  # 12 bits → band values 0..4095
 HAMMING_MAX = 3  # < N_BANDS, so banding is lossless at this radius
 
 
+def _bit_vote(hx, i):
+    """+1/−1 vote for signature bit i from an md5 hex string: bits 0..31
+    are the high bit of nibble i, bits 32..47 the second bit of nibble
+    i−32 (independent bits of the same 128-bit hash)."""
+    if i < 32:
+        cond = F.substring(hx, i + 1, 1) >= "8"
+    else:
+        cond = F.substring(hx, i - 32 + 1, 1).isin(
+            "4", "5", "6", "7", "c", "d", "e", "f"
+        )
+    return F.when(cond, 1).otherwise(-1)
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, text) → (doc_id, sig): one groupBy with 32 conditional
+    """(doc_id, text) → (doc_id, sig): one groupBy with 48 conditional
     sums (map-side combinable, JVM-only — no UDF, no second shuffle).
 
-    Vote for bit i: +1 if the high bit of md5-hex nibble i is set
-    (hex digit ≥ '8'), else −1; sig bit i = vote ≥ 0.
+    Vote for bit i via ``_bit_vote``; sig bit i = vote ≥ 0.
     """
     ex = docs.select(
         "doc_id",
@@ -47,9 +65,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("hx", F.md5("tok"))
     votes = ex.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.substring("hx", i + 1, 1) >= "8", 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(_bit_vote(F.col("hx"), i)).alias(f"v{i}")
             for i in range(N_BITS)
         ]
     )
@@ -82,7 +98,10 @@ def simhash_candidates(sigs: DataFrame) -> DataFrame:
         ),
     )
     a = banded.alias("a")
-    b = banded.alias("b")
+    # band rows per doc = N_BANDS (tiny relative to the corpus) → broadcast
+    # the build side; at petabyte scale this becomes a shuffled hash join
+    # on (band, band_val) — still never all-pairs.
+    b = F.broadcast(banded.alias("b"))
     return (
         a.join(
             b,
@@ -101,8 +120,15 @@ def simhash_candidates(sigs: DataFrame) -> DataFrame:
 
 
 def simhash_neardups(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
-    """Full pipeline: signature → banded candidates → Hamming verify."""
-    sigs = simhash_signatures(docs)
+    """Full pipeline: signature → banded candidates → Hamming verify.
+
+    The signature table feeds both sides of the candidate self-join, so
+    it is materialized with ``localCheckpoint`` — that both avoids
+    computing the shingle+vote aggregation twice (once per join side)
+    AND truncates the 48-aggregate logical plan, which otherwise gets
+    re-analyzed per join side (measured ~1.7 s of driver-side Catalyst
+    time per run at sf0.1, larger than the actual execution)."""
+    sigs = simhash_signatures(docs).localCheckpoint()
     cand = simhash_candidates(sigs)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
@@ -119,9 +145,17 @@ _SHINGLES_SQL = """
          string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
          string_split_regex(trim(lower(text)), '\\s+')[i+2]))
 """
+def _bit_vote_sql(i: int) -> str:
+    if i < 32:
+        return f"CASE WHEN substr(hx, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END"
+    return (
+        f"CASE WHEN substr(hx, {i - 32 + 1}, 1) IN "
+        "('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END"
+    )
+
+
 _VOTES_SQL = ",\n             ".join(
-    f"SUM(CASE WHEN substr(hx, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{i}"
-    for i in range(N_BITS)
+    f"SUM({_bit_vote_sql(i)}) AS v{i}" for i in range(N_BITS)
 )
 _SIG_SQL = " + ".join(
     f"(CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(N_BITS)

@@ -82,16 +82,16 @@ def transitive_closure(
                 ["descendant", "ancestor"],
                 "left_anti",
             )
-            .cache()
+            # localCheckpoint (not cache): materializes for the fixpoint
+            # test AND truncates the logical plan — otherwise each round's
+            # plan nests all previous rounds and Catalyst re-analyzes the
+            # whole tower every iteration (driver time grows
+            # quadratically with depth)
+            .localCheckpoint()
         )
-        # one job materializes the cache AND answers the fixpoint test
         if nxt.count() == 0:
             break
         closure = closure.unionByName(nxt)
-        if i % 3 == 2:
-            # lineage grows linearly (union per round); truncate every
-            # few rounds instead of every round — fewer barrier jobs
-            closure = closure.localCheckpoint()
         frontier = nxt
     return closure
 
