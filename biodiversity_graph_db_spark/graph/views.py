@@ -1,0 +1,98 @@
+"""SQL surface for the evidence graph: register the graph tables and the
+reference's canonical read views as Spark SQL temp views, so the whole
+§3.3 read path is available to plain ``spark.sql`` users — the engine's
+"query language" (the reference has none; SQL is the Spark-native one).
+
+Views registered by :func:`register_graph_views` (default prefix
+``graph_``):
+
+- ``graph_nodes`` / ``graph_edges``       — the two base tables
+- ``graph_index``                         — S2 master node index
+                                            (atom-index.json projection)
+- ``graph_timeline_extent``               — W2: earliest/latest cal yr BP
+                                            per timeline
+- ``graph_evidence_extract``              — the §3.3 extract view
+                                            (Library.fs:842-902,
+                                            1900-1921): timeline card +
+                                            hyperedge star, one row per
+                                            (source, timeline, hyperedge)
+
+All views are plain chained equi-joins over the base tables, so Catalyst
+applies the same pushdown/broadcast planning as the DataFrame forms
+(operators/graph_queries.py); the two forms are the same logical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TIMELINE_EXTENT = """
+CREATE OR REPLACE TEMPORARY VIEW {p}timeline_extent AS
+SELECT e.source_key AS timeline_key,
+       MIN(CASE WHEN e.relation IN
+             ('ExtentEarliest', 'ExtentEarliestSpecified',
+              'ExtentEarliestHarmonised') THEN y.year_value END) AS earliest,
+       MAX(CASE WHEN e.relation IN
+             ('ExtentLatest', 'ExtentLatestSpecified',
+              'ExtentLatestHarmonised') THEN y.year_value END) AS latest
+FROM {p}edges e
+JOIN {p}nodes y ON y.key = e.sink_key AND y.node_type = 'CalYearNode'
+WHERE e.relation LIKE 'Extent%'
+GROUP BY e.source_key
+"""
+
+_EVIDENCE_EXTRACT = """
+CREATE OR REPLACE TEMPORARY VIEW {p}evidence_extract AS
+SELECT t.source_key,
+       t.sink_key                AS timeline_key,
+       ctxn.pretty_name          AS context,
+       ext.earliest,
+       ext.latest,
+       hp.sink_key               AS hyperedge_key,
+       pxn.pretty_name           AS proxy,
+       imn.pretty_name           AS method,
+       txn.pretty_name           AS taxon,
+       o.pretty_name             AS outcome
+FROM {p}edges t
+LEFT JOIN {p}edges loc
+       ON loc.source_key = t.sink_key AND loc.relation = 'IsLocatedAt'
+LEFT JOIN {p}nodes ctxn ON ctxn.key = loc.sink_key
+LEFT JOIN {p}timeline_extent ext ON ext.timeline_key = t.sink_key
+JOIN {p}edges hp
+       ON hp.source_key = t.sink_key AND hp.relation = 'HasProxyInfo'
+JOIN {p}edges inf
+       ON inf.source_key = hp.sink_key AND inf.relation = 'InferredFrom'
+JOIN {p}nodes pxn ON pxn.key = inf.sink_key
+JOIN {p}edges inu
+       ON inu.source_key = hp.sink_key AND inu.relation = 'InferredUsing'
+JOIN {p}nodes imn ON imn.key = inu.sink_key
+JOIN {p}edges ina
+       ON ina.source_key = hp.sink_key AND ina.relation = 'InferredAs'
+JOIN {p}nodes txn ON txn.key = ina.sink_key
+LEFT JOIN {p}edges mb
+       ON mb.source_key = hp.sink_key AND mb.relation = 'MeasuredBy'
+LEFT JOIN {p}nodes o ON o.key = mb.sink_key
+WHERE t.relation = 'HasTemporalExtent'
+"""
+
+
+def register_graph_views(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    prefix: str = "graph_",
+) -> list[str]:
+    """Register the graph SQL surface; returns the view names created."""
+    nodes.createOrReplaceTempView(f"{prefix}nodes")
+    edges.createOrReplaceTempView(f"{prefix}edges")
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW {prefix}index AS
+        SELECT key, node_type, pretty_name FROM {prefix}nodes
+        """
+    )
+    spark.sql(_TIMELINE_EXTENT.format(p=prefix))
+    spark.sql(_EVIDENCE_EXTRACT.format(p=prefix))
+    return [
+        f"{prefix}{v}"
+        for v in ("nodes", "edges", "index", "timeline_extent", "evidence_extract")
+    ]

@@ -1,0 +1,45 @@
+"""SQL view surface (graph/views.py): the §3.3 extract view via
+spark.sql must match the DataFrame form (J2G_evidence_extract)."""
+
+from __future__ import annotations
+
+from biodiversity_graph_db_spark.graph.views import register_graph_views
+from biodiversity_graph_db_spark.operators.graph_queries import (
+    _evidence_store,
+    j2g_evidence_extract,
+)
+
+
+def test_views_registered(spark):
+    nodes, edges = _evidence_store(spark)
+    names = register_graph_views(spark, nodes, edges)
+    assert "graph_evidence_extract" in names
+    assert spark.sql("SELECT COUNT(*) AS n FROM graph_nodes").first().n > 14000
+    idx = spark.sql(
+        "SELECT COUNT(*) AS n FROM graph_index WHERE node_type = 'CalYearNode'"
+    )
+    assert idx.first().n == 14073
+
+
+def test_sql_extract_matches_dataframe_form(spark):
+    nodes, edges = _evidence_store(spark)
+    register_graph_views(spark, nodes, edges)
+    via_sql = spark.sql(
+        """SELECT source_key, timeline_key, context, earliest, latest,
+                  hyperedge_key, proxy, method, taxon, outcome
+           FROM graph_evidence_extract
+           ORDER BY source_key, timeline_key, hyperedge_key"""
+    ).collect()
+    via_df = j2g_evidence_extract(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
+
+
+def test_timeline_extent_view(spark):
+    nodes, edges = _evidence_store(spark)
+    register_graph_views(spark, nodes, edges)
+    rows = {
+        r.timeline_key: (r.earliest, r.latest)
+        for r in spark.sql("SELECT * FROM graph_timeline_extent").collect()
+    }
+    assert rows["individualtimelinenode_tl1"] == (12000, 500)
+    assert rows["individualtimelinenode_tl2"] == (8000, 0)
