@@ -56,36 +56,61 @@ def word_ngram_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _sig_aggs(n_hashes: int) -> list[Column]:
+    """One min-aggregate per hash function: sig_h = min over shingles of
+    md5('{h}:{shingle}') — n parallel map-side-combinable mins in a
+    single groupBy, no hash-index explosion (n× less map data than
+    exploding h as rows)."""
+    return [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(h)), F.col("shingle")))
+        ).alias(f"s{h}")
+        for h in range(n_hashes)
+    ]
+
+
 def minhash_signatures(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(id, shingles array) → (id, h, sig): sig = min over shingles of
-    md5('{h}:{shingle}').  Exploding shingles × hashes is a narrow
-    transform; the min is a map-side-combinable aggregate."""
-    ex = shingled.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
-    return ex.groupBy("doc_id", "h").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("h"), F.col("shingle")))).alias("sig")
+    """(id, shingles array) → (id, h, sig) rows.  One groupBy computes
+    the whole signature; the h column is unpivoted afterwards (narrow)."""
+    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    wide = ex.groupBy("doc_id").agg(*_sig_aggs(n_hashes))
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"s{h}") for h in range(n_hashes)])
+        ).alias("h", "sig"),
     )
 
 
-def lsh_candidates(minhashes: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """Band the signatures and bucket-join: only docs agreeing on a full
-    band become candidate pairs.  The join key (band, band_key) keeps the
-    pair generation inside buckets — at 100 TB this is the difference
-    between O(n²) and O(n·bucket)."""
-    bands = minhashes.withColumn("band", F.floor(F.col("h") / band_size)).groupBy(
-        "doc_id", "band"
-    ).agg(
+def minhash_bands(
+    shingled: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(id, shingles) → (id, band, band_key) in ONE shuffle: the wide
+    signature aggregation and the per-band md5 fold happen in the same
+    groupBy stage (the banding is a narrow projection of the sig
+    columns) — vs. two shuffles for signature rows + collect_list."""
+    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    wide = ex.groupBy("doc_id").agg(*_sig_aggs(n_hashes))
+    band_keys = [
         F.md5(
             F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "sig"))),
-                    lambda s: s["sig"],
-                ),
+                "|", *[F.col(f"s{b * band_size + j}") for j in range(band_size)]
             )
-        ).alias("band_key")
+        )
+        for b in range(n_hashes // band_size)
+    ]
+    return wide.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
+
+
+def band_bucket_join(bands: DataFrame) -> DataFrame:
+    """Bucket-join banded signatures: only docs agreeing on a full band
+    become candidate pairs.  The join key (band, band_key) keeps pair
+    generation inside buckets — at 100 TB this is the difference between
+    O(n²) and O(n·bucket)."""
     # localCheckpoint (not cache): the band table feeds both sides of the
     # self-join; checkpointing also truncates the minhash logical plan,
     # which Catalyst otherwise re-analyzes once per join side (driver
@@ -108,6 +133,28 @@ def lsh_candidates(minhashes: DataFrame, band_size: int = BAND_SIZE) -> DataFram
         )
         .dropDuplicates()
     )
+
+
+def lsh_candidates(minhashes: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Candidate pairs from (doc_id, h, sig) signature rows (API kept for
+    callers that materialize signatures; the fused one-shuffle path is
+    ``minhash_bands`` + ``band_bucket_join``)."""
+    bands = (
+        minhashes.withColumn("band", F.floor(F.col("h") / band_size))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("h", "sig"))),
+                        lambda s: s["sig"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    return band_bucket_join(bands)
 
 
 def exact_jaccard(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -252,8 +299,7 @@ def e2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = d.select(
         "doc_id", unigram_shingles(F.col("text")).alias("shingles")
     ).localCheckpoint()
-    mh = minhash_signatures(shingled)
-    cand = lsh_candidates(mh)
+    cand = band_bucket_join(minhash_bands(shingled))
     verified = exact_jaccard(shingled, cand)
     return (
         verified.where(F.col("jaccard") >= 0.7)
