@@ -40,38 +40,86 @@ BAND_BITS = N_BITS // N_BANDS  # 12 bits → band values 0..4095
 HAMMING_MAX = 3  # < N_BANDS, so banding is lossless at this radius
 
 
-def _bit_vote(hx, i):
-    """+1/−1 vote for signature bit i from an md5 hex string: bits 0..31
-    are the high bit of nibble i, bits 32..47 the second bit of nibble
-    i−32 (independent bits of the same 128-bit hash)."""
+# SIMD-in-a-register vote counting.  Signature-bit i comes from the four
+# 32-bit hash words h0..h3 (h_k = integer value of md5 hex nibbles
+# 8k..8k+7): bits 0..31 are the HIGH bit (bit 3) of nibble i, bits
+# 32..47 the SECOND bit (bit 2) of nibble i−32 — independent bits of the
+# same 128-bit hash.  Per row, (h >> shift) & 0x11111111 drops every
+# nibble's vote bit to the low position of its 4-bit slot; the 8
+# single-bit values are then spread into 16-bit lanes of two longs, so
+# the groupBy sums 12 packed longs + 1 count instead of 48 scalar
+# CASE/substring aggregates (the 49-buffer hash-agg and its
+# 49-expression plan were the hot spot, executor- AND Catalyst-side).
+# Lane headroom: 16 bits, top lane bounded by the sign bit → correct for
+# ≤ 32,767 distinct shingles per doc (≈ 200 KB of text; chunk larger
+# docs upstream).
+
+_PACK_SPECS = [(w, 3) for w in range(4)] + [(w, 2) for w in range(2)]
+
+
+def _packed_vote_cols() -> list[Column]:
+    """12 per-row packed-lane columns p{word}_{bit}_{half}: half h packs
+    the vote bits of packed slots 4h..4h+3 into 16-bit lanes."""
+    cols = []
+    for w, s in _PACK_SPECS:
+        base = F.shiftright(F.col(f"h{w}"), s).bitwiseAND(F.lit(0x11111111))
+        for p in range(2):
+            e = None
+            for lane in range(4):
+                k = 4 * p + lane
+                b = F.shiftright(base, 4 * k).bitwiseAND(F.lit(1))
+                term = F.shiftleft(b, 16 * lane) if lane else b
+                e = term if e is None else e + term
+            cols.append(e.alias(f"p{w}_{s}_{p}"))
+    return cols
+
+
+def _vote_count(i: int) -> Column:
+    """Unpack the summed lane holding the vote count for signature bit i."""
     if i < 32:
-        cond = F.substring(hx, i + 1, 1) >= "8"
+        w, s, nib = i // 8, 3, i % 8
     else:
-        cond = F.substring(hx, i - 32 + 1, 1).isin(
-            "4", "5", "6", "7", "c", "d", "e", "f"
-        )
-    return F.when(cond, 1).otherwise(-1)
+        j = i - 32
+        w, s, nib = j // 8, 2, j % 8
+    k = 7 - nib  # packed slot: nibble `nib` sits at slot 7−nib
+    p, lane = k // 4, k % 4
+    return F.shiftright(F.col(f"p{w}_{s}_{p}"), 16 * lane).bitwiseAND(
+        F.lit(0xFFFF)
+    )
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, text) → (doc_id, sig): one groupBy with 48 conditional
-    sums (map-side combinable, JVM-only — no UDF, no second shuffle).
+    """(doc_id, text) → (doc_id, sig): one groupBy with 12 lane-packed
+    bit-count sums + one count (map-side combinable, JVM-only — no UDF,
+    no second shuffle).
 
-    Vote for bit i via ``_bit_vote``; sig bit i = vote ≥ 0.
+    The ±1 vote for bit i sums to ``2·Σbit_i − n``, so sig bit i =
+    (vote ≥ 0) = (2·Σbit_i ≥ n) — only the bit *counts* are aggregated.
     """
     ex = docs.select(
         "doc_id",
         F.explode(word_ngram_shingles(F.col(text_col))).alias("tok"),
     ).withColumn("hx", F.md5("tok"))
-    votes = ex.groupBy("doc_id").agg(
+    # 32 hex nibbles → four 32-bit words (conv once per word)
+    words = ex.select(
+        "doc_id",
         *[
-            F.sum(_bit_vote(F.col("hx"), i)).alias(f"v{i}")
-            for i in range(N_BITS)
-        ]
+            F.conv(F.substring("hx", 8 * k + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"h{k}")
+            for k in range(4)
+        ],
+    )
+    packed = words.select("doc_id", *_packed_vote_cols())
+    votes = packed.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(c).alias(c) for c in packed.columns if c != "doc_id"],
     )
     sig = None
     for i in range(N_BITS):
-        bit = F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(
+            _vote_count(i) * 2 >= F.col("n"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return votes.select("doc_id", sig.cast("long").alias("sig"))
 

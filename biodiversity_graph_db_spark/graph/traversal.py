@@ -46,13 +46,22 @@ def k_hop(edges: DataFrame, start: DataFrame, relations: list[str]) -> DataFrame
 
 
 def transitive_closure(
-    parent_edges: DataFrame, max_depth: int = 14
+    parent_edges: DataFrame, max_depth: int = 14, assume_forest: bool = False
 ) -> DataFrame:
     """Ancestor closure of a forest/DAG given (child, parent) pairs —
     the taxonomy IsA rollup (§2.12; backbone chains built at insert time
     in TaxonomicBackbone.fs:68-107).  Iterate closure ⋈ edges to fixpoint.
 
     Returns (descendant, ancestor, depth) with depth ≥ 1.
+
+    ``assume_forest=True`` is the fast path for single-parent hierarchies
+    (the taxonomy: every taxon has exactly one IsA parent, so every
+    (descendant, ancestor) path is unique): no dedup, no anti-join, no
+    per-round materialization — just ``max_depth`` unrolled lazy joins
+    that Catalyst plans as ONE job (the per-round count() barriers of the
+    general path are pure driver latency when the depth bound is known,
+    ≤14 ranks).  Only correct when no node has two parents; use the
+    default fixpoint path for general DAGs.
     """
     edges = (
         parent_edges.select(
@@ -67,6 +76,19 @@ def transitive_closure(
     )
     closure = edges.withColumn("depth", F.lit(1))
     frontier = closure
+    if assume_forest:
+        for _ in range(max_depth - 1):
+            frontier = (
+                frontier.alias("f")
+                .join(step.alias("s"), F.col("f.ancestor") == F.col("s.e_desc"))
+                .select(
+                    F.col("f.descendant").alias("descendant"),
+                    F.col("s.e_anc").alias("ancestor"),
+                    (F.col("f.depth") + 1).alias("depth"),
+                )
+            )
+            closure = closure.unionByName(frontier)
+        return closure
     for i in range(max_depth - 1):
         nxt = (
             frontier.alias("f")

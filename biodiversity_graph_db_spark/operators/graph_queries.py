@@ -101,7 +101,10 @@ def g2_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE in Spark) on the customer→nation→region hierarchy; DuckDB verifies
     with a real recursive CTE."""
     closure = traversal.transitive_closure(
-        star_edges(spark, sf_dir).select("source_key", "sink_key"), max_depth=3
+        star_edges(spark, sf_dir).select("source_key", "sink_key"),
+        max_depth=3,
+        # customer→nation→region is single-parent: unrolled one-job path
+        assume_forest=True,
     )
     custs = table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 50)
     keep = custs.select(
