@@ -16,6 +16,18 @@ Views registered by :func:`register_graph_views` (default prefix
                                             1900-1921): timeline card +
                                             hyperedge star, one row per
                                             (source, timeline, hyperedge)
+- ``graph_viz_nodes`` / ``graph_viz_edges`` — GraphVisualisation element
+                                            extraction (Library.fs:7-33):
+                                            display-name-labelled nodes
+                                            and indexed (source, sink)
+                                            edge pairs, ready for any
+                                            Cytoscape-style renderer
+                                            (edge ids are md5 of the
+                                            edge tuple — deterministic
+                                            and shuffle-free, unlike the
+                                            reference's order-dependent
+                                            Seq.mapi counter, which would
+                                            need a global sort at scale)
 
 All views are plain chained equi-joins over the base tables, so Catalyst
 applies the same pushdown/broadcast planning as the DataFrame forms
@@ -76,6 +88,20 @@ WHERE t.relation = 'HasTemporalExtent'
 """
 
 
+_VIZ_NODES = """
+CREATE OR REPLACE TEMPORARY VIEW {p}viz_nodes AS
+SELECT key AS id, COALESCE(pretty_name, key) AS label, node_type
+FROM {p}nodes
+"""
+
+_VIZ_EDGES = """
+CREATE OR REPLACE TEMPORARY VIEW {p}viz_edges AS
+SELECT md5(concat_ws('|', source_key, sink_key, relation)) AS id,
+       source_key AS source, sink_key AS sink, relation
+FROM {p}edges
+"""
+
+
 def register_graph_views(
     spark: SparkSession,
     nodes: DataFrame,
@@ -92,7 +118,17 @@ def register_graph_views(
     )
     spark.sql(_TIMELINE_EXTENT.format(p=prefix))
     spark.sql(_EVIDENCE_EXTRACT.format(p=prefix))
+    spark.sql(_VIZ_NODES.format(p=prefix))
+    spark.sql(_VIZ_EDGES.format(p=prefix))
     return [
         f"{prefix}{v}"
-        for v in ("nodes", "edges", "index", "timeline_extent", "evidence_extract")
+        for v in (
+            "nodes",
+            "edges",
+            "index",
+            "timeline_extent",
+            "evidence_extract",
+            "viz_nodes",
+            "viz_edges",
+        )
     ]

@@ -34,6 +34,27 @@ def test_sql_extract_matches_dataframe_form(spark):
     assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
 
 
+def test_viz_element_views(spark):
+    """GraphVisualisation element extraction (Library.fs:7-33): labelled
+    nodes and uniquely-id'd edge pairs."""
+    nodes, edges = _evidence_store(spark)
+    names = register_graph_views(spark, nodes, edges)
+    assert "graph_viz_nodes" in names and "graph_viz_edges" in names
+    n = spark.sql(
+        "SELECT label FROM graph_viz_nodes WHERE id = 'calyearnode_9999ybp'"
+    ).first()
+    assert n.label == "9999 cal yr BP"
+    # hyperedge nodes carry no payload -> label falls back to the key
+    h = spark.sql(
+        "SELECT label FROM graph_viz_nodes WHERE id = 'proxiedtaxonnode_he1'"
+    ).first()
+    assert h.label == "proxiedtaxonnode_he1"
+    e = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT id) AS n_ids FROM graph_viz_edges"
+    ).first()
+    assert e.n > 0 and e.n == e.n_ids
+
+
 def test_timeline_extent_view(spark):
     nodes, edges = _evidence_store(spark)
     register_graph_views(spark, nodes, edges)
