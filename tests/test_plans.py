@@ -61,6 +61,15 @@ class TestPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_g2_forest_closure_is_one_lazy_plan(self, spark, sf_dir):
+        # the assume_forest unrolled closure must stay a single lazy plan:
+        # no localCheckpoint barrier (surfaces as a Scan ExistingRDD) and
+        # no per-round materialization — just unioned broadcast joins
+        plan = _plan(spark, sf_dir, "G2_hierarchy_closure")
+        assert "ExistingRDD" not in plan
+        assert "Union" in plan
+        assert "CartesianProduct" not in plan
+
     def test_v1_query_side_broadcast(self, spark, sf_dir):
         plan = _plan(spark, sf_dir, "V1_cosine_topk")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
