@@ -106,21 +106,27 @@ def minhash_bands(
     )
 
 
-def band_bucket_join(bands: DataFrame) -> DataFrame:
+def band_bucket_join(bands: DataFrame, broadcast: bool = True) -> DataFrame:
     """Bucket-join banded signatures: only docs agreeing on a full band
     become candidate pairs.  The join key (band, band_key) keeps pair
     generation inside buckets — at 100 TB this is the difference between
-    O(n²) and O(n·bucket)."""
+    O(n²) and O(n·bucket).
+
+    ``broadcast=True`` (default) hints the build side — right when the
+    corpus's band table fits an executor (band rows per doc =
+    n_hashes/band_size, so ≈ corpus row count × 4 × ~50 B).  At full
+    100 TB corpus scale pass ``broadcast=False``: the self-join becomes a
+    shuffled hash join partitioned on (band, band_key) — still never
+    all-pairs."""
     # localCheckpoint (not cache): the band table feeds both sides of the
     # self-join; checkpointing also truncates the minhash logical plan,
     # which Catalyst otherwise re-analyzes once per join side (driver
     # time comparable to the execution itself at small sf)
     bands = bands.localCheckpoint()
     a = bands.alias("a")
-    # band rows per doc = n_hashes/band_size (tiny) → broadcast the build
-    # side; at petabyte scale this becomes a shuffled hash join on
-    # (band, band_key) — still never all-pairs.
-    b = F.broadcast(bands.alias("b"))
+    b = bands.alias("b")
+    if broadcast:
+        b = F.broadcast(b)
     return (
         a.join(
             b,

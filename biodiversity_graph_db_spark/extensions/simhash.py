@@ -134,10 +134,15 @@ def band_values(sig: Column) -> list[Column]:
     ]
 
 
-def simhash_candidates(sigs: DataFrame) -> DataFrame:
+def simhash_candidates(sigs: DataFrame, broadcast: bool = True) -> DataFrame:
     """Band-equality self-join: every pair within HAMMING_MAX shares at
     least one exact band (pigeonhole), so candidates = pairs agreeing on
-    (band index, band value).  Never all-pairs."""
+    (band index, band value).  Never all-pairs.
+
+    ``broadcast=True`` (default) hints the build side — right while the
+    corpus's band table (N_BANDS rows/doc × ~20 B) fits an executor; at
+    full corpus scale pass ``broadcast=False`` for a shuffled hash join
+    partitioned on (band, band_val)."""
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -146,10 +151,9 @@ def simhash_candidates(sigs: DataFrame) -> DataFrame:
         ),
     )
     a = banded.alias("a")
-    # band rows per doc = N_BANDS (tiny relative to the corpus) → broadcast
-    # the build side; at petabyte scale this becomes a shuffled hash join
-    # on (band, band_val) — still never all-pairs.
-    b = F.broadcast(banded.alias("b"))
+    b = banded.alias("b")
+    if broadcast:
+        b = F.broadcast(b)
     return (
         a.join(
             b,
@@ -167,7 +171,11 @@ def simhash_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_neardups(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+def simhash_neardups(
+    docs: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    broadcast: bool = True,
+) -> DataFrame:
     """Full pipeline: signature → banded candidates → Hamming verify.
 
     The signature table feeds both sides of the candidate self-join, so
@@ -177,7 +185,7 @@ def simhash_neardups(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFra
     re-analyzed per join side (measured ~1.7 s of driver-side Catalyst
     time per run at sf0.1, larger than the actual execution)."""
     sigs = simhash_signatures(docs).localCheckpoint()
-    cand = simhash_candidates(sigs)
+    cand = simhash_candidates(sigs, broadcast=broadcast)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", ham.cast("int"))
