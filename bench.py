@@ -26,12 +26,18 @@ HEADLINE = [
     "O2_topk_per_group",
     "M1_unpivot_wide_matrix",
     "G2_hierarchy_closure",
+    "G3_connected_components",
+    "G6_pagerank",
     "E2_minhash_lsh_neardup",
     "E3_simhash_neardup",
     "V1_cosine_topk",
+    "V2_embedding_neardup",
     "V3_ivf_topk",
     "T1_token_stats",
+    "T2_quality_scores",
+    "T5_langid_ngram",
     "W5_tumbling_window",
+    "W6_sliding_window",
 ]
 
 

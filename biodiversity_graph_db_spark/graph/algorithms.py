@@ -49,7 +49,10 @@ def undirect(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    partitions: int | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges, returning (key, rank_micro).
 
@@ -61,19 +64,32 @@ def pagerank(
     keep the teleport term only (mass leaks — the simple variant; both
     sides compute identically).  One shuffle per iteration (groupBy dst);
     the degree-annotated edge list is computed once and cached.
+
+    ``partitions`` sizes the iterative loop's partitioning — hash on the
+    join key, cached, so the static edge side's Exchange is reused every
+    round instead of re-shuffling.  Partition count must track graph
+    size: the inherited ``spark.sql.shuffle.partitions`` over-fans tiny
+    graphs (30 stages × mostly-empty tasks was ~2× the runtime at sf0.1)
+    and under-fans 100 TB ones.  Default: ~1 partition per 50k edges,
+    capped by the session's shuffle parallelism.
     """
     e = _pairs(edges).cache()
+    if partitions is None:
+        default = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        partitions = max(1, min(default, e.count() // 50_000 + 1))
+    e = e.repartition(partitions, "src")
     nodes = (
         e.select(F.col("src").alias("key"))
         .unionByName(e.select(F.col("dst").alias("key")))
         .dropDuplicates()
+        .repartition(partitions, "key")
         .cache()
     )
     n = nodes.count()
     d_pct = int(round(damping * 100))
     base = int((RANK_UNIT * (100 - d_pct)) // (100 * n))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    out = e.join(deg, "src").cache()
+    out = e.join(deg, "src").repartition(partitions, "src").cache()
     out.count()  # materialize the static join side once
     ranks = nodes.withColumn("rank_micro", F.lit(int(RANK_UNIT // n)))
     for i in range(iterations):

@@ -171,6 +171,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("a", "key")
         )
+        # carry the changed flag through the checkpoint so the fixpoint
+        # test reads the materialized rows instead of re-running the
+        # join+agg (checkpoint-then-probe was recomputing every round)
         new_labels = (
             labels.join(neighbor_min, "key", "left")
             .select(
@@ -178,16 +181,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
             )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "key")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .isEmpty()
-        )
-        labels = new_labels.localCheckpoint()
-        if changed:
+        labels = new_labels.select("key", "component")
+        if new_labels.where("changed").limit(1).isEmpty():
             break
     return labels
