@@ -53,6 +53,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     partitions: int | None = None,
+    checkpoint_every: int = 12,
 ) -> DataFrame:
     """PageRank over (src, dst) edges, returning (key, rank_micro).
 
@@ -72,7 +73,16 @@ def pagerank(
     graphs (30 stages × mostly-empty tasks was ~2× the runtime at sf0.1)
     and under-fans 100 TB ones.  Default: ~1 partition per 50k edges,
     capped by the session's shuffle parallelism.
-    """
+
+    ``checkpoint_every`` is the lineage-truncation cadence.  Execution
+    here is trivial (~0.1 s at sf0.1) — the dominant cost is Catalyst
+    ANALYSIS of the nested-join tower, paid once per action, and every
+    mid-loop ``localCheckpoint`` is an extra action (every-3 measured 3×
+    the runtime of checkpoint-free, identical results).  But analysis
+    also grows superlinearly with depth, so unbounded towers eventually
+    lose.  Every-12 keeps runs ≤12 iterations at exactly one analysis;
+    the final round never checkpoints (the caller's action materializes
+    it)."""
     e = _pairs(edges).cache()
     if partitions is None:
         default = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -113,7 +123,11 @@ def pagerank(
                 .alias("rank_micro"),
             )
         )
-        if i % 3 == 2:
+        if (
+            checkpoint_every
+            and i % checkpoint_every == checkpoint_every - 1
+            and i < iterations - 1
+        ):
             ranks = ranks.localCheckpoint()
     return ranks
 
