@@ -45,6 +45,7 @@ def load_all() -> None:
         graph_analytics,
         graph_queries,
         joins,
+        key_synthesis,
         matrix,
         relational,
         windows,
