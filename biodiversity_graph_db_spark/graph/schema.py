@@ -49,6 +49,10 @@ EDGES_SCHEMA = StructType(
         StructField("payload", StringType(), True),
         StructField("source_type", StringType(), True),
         StructField("sink_type", StringType(), True),
+        # promoted at write time from date-valued payloads (OldDateSimple,
+        # Exposure.fs:158-186) so range queries over edge dates are plain
+        # columnar predicates — see graph/edge_payloads.py
+        StructField("edge_year_value", LongType(), True),
     ]
 )
 

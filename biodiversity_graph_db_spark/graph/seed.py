@@ -92,5 +92,6 @@ def seed_graph(spark: SparkSession) -> GraphStore:
         F.lit(None).cast("string").alias("payload"),
         "source_type",
         "sink_type",
+        F.lit(None).cast("long").alias("edge_year_value"),
     )
     return GraphStore(spark, nodes, seed_edges)

@@ -160,6 +160,13 @@ class GraphStore:
             if c not in new_edges.columns:
                 default = F.lit(1) if c == "weight" else F.lit(None).cast("string")
                 new_edges = new_edges.withColumn(c, default)
+        if "edge_year_value" not in new_edges.columns:
+            # promote date-valued payloads to the columnar year (SURVEY §1.3)
+            from biodiversity_graph_db_spark.graph.edge_payloads import (
+                promote_edge_year,
+            )
+
+            new_edges = promote_edge_year(new_edges)
         n_idx = self.nodes.select("key", "node_type")
         # resolve endpoint types + FK existence in one pass
         e = (

@@ -266,3 +266,90 @@ class TestJsonRoundTrip:
             .first()
         )
         assert yr.y == "9999"
+
+
+class TestEdgePayloads:
+    """Promoted edge_year_value (SURVEY §1.3; Exposure.fs:158-186)."""
+
+    def test_promote_all_units(self, spark):
+        from biodiversity_graph_db_spark.graph.edge_payloads import (
+            old_date_payload,
+            promote_edge_year,
+        )
+
+        rows = spark.createDataFrame(
+            [
+                ("a", "b", "TimeEstimate", "AD", 1850.0),
+                ("a", "b", "TimeEstimate", "BC", 500.0),
+                ("a", "b", "UncertaintyOldest", "BP", 9000.0),
+                ("a", "b", "ExtentEarliestSpecified", "CalYrBP", 11650.0),
+                ("a", "b", "Next", "AD", 1850.0),  # not date-valued
+            ],
+            "source_key string, sink_key string, relation string,"
+            " unit string, value double",
+        ).withColumn(
+            "payload", F.expr("null")
+        )
+        from pyspark.sql import functions as SF
+
+        rows = rows.withColumn(
+            "payload",
+            old_date_payload(SF.col("unit"), SF.col("value")),
+        )
+        got = [
+            r.edge_year_value
+            for r in promote_edge_year(rows).select("edge_year_value").collect()
+        ]
+        # AD 1850 -> 100; BC 500 -> 2450; BP passthrough; CalYrBP passthrough;
+        # non-date relation -> NULL (Library.fs:934-937)
+        assert got == [100, 2450, 9000, 11650, None]
+
+    def test_promote_null_payload(self, spark):
+        from biodiversity_graph_db_spark.graph.edge_payloads import (
+            promote_edge_year,
+        )
+
+        rows = spark.createDataFrame(
+            [("a", "b", "TimeEstimate", None)],
+            "source_key string, sink_key string, relation string,"
+            " payload string",
+        )
+        assert promote_edge_year(rows).first().edge_year_value is None
+
+    def test_add_relations_promotes(self, spark, seeded):
+        from biodiversity_graph_db_spark.graph.edge_payloads import (
+            old_date_payload,
+        )
+        from pyspark.sql import functions as SF
+
+        e = spark.createDataFrame(
+            [
+                (
+                    "qualitativelabelnode_holocene_by_global stratotype"
+                    " section and point",
+                    "calyearnode_9999ybp",
+                    "EarliestTime",
+                )
+            ],
+            "source_key string, sink_key string, relation string",
+        )
+        # EarliestTime carries no date payload -> NULL promoted column,
+        # but the column must exist on the merged edges table
+        out = seeded.add_relations(e)
+        assert "edge_year_value" in out.edges.columns
+        # and a date-valued relation through the same path is promoted
+        # (validate=False keeps the fixture minimal — the signature check
+        # is exercised elsewhere)
+        e3 = spark.createDataFrame(
+            [("individualdatenode_x", "calyearnode_9999ybp", "TimeEstimate")],
+            "source_key string, sink_key string, relation string",
+        ).withColumn(
+            "payload", old_date_payload(SF.lit("AD"), SF.lit(1900.0))
+        )
+        out3 = seeded.add_relations(e3, validate=False)
+        row = (
+            out3.edges.where(SF.col("relation") == "TimeEstimate")
+            .select("edge_year_value")
+            .first()
+        )
+        assert row.edge_year_value == 50
