@@ -1,0 +1,286 @@
+"""Temporal edge-payload operators (SURVEY §1.3, §2.8).
+
+ED1 proves the promoted ``edge_year_value`` path end-to-end: date-valued
+edges are minted from driver rows with canonical OldDateSimple payloads,
+promoted once at ingest (graph/edge_payloads.py), then range-scanned and
+aggregated with pure columnar predicates — the DuckDB oracle recomputes
+the same normalization straight from the base table, so a value match
+proves the promotion preserved the date semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from biodiversity_graph_db_spark.functions import dates
+from biodiversity_graph_db_spark.graph.edge_payloads import (
+    old_date_payload,
+    promote_edge_year,
+)
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+
+@query(
+    "ED1_edge_date_range",
+    oracle="""
+    WITH e AS (
+      SELECT o_orderkey,
+        CASE o_orderkey % 4
+          WHEN 0 THEN 'TimeEstimate'
+          WHEN 1 THEN 'ExtentEarliestSpecified'
+          WHEN 2 THEN 'ExtentLatestSpecified'
+          ELSE 'UncertaintyOldest' END AS relation,
+        CASE o_orderkey % 3
+          WHEN 0 THEN 1950 - year(o_orderdate)
+          WHEN 1 THEN year(o_orderdate) + 1950
+          ELSE year(o_orderdate) END AS bp
+      FROM orders
+    )
+    SELECT relation,
+           count(*) AS n_edges,
+           CAST(min(bp) AS BIGINT) AS min_bp,
+           CAST(max(bp) AS BIGINT) AS max_bp
+    FROM e
+    WHERE bp BETWEEN -72 AND 11650
+    GROUP BY relation
+    ORDER BY relation
+    """,
+)
+def ed1_edge_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar date-range scan over date-valued edges (SURVEY §1.3;
+    payload cases Exposure.fs:158-186, normalization Library.fs:931-942).
+
+    Edges are built with JSON OldDateSimple payloads in all three calendar
+    units, promoted to ``edge_year_value`` once (from_json at ingest), and
+    every downstream predicate/aggregate touches only the promoted BIGINT
+    column.  On stored edge parquet the same filter reaches the scan as a
+    pushed filter with zero JSON in the plan (asserted in
+    tests/test_plans.py)."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    relation = (
+        F.when(k % 4 == 0, F.lit("TimeEstimate"))
+        .when(k % 4 == 1, F.lit("ExtentEarliestSpecified"))
+        .when(k % 4 == 2, F.lit("ExtentLatestSpecified"))
+        .otherwise(F.lit("UncertaintyOldest"))
+    )
+    unit = (
+        F.when(k % 3 == 0, F.lit("AD"))
+        .when(k % 3 == 1, F.lit("BC"))
+        .otherwise(F.lit("BP"))
+    )
+    edges = o.select(
+        F.concat(F.lit("individualdatenode_"), k.cast("string")).alias(
+            "source_key"
+        ),
+        F.lit("calyearnode_0ybp").alias("sink_key"),
+        relation.alias("relation"),
+        old_date_payload(
+            unit, F.year("o_orderdate").cast("double")
+        ).alias("payload"),
+    )
+    promoted = promote_edge_year(edges)
+    return (
+        promoted.where(dates.in_holocene_scope(F.col("edge_year_value")))
+        .groupBy("relation")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.min("edge_year_value").alias("min_bp"),
+            F.max("edge_year_value").alias("max_bp"),
+        )
+        .orderBy("relation")
+    )
+
+
+# --- calibration / age-depth models (Exposure.fs:83-105) -----------------
+
+#: Canonical JSON form of DateCalibrationNode (Exposure.fs:87-99) with its
+#: AgeDepthModelDepth list (Exposure.fs:96-100: Depth cm, Date cal yr BP,
+#: StandardDeviation option).
+DATE_CALIBRATION = StructType(
+    [
+        StructField("CalibrationCurve", StringType(), True),
+        StructField("SoftwareName", StringType(), True),
+        StructField("SoftwareVersion", StringType(), True),
+        StructField(
+            "AgeDepthModel",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("Depth", DoubleType(), True),
+                        StructField("Date", DoubleType(), True),
+                        StructField("SD", DoubleType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def parse_age_depth_payload(nodes: DataFrame) -> DataFrame:
+    """DateCalibrationInstanceNode payload → one row per age-depth control
+    point ``(cal_id, depth, ctrl_age, sd)``.  One from_json + explode at
+    read of the (small) calibration dimension; the big side (samples)
+    never parses JSON."""
+    parsed = F.from_json(F.col("payload"), DATE_CALIBRATION)
+    return (
+        nodes.select(
+            F.col("key").alias("cal_id"),
+            F.explode(parsed["AgeDepthModel"]).alias("pt"),
+        )
+        .select(
+            "cal_id",
+            F.col("pt.Depth").alias("depth"),
+            F.col("pt.Date").alias("ctrl_age"),
+            F.col("pt.SD").alias("sd"),
+        )
+    )
+
+
+def age_depth_interpolate(models: DataFrame, samples: DataFrame) -> DataFrame:
+    """Depth → age by linear interpolation between the bracketing control
+    points of each calibration's age-depth model (Exposure.fs:96-100).
+
+    Implemented as the union-sort-window as-of pattern: control points and
+    samples are unioned per ``cal_id``, sorted once by depth, and the
+    bracketing points are recovered with running last/first window
+    functions — ONE shuffle on ``cal_id``, no join, no per-model loop.
+    At 100 TB the samples dominate and the sort is the same shuffle an
+    as-of join would pay; models (a few control points per timeline)
+    ride along for free.  Samples outside the model's depth span get a
+    NULL age.
+
+    models:  (cal_id, depth double, ctrl_age double)
+    samples: (cal_id, sample_id, depth double)
+    returns: (cal_id, sample_id, depth, age_bp double | NULL)
+    """
+    m = models.select(
+        "cal_id",
+        "depth",
+        F.col("ctrl_age"),
+        F.lit(0).alias("is_sample"),
+        F.lit(None).cast("long").alias("sample_id"),
+    )
+    s = samples.select(
+        "cal_id",
+        "depth",
+        F.lit(None).cast("double").alias("ctrl_age"),
+        F.lit(1).alias("is_sample"),
+        F.col("sample_id").cast("long"),
+    )
+    u = m.unionByName(s)
+    # control points sort before samples at equal depth, so an exact-depth
+    # sample sees that point as its "previous" bracket (zero-length interp)
+    order = [F.col("depth"), F.col("is_sample")]
+    wp = (
+        Window.partitionBy("cal_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("cal_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctrl_depth = F.when(F.col("is_sample") == 0, F.col("depth"))
+    ctrl_age = F.when(F.col("is_sample") == 0, F.col("ctrl_age"))
+    out = (
+        u.withColumn("pd", F.last(ctrl_depth, ignorenulls=True).over(wp))
+        .withColumn("pa", F.last(ctrl_age, ignorenulls=True).over(wp))
+        .withColumn("nd", F.first(ctrl_depth, ignorenulls=True).over(wn))
+        .withColumn("na", F.first(ctrl_age, ignorenulls=True).over(wn))
+        .where(F.col("is_sample") == 1)
+    )
+    age = (
+        # exact hit on a control point: that point sorted before the
+        # sample, so the forward window may not see it (e.g. a sample at
+        # the model's deepest point) — answer is its age either way
+        F.when(F.col("pd") == F.col("depth"), F.col("pa"))
+        .when(F.col("pd").isNull() | F.col("nd").isNull(), F.lit(None))
+        .when(F.col("nd") == F.col("pd"), F.col("pa"))
+        .otherwise(
+            F.col("pa")
+            + (F.col("depth") - F.col("pd"))
+            * (F.col("na") - F.col("pa"))
+            / (F.col("nd") - F.col("pd"))
+        )
+    )
+    return out.select(
+        "cal_id",
+        "sample_id",
+        "depth",
+        (F.floor(age * 10000) / 10000).alias("age_bp"),
+    )
+
+
+@query(
+    "C1_age_depth_interpolate",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey % 8 AS cal_id,
+             CAST(o_orderkey // 8 AS DOUBLE) * 10 AS depth,
+             CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 10000 AS DOUBLE)
+               AS ctrl_age
+      FROM orders WHERE o_orderkey < 400
+    ), s AS (
+      SELECT o_orderkey % 8 AS cal_id, o_orderkey AS sample_id,
+             CAST((o_orderkey * 7) % 497 AS DOUBLE) AS depth
+      FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 1000
+    ), prev AS (
+      SELECT s.sample_id, max(m.depth) AS pd
+      FROM s JOIN m ON m.cal_id = s.cal_id AND m.depth <= s.depth
+      GROUP BY s.sample_id
+    ), nxt AS (
+      SELECT s.sample_id, min(m.depth) AS nd
+      FROM s JOIN m ON m.cal_id = s.cal_id AND m.depth >= s.depth
+      GROUP BY s.sample_id
+    )
+    SELECT s.cal_id, s.sample_id, s.depth,
+      CASE WHEN prev.pd IS NULL OR nxt.nd IS NULL THEN NULL
+           WHEN nxt.nd = prev.pd THEN FLOOR(pa.ctrl_age * 10000) / 10000
+           ELSE FLOOR((pa.ctrl_age + (s.depth - prev.pd)
+                       * (na.ctrl_age - pa.ctrl_age)
+                       / (nxt.nd - prev.pd)) * 10000) / 10000
+      END AS age_bp
+    FROM s
+    LEFT JOIN prev ON prev.sample_id = s.sample_id
+    LEFT JOIN nxt ON nxt.sample_id = s.sample_id
+    LEFT JOIN m pa ON pa.cal_id = s.cal_id AND pa.depth = prev.pd
+    LEFT JOIN m na ON na.cal_id = s.cal_id AND na.depth = nxt.nd
+    ORDER BY s.sample_id
+    """,
+)
+def c1_age_depth_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-depth model interpolation (Exposure.fs:96-100 AgeDepthModelDepth;
+    the reanalysis operator a user digitising a core needs): 8 synthetic
+    age-depth models (50 control points each) and 600 sample depths are
+    derived deterministically from orders, then each sample depth is
+    converted to cal yr BP by the window-based as-of interpolation.  The
+    DuckDB oracle recomputes the bracketing via min/max joins — two
+    independent algorithms, same numbers."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    models = o.where(k < 400).select(
+        (k % 8).alias("cal_id"),
+        (F.expr("o_orderkey div 8").cast("double") * 10).alias("depth"),
+        (F.floor(F.col("o_totalprice")).cast("bigint") % 10000)
+        .cast("double")
+        .alias("ctrl_age"),
+    )
+    samples = o.where((k >= 400) & (k < 1000)).select(
+        (k % 8).alias("cal_id"),
+        k.alias("sample_id"),
+        ((k * 7) % 497).cast("double").alias("depth"),
+    )
+    return age_depth_interpolate(models, samples).orderBy("sample_id")
