@@ -151,6 +151,79 @@ def ivf_topk(
     )
 
 
+def ivf_neardup(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Near-duplicate pairs via IVF-bucketed candidate generation — the
+    scale path for V2's bounded all-pairs form.
+
+    Both sides are assigned to their ``n_probe`` nearest centroids, pairs
+    are generated by an equi-join on the cluster id, deduplicated (a pair
+    can co-occur in up to ``n_probe`` clusters), and only then exactly
+    verified with the full cosine.  Cost is Σ_clusters |cluster|² instead
+    of N²; with centroid count scaled ~√N the per-cluster population is
+    bounded, and on stored data the cluster id is the partition key so
+    each pair-generation task reads exactly one co-located bucket.
+    Measured recall vs the exact V2 baseline on the driver corpus:
+    0.80 at n_probe=2, 0.95 at n_probe=3 (tests/test_extensions.py).
+    """
+    cents = F.broadcast(
+        with_norm(emb.orderBy("vec_id").limit(n_centroids)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("norm_sq").alias("cent_norm"),
+        )
+    )
+    v = with_norm(emb).select("vec_id", "embedding", "norm_sq")
+    scored = v.join(cents, how="cross").withColumn(
+        "cent_cos",
+        cosine(
+            F.col("embedding"), F.col("cent_emb"),
+            F.col("norm_sq"), F.col("cent_norm"),
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        scored.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") <= n_probe)
+        .select("vec_id", "embedding", "norm_sq", "cent_id")
+    )
+    a = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm_sq").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm_sq").alias("nb"),
+    )
+    pairs = a.join(b, "cent_id").where(F.col("vec_a") < F.col("vec_b"))
+    cos = pairs.withColumn(
+        "cosv", cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    )
+    # a pair found in two shared clusters computes the same cosine twice;
+    # the dedup groupBy ships only (ids, cosv) — never the vectors
+    return (
+        cos.select("vec_a", "vec_b", "cosv")
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosv").alias("cosv"))
+        .where(F.col("cosv") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.floor(F.col("cosv") * 1e6) / 1e6).alias("cosine"),
+        )
+    )
+
+
 _NORM_SQL = """
   SELECT vec_id,
          SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12)
@@ -325,8 +398,10 @@ def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (θ=0.35 on this data; bounded to
-    200 vectors — the all-pairs form; at scale the pair generation runs
-    inside IVF clusters instead)."""
+    200 vectors).  This is the exact all-pairs ORACLE BASELINE, kept
+    deliberately bounded; the scale path is V4_ivf_neardup, whose pair
+    generation runs inside IVF clusters (ivf_neardup above) and is
+    recall-tested against this query."""
     emb = with_norm(table(spark, sf_dir, "embeddings")).where(
         F.col("vec_id") < 200
     )
@@ -353,3 +428,52 @@ def v2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "V4_ivf_neardup",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    {_ASSIGN_SQL},
+    a2 AS (SELECT c_id, cent_id FROM aranked WHERE crk <= 2),
+    pairs AS (
+      SELECT DISTINCT a.c_id AS va, b.c_id AS vb
+      FROM a2 a JOIN a2 b USING (cent_id)
+      WHERE a.c_id < b.c_id
+    ),
+    pterms AS (
+      SELECT p.va, p.vb, unnest(ea.embedding) AS xa, unnest(eb.embedding) AS xb
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.va
+      JOIN embeddings eb ON eb.vec_id = p.vb
+    ),
+    pdots AS (
+      SELECT va, vb,
+             SUM(CAST(FLOOR(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM pterms GROUP BY va, vb
+    ),
+    pcos AS (
+      SELECT d.va, d.vb,
+             d.dot / sqrt(CAST(na.norm_sq AS DOUBLE)
+                          * CAST(nb.norm_sq AS DOUBLE)) AS cosv
+      FROM pdots d
+      JOIN norms na ON na.vec_id = d.va
+      JOIN norms nb ON nb.vec_id = d.vb
+    )
+    SELECT va AS vec_a, vb AS vec_b,
+           FLOOR(cosv * 1e6) / 1e6 AS cosine
+    FROM pcos WHERE cosv >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def v4_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup over the FULL corpus (no id bound):
+    candidates from an equi-join on cluster ids (n_probe=2), exact cosine
+    verify over candidates only — never an all-pairs join (asserted in
+    tests/test_plans.py).  V2 is the bounded exact twin; recall vs V2 is
+    0.80 at n_probe=2 / 0.95 at n_probe=3 on this corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_neardup(
+        emb, n_centroids=8, n_probe=2, threshold=0.35
+    ).orderBy("vec_a", "vec_b")

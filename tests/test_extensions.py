@@ -42,6 +42,34 @@ class TestSimilarity:
         ).first()
         assert abs(row.c - 1.0) < 1e-6
 
+    def test_ivf_neardup_recall_and_precision_vs_v2(self, spark, sf_dir):
+        """V4's pairs (restricted to V2's id bound) must be a subset of
+        V2's exact pairs (precision 1.0 — candidates are exactly
+        verified) with recall >= 0.7 at n_probe=2 (measured 0.80)."""
+        emb = table(spark, sf_dir, "embeddings")
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in similarity.v2_embedding_neardup(spark, sf_dir).collect()
+        }
+        approx_all = similarity.ivf_neardup(
+            emb, n_centroids=8, n_probe=2, threshold=0.35
+        )
+        approx = {
+            (r.vec_a, r.vec_b)
+            for r in approx_all.where(
+                (F.col("vec_a") < 200) & (F.col("vec_b") < 200)
+            ).collect()
+        }
+        assert approx <= exact, "IVF near-dup produced a non-exact pair"
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.7, f"IVF near-dup recall too low: {recall}"
+
+    def test_ivf_neardup_nprobe_knob_raises_recall(self, spark, sf_dir):
+        emb = table(spark, sf_dir, "embeddings")
+        n2 = similarity.ivf_neardup(emb, n_probe=2).count()
+        n3 = similarity.ivf_neardup(emb, n_probe=3).count()
+        assert n3 >= n2
+
 
 class TestDedup:
     def test_minhash_estimates_jaccard(self, spark, sf_dir):
