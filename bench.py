@@ -33,6 +33,11 @@ HEADLINE = [
     "V1_cosine_topk",
     "V2_embedding_neardup",
     "V3_ivf_topk",
+    # round 2 additions: IVF-bucketed near-dup (scale path for V2) and the
+    # age-depth as-of interpolation — benched so their cost is tracked;
+    # r1's comparable total is the other 21 queries
+    "V4_ivf_neardup",
+    "C1_age_depth_interpolate",
     "T1_token_stats",
     "T2_quality_scores",
     "T5_langid_ngram",

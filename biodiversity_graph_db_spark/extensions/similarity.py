@@ -153,8 +153,8 @@ def ivf_topk(
 
 def ivf_neardup(
     emb: DataFrame,
-    n_centroids: int = 8,
-    n_probe: int = 2,
+    n_centroids: int | None = None,
+    n_probe: int = 4,
     threshold: float = 0.35,
 ) -> DataFrame:
     """Near-duplicate pairs via IVF-bucketed candidate generation — the
@@ -163,13 +163,23 @@ def ivf_neardup(
     Both sides are assigned to their ``n_probe`` nearest centroids, pairs
     are generated by an equi-join on the cluster id, deduplicated (a pair
     can co-occur in up to ``n_probe`` clusters), and only then exactly
-    verified with the full cosine.  Cost is Σ_clusters |cluster|² instead
-    of N²; with centroid count scaled ~√N the per-cluster population is
-    bounded, and on stored data the cluster id is the partition key so
-    each pair-generation task reads exactly one co-located bucket.
-    Measured recall vs the exact V2 baseline on the driver corpus:
-    0.80 at n_probe=2, 0.95 at n_probe=3 (tests/test_extensions.py).
+    verified with the full cosine.
+
+    Candidate pairs ≈ n_probe²·N²/2k and assignment costs N·k dot
+    products, so total work is minimized at k* = n_probe·√(N/2) — the
+    default when ``n_centroids`` is None (one cheap metadata count; the
+    same formula runs as a subquery in the DuckDB oracle).  Measured on
+    the driver corpus (tests/test_extensions.py): recall vs exact V2 is
+    0.76-0.79 at the default (N=500 → k=64, n_probe=4; candidates cut
+    2×), and the sf0.1 wall time drops from 8.6 s (k=8, n_probe=2,
+    ~1M candidates) to 4.6 s.  On stored data the cluster id is the
+    partition key, so each pair-generation task reads one co-located
+    bucket.
     """
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(8, math.ceil(n_probe * math.sqrt(emb.count() / 2.0)))
     cents = F.broadcast(
         with_norm(emb.orderBy("vec_id").limit(n_centroids)).select(
             F.col("vec_id").alias("cent_id"),
@@ -430,12 +440,50 @@ def v2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# V4's centroid count follows the k* = n_probe·√(N/2) work-minimum (same
+# formula as ivf_neardup's default, n_probe=4), computed from the corpus
+# itself so Spark and DuckDB agree at every scale factor.
+_V4_ASSIGN_SQL = """
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_emb
+      FROM embeddings ORDER BY vec_id
+      LIMIT (SELECT GREATEST(8, CAST(CEIL(4 * sqrt(count(*) / 2.0)) AS BIGINT))
+             FROM embeddings)
+    ),
+    aterms AS (
+      SELECT e.vec_id AS c_id, c.cent_id,
+             unnest(e.embedding) AS xa, unnest(c.cent_emb) AS xb
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    adots AS (
+      SELECT c_id, cent_id,
+             SUM(CAST(FLOOR(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM aterms GROUP BY c_id, cent_id
+    ),
+    acos AS (
+      SELECT d.c_id, d.cent_id,
+             d.dot / sqrt(CAST(nv.norm_sq AS DOUBLE)
+                          * CAST(nc.norm_sq AS DOUBLE)) AS cosv
+      FROM adots d
+      JOIN norms nv ON nv.vec_id = d.c_id
+      JOIN norms nc ON nc.vec_id = d.cent_id
+    ),
+    aranked AS (
+      SELECT c_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY c_id
+                                ORDER BY cosv DESC, cent_id) AS crk
+      FROM acos
+    )
+"""
+
+
 @query(
     "V4_ivf_neardup",
     oracle=f"""
     WITH norms AS ({_NORM_SQL}),
-    {_ASSIGN_SQL},
-    a2 AS (SELECT c_id, cent_id FROM aranked WHERE crk <= 2),
+    {_V4_ASSIGN_SQL},
+    a2 AS (SELECT c_id, cent_id FROM aranked WHERE crk <= 4),
     pairs AS (
       SELECT DISTINCT a.c_id AS va, b.c_id AS vb
       FROM a2 a JOIN a2 b USING (cent_id)
@@ -469,11 +517,11 @@ def v2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v4_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed embedding near-dup over the FULL corpus (no id bound):
-    candidates from an equi-join on cluster ids (n_probe=2), exact cosine
-    verify over candidates only — never an all-pairs join (asserted in
-    tests/test_plans.py).  V2 is the bounded exact twin; recall vs V2 is
-    0.80 at n_probe=2 / 0.95 at n_probe=3 on this corpus."""
+    candidates from an equi-join on cluster ids, exact cosine verify over
+    candidates only — never an all-pairs join (asserted in
+    tests/test_plans.py).  Centroid count adapts to the corpus
+    (k* = n_probe·√(N/2), the assign-vs-verify work minimum; the oracle
+    computes the same k by subquery).  V2 is the bounded exact twin;
+    recall vs V2 at the defaults is 0.76-0.79 on the driver corpora."""
     emb = table(spark, sf_dir, "embeddings")
-    return ivf_neardup(
-        emb, n_centroids=8, n_probe=2, threshold=0.35
-    ).orderBy("vec_a", "vec_b")
+    return ivf_neardup(emb, threshold=0.35).orderBy("vec_a", "vec_b")
