@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "ED1_edge_date_range",
     "V4_ivf_neardup",
     "C1_age_depth_interpolate",
+    "P1_typed_date_dispatch",
     # one representative per §2 family (all r1-green; keep them graded)
     "A1_gen_statistics",
     "A2_group_by_type",
@@ -100,7 +101,8 @@ PRIORITY: tuple[str, ...] = (
     "M4_transpose",
     "F1_point_lookup",
     "S4_batch_key_lookup",
-    "W2_temporal_extent",
+    # W2 yields its slot to P1: the window family keeps six graded rows
+    # (W1_next, W3-W6, W4) and W2 stays r1-green + local-parity covered
 )
 
 
