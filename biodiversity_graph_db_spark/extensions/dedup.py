@@ -316,3 +316,118 @@ def e2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "D1_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sh
+      FROM documents WHERE doc_id < 200
+    ), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    hs AS (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS h),
+    mh AS (
+      SELECT doc_id, h,
+             MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS sig
+      FROM ex CROSS JOIN hs GROUP BY doc_id, h
+    ),
+    bands AS (
+      SELECT doc_id, h // {BAND_SIZE} AS band,
+             md5(string_agg(sig, '|' ORDER BY h)) AS band_key
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.doc_a
+      JOIN ex eb ON eb.doc_id = c.doc_b AND ea.shingle = eb.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE v.n_inter / CAST(sa.n + sb.n - v.n_inter AS DOUBLE) >= 0.7
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(c.canonical, d.doc_id) AS canonical_id,
+           d.doc_id = COALESCE(c.canonical, d.doc_id) AS is_kept
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+    LEFT JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def d1_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution — the step a real training-data pipeline
+    runs after near-dup detection: MinHash+LSH pairs (E2's exact pipeline)
+    become an undirected graph, connected components merge transitive
+    near-dups into clusters, and each cluster keeps its lowest doc_id as
+    canonical (``is_kept`` = the keep/drop decision per document).
+
+    Composition of two already-scale-safe pieces: the bucketed LSH join
+    (no all-pairs) and hash-min label propagation (graph/traversal.py,
+    one shuffle per round, checkpointed).  The oracle reproduces the
+    clustering with a recursive CTE — independent algorithm, same
+    clusters.  Doc ids are zero-padded for the string-keyed CC so the
+    min-label order matches integer order."""
+    from biodiversity_graph_db_spark.graph.traversal import (
+        connected_components,
+    )
+
+    d = fan_out(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 200), spark
+    )
+    shingled = d.select(
+        "doc_id", unigram_shingles(F.col("text")).alias("shingles")
+    ).localCheckpoint()
+    cand = band_bucket_join(minhash_bands(shingled))
+    pairs = exact_jaccard(shingled, cand).where(F.col("jaccard") >= 0.7)
+
+    def pad(c: Column) -> Column:
+        return F.lpad(c.cast("string"), 6, "0")
+
+    edges = pairs.select(
+        pad(F.col("doc_a")).alias("source_key"),
+        pad(F.col("doc_b")).alias("sink_key"),
+    )
+    comp = connected_components(edges).select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canonical"),
+    )
+    docs = d.select("doc_id")
+    return (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+            (
+                F.col("doc_id")
+                == F.coalesce(F.col("canonical"), F.col("doc_id"))
+            ).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )

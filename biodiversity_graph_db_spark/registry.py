@@ -76,6 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "V4_ivf_neardup",
     "C1_age_depth_interpolate",
     "P1_typed_date_dispatch",
+    "D1_neardup_clusters",
     # one representative per §2 family (all r1-green; keep them graded)
     "A1_gen_statistics",
     "A2_group_by_type",
@@ -97,12 +98,11 @@ PRIORITY: tuple[str, ...] = (
     "J6_hyperedge_star",
     "M1_unpivot_wide_matrix",
     "M2_pivot_row_view",
-    "M3_shape_check",
     "M4_transpose",
     "F1_point_lookup",
     "S4_batch_key_lookup",
-    # W2 yields its slot to P1: the window family keeps six graded rows
-    # (W1_next, W3-W6, W4) and W2 stays r1-green + local-parity covered
+    # W2 and M3 yielded their slots to P1/D1; both stay r1-green and
+    # local-parity covered every run
 )
 
 
