@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): the key-synthesis string pipeline
+against an independent Python model of the reference semantics, and
+age-depth interpolation invariants.
+
+Each example batch evaluates through one Spark job (strings are packed
+into a single DataFrame per example) so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.functions import keys as K
+from biodiversity_graph_db_spark.operators import temporal
+
+# --- Python models of the reference pipeline (Graph.fs:367-369) ----------
+
+
+def _model_html_encode(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&#39;")
+    )
+
+
+_STRIP = re.compile(r"[^aA-zZ_ \-+0-9]")
+
+
+def _model_safe_string(s: str) -> str:
+    return _STRIP.sub("", _model_html_encode(s))
+
+
+def _is_alnum(c: str) -> bool:
+    # Char.IsLetter (L*) or Char.IsNumber (N*), the .NET/Java \p{L}\p{N} set
+    return unicodedata.category(c)[0] in ("L", "N")
+
+
+def _model_initials(s: str) -> str:
+    return "".join(
+        w[0] for w in s.split(" ") if w and _is_alnum(w[0])
+    )
+
+
+_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_TEXT, min_size=1, max_size=40))
+def test_safe_string_matches_model(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [
+        r.v
+        for r in df.select(K.safe_string(F.col("s")).alias("v")).collect()
+    ]
+    assert got == [_model_safe_string(t) for t in texts]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_TEXT, min_size=1, max_size=40))
+def test_initials_match_model(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [
+        r.v
+        for r in df.select(
+            K.take_alphanum_first_chars(F.col("s")).alias("v")
+        ).collect()
+    ]
+    assert got == [_model_initials(t) for t in texts]
+
+
+# --- age-depth interpolation invariants ----------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ctrl=st.lists(
+        st.tuples(
+            st.floats(0, 1000, allow_nan=False, width=32),
+            st.floats(0, 15000, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    depths=st.lists(
+        st.floats(-100, 1100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_interpolation_bracketing_invariants(spark, ctrl, depths):
+    ctrl = sorted((float(d), float(a)) for d, a in ctrl)
+    models = spark.createDataFrame(
+        [("m", d, a) for d, a in ctrl],
+        "cal_id string, depth double, ctrl_age double",
+    )
+    samples = spark.createDataFrame(
+        [("m", i, float(d)) for i, d in enumerate(depths)],
+        "cal_id string, sample_id long, depth double",
+    )
+    rows = temporal.age_depth_interpolate(models, samples).collect()
+    by_id = {r.sample_id: r.age_bp for r in rows}
+    lo, hi = ctrl[0][0], ctrl[-1][0]
+    for i, d in enumerate(depths):
+        d = float(d)
+        age = by_id[i]
+        if d < lo or d > hi:
+            assert age is None, f"outside model must be NULL (d={d})"
+            continue
+        assert age is not None, f"inside model must interpolate (d={d})"
+        # bracketing: age lies between the bracketing control ages
+        prev = max((c for c in ctrl if c[0] <= d), key=lambda c: c[0])
+        nxt = min((c for c in ctrl if c[0] >= d), key=lambda c: c[0])
+        lo_a, hi_a = sorted((prev[1], nxt[1]))
+        # floor-to-4dp can sit just below the interval's lower end
+        assert lo_a - 1e-4 <= age <= hi_a + 1e-4, (
+            f"age {age} outside bracket [{lo_a}, {hi_a}] at depth {d}"
+        )
