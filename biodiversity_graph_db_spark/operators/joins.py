@@ -266,10 +266,10 @@ def bucketed_range_join(
     "J8_interval_containment",
     oracle=f"""
     WITH periods AS (
-      SELECT o_orderpriority AS period,
-             MIN(o_orderdate) AS p_start,
-             MAX(o_orderdate) AS p_end
-      FROM orders GROUP BY o_orderpriority
+      SELECT event_type AS period,
+             MIN(ts) AS p_start,
+             MIN(ts) + INTERVAL 2 DAY AS p_end
+      FROM events GROUP BY event_type
     )
     SELECT p.period,
            COUNT(*) AS n_events,
@@ -284,11 +284,15 @@ def j8_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment (J8: period↔years via Contains/EarliestTime/
     LatestTime edges, Exposure.fs:125-127) — the reference materializes
     membership as edges; at scale we range-join facts to period bounds
-    via bucketization instead."""
-    o = table(spark, sf_dir, "orders")
+    via bucketization instead.  Periods are two-day windows anchored at
+    each event type's first event, so every period genuinely contains
+    events from all types (a prior form derived periods from order dates,
+    which never overlap the events stream — the join was vacuously
+    empty)."""
     ev = table(spark, sf_dir, "events")
-    periods = o.groupBy(F.col("o_orderpriority").alias("period")).agg(
-        F.min("o_orderdate").alias("p_start"), F.max("o_orderdate").alias("p_end")
+    periods = ev.groupBy(F.col("event_type").alias("period")).agg(
+        F.min("ts").alias("p_start"),
+        (F.min("ts") + F.expr("INTERVAL 2 DAYS")).alias("p_end"),
     )
     joined = bucketed_range_join(
         ev,
