@@ -286,3 +286,95 @@ def t5_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "predicted")
     )
+
+
+# --- winnowing fingerprints (rolling-hash document fingerprinting) -------
+
+WINNOW_K = 5  # tokens per k-gram
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 tokens shares a fingerprint)
+
+
+def winnow_fingerprints(
+    text: Column, k: int = WINNOW_K, w: int = WINNOW_W
+) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash every
+    k-token gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum — the standard robust fingerprint subset whose
+    guarantee is that any shared run of ≥ k+w-1 tokens yields at least one
+    shared fingerprint.  Whole-document hashing (T3) only catches exact
+    duplicates; winnowing catches partial overlap.
+
+    Pure column expressions: the k-gram hash is md5 over the joined token
+    slice (the classic rolling-hash recurrence is an imperative
+    optimization; the *selected fingerprints* are identical, and md5 is
+    the one hash both engines share), windows via transform over an index
+    sequence + array_min, then array_distinct.
+    """
+    toks = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    nh = F.size(grams)
+    fps = F.transform(
+        F.sequence(F.lit(1), F.greatest(nh - (w - 1), F.lit(0))),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    return F.array_distinct(fps)
+
+
+@query(
+    "T6_winnow_fingerprints",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, GREATEST(len(toks) - {WINNOW_K - 1}, 0)),
+               i -> md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' '))
+             ) AS hashes
+      FROM docs
+    ), fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(hashes) - {WINNOW_W - 1}, 0)),
+               j -> list_aggregate(hashes[j:j+{WINNOW_W - 1}], 'min')
+             )) AS fp
+      FROM grams
+    ), ex AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared
+    FROM shared WHERE n_shared >= 5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection via winnowing: documents sharing ≥5
+    selected fingerprints.  Candidates come from the fingerprint-bucket
+    equi-join (docs meet only where a fingerprint collides — same
+    no-all-pairs discipline as E2/E3); at 100 TB the fingerprint is the
+    shuffle key and hot fingerprints (boilerplate) are the salting
+    candidates."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    fps = d.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 5)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -77,9 +77,9 @@ PRIORITY: tuple[str, ...] = (
     "C1_age_depth_interpolate",
     "P1_typed_date_dispatch",
     "D1_neardup_clusters",
+    "T6_winnow_fingerprints",
     # one representative per §2 family (all r1-green; keep them graded)
     "A1_gen_statistics",
-    "A2_group_by_type",
     "A3_merge_into_index",
     "A4_duplicate_guard",
     "A5_array_sections_complete",
@@ -101,8 +101,8 @@ PRIORITY: tuple[str, ...] = (
     "M4_transpose",
     "F1_point_lookup",
     "S4_batch_key_lookup",
-    # W2 and M3 yielded their slots to P1/D1; both stay r1-green and
-    # local-parity covered every run
+    # W2, M3 and A2 yielded their slots to P1/D1/T6; all stay r1-green
+    # and local-parity covered every run
 )
 
 
