@@ -528,3 +528,101 @@ def v4_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs V2 at the defaults is 0.76-0.79 on the driver corpora."""
     emb = table(spark, sf_dir, "embeddings")
     return ivf_neardup(emb, threshold=0.35).orderBy("vec_a", "vec_b")
+
+
+@query(
+    "D2_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE norms AS ({_NORM_SQL}),
+    {_V4_ASSIGN_SQL},
+    a2 AS (SELECT c_id, cent_id FROM aranked WHERE crk <= 4),
+    cpairs AS (
+      SELECT DISTINCT a.c_id AS va, b.c_id AS vb
+      FROM a2 a JOIN a2 b USING (cent_id)
+      WHERE a.c_id < b.c_id
+    ),
+    pterms AS (
+      SELECT p.va, p.vb, unnest(ea.embedding) AS xa, unnest(eb.embedding) AS xb
+      FROM cpairs p
+      JOIN embeddings ea ON ea.vec_id = p.va
+      JOIN embeddings eb ON eb.vec_id = p.vb
+    ),
+    pdots AS (
+      SELECT va, vb,
+             SUM(CAST(FLOOR(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM pterms GROUP BY va, vb
+    ),
+    pairs AS (
+      SELECT d.va, d.vb
+      FROM pdots d
+      JOIN norms na ON na.vec_id = d.va
+      JOIN norms nb ON nb.vec_id = d.vb
+      WHERE d.dot / sqrt(CAST(na.norm_sq AS DOUBLE)
+                         * CAST(nb.norm_sq AS DOUBLE)) >= 0.35
+    ),
+    und AS (
+      SELECT va AS a, vb AS b FROM pairs
+      UNION ALL SELECT vb, va FROM pairs
+    ),
+    reach AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    comp AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS canonical
+      FROM reach GROUP BY src
+    )
+    SELECT e.vec_id,
+           COALESCE(c.canonical, e.vec_id) AS canonical_id,
+           e.vec_id = COALESCE(c.canonical, e.vec_id) AS is_kept
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+)
+def d2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embedding space (the SemDeDup pass a
+    training-data pipeline runs after exact + MinHash dedup): IVF-bucketed
+    cosine near-dup pairs over the FULL corpus (``ivf_neardup`` — no
+    all-pairs stage), transitive closure via connected components, one
+    canonical vector (lowest vec_id) kept per semantic cluster.
+
+    Same composition discipline as D1 (LSH pairs → CC → keep/drop): both
+    building blocks are already scale-safe; the cluster-id equi-join keys
+    the only wide shuffle, and the CC fixpoint is one shuffle per round on
+    a graph whose size is the near-dup pair count, not the corpus.  The
+    oracle recomputes the clustering with a recursive CTE."""
+    from biodiversity_graph_db_spark.graph.traversal import (
+        connected_components,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = ivf_neardup(emb, threshold=0.35)
+
+    def pad(c: Column) -> Column:
+        return F.lpad(c.cast("string"), 6, "0")
+
+    edges = pairs.select(
+        pad(F.col("vec_a")).alias("source_key"),
+        pad(F.col("vec_b")).alias("sink_key"),
+    )
+    comp = connected_components(edges).select(
+        F.col("key").cast("bigint").alias("vec_id"),
+        F.col("component").cast("bigint").alias("canonical"),
+    )
+    vecs = emb.select("vec_id")
+    return (
+        vecs.join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("canonical"), F.col("vec_id")).alias(
+                "canonical_id"
+            ),
+            (
+                F.col("vec_id")
+                == F.coalesce(F.col("canonical"), F.col("vec_id"))
+            ).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )

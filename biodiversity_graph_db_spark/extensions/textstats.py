@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biodiversity_graph_db_spark.operators._util import sql_dquant
+from biodiversity_graph_db_spark.operators._util import dquant, sql_dquant
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -294,6 +294,21 @@ WINNOW_K = 5  # tokens per k-gram
 WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 tokens shares a fingerprint)
 
 
+def norm_tokens(text: Column) -> Column:
+    """Casefolded, space-collapsed token array (the shared normalization
+    for all n-gram text operators)."""
+    return F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
+
+
+def token_kgrams(toks: Column, k: int) -> Column:
+    """md5 hash of every k-token gram (positions 1..n-k+1)."""
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+
+
 def winnow_fingerprints(
     text: Column, k: int = WINNOW_K, w: int = WINNOW_W
 ) -> Column:
@@ -310,12 +325,7 @@ def winnow_fingerprints(
     the one hash both engines share), windows via transform over an index
     sequence + array_min, then array_distinct.
     """
-    toks = F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-    )
+    grams = token_kgrams(norm_tokens(text), k)
     nh = F.size(grams)
     fps = F.transform(
         F.sequence(F.lit(1), F.greatest(nh - (w - 1), F.lit(0))),
@@ -377,4 +387,194 @@ def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= 5)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- repetition signals (Gopher-style quality filters) -------------------
+
+
+def top_run(sorted_arr: Column) -> Column:
+    """``struct(best, bestg)``: the longest run in a SORTED array — i.e.
+    the mode of the array and its multiplicity, tie-broken to the
+    lexicographically smallest value (strict ``>`` on an ascending scan
+    keeps the first maximum).
+
+    A narrow per-row fold (``F.aggregate`` with a struct accumulator) —
+    the mode is usually computed by explode + groupBy + window, which at
+    100 TB shuffles one row per n-gram; this form is one codegen'd pass
+    per document, zero shuffle, O(n log n) for the array_sort."""
+
+    def merge(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(run > acc["best"], run).otherwise(acc["best"]).alias("best"),
+            F.when(run > acc["best"], g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("bestg"),
+        ),
+        merge,
+        lambda acc: F.struct(acc["best"].alias("best"), acc["bestg"].alias("bestg")),
+    )
+
+
+@query(
+    "T7_repetition_signals",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ), stats AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             list_transform(
+               generate_series(1, GREATEST(len(toks) - 1, 0)),
+               i -> array_to_string(toks[i:i+1], ' ')
+             ) AS grams
+      FROM docs
+    ), ex AS (SELECT doc_id, unnest(grams) AS gram FROM stats),
+    cnt AS (SELECT doc_id, gram, COUNT(*) AS n FROM ex GROUP BY doc_id, gram),
+    top AS (
+      SELECT doc_id, gram AS top_bigram, n AS top_bigram_n FROM (
+        SELECT doc_id, gram, n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, gram) AS rk
+        FROM cnt
+      ) WHERE rk = 1
+    )
+    SELECT s.doc_id, s.n_tokens, t.top_bigram, t.top_bigram_n,
+           {sql_dquant('t.top_bigram_n / CAST(s.n_tokens - 1 AS DOUBLE)')}
+             AS top_bigram_frac,
+           {sql_dquant('1.0 - s.n_distinct / CAST(s.n_tokens AS DOUBLE)')}
+             AS dup_token_frac
+    FROM stats s JOIN top t USING (doc_id)
+    WHERE s.n_tokens >= 2
+    ORDER BY s.doc_id
+    """,
+)
+def t7_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher repetition filters): per
+    document, the most frequent token bigram, the fraction of bigram
+    slots it occupies, and the duplicate-token fraction — the signals a
+    pretraining pipeline thresholds to drop boilerplate/spam.
+
+    The per-doc bigram mode is computed as a NARROW fold (sort the gram
+    array, scan for the longest run — ``top_run``): no explode, no
+    shuffle; the whole query is one pass over documents plus the final
+    presentation sort.  The oracle recomputes the mode independently via
+    unnest + GROUP BY + ROW_NUMBER."""
+    d = table(spark, sf_dir, "documents")
+    toks = norm_tokens(F.col("text"))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    t = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        top_run(F.array_sort(grams)).alias("top"),
+    ).where(F.col("n_tokens") >= 2)
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.col("top")["bestg"].alias("top_bigram"),
+        F.col("top")["best"].cast("long").alias("top_bigram_n"),
+        dquant(
+            F.col("top")["best"] / (F.col("n_tokens") - 1).cast("double")
+        ).alias("top_bigram_frac"),
+        dquant(
+            1.0 - F.col("n_distinct") / F.col("n_tokens").cast("double")
+        ).alias("dup_token_frac"),
+    ).orderBy("doc_id")
+
+
+# --- benchmark contamination check ---------------------------------------
+
+CONTAM_K = 5  # tokens per contamination n-gram (WINNOW_K precedent)
+
+
+@query(
+    "T8_contamination_overlap",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(toks) - {CONTAM_K - 1}, 0)),
+               i -> md5(array_to_string(toks[i:i+{CONTAM_K - 1}], ' '))
+             )) AS grams
+      FROM docs
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE doc_id % 10 = 7),
+    train AS (SELECT doc_id, unnest(grams) AS gram FROM g
+              WHERE doc_id % 10 <> 7),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM train JOIN bench USING (gram) GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, len(grams) AS n_grams FROM g
+            WHERE doc_id % 10 <> 7)
+    SELECT t.doc_id, t.n_grams, h.n_contaminated,
+           {sql_dquant('h.n_contaminated / CAST(t.n_grams AS DOUBLE)')}
+             AS contaminated_frac
+    FROM tot t JOIN hits h USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def t8_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (the n-gram decontamination pass
+    every pretraining pipeline runs before training): the held-out
+    "benchmark" split here is ``doc_id % 10 == 7``; a training document
+    is contaminated in proportion to how many of its distinct 5-gram
+    hashes appear anywhere in the benchmark split.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (benchmarks are fixed-size; the corpus is 100 TB), so it is distinct'd
+    and BROADCAST — the corpus side streams through a map-side hash join,
+    no shuffle of corpus n-grams.  Counts per doc are map-side-combinable."""
+    d = table(spark, sf_dir, "documents")
+    grams = F.array_distinct(token_kgrams(norm_tokens(F.col("text")), CONTAM_K))
+    g = d.select("doc_id", grams.alias("grams"))
+    is_bench = F.col("doc_id") % 10 == 7
+    bench = F.broadcast(
+        g.where(is_bench)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = g.where(~is_bench)
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("gram"))
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    tot = train.select("doc_id", F.size("grams").alias("n_grams"))
+    return (
+        tot.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            dquant(
+                F.col("n_contaminated") / F.col("n_grams").cast("double")
+            ).alias("contaminated_frac"),
+        )
+        .orderBy("doc_id")
     )

@@ -78,6 +78,9 @@ PRIORITY: tuple[str, ...] = (
     "P1_typed_date_dispatch",
     "D1_neardup_clusters",
     "T6_winnow_fingerprints",
+    "T7_repetition_signals",
+    "T8_contamination_overlap",
+    "D2_semantic_dedup",
     # one representative per §2 family (all r1-green; keep them graded)
     "A1_gen_statistics",
     "A3_merge_into_index",
@@ -97,12 +100,10 @@ PRIORITY: tuple[str, ...] = (
     "J5_signature_check",
     "J6_hyperedge_star",
     "M1_unpivot_wide_matrix",
-    "M2_pivot_row_view",
-    "M4_transpose",
-    "F1_point_lookup",
     "S4_batch_key_lookup",
-    # W2, M3 and A2 yielded their slots to P1/D1/T6; all stay r1-green
-    # and local-parity covered every run
+    # W2, M3, A2, M2, M4 and F1 yielded their slots to round-2 additions
+    # (P1/D1/T6/T7/T8/D2); all stay r1-green and local-parity covered
+    # every run (M1 represents the matrix family, S4 the point lookups)
 )
 
 

@@ -178,3 +178,48 @@ class TestMultimodal:
             multimodal.decode_media_real(media)
         with pytest.raises(NotImplementedError):
             multimodal.resize_images_stub(media, 224, 224)
+
+
+class TestTextRepetition:
+    def test_top_run_mode_and_tiebreak(self, spark):
+        from biodiversity_graph_db_spark.extensions.textstats import top_run
+
+        df = spark.createDataFrame(
+            [
+                (1, ["b", "a", "b", "a", "b"]),  # mode b×3
+                (2, ["z", "a", "z", "a"]),       # tie 2-2 → lexicographic a
+                (3, ["only"]),                    # single element
+                (4, []),                          # empty → nulls
+            ],
+            "id int, arr array<string>",
+        )
+        rows = {
+            r.id: (r.top["best"], r.top["bestg"])
+            for r in df.select(
+                "id", top_run(F.array_sort("arr")).alias("top")
+            ).collect()
+        }
+        assert rows[1] == (3, "b")
+        assert rows[2] == (2, "a")
+        assert rows[3] == (1, "only")
+        assert rows[4] == (0, None)
+
+    def test_t7_narrow_plan_no_shuffle_before_sort(self, spark, sf_dir):
+        """T7's mode computation must be a narrow fold: the only Exchange
+        in the plan is the final presentation orderBy's range partition —
+        no explode/groupBy shuffle of n-grams."""
+        from biodiversity_graph_db_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES["T7_repetition_signals"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan  # no explode anywhere
+        assert plan.count("Exchange") <= 1  # only the final sort
+
+    def test_t8_benchmark_side_is_broadcast(self, spark, sf_dir):
+        from biodiversity_graph_db_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES["T8_contamination_overlap"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
