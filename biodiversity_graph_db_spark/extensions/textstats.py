@@ -170,7 +170,7 @@ def t3_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            {sql_dquant('SUM(n_chars) / CAST(SUM(n_tokens) AS DOUBLE)')}
              AS chars_per_token
     FROM t GROUP BY lang ORDER BY lang

@@ -34,12 +34,17 @@ def w1_next_in_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     window materializes it."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    # unix_timestamp truncates each timestamp to whole seconds before the
+    # subtraction — the same per-operand truncation DuckDB's
+    # date_diff('second', ...) applies (timestampdiff would diff exactly
+    # and be off by one on fractional-second gaps).  table() pins the
+    # session TZ to UTC, so the epoch conversion is deterministic.
+    epoch = F.unix_timestamp(F.col("ts"))
     return (
         ev.select(
             "event_id",
             F.lead("event_id").over(w).alias("next_event_id"),
-            (F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long"))
-            .alias("gap_seconds"),
+            (F.lead(epoch).over(w) - epoch).alias("gap_seconds"),
         )
         .orderBy("event_id")
     )
@@ -253,10 +258,12 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev = table(spark, sf_dir, "events")
+    # Per-operand second truncation to match DuckDB date_diff — see W1.
+    epoch = F.unix_timestamp(F.col("ts"))
     flagged = ev.withColumn(
         "is_new",
         F.when(
-            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800)
+            (epoch - F.lag(epoch).over(w) > 1800)
             | F.lag("ts").over(w).isNull(),
             1,
         ).otherwise(0),

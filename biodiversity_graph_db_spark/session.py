@@ -34,9 +34,6 @@ def get_spark(app_name: str = "biodiversity-graph-db-spark") -> SparkSession:
         # supplier, part, the 14k-row time index) are all far below this.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark
-        # rejects; read as long and convert in tables.load_tables.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

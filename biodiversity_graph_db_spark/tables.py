@@ -50,29 +50,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read events.parquet on ANY SparkSession, bare or configured.
 
-    events.ts is TIMESTAMP(NANOS) in parquet — a type Spark's vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL) unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is on, in which case the
-    column arrives as bigint nanoseconds.  That conf is runtime-settable,
-    so set it here rather than relying on session-construction configs:
-    callers (the correctness harness in particular) may hand us a bare
-    session.  The sub-microsecond digits are zero in the driver's data, so
-    converting to a microsecond timestamp is lossless and matches DuckDB's
-    view of the same file.
+    events.ts is TIMESTAMP(NANOS) in parquet.  Spark 4.x reads it natively
+    as TIMESTAMP_NTZ (the 3.x conf ``spark.sql.legacy.parquet.nanosAsLong``
+    no longer exists); a 3.x session with that conf on would deliver bigint
+    nanoseconds instead.  Dispatch on the arriving dtype and normalize both
+    shapes to a session-TZ TIMESTAMP so downstream epoch math
+    (``unix_timestamp``) behaves uniformly.  The session TZ is pinned to
+    UTC here — runtime-settable, so even a bare harness session gets it —
+    because NTZ→TZ reinterpretation and unix_timestamp are both
+    session-TZ-dependent, and the DuckDB oracle reads the same file as
+    UTC-naive.  The sub-microsecond digits are zero in the driver's data,
+    so microsecond precision is lossless.
     """
     from pyspark.sql import functions as F
 
-    path = f"{sf_dir}/events.parquet"
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
-        pass  # immutable conf on some builds; the read below still decides
-    df = spark.read.parquet(path)
+        pass  # immutable on some builds; session.get_spark already pins UTC
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts", "")
-    if ts_type == "bigint":
+    if ts_type == "bigint":  # Spark 3.x with nanosAsLong: bigint nanos
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":  # Spark 4.x native nanos read
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

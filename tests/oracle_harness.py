@@ -43,6 +43,75 @@ def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tupl
     return sorted_cols, out
 
 
+# --- type-kind comparison -------------------------------------------------
+# The driver hashes values *after* a pandas conversion, where DuckDB HUGEINT
+# (the default type of SUM over integers) arrives as float64 and renders
+# "3549.0" while Spark BIGINT renders "3549" — a hash mismatch with identical
+# values (round-2 T4).  Collapse both sides' column types to coarse kinds
+# that mirror that rendering, and fail the gate on any kind mismatch.
+
+def _kind_spark(dtype: str) -> str:
+    d = dtype.lower()
+    if d in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if d in ("float", "double") or d.startswith("decimal"):
+        return "float"
+    if d == "boolean":
+        return "bool"
+    if d == "string":
+        return "str"
+    if d == "date":
+        return "date"
+    if d.startswith("timestamp"):
+        return "timestamp"
+    if d.startswith("array"):
+        return "list"
+    if d == "binary":
+        return "bytes"
+    return "other"
+
+
+def _kind_duck(typ: str) -> str:
+    t = str(typ).upper()
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
+        return "list"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    # HUGEINT deliberately maps to float: pandas has no int128, so the
+    # driver's conversion degrades it to float64 and the hash diverges
+    # from a Spark BIGINT even when every value is identical.
+    if t in ("HUGEINT", "DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "BLOB":
+        return "bytes"
+    return "other"
+
+
+def compare_kinds(name: str, s_cols, s_dtypes, d_cols, d_types) -> None:
+    s_kinds = {c: _kind_spark(t) for c, t in zip(s_cols, s_dtypes)}
+    d_kinds = {c: _kind_duck(t) for c, t in zip(d_cols, d_types)}
+    bad = [
+        (c, s_kinds[c], d_kinds[c])
+        for c in sorted(set(s_kinds) & set(d_kinds))
+        if s_kinds[c] != d_kinds[c]
+    ]
+    assert not bad, (
+        f"{name}: column type-kind mismatch (col, spark, duckdb): {bad} — "
+        "the driver's hash stringifies through pandas, so e.g. a DuckDB "
+        "HUGEINT (bare SUM over ints) never hash-matches a Spark BIGINT; "
+        "CAST the oracle column."
+    )
+
+
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -59,15 +128,17 @@ def compare(spark, sf_dir: str, name: str, spark_fn, sql: str) -> None:
 
     con = duckdb_conn(sf_dir)
     try:
-        res = con.execute(sql)
-        d_cols = [c[0] for c in res.description]
-        d_rows = res.fetchall()
+        rel = con.sql(sql)
+        d_cols = list(rel.columns)
+        d_types = [str(t) for t in rel.types]
+        d_rows = rel.fetchall()
     finally:
         con.close()
 
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
     )
+    compare_kinds(name, s_cols, [t for _, t in sdf.dtypes], d_cols, d_types)
     sc, sr = _normalize(s_cols, s_rows)
     dc, dr = _normalize(d_cols, d_rows)
     assert sc == dc, f"{name}: columns spark={sc} duckdb={dc}"

@@ -25,3 +25,17 @@ def test_rows_only(spark, sf_dir, name):
     df = registry.QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_gate_rejects_hugeint_vs_bigint(spark, sf_dir):
+    """Synthetic round-2-T4 fixture: identical values, DuckDB HUGEINT vs
+    Spark BIGINT.  The old gate passed this (pandas equates 3549.0 and
+    3549); the driver's hash does not — the gate must go red."""
+
+    def spark_fn(sp, _sf):
+        return sp.range(3).selectExpr("CAST(sum(id) AS BIGINT) AS s")
+
+    # bare SUM over integers is HUGEINT in DuckDB
+    sql = "SELECT SUM(x) AS s FROM (VALUES (0), (1), (2)) v(x)"
+    with pytest.raises(AssertionError, match="type-kind mismatch"):
+        compare(spark, sf_dir, "hugeint_fixture", spark_fn, sql)
