@@ -22,7 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from biodiversity_graph_db_spark.functions import dates
 
@@ -58,6 +64,123 @@ def old_date_payload(
         F.struct(
             unit.alias("unit"), value.alias("value"), tech.alias("technique")
         )
+    )
+
+
+#: SourceRelation.UsedDatabase payload (Sources.fs:207-214):
+#: ``accessDate: System.DateOnly option`` plus the DatabaseSubset DU
+#: (AllRecordsInStudyScope | SpecificRecords of firstId * additionalIds |
+#: ComplexSubset of methodDescription) flattened to a kind-tagged struct.
+USED_DATABASE = StructType(
+    [
+        StructField("accessDate", StringType(), True),  # ISO yyyy-MM-dd
+        StructField(
+            "subset",
+            StructType(
+                [
+                    StructField("kind", StringType(), True),
+                    StructField("firstId", StringType(), True),
+                    StructField("additionalIds", ArrayType(StringType()), True),
+                    StructField("methodDescription", StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+#: Harmonised.DateCalibration (Types.fs:617-633): calibration curve, input
+#: date ± SD, per-sigma calibrated ranges, software, and the reanalysis
+#: origin DU (FromOriginalWork | PartOfReanalysis of conductedBy * date).
+DATE_CALIBRATION_HARMONISED = StructType(
+    [
+        StructField("CalibrationCurve", StringType(), True),
+        StructField("InputDate", DoubleType(), True),
+        StructField("InputStandardDeviation", DoubleType(), True),
+        StructField(
+            "DateRanges",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("Sigma", StringType(), True),
+                        StructField("Probability", DoubleType(), True),
+                        StructField("EarlierBound", DoubleType(), True),
+                        StructField("LaterBound", DoubleType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("SoftwareUsed", StringType(), True),
+        StructField(
+            "Origin",
+            StructType(
+                [
+                    StructField("kind", StringType(), True),
+                    StructField("conductedBy", StringType(), True),
+                    StructField("date", StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+#: Relations carrying each payload family.
+DATABASE_RELATIONS = ("UsedDatabase",)
+CALIBRATION_RELATIONS = ("UsedInCalibration", "CalibratedAs")
+
+
+def used_database_payload(
+    access_date: Column, subset_kind: Column, first_id: Column | None = None
+) -> Column:
+    """Render a UsedDatabase edge payload as canonical JSON."""
+    fid = first_id if first_id is not None else F.lit(None).cast("string")
+    return F.to_json(
+        F.struct(
+            access_date.alias("accessDate"),
+            F.struct(
+                subset_kind.alias("kind"),
+                fid.alias("firstId"),
+                F.lit(None).cast("array<string>").alias("additionalIds"),
+                F.lit(None).cast("string").alias("methodDescription"),
+            ).alias("subset"),
+        )
+    )
+
+
+def promote_source_edge_cols(edges: DataFrame) -> DataFrame:
+    """Promote the queryable scalars out of source-relation payloads:
+
+    - ``edge_access_date`` (DATE) + ``edge_subset_kind`` (STRING) from
+      UsedDatabase edges (Sources.fs:207-214);
+    - ``edge_curve`` + ``edge_software`` (STRING) from harmonised
+      calibration edges (Types.fs:617-633).
+
+    Same write-time discipline as ``promote_edge_year``: one from_json per
+    family at ingest, pure column expressions, NULL on non-matching
+    relations — stored edge parquet then answers "sources by database
+    access date" / "dates by calibration curve" with pushed columnar
+    predicates and zero JSON in the read plan.
+    """
+    udb = F.from_json(F.col("payload"), USED_DATABASE)
+    cal = F.from_json(F.col("payload"), DATE_CALIBRATION_HARMONISED)
+    is_udb = (
+        F.col("relation").isin(*DATABASE_RELATIONS)
+        & F.col("payload").isNotNull()
+    )
+    is_cal = (
+        F.col("relation").isin(*CALIBRATION_RELATIONS)
+        & F.col("payload").isNotNull()
+    )
+    return (
+        edges.withColumn(
+            "edge_access_date",
+            F.when(is_udb, F.to_date(udb["accessDate"])),
+        )
+        .withColumn("edge_subset_kind", F.when(is_udb, udb["subset"]["kind"]))
+        .withColumn("edge_curve", F.when(is_cal, cal["CalibrationCurve"]))
+        .withColumn("edge_software", F.when(is_cal, cal["SoftwareUsed"]))
     )
 
 

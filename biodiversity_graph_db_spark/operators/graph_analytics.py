@@ -204,6 +204,55 @@ def g7_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(iterations: int = 5) -> str:
+    """Unrolled synchronous LPA, mirroring algorithms.label_propagation:
+    each round every vertex adopts its neighbours' most frequent label,
+    ties broken by smallest label (ROW_NUMBER ORDER BY n DESC, label —
+    the SQL spelling of the Spark side's min(struct(-n, label)))."""
+    its = []
+    for k in range(iterations):
+        its.append(f"""votes{k} AS (
+      SELECT e.src AS k, l.label, COUNT(*) AS n
+      FROM und2 e JOIN labels{k} l ON l.key = e.dst
+      GROUP BY e.src, l.label
+    ),
+    best{k} AS (
+      SELECT k AS key, label AS new_label FROM (
+        SELECT k, label,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY n DESC, label) AS rk
+        FROM votes{k}
+      ) WHERE rk = 1
+    ),
+    labels{k + 1} AS (
+      SELECT l.key, COALESCE(b.new_label, l.label) AS label
+      FROM labels{k} l LEFT JOIN best{k} b ON b.key = l.key
+    )""")
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH {_LI_GRAPH_SQL},
+    und2 AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    labels0 AS (SELECT DISTINCT src AS key, src AS label FROM und2),
+    {its_sql}
+    SELECT key, label FROM labels{iterations}
+    ORDER BY key
+    """
+
+
+@query("G9_label_propagation", oracle=_lpa_oracle())
+def g9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphX-style synchronous label propagation on the o/p/s
+    co-occurrence graph, 5 fixed rounds (LPA has no guaranteed fixpoint;
+    fixed rounds keep it oracle-reproducible).  One shuffle per round on
+    the vertex key; the symmetric edge set is cached once."""
+    return algorithms.label_propagation(
+        li_graph(spark, sf_dir), max_iter=5
+    ).orderBy("key")
+
+
 @query(
     "G8_motif_find",
     oracle=f"""

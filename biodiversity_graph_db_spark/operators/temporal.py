@@ -24,6 +24,8 @@ from biodiversity_graph_db_spark.functions import dates
 from biodiversity_graph_db_spark.graph.edge_payloads import (
     old_date_payload,
     promote_edge_year,
+    promote_source_edge_cols,
+    used_database_payload,
 )
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
@@ -98,6 +100,82 @@ def ed1_edge_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("edge_year_value").alias("max_bp"),
         )
         .orderBy("relation")
+    )
+
+
+@query(
+    "ED2_database_access_date",
+    oracle="""
+    WITH e AS (
+      SELECT 'databasenode_' || (o_orderkey % 5) AS database_key,
+        CASE o_orderkey % 3
+          WHEN 0 THEN 'AllRecordsInStudyScope'
+          WHEN 1 THEN 'SpecificRecords'
+          ELSE 'ComplexSubset' END AS subset_kind,
+        CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             ELSE o_orderdate END AS access_date
+      FROM orders
+    )
+    SELECT database_key, subset_kind,
+           COUNT(*) AS n_sources,
+           strftime(MIN(access_date), '%Y-%m-%d') AS first_access,
+           strftime(MAX(access_date), '%Y-%m-%d') AS last_access
+    FROM e
+    WHERE access_date BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'
+    GROUP BY database_key, subset_kind
+    ORDER BY database_key, subset_kind
+    """,
+)
+def ed2_database_access_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources filtered by database-access date, columnar-only (SURVEY
+    §1.3; SourceRelation.UsedDatabase, Sources.fs:207-214).
+
+    Each source→database edge carries the full typed UsedDatabase payload
+    (access date option + DatabaseSubset DU) as canonical JSON;
+    ``promote_source_edge_cols`` promotes ``edge_access_date`` (DATE) and
+    ``edge_subset_kind`` once at write, and the date-range predicate +
+    per-database rollup touch only the promoted columns — on stored edge
+    parquet this is a pushed filter with no JSON in the read plan
+    (tests/test_plans.py)."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    subset_kind = (
+        F.when(k % 3 == 0, F.lit("AllRecordsInStudyScope"))
+        .when(k % 3 == 1, F.lit("SpecificRecords"))
+        .otherwise(F.lit("ComplexSubset"))
+    )
+    access = F.when(
+        k % 7 != 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+    )  # every 7th source has no recorded access date (DateOnly option)
+    edges = o.select(
+        F.concat(F.lit("sourcenode_"), k.cast("string")).alias("source_key"),
+        F.concat(F.lit("databasenode_"), (k % 5).cast("string")).alias(
+            "sink_key"
+        ),
+        F.lit("UsedDatabase").alias("relation"),
+        used_database_payload(
+            access, subset_kind, F.concat(F.lit("rec_"), k.cast("string"))
+        ).alias("payload"),
+    )
+    promoted = promote_source_edge_cols(edges)
+    return (
+        promoted.where(
+            F.col("edge_access_date").between("1994-01-01", "1996-12-31")
+        )
+        .groupBy(
+            F.col("sink_key").alias("database_key"),
+            F.col("edge_subset_kind").alias("subset_kind"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.date_format(F.min("edge_access_date"), "yyyy-MM-dd").alias(
+                "first_access"
+            ),
+            F.date_format(F.max("edge_access_date"), "yyyy-MM-dd").alias(
+                "last_access"
+            ),
+        )
+        .orderBy("database_key", "subset_kind")
     )
 
 

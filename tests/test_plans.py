@@ -170,6 +170,50 @@ class TestEdgeDatePlans:
         assert "ArrowEvalPython" not in plan
         assert plan.count("HashAggregate") >= 2
 
+    def test_stored_source_edge_scan_is_columnar(self, spark, tmp_path):
+        """Access-date / calibration-curve queries over stored source edges
+        must hit pushed filters on the promoted columns (edge_access_date,
+        edge_curve), with no JSON parsing in the read plan."""
+        from biodiversity_graph_db_spark.graph.edge_payloads import (
+            promote_source_edge_cols,
+            used_database_payload,
+        )
+
+        edges = spark.range(1000).select(
+            F.concat(F.lit("sourcenode_"), F.col("id")).alias("source_key"),
+            F.concat(F.lit("databasenode_"), F.col("id") % 5).alias(
+                "sink_key"
+            ),
+            F.lit("UsedDatabase").alias("relation"),
+            used_database_payload(
+                F.date_format(
+                    F.date_add(F.lit("2020-01-01"), (F.col("id") % 365).cast("int")),
+                    "yyyy-MM-dd",
+                ),
+                F.lit("AllRecordsInStudyScope"),
+            ).alias("payload"),
+        )
+        path = str(tmp_path / "source_edges")
+        promote_source_edge_cols(edges).write.parquet(path)
+        q = (
+            spark.read.parquet(path)
+            .where(
+                F.col("edge_access_date").between("2020-03-01", "2020-06-30")
+                & F.col("edge_curve").isNull()
+            )
+            .select("source_key", "edge_access_date", "edge_subset_kind")
+        )
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "GreaterThanOrEqual(edge_access_date" in plan
+        assert "LessThanOrEqual(edge_access_date" in plan
+        assert "IsNull(edge_curve)" in plan
+        assert "from_json" not in plan
+        assert "payload" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
 
 class TestIvfNeardupPlan:
     def test_v4_no_all_pairs_join(self, spark, sf_dir):
