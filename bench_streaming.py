@@ -1,0 +1,116 @@
+"""Streaming ingest micro-bench (SURVEY §2.10 throughput anchor).
+
+Streams the events table through the foreachBatch MERGE path (events →
+graph node upserts, availableNow trigger) and the watermark-dedup path,
+and prints rows/sec for each.  Run at sf0.1 and record in SCALE.md §10:
+
+    python bench_streaming.py            # default /root/testdata/sf0.1
+    SPARK_GRAFT_SF_DIR=... python bench_streaming.py
+
+Not part of the driver's bench.py headline (the driver bench measures
+query latency; this measures ingest throughput end-to-end including
+checkpoint commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
+
+    from biodiversity_graph_db_spark.session import get_spark
+    from biodiversity_graph_db_spark.streaming import ingest
+    from biodiversity_graph_db_spark.tables import table
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    events_dir = f"{tmp}/events"
+    try:
+        # lay the source out as n_files time-ordered files → n_files
+        # micro-batches at maxFilesPerTrigger=1 (a realistic ingest shape)
+        (
+            table(spark, sf_dir, "events")
+            .repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(events_dir)
+        )
+        n_rows = spark.read.parquet(events_dir).count()
+
+        results: dict[str, float] = {}
+
+        # 1) foreachBatch MERGE into graph nodes (checkpointed, idempotent)
+        t0 = time.perf_counter()
+        q = ingest.merge_events_into_graph(
+            ingest.read_events_stream(spark, events_dir),
+            f"{tmp}/nodes",
+            f"{tmp}/ckpt_merge",
+        ).start()
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        assert spark.read.parquet(f"{tmp}/nodes").count() == n_rows
+        results["merge_rows_per_sec"] = round(n_rows / dt, 1)
+        results["merge_sec"] = round(dt, 2)
+
+        # 2) watermark dedup → parquet append (the U2-streaming path)
+        t0 = time.perf_counter()
+        q = (
+            ingest.dedup_stream(ingest.read_events_stream(spark, events_dir))
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/dedup_out")
+            .option("checkpointLocation", f"{tmp}/ckpt_dedup")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        results["dedup_rows_per_sec"] = round(n_rows / dt, 1)
+        results["dedup_sec"] = round(dt, 2)
+
+        # 3) tumbling windowed agg → memory sink (stateful shuffle path)
+        t0 = time.perf_counter()
+        q = (
+            ingest.tumbling_counts(
+                ingest.read_events_stream(spark, events_dir)
+            )
+            .writeStream.format("memory")
+            .queryName("bench_tumbling")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        results["tumbling_rows_per_sec"] = round(n_rows / dt, 1)
+        results["tumbling_sec"] = round(dt, 2)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_ingest",
+                    "rows": n_rows,
+                    "micro_batches": n_files,
+                    "sf_dir": sf_dir,
+                    **results,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -111,12 +111,23 @@ def session_counts(
 
 
 def merge_events_into_graph(
-    events: DataFrame, nodes_path: str, checkpoint: str
+    events: DataFrame,
+    nodes_path: str,
+    checkpoint: str,
+    fail_once_marker: str | None = None,
 ):
     """foreachBatch upsert (the Delta-MERGE shape on plain parquet):
     each micro-batch becomes idempotent node rows keyed by event_id —
     duplicates across batches are dropped by the anti-join, mirroring
-    GraphStore.add_nodes(on_conflict='skip')."""
+    GraphStore.add_nodes(on_conflict='skip').
+
+    Exactly-once story: the file source + checkpoint give replay of the
+    failed epoch, and the key anti-join makes the sink write idempotent,
+    so a batch that crashes AFTER appending (the worst failure point —
+    sink committed, checkpoint not) re-runs with no duplicate keys.
+    ``fail_once_marker`` injects exactly that crash for the restart test:
+    if the marker file exists, the first committed batch deletes it and
+    raises after its append."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -132,6 +143,14 @@ def merge_events_into_graph(
         except Exception:
             fresh = new_nodes
         fresh.write.mode("append").parquet(nodes_path)
+        if fail_once_marker is not None:
+            import os
+
+            if os.path.exists(fail_once_marker):
+                os.remove(fail_once_marker)
+                raise RuntimeError(
+                    "injected crash after sink append (exactly-once test)"
+                )
 
     return (
         events.writeStream.foreachBatch(upsert)

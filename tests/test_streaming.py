@@ -138,6 +138,51 @@ class TestStreaming:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_exactly_once_on_restart_after_crash(self, spark, events_dir):
+        """Crash-after-commit replay: the first batch appends to the sink,
+        then dies before the checkpoint records the epoch.  Restarting
+        from the SAME checkpoint must re-run that epoch and converge to
+        exactly one node per event — no loss (every event present) and no
+        duplication (the anti-join absorbs the replayed append)."""
+        import os
+
+        tmp = tempfile.mkdtemp(prefix="graph_restart_")
+        nodes_path = f"{tmp}/nodes"
+        ckpt = f"{tmp}/ckpt"
+        marker = f"{tmp}/crash_once"
+        open(marker, "w").close()
+        try:
+            q = ingest.merge_events_into_graph(
+                ingest.read_events_stream(spark, events_dir),
+                nodes_path,
+                ckpt,
+                fail_once_marker=marker,
+            ).start()
+            try:
+                q.awaitTermination(120)
+                crashed = False
+            except Exception as exc:
+                crashed = "injected crash" in str(exc)
+            assert crashed, "expected the injected crash to fail the query"
+            assert not os.path.exists(marker), "crash was never injected"
+            # partial sink state exists from the committed-then-crashed batch
+            n_partial = spark.read.parquet(nodes_path).count()
+            assert n_partial > 0
+            # restart from the SAME checkpoint — resumes, replays the
+            # failed epoch, drains the rest of the source
+            q2 = ingest.merge_events_into_graph(
+                ingest.read_events_stream(spark, events_dir),
+                nodes_path,
+                ckpt,
+            ).start()
+            q2.awaitTermination(120)
+            nodes = spark.read.parquet(nodes_path)
+            n_events = spark.read.parquet(events_dir).count()
+            assert nodes.count() == n_events  # no loss, no duplication
+            assert nodes.select("key").distinct().count() == n_events
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def test_stateful_running_totals_match_batch(self, spark, events_dir):
         stream = ingest.running_user_totals(
             ingest.read_events_stream(spark, events_dir)
