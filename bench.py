@@ -38,6 +38,12 @@ HEADLINE = [
     # r1's comparable total is the other 21 queries
     "V4_ivf_neardup",
     "C1_age_depth_interpolate",
+    # round 3 additions: LPA, typed UsedDatabase payload scan, PII scrub —
+    # benched so their cost is tracked; r1's comparable total is the
+    # original 21 queries
+    "G9_label_propagation",
+    "ED2_database_access_date",
+    "T9_pii_detect",
     "T1_token_stats",
     "T2_quality_scores",
     "T5_langid_ngram",

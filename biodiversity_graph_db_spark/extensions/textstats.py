@@ -578,3 +578,94 @@ def t8_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- PII detection / scrubbing --------------------------------------------
+# The redaction pass every LLM training pipeline runs before tokenization
+# (emails / phone numbers / IP addresses → placeholder tokens).  Pure
+# regexp column expressions — codegen'd, zero shuffle, scan-pipelined —
+# so the pass costs one map over the corpus at any scale.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-555-010-[0-9]{4}"
+PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every email / phone / IP span with a placeholder token."""
+    out = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(out, PII_IP, "[IP]")
+
+
+@query(
+    "T9_pii_detect",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' contact: user' || doc_id ||
+                           '@example.com for details'
+               WHEN 1 THEN ' call +1-555-010-' ||
+                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                           ' or ping 10.0.' || (doc_id % 256) || '.1'
+               ELSE '' END AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT)
+             AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL}', '[EMAIL]', 'g'),
+             '{PII_PHONE}', '[PHONE]', 'g'),
+             '{PII_IP}', '[IP]', 'g') AS redacted
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def t9_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing over the documents table.  The synthetic
+    corpus carries no natural PII, so deterministic spans are minted from
+    doc_id first (same mint-then-operate discipline as ED1/ED2); the
+    detector counts per-class spans and emits the redacted text, which the
+    oracle reproduces byte-for-byte.  Patterns are dialect-portable
+    (Java regex and RE2 agree on every construct used)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    k = F.col("doc_id")
+    minted = F.concat(
+        F.col("text"),
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit(" contact: user"),
+                k.cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit(" call +1-555-010-"),
+                F.lpad((k % 10000).cast("string"), 4, "0"),
+                F.lit(" or ping 10.0."),
+                (k % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    with_pii = d.select("doc_id", minted.alias("text"))
+    return (
+        with_pii.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).alias("n_emails"),
+            F.regexp_count(F.col("text"), F.lit(PII_PHONE)).alias("n_phones"),
+            F.regexp_count(F.col("text"), F.lit(PII_IP)).alias("n_ips"),
+            scrub_pii(F.col("text")).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )

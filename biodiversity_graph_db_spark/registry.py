@@ -52,9 +52,11 @@ PRIORITY: tuple[str, ...] = (
     "W1_next_in_sequence",
     "W4_sessionize",
     "T4_lang_profile",
-    # new this round: LPA oracle row + UsedDatabase typed-payload query
+    # new this round: LPA oracle row, UsedDatabase typed-payload query,
+    # PII detection/scrubbing
     "G9_label_propagation",
     "ED2_database_access_date",
+    "T9_pii_detect",
     # the 25 queries graded only in r1 (yielded their slots in r2) — all
     # rotate back in for current-round driver evidence (VERDICT r2 item 5)
     "Q1_pricing_summary",
@@ -103,10 +105,10 @@ PRIORITY: tuple[str, ...] = (
     "G2_hierarchy_closure",
     "G6_pagerank",
     "A1_gen_statistics",
-    "J2_multihop_extract",
     # past the window (all r2-green, local-parity covered every run):
-    # J8, F10, W3, W5, W6, O2, E1, E3, MM1, V2, T2, T3, A3-A6, G3, G5,
-    # G7, G8, J1, J3-J6, M1, S4
+    # J2 (J2G in-window covers the multihop family), J8, F10, W3, W5, W6,
+    # O2, E1, E3, MM1, V2, T2, T3, A3-A6, G3, G5, G7, G8, J1, J3-J6,
+    # M1, S4
 )
 
 
