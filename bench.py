@@ -44,6 +44,7 @@ HEADLINE = [
     "G9_label_propagation",
     "ED2_database_access_date",
     "T9_pii_detect",
+    "T10_vocab_topk",
     "T1_token_stats",
     "T2_quality_scores",
     "T5_langid_ngram",

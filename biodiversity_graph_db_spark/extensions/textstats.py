@@ -669,3 +669,56 @@ def t9_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- corpus vocabulary ----------------------------------------------------
+
+
+@query(
+    "T10_vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    stats AS (
+      SELECT token,
+             COUNT(*) AS term_freq,
+             COUNT(DISTINCT doc_id) AS doc_freq
+      FROM toks GROUP BY token
+    )
+    SELECT token, term_freq, doc_freq, rank FROM (
+      SELECT token, term_freq, doc_freq,
+             ROW_NUMBER() OVER (ORDER BY term_freq DESC, token) AS rank
+      FROM stats
+    ) WHERE rank <= 50
+    ORDER BY rank
+    """,
+)
+def t10_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term + document frequency per token, top-50 by
+    term frequency (deterministic token tie-break) — the frequency table
+    a BPE/vocab build starts from.  One explode + one map-side-combinable
+    groupBy; the global top-k is a TakeOrderedAndProject (partial top-k
+    per partition before a single reduce), never a full sort — the same
+    plan at any corpus size."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    stats = (
+        d.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+    # limit BEFORE ranking: the limit plans as TakeOrderedAndProject over
+    # the full vocab; the row_number window then touches only 50 rows
+    top = stats.orderBy(F.col("term_freq").desc(), F.col("token")).limit(50)
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

@@ -57,6 +57,7 @@ PRIORITY: tuple[str, ...] = (
     "G9_label_propagation",
     "ED2_database_access_date",
     "T9_pii_detect",
+    "T10_vocab_topk",
     # the 25 queries graded only in r1 (yielded their slots in r2) — all
     # rotate back in for current-round driver evidence (VERDICT r2 item 5)
     "Q1_pricing_summary",
@@ -100,15 +101,14 @@ PRIORITY: tuple[str, ...] = (
     "E2_minhash_lsh_neardup",
     "V1_cosine_topk",
     "V3_ivf_topk",
-    "T1_token_stats",
     "T5_langid_ngram",
     "G2_hierarchy_closure",
     "G6_pagerank",
     "A1_gen_statistics",
     # past the window (all r2-green, local-parity covered every run):
     # J2 (J2G in-window covers the multihop family), J8, F10, W3, W5, W6,
-    # O2, E1, E3, MM1, V2, T2, T3, A3-A6, G3, G5, G7, G8, J1, J3-J6,
-    # M1, S4
+    # O2, E1, E3, MM1, V2, T1-T3 (T10 represents the token family),
+    # A3-A6, G3, G5, G7, G8, J1, J3-J6, M1, S4
 )
 
 
