@@ -318,10 +318,10 @@ def e2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "D1_neardup_clusters",
-    oracle=f"""
-    WITH RECURSIVE docs AS (
+# Shared oracle preamble for the cluster-resolution queries (D1/D3):
+# the full MinHash+LSH pipeline to verified pairs, then transitive
+# closure to components via a recursive CTE.
+_LSH_COMP_SQL = f"""docs AS (
       SELECT doc_id,
              list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sh
       FROM documents WHERE doc_id < 200
@@ -370,7 +370,13 @@ def e2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (
       SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
       FROM reach GROUP BY src
-    )
+    )"""
+
+
+@query(
+    "D1_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_COMP_SQL}
     SELECT d.doc_id,
            COALESCE(c.canonical, d.doc_id) AS canonical_id,
            d.doc_id = COALESCE(c.canonical, d.doc_id) AS is_kept
@@ -428,6 +434,117 @@ def d1_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id")
                 == F.coalesce(F.col("canonical"), F.col("doc_id"))
             ).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "D3_quality_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_COMP_SQL},
+    clusters AS (
+      SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS cluster_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+      LEFT JOIN comp c USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id,
+             0.4 * least(1.0, n_chars / 400.0)
+           + 0.4 * (len(list_distinct(
+                        string_split_regex(trim(lower(text)), '\\s+')))
+                    / CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS DOUBLE))
+           + 0.2 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE)) AS qv
+      FROM documents WHERE doc_id < 200
+    ),
+    keep AS (
+      SELECT cluster_id, doc_id AS keeper_id FROM (
+        SELECT cl.cluster_id, cl.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY q.qv DESC, cl.doc_id) AS rk
+        FROM clusters cl JOIN q USING (doc_id)
+      ) WHERE rk = 1
+    )
+    SELECT cl.doc_id, cl.cluster_id, k.keeper_id,
+           cl.doc_id = k.keeper_id AS is_kept
+    FROM clusters cl JOIN keep k USING (cluster_id)
+    ORDER BY cl.doc_id
+    """,
+)
+def d3_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: D1's near-dup clusters, but each
+    cluster keeps its HIGHEST-quality document (T2's composite score,
+    ties → lowest doc_id) instead of the lowest id — the keep/drop policy
+    real pretraining dedup uses (keep the best exemplar, not an arbitrary
+    one).
+
+    Composition of three scale-safe pieces: bucketed LSH pair generation,
+    checkpointed hash-min connected components, and an argmax-per-cluster
+    (max of a (quality, -doc_id) struct — map-side combinable, one
+    shuffle on the cluster id).  The oracle recomputes the policy with a
+    ROW_NUMBER window over the recursive-CTE clusters."""
+    from biodiversity_graph_db_spark.extensions.textstats import (
+        quality_score,
+    )
+    from biodiversity_graph_db_spark.graph.traversal import (
+        connected_components,
+    )
+
+    d = fan_out(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 200), spark
+    )
+    shingled = d.select(
+        "doc_id", unigram_shingles(F.col("text")).alias("shingles")
+    ).localCheckpoint()
+    cand = band_bucket_join(minhash_bands(shingled))
+    pairs = exact_jaccard(shingled, cand).where(F.col("jaccard") >= 0.7)
+
+    def pad(c: Column) -> Column:
+        return F.lpad(c.cast("string"), 6, "0")
+
+    edges = pairs.select(
+        pad(F.col("doc_a")).alias("source_key"),
+        pad(F.col("doc_b")).alias("sink_key"),
+    )
+    comp = connected_components(edges).select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+    clusters = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    quality = d.select(
+        "doc_id",
+        quality_score(F.col("text"), F.col("n_chars")).alias("qv"),
+    )
+    scored = clusters.join(quality, "doc_id")
+    keep = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("qv").alias("qv"), (-F.col("doc_id")).alias("nid")
+                )
+            ).alias("top")
+        )
+        .select("cluster_id", (-F.col("top.nid")).alias("keeper_id"))
+    )
+    return (
+        scored.join(keep, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
         )
         .orderBy("doc_id")
     )

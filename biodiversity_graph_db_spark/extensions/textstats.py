@@ -722,3 +722,77 @@ def t10_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = stats.orderBy(F.col("term_freq").desc(), F.col("token")).limit(50)
     w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+# --- deterministic train/val/test split -----------------------------------
+
+
+def split_bucket(doc_id: Column) -> Column:
+    """Deterministic 0-99 bucket from the md5 of the doc key — the
+    standard hash-split: stable under reprocessing, uniform, and
+    independent of row order / partitioning (a random() split is none of
+    those at scale)."""
+    hex8 = F.substring(F.md5(F.concat(F.lit("doc_"), doc_id.cast("string"))), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long") % 100
+
+
+def split_name(doc_id: Column) -> Column:
+    b = split_bucket(doc_id)
+    return (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@query(
+    "T11_hash_split",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(('0x' || substr(md5('doc_' || doc_id), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, n_tokens, n_chars
+      FROM d
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           {sql_dquant('SUM(n_chars) / CAST(COUNT(*) AS DOUBLE)')}
+             AS avg_chars
+    FROM s
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def t11_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by md5 bucket)
+    with per-(split, lang) corpus stats.  Pure column expressions into
+    one map-side-combinable groupBy — at 100 TB the split column is
+    computed in the scan and the rollup is one shuffle on a 3×|langs|
+    key space."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            split_name(F.col("doc_id")).alias("split"),
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            dquant(F.sum("n_chars") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("split", "lang")
+    )
