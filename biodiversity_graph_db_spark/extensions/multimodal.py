@@ -137,20 +137,145 @@ def mm1_media_decode_metadata(spark, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_STRIDE = 64   # fake codec: one "frame" every 64 payload bytes
+FRAME_BYTES = 32    # each frame = the first 32 bytes of its stride window
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame", BinaryType(), True),
+        StructField("frame_len", LongType(), True),
+        StructField("frame_checksum", StringType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Video frame-sampling stage: one output row per sampled frame —
+    the real mapInPandas plumbing (Arrow batches in, exploded frame rows
+    out, 1→N row fan-out inside the kernel, exactly the shape an ffmpeg
+    ``-vf fps=`` sampler produces).  The CODEC is the deterministic fake:
+    frame i = payload[i·stride : i·stride+frame_bytes] — swap the slicing
+    for real decode without touching schema/batching.  At 100 TB the
+    fan-out multiplies row counts ~duration×fps, so this stage runs after
+    a size-aware repartition and before any wide shuffle."""
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs, lens, sums = [], [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                blob = blob if blob is not None else b""
+                n = (len(blob) + FRAME_STRIDE - 1) // FRAME_STRIDE
+                for i in range(n):
+                    fr = blob[i * FRAME_STRIDE : i * FRAME_STRIDE + FRAME_BYTES]
+                    ids.append(mid)
+                    idxs.append(i)
+                    blobs.append(fr)
+                    lens.append(len(fr))
+                    sums.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame": blobs,
+                    "frame_len": lens,
+                    "frame_checksum": sums,
+                }
+            )
+
+    return df.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
+@query(
+    "MM2_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id AS media_id, text,
+             CAST(ceil(length(text) / {FRAME_STRIDE}.0) AS BIGINT) AS n_frames
+      FROM documents
+      WHERE doc_id < 100 AND doc_id % 3 = 2
+    ),
+    fr AS (
+      SELECT media_id,
+             unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+             text
+      FROM vids
+    )
+    SELECT media_id, frame_idx,
+           CAST(length(substr(text, frame_idx * {FRAME_STRIDE} + 1,
+                              {FRAME_BYTES})) AS BIGINT) AS frame_len,
+           md5(substr(text, frame_idx * {FRAME_STRIDE} + 1, {FRAME_BYTES}))
+             AS frame_checksum
+    FROM fr
+    ORDER BY media_id, frame_idx
+    """,
+)
+def mm2_frame_sample(spark, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end through the Arrow kernel: video-typed
+    media rows fan out to one row per sampled frame.  The payload is the
+    UTF-8 text (ASCII, so byte slices == char slices) and the oracle
+    reproduces every frame's length + md5 with substr arithmetic —
+    proving the 1→N kernel emits exactly the declared frame grid."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = media_from_documents(docs).where(F.col("media_type") == "video")
+    return (
+        sample_frames(media)
+        .select("media_id", "frame_idx", "frame_len", "frame_checksum")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("pixels", BinaryType(), True),
+        StructField("checksum", StringType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage: real mapInPandas plumbing (fixed-size output
+    buffer per row — the (width·height)-byte shape a PIL ``resize`` +
+    ``tobytes`` emits).  FAKE kernel: nearest-neighbour sampling of the
+    payload bytes onto the w×h grid (deterministic; unit-tested).  Swap
+    the sampler for PIL without touching schema/batching."""
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px, out_sum = [], []
+            for blob in pdf["media"]:
+                blob = blob if blob is not None else b"\x00"
+                n = len(blob)
+                px = bytes(
+                    blob[(i * n) // (width * height)]
+                    for i in range(width * height)
+                )
+                out_px.append(px)
+                out_sum.append(hashlib.md5(px).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": out_px,
+                    "checksum": out_sum,
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def decode_media_real(df: DataFrame) -> DataFrame:
     """The real-codec entry point — requires PIL/soundfile/ffmpeg, which
     this environment does not ship."""
     raise NotImplementedError(
         "media codecs (PIL/ffmpeg) are not available in this container; "
-        "use decode_media (deterministic fake) for plumbing tests"
+        "use decode_media / sample_frames / resize_images (deterministic "
+        "fakes) for plumbing tests"
     )
-
-
-def resize_images_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage (stub): validates plumbing only."""
-    raise NotImplementedError("image resize requires PIL; stubbed")
-
-
-def sample_frames_stub(df: DataFrame, every_n_seconds: float) -> DataFrame:
-    """Video frame-sampling stage (stub)."""
-    raise NotImplementedError("frame sampling requires ffmpeg; stubbed")

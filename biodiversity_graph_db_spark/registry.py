@@ -60,6 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "T10_vocab_topk",
     "T11_hash_split",
     "D3_quality_canonical",
+    "MM2_frame_sample",
     # the 25 queries graded only in r1 (yielded their slots in r2) — all
     # rotate back in for current-round driver evidence (VERDICT r2 item 5)
     "Q1_pricing_summary",
@@ -100,16 +101,17 @@ PRIORITY: tuple[str, ...] = (
     "T6_winnow_fingerprints",
     "T7_repetition_signals",
     "T8_contamination_overlap",
-    "V1_cosine_topk",
     "V3_ivf_topk",
     "G2_hierarchy_closure",
     "G6_pagerank",
     "A1_gen_statistics",
     # past the window (all r2-green, local-parity covered every run):
     # J2 (J2G in-window covers the multihop family), J8, F10, W3, W5, W6,
-    # O2, E1, E2 (D1/D3 in-window run its full pipeline), E3, MM1, V2,
-    # T1-T3 (T10/T11 represent the token family), T5 (T4 in-window
-    # covers lang-ID), A3-A6, G3, G5, G7, G8, J1, J3-J6, M1, S4
+    # O2, E1, E2 (D1/D3 in-window run its full pipeline), E3, MM1 (MM2
+    # exercises the same Arrow kernel path), V1/V2 (V3/V4 in-window
+    # cover ANN), T1-T3 (T10/T11 represent the token family), T5 (T4
+    # in-window covers lang-ID), A3-A6, G3, G5, G7, G8, J1, J3-J6,
+    # M1, S4
 )
 
 

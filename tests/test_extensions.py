@@ -176,8 +176,44 @@ class TestMultimodal:
         media = multimodal.media_from_documents(docs)
         with pytest.raises(NotImplementedError):
             multimodal.decode_media_real(media)
-        with pytest.raises(NotImplementedError):
-            multimodal.resize_images_stub(media, 224, 224)
+
+    def test_resize_shapes_and_determinism(self, spark, sf_dir):
+        """The fake resize kernel must emit exactly width*height bytes per
+        row with a stable checksum (run-to-run and partitioning-
+        independent)."""
+        docs = table(spark, sf_dir, "documents").limit(20)
+        media = multimodal.media_from_documents(docs)
+        out = multimodal.resize_images(media, 8, 4).collect()
+        assert len(out) == 20
+        assert all(len(r.pixels) == 8 * 4 for r in out)
+        again = {
+            r.media_id: r.checksum
+            for r in multimodal.resize_images(
+                media.repartition(7), 8, 4
+            ).collect()
+        }
+        assert {r.media_id: r.checksum for r in out} == again
+
+    def test_frame_sample_grid(self, spark, sf_dir):
+        """Every media row fans out to ceil(n_bytes/stride) frames, each
+        at most FRAME_BYTES long, indexed densely from 0."""
+        docs = table(spark, sf_dir, "documents").limit(10)
+        media = multimodal.media_from_documents(docs)
+        frames = multimodal.sample_frames(media)
+        agg = (
+            frames.groupBy("media_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("frame_idx").alias("mx"),
+                F.max("frame_len").alias("mlen"),
+            )
+            .collect()
+        )
+        sizes = {r.media_id: r.n_bytes for r in media.collect()}
+        for r in agg:
+            want = -(-sizes[r.media_id] // multimodal.FRAME_STRIDE)
+            assert r.n == want and r.mx == want - 1
+            assert r.mlen <= multimodal.FRAME_BYTES
 
 
 class TestTextRepetition:
