@@ -70,6 +70,45 @@ class GraphStore:
     def cache(self) -> "GraphStore":
         return GraphStore(self.spark, self.nodes.cache(), self.edges.cache())
 
+    def save_bucketed(self, table_prefix: str, n_buckets: int = 64) -> None:
+        """Bucketed storage — the co-located-join layout for the 100 TB
+        deployment: nodes hash-bucketed (and sorted) on ``key``, edges on
+        ``source_key``, same bucket count, so every traversal join
+        (edges.source_key = nodes.key) reads bucket i against bucket i
+        with NO Exchange on either side (asserted in tests/test_plans.py).
+        At scale this converts the graph's hottest shuffle — the per-hop
+        node resolve — into a zip of pre-sorted bucket files; locally the
+        same plan shape is verified at n_buckets=4.  Buckets require the
+        table catalog (``saveAsTable``), unlike ``save``'s plain parquet.
+        """
+        (
+            self.nodes.write.bucketBy(n_buckets, "key")
+            .sortBy("key")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_nodes")
+        )
+        (
+            self.edges.write.bucketBy(n_buckets, "source_key")
+            .sortBy("source_key")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_edges")
+        )
+
+    @classmethod
+    def load_bucketed(
+        cls, spark: SparkSession, table_prefix: str
+    ) -> "GraphStore":
+        """Read the bucketed tables back; joins on the bucket keys skip
+        their Exchanges as long as ``spark.sql.sources.bucketing.enabled``
+        stays on (default)."""
+        return cls(
+            spark,
+            spark.table(f"{table_prefix}_nodes"),
+            spark.table(f"{table_prefix}_edges"),
+        )
+
     # -- node mutations ----------------------------------------------------
 
     def _conform(self, new_nodes: DataFrame) -> DataFrame:

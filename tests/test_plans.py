@@ -245,3 +245,60 @@ def test_grading_window_holds_priority_queries():
     assert need_first_row <= window
     # and everything outside the window is covered by the local gate
     assert set(names[50:]) <= set(registry.ORACLE)
+
+
+class TestBucketedStore:
+    def test_bucketed_traversal_join_has_no_exchange(self, spark, tmp_path):
+        """save_bucketed / load_bucketed: the traversal join
+        (edges.source_key = nodes.key) over bucketed tables must run with
+        NO Exchange on either side — the co-located layout that removes
+        the per-hop shuffle at 100 TB."""
+        import shutil
+
+        from biodiversity_graph_db_spark.graph.store import GraphStore
+
+        nodes = spark.range(200).selectExpr(
+            "concat('n_', id) AS key",
+            "'TestNode' AS node_type",
+            "CAST(NULL AS STRING) AS pretty_name",
+            "CAST(NULL AS STRING) AS payload",
+            "CAST(NULL AS BIGINT) AS year_value",
+            "CAST(NULL AS STRING) AS lat",
+            "CAST(NULL AS STRING) AS lon",
+            "CAST(NULL AS STRING) AS screening_state",
+        )
+        edges = spark.range(600).selectExpr(
+            "concat('n_', id % 200) AS source_key",
+            "concat('n_', (id + 1) % 200) AS sink_key",
+            "'TestRel' AS relation",
+            "CAST(1 AS INT) AS weight",
+            "CAST(NULL AS STRING) AS payload",
+            "CAST(NULL AS STRING) AS source_type",
+            "CAST(NULL AS STRING) AS sink_type",
+            "CAST(NULL AS BIGINT) AS edge_year_value",
+        )
+        prefix = "bkt_plan_test"
+        store = GraphStore(spark, nodes, edges)
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            store.save_bucketed(prefix, n_buckets=4)
+            loaded = GraphStore.load_bucketed(spark, prefix)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            q = loaded.edges.join(
+                loaded.nodes,
+                loaded.edges.source_key == loaded.nodes.key,
+            ).select("source_key", "sink_key", "node_type")
+            plan = q._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert q.count() == 600
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_nodes")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_edges")
+            shutil.rmtree("spark-warehouse/bkt_plan_test_nodes", ignore_errors=True)
+            shutil.rmtree("spark-warehouse/bkt_plan_test_edges", ignore_errors=True)
