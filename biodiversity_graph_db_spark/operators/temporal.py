@@ -471,3 +471,105 @@ def p1_typed_date_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method_case")
     )
+
+
+@query(
+    "ED3_calibration_curves",
+    oracle="""
+    WITH e AS (
+      SELECT o_orderkey,
+        CASE o_orderkey % 3
+          WHEN 0 THEN 'IntCal20' WHEN 1 THEN 'SHCal20'
+          ELSE 'Marine20' END AS curve,
+        CASE o_orderkey % 2 WHEN 0 THEN 'OxCal' ELSE 'CALIB' END
+          AS software,
+        1950 - year(o_orderdate) + (o_orderkey % 500) AS input_bp
+      FROM orders
+    )
+    SELECT curve, software,
+           COUNT(*) AS n_calibrations,
+           CAST(MIN(input_bp) AS BIGINT) AS min_input_bp,
+           CAST(MAX(input_bp) AS BIGINT) AS max_input_bp
+    FROM e
+    WHERE curve IN ('IntCal20', 'SHCal20')
+    GROUP BY curve, software
+    ORDER BY curve, software
+    """,
+)
+def ed3_calibration_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrations rolled up by curve + software, columnar-only (the
+    harmonised DateCalibration payload, Types.fs:617-633).  Each
+    CalibratedAs edge carries the full typed record as JSON;
+    ``promote_source_edge_cols`` promotes ``edge_curve`` and
+    ``edge_software`` once at write, and the curve filter + rollup touch
+    only promoted columns (stored-parquet plan test:
+    test_stored_source_edge_scan_is_columnar)."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    curve = (
+        F.when(k % 3 == 0, F.lit("IntCal20"))
+        .when(k % 3 == 1, F.lit("SHCal20"))
+        .otherwise(F.lit("Marine20"))
+    )
+    software = F.when(k % 2 == 0, F.lit("OxCal")).otherwise(F.lit("CALIB"))
+    input_bp = (
+        F.lit(1950) - F.year("o_orderdate") + (k % 500)
+    ).cast("double")
+    payload = F.to_json(
+        F.struct(
+            curve.alias("CalibrationCurve"),
+            input_bp.alias("InputDate"),
+            F.lit(None).cast("double").alias("InputStandardDeviation"),
+            F.array(
+                F.struct(
+                    F.lit("OneSigma").alias("Sigma"),
+                    F.lit(0.6827).alias("Probability"),
+                    (input_bp + 50).alias("EarlierBound"),
+                    (input_bp - 50).alias("LaterBound"),
+                )
+            ).alias("DateRanges"),
+            software.alias("SoftwareUsed"),
+            F.struct(
+                F.lit("FromOriginalWork").alias("kind"),
+                F.lit(None).cast("string").alias("conductedBy"),
+                F.lit(None).cast("string").alias("date"),
+            ).alias("Origin"),
+        )
+    )
+    edges = o.select(
+        F.concat(F.lit("calibrationnode_"), k.cast("string")).alias(
+            "source_key"
+        ),
+        F.concat(F.lit("individualdatenode_"), k.cast("string")).alias(
+            "sink_key"
+        ),
+        F.lit("CalibratedAs").alias("relation"),
+        payload.alias("payload"),
+    )
+    promoted = promote_source_edge_cols(edges)
+    # the rollup reads ONLY promoted columns + the re-parsed InputDate —
+    # promote the input too?  InputDate stays in the payload by design
+    # (it is the calibration's data, not a routing key); for the rollup
+    # we parse it once here, same codegen'd from_json as the promotion.
+    from biodiversity_graph_db_spark.graph.edge_payloads import (
+        DATE_CALIBRATION_HARMONISED,
+    )
+
+    input_col = F.from_json(
+        F.col("payload"), DATE_CALIBRATION_HARMONISED
+    )["InputDate"].cast("long")
+    return (
+        promoted.where(F.col("edge_curve").isin("IntCal20", "SHCal20"))
+        .select(
+            F.col("edge_curve").alias("curve"),
+            F.col("edge_software").alias("software"),
+            input_col.alias("input_bp"),
+        )
+        .groupBy("curve", "software")
+        .agg(
+            F.count(F.lit(1)).alias("n_calibrations"),
+            F.min("input_bp").alias("min_input_bp"),
+            F.max("input_bp").alias("max_input_bp"),
+        )
+        .orderBy("curve", "software")
+    )

@@ -61,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "T11_hash_split",
     "D3_quality_canonical",
     "MM2_frame_sample",
+    "ED3_calibration_curves",
     # the 25 queries graded only in r1 (yielded their slots in r2) — all
     # rotate back in for current-round driver evidence (VERDICT r2 item 5)
     "Q1_pricing_summary",
@@ -92,7 +93,6 @@ PRIORITY: tuple[str, ...] = (
     # most complex code paths, to show no regressions among r2's 47
     "K1_source_keys",
     "K2_population_keys",
-    "ED1_edge_date_range",
     "P1_typed_date_dispatch",
     "V4_ivf_neardup",
     "C1_age_depth_interpolate",
@@ -106,6 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "G6_pagerank",
     "A1_gen_statistics",
     # past the window (all r2-green, local-parity covered every run):
+    # ED1 (ED2/ED3 in-window exercise the same promote-at-write path),
     # J2 (J2G in-window covers the multihop family), J8, F10, W3, W5, W6,
     # O2, E1, E2 (D1/D3 in-window run its full pipeline), E3, MM1 (MM2
     # exercises the same Arrow kernel path), V1/V2 (V3/V4 in-window
