@@ -302,3 +302,37 @@ class TestBucketedStore:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_edges")
             shutil.rmtree("spark-warehouse/bkt_plan_test_nodes", ignore_errors=True)
             shutil.rmtree("spark-warehouse/bkt_plan_test_edges", ignore_errors=True)
+
+
+class TestRound3TextPlans:
+    def test_t9_pii_stays_in_codegen(self, spark, sf_dir):
+        """PII mint+detect+redact must be pure JVM regexp work — no
+        Python eval, no shuffle (Exchange only for the final orderBy)."""
+        plan = _plan(spark, sf_dir, "T9_pii_detect")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "HashAggregate" not in plan  # pure map + sort
+
+    def test_t10_vocab_topk_is_take_ordered(self, spark, sf_dir):
+        """The global top-50 must plan as TakeOrderedAndProject (partial
+        top-k per partition), never a full global sort of the vocab."""
+        plan = _plan(spark, sf_dir, "T10_vocab_topk")
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("HashAggregate") >= 2  # map-side partials
+
+    def test_t11_split_is_single_rollup(self, spark, sf_dir):
+        """Hash-split stats: one map-side-combinable groupBy over the
+        scan — exactly one shuffle for the aggregation."""
+        plan = _plan(spark, sf_dir, "T11_hash_split")
+        assert "BatchEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 2
+        # exactly one hash exchange (the rollup); the orderBy adds a
+        # range partitioning, never a second hash shuffle
+        assert plan.count("hashpartitioning(") == 1
+
+    def test_mm2_is_arrow_only(self, spark, sf_dir):
+        """Frame sampling: the 1->N fan-out must be the Arrow kernel
+        (mapInPandas), never row-at-a-time python."""
+        plan = _plan(spark, sf_dir, "MM2_frame_sample")
+        assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+        assert "BatchEvalPython" not in plan
