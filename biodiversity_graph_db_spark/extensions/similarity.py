@@ -691,3 +691,98 @@ def d2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- persisted IVF index ---------------------------------------------------
+# The stored form of the IVF layout: centroids as a driver/broadcast-scale
+# parquet, assigned vectors PARTITIONED BY cent_id.  A query probing
+# n_probe clusters then reads only those partitions — the partition-pruned
+# scan the in-memory ivf_topk docstring promises, made literal on disk.
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    n_probe: int = 1,
+) -> None:
+    """Build and persist the IVF index: ``{path}/centroids`` (id, vector,
+    norm) and ``{path}/assigned`` partitioned by ``cent_id`` (each vector
+    in its ``n_probe`` nearest clusters; n_probe=1 for a topk index,
+    higher for a near-dup index).  At 100 TB the assigned write is the
+    one full shuffle the index ever costs; every later query is pruned."""
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(8, math.ceil(4 * math.sqrt(emb.count() / 2.0)))
+    cent_ids, cmat, cnorm = _collect_centroids(emb, n_centroids)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in cmat[i]], int(cnorm[i]))
+            for i, cid in enumerate(cent_ids)
+        ],
+        "cent_id long, cent_emb array<float>, cent_norm long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ivf_assign(emb, cent_ids, cmat, cnorm, n_probe).write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(f"{path}/assigned")
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries_df: DataFrame,
+    n_probe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k against a persisted IVF index: assign the (tiny) query side
+    with the stored centroids, then scan ONLY the probed cluster
+    partitions — the ``cent_id IN (...)`` predicate is a partition filter
+    on the assigned table, so unprobed clusters are never read (asserted
+    in tests/test_plans.py).  Same schema + semantics as ``ivf_topk``."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cent_ids = np.array([r.cent_id for r in cents], dtype=np.int64)
+    cmat = np.array([r.cent_emb for r in cents], dtype=np.float64)
+    cnorm = np.array([r.cent_norm for r in cents], dtype=np.float64)
+    q_assigned = F.broadcast(
+        ivf_assign(queries_df, cent_ids, cmat, cnorm, n_probe).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm_sq").alias("q_norm"),
+            "cent_id",
+        )
+    )
+    probed = sorted(
+        {r.cent_id for r in q_assigned.select("cent_id").distinct().collect()}
+    )
+    c_assigned = (
+        spark.read.parquet(f"{path}/assigned")
+        .where(F.col("cent_id").isin(probed))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm_sq").alias("c_norm"),
+            "cent_id",
+        )
+    )
+    pairs = c_assigned.join(q_assigned, "cent_id").where(
+        F.col("q_id") != F.col("c_id")
+    )
+    cos = pairs.withColumn(
+        "cosine",
+        cosine(F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "rank",
+            "c_id",
+            (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
+        )
+    )

@@ -336,3 +336,32 @@ class TestRound3TextPlans:
         plan = _plan(spark, sf_dir, "MM2_frame_sample")
         assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestIvfIndex:
+    def test_indexed_topk_matches_and_prunes(self, spark, sf_dir, tmp_path):
+        """The persisted IVF index must (a) return exactly the in-memory
+        ivf_topk results and (b) scan only the probed cluster partitions —
+        cent_id is a partition filter, unprobed clusters never read."""
+        from biodiversity_graph_db_spark.extensions import similarity
+        from biodiversity_graph_db_spark.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 10)
+        path = str(tmp_path / "ivf")
+        similarity.write_ivf_index(emb, path, n_centroids=8, n_probe=1)
+        got = similarity.ivf_topk_indexed(
+            spark, path, queries, n_probe=2, k=5
+        )
+        want = similarity.ivf_topk(
+            emb, queries, n_centroids=8, n_probe=2, k=5
+        )
+        assert got.exceptAll(want).isEmpty()
+        assert want.exceptAll(got).isEmpty()
+        plan = got._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        scan = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "cent_id" in scan, plan
