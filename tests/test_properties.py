@@ -129,3 +129,119 @@ def test_interpolation_bracketing_invariants(spark, ctrl, depths):
         assert lo_a - 1e-4 <= age <= hi_a + 1e-4, (
             f"age {age} outside bracket [{lo_a}, {hi_a}] at depth {d}"
         )
+
+
+# --- round-3 operators ----------------------------------------------------
+
+
+_PII_FREE = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_categories=("Cs",),
+        max_codepoint=0x2FFF,
+        exclude_characters="@.",
+    ),
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_PII_FREE, min_size=1, max_size=8), st.integers(0, 9999))
+def test_scrub_pii_removes_every_span(spark, texts, n):
+    """Injecting a known email/phone into arbitrary text and scrubbing
+    must leave zero pattern matches and keep the placeholders."""
+    from biodiversity_graph_db_spark.extensions import textstats as T
+
+    rows = [
+        (i, f"{t} user{n}@example.com x +1-555-010-{n:04d} {t}")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select(
+        T.scrub_pii(F.col("text")).alias("red"),
+        F.regexp_count(
+            T.scrub_pii(F.col("text")), F.lit(T.PII_EMAIL)
+        ).alias("n_email"),
+        F.regexp_count(
+            T.scrub_pii(F.col("text")), F.lit(T.PII_PHONE)
+        ).alias("n_phone"),
+    ).collect()
+    for r in out:
+        assert r.n_email == 0 and r.n_phone == 0
+        assert "[EMAIL]" in r.red and "[PHONE]" in r.red
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    """Every doc lands in exactly one split; assignment is identical
+    across partitionings; proportions are roughly 80/10/10."""
+    from biodiversity_graph_db_spark.extensions import textstats as T
+
+    ids = spark.range(5000)
+    a = {r.id: r.s for r in ids.select("id", T.split_name(F.col("id")).alias("s")).collect()}
+    b = {
+        r.id: r.s
+        for r in ids.repartition(13)
+        .select("id", T.split_name(F.col("id")).alias("s"))
+        .collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 <= c["train"] / 5000 <= 0.85
+    assert 0.07 <= c["val"] / 5000 <= 0.13
+    assert 0.07 <= c["test"] / 5000 <= 0.13
+
+
+def test_ivf_assign_matches_column_expression(spark):
+    """The Arrow assignment kernel must pick exactly the centroids the
+    column-expression ranking picks (same scaled-int cosine, same
+    (cosv desc, cent_id asc) tie-break) on an adversarial corpus with
+    duplicated vectors (exact ties)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from biodiversity_graph_db_spark.extensions import similarity as S
+
+    rng = random.Random(7)
+    base = [
+        [rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(40)
+    ]
+    vecs = base + base[:10]  # duplicates → exact cosine ties
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n_cent, n_probe = 6, 3
+    cent_ids, cmat, cnorm = S._collect_centroids(emb, n_cent)
+    got = {
+        (r.vec_id, r.cent_id)
+        for r in S.ivf_assign(emb, cent_ids, cmat, cnorm, n_probe).collect()
+    }
+    cents = F.broadcast(
+        S.with_norm(emb.orderBy("vec_id").limit(n_cent)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("norm_sq").alias("cent_norm"),
+        )
+    )
+    scored = S.with_norm(emb).join(cents, how="cross").withColumn(
+        "cent_cos",
+        S.cosine(
+            F.col("embedding"),
+            F.col("cent_emb"),
+            F.col("norm_sq"),
+            F.col("cent_norm"),
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id")
+    )
+    want = {
+        (r.vec_id, r.cent_id)
+        for r in scored.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") <= n_probe)
+        .select("vec_id", "cent_id")
+        .collect()
+    }
+    assert got == want
