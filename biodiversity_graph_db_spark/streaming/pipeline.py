@@ -1,0 +1,114 @@
+"""Streaming pretraining-data ingest (SURVEY §2.10 × the extension set).
+
+The composed pipeline a training-data platform runs continuously as new
+corpus files land, built entirely from the batch-verified operators:
+
+    readStream(documents) → scrub_pii → quality gate → exact dedup
+      (fingerprint anti-join vs everything already ingested)
+      → deterministic split assignment → parquet append partitioned by split
+
+Every stage is a pure column expression (T9/T2/T3/T11 semantics — each
+oracle-verified in batch form), so the streaming plan is the same
+codegen'd map work; the only stateful piece is the dedup anti-join inside
+``foreachBatch``, which makes the sink idempotent under epoch replay
+(same exactly-once story as ingest.merge_events_into_graph, tested with
+crash injection there).  At 100 TB the fingerprint anti-join is the one
+join per micro-batch; the sink's ``split`` partitioning keeps train/val/
+test physically separated for downstream readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from biodiversity_graph_db_spark.extensions.textstats import (
+    fingerprint,
+    quality_score,
+    scrub_pii,
+    split_name,
+    token_count,
+)
+
+DOCUMENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+
+def prepare_documents(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The stateless stages, usable identically in batch and streaming:
+    PII scrub, quality gate, fingerprint, split + token count."""
+    scrubbed = docs.withColumn("text", scrub_pii(F.col("text")))
+    scored = scrubbed.withColumn(
+        "quality", quality_score(F.col("text"), F.col("n_chars"))
+    )
+    kept = scored.where(F.col("quality") >= min_quality)
+    return kept.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        (F.floor(F.col("quality") * 10000) / 10000.0).alias("quality"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+        token_count(F.col("text")).alias("n_tokens"),
+        split_name(F.col("doc_id")).alias("split"),
+    )
+
+
+def run_pretraining_ingest(
+    docs_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    min_quality: float = 0.5,
+):
+    """foreachBatch driver: stateless prep + cross-batch exact dedup
+    (keep the first arrival of each fingerprint), append partitioned by
+    split.  Idempotent under replay: a re-run batch's survivors are
+    anti-joined away by the rows it already wrote."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prepared = prepare_documents(batch, min_quality)
+        # within-batch dedup first (deterministic keeper = min doc_id) …
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        fresh = (
+            prepared.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("rk")
+        )
+        # … then against everything already ingested
+        try:
+            seen = spark.read.parquet(out_path).select("fingerprint")
+            fresh = fresh.join(seen, "fingerprint", "left_anti")
+        except Exception:
+            pass  # first batch: nothing ingested yet
+        fresh.write.mode("append").partitionBy("split").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -212,3 +212,103 @@ class TestStreaming:
             .collect()
         }
         assert got == want
+
+
+class TestPretrainingIngest:
+    def test_stream_pipeline_matches_batch(self, spark, sf_dir):
+        """The composed streaming ingest (scrub → quality gate → dedup →
+        split → partitioned write) must converge to exactly the batch
+        computation of the same semantics: one row per surviving
+        fingerprint, keeper = lowest doc_id, correct split partitions."""
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import pipeline
+        from biodiversity_graph_db_spark.tables import table
+
+        tmp = tempfile.mkdtemp(prefix="pretrain_ingest_")
+        docs_dir = f"{tmp}/docs"
+        out = f"{tmp}/out"
+        try:
+            # files ordered by doc_id so first-arrival == min doc_id
+            (
+                table(spark, sf_dir, "documents")
+                .repartitionByRange(4, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(docs_dir)
+            )
+            q = pipeline.run_pretraining_ingest(
+                pipeline.read_documents_stream(spark, docs_dir),
+                out,
+                f"{tmp}/ckpt",
+            ).start()
+            q.awaitTermination(300)
+            got = spark.read.parquet(out)
+            want = pipeline.prepare_documents(
+                spark.read.parquet(docs_dir)
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("fingerprint").orderBy("doc_id")
+            want_kept = (
+                want.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .drop("rk")
+            )
+            assert got.count() == want_kept.count()
+            assert (
+                got.select("doc_id")
+                .exceptAll(want_kept.select("doc_id"))
+                .isEmpty()
+            )
+            # no duplicate fingerprints survived
+            assert (
+                got.groupBy("fingerprint").count().where("count > 1").count()
+                == 0
+            )
+            # split partitioning materialized on disk
+            import os
+
+            parts = {
+                p for p in os.listdir(out) if p.startswith("split=")
+            }
+            assert parts == {"split=train", "split=val", "split=test"}
+            # quality gate enforced (no surviving row below threshold;
+            # at tiny SFs every doc may legitimately pass)
+            assert got.count() <= spark.read.parquet(docs_dir).count()
+            assert got.where(F.col("quality") < 0.5).count() == 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_stream_pipeline_restart_idempotent(self, spark, sf_dir):
+        """Re-running the whole source with a fresh checkpoint must not
+        change the ingested table (fingerprint anti-join absorbs the
+        replay)."""
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import pipeline
+        from biodiversity_graph_db_spark.tables import table
+
+        tmp = tempfile.mkdtemp(prefix="pretrain_restart_")
+        docs_dir = f"{tmp}/docs"
+        out = f"{tmp}/out"
+        try:
+            (
+                table(spark, sf_dir, "documents")
+                .repartitionByRange(2, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(docs_dir)
+            )
+            for ckpt in ("ckpt1", "ckpt2"):
+                q = pipeline.run_pretraining_ingest(
+                    pipeline.read_documents_stream(spark, docs_dir),
+                    out,
+                    f"{tmp}/{ckpt}",
+                ).start()
+                q.awaitTermination(300)
+                if ckpt == "ckpt1":
+                    n1 = spark.read.parquet(out).count()
+            assert spark.read.parquet(out).count() == n1
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
