@@ -796,3 +796,56 @@ def t11_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# --- corpus length distribution -------------------------------------------
+
+
+@query(
+    "T12_length_quantiles",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           floor(quantile_cont(n_chars, 0.5) * 10000) / 10000 AS chars_p50,
+           floor(quantile_cont(n_chars, 0.9) * 10000) / 10000 AS chars_p90,
+           floor(quantile_cont(n_chars, 0.99) * 10000) / 10000 AS chars_p99,
+           floor(quantile_cont(n_tokens, 0.5) * 10000) / 10000 AS tokens_p50,
+           floor(quantile_cont(n_tokens, 0.9) * 10000) / 10000 AS tokens_p90
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def t12_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (p50/p90/p99 chars,
+    p50/p90 tokens) — the view a corpus curator reads before setting
+    length filters.  Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition, so the
+    oracle matches bit-for-bit.  Scale note: exact percentile buffers
+    each group's values on its reducer — fine for a per-language rollup
+    (|langs| groups, each bounded); for per-source or unbounded
+    cardinalities switch to ``approx_percentile`` (t-digest, mergeable,
+    map-side combinable) and drop the oracle to rows-only."""
+    d = table(spark, sf_dir, "documents")
+
+    def q(col: str, p: float) -> Column:
+        return F.floor(F.expr(f"percentile({col}, {p})") * 10000) / 10000.0
+
+    return (
+        d.select(
+            "lang", "n_chars", token_count(F.col("text")).alias("n_tokens")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            q("n_chars", 0.5).alias("chars_p50"),
+            q("n_chars", 0.9).alias("chars_p90"),
+            q("n_chars", 0.99).alias("chars_p99"),
+            q("n_tokens", 0.5).alias("tokens_p50"),
+            q("n_tokens", 0.9).alias("tokens_p90"),
+        )
+        .orderBy("lang")
+    )

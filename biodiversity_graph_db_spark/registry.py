@@ -62,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "D3_quality_canonical",
     "MM2_frame_sample",
     "ED3_calibration_curves",
+    "T12_length_quantiles",
     # the 25 queries graded only in r1 (yielded their slots in r2) — all
     # rotate back in for current-round driver evidence (VERDICT r2 item 5)
     "Q1_pricing_summary",
@@ -104,8 +105,8 @@ PRIORITY: tuple[str, ...] = (
     "V3_ivf_topk",
     "G2_hierarchy_closure",
     "G6_pagerank",
-    "A1_gen_statistics",
     # past the window (all r2-green, local-parity covered every run):
+    # A1 (A2 in-window covers the aggregate family),
     # ED1 (ED2/ED3 in-window exercise the same promote-at-write path),
     # J2 (J2G in-window covers the multihop family), J8, F10, W3, W5, W6,
     # O2, E1, E2 (D1/D3 in-window run its full pipeline), E3, MM1 (MM2
