@@ -849,3 +849,73 @@ def t12_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- token-rarity quality signal ------------------------------------------
+
+
+@query(
+    "T13_rarity_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+      FROM toks GROUP BY token
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(MAX(v.rnk) AS BIGINT) AS rarest_rank,
+           CAST(SUM(v.rnk) AS BIGINT) AS rank_sum,
+           floor(SUM(v.rnk) / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000
+             AS mean_rank
+    FROM toks t JOIN vocab v USING (token)
+    WHERE t.doc_id < 200
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def t13_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal: each token's corpus frequency rank
+    (1 = most common), aggregated per document — rare-token-heavy docs
+    are the noisy tail a pretraining filter inspects (the
+    transcendental-free stand-in for LM-perplexity scoring: integer
+    ranks and sums only, so the oracle hash-matches with no libm
+    last-ulp risk).  Vocab ranking is one groupBy + a TakeOrdered-style
+    window over the (small) vocab; scoring is an explode + broadcastable
+    rank join + per-doc aggregate."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("token"))
+            ),
+        )
+        .drop("n")
+    )
+    return (
+        toks.where(F.col("doc_id") < 200)
+        .join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.max("rnk").cast("long").alias("rarest_rank"),
+            F.sum("rnk").cast("long").alias("rank_sum"),
+            dquant(F.sum("rnk") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_rank"
+            ),
+        )
+        .orderBy("doc_id")
+    )
