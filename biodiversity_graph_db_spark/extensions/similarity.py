@@ -170,6 +170,10 @@ def ivf_assign(emb: DataFrame, cent_ids, cmat, cnorm, n_probe: int) -> DataFrame
     import pandas as pd
 
     k = len(cent_ids)
+    # clamp: with fewer centroids than requested probes, every vector can
+    # only be assigned to all k — without this the np.repeat(·, n_probe)
+    # and the k-wide lexsort slice disagree on length and pandas raises
+    n_probe = min(n_probe, k)
     out_schema = (
         "vec_id long, embedding array<float>, norm_sq long, cent_id long"
     )
@@ -747,13 +751,18 @@ def ivf_topk_indexed(
     cent_ids = np.array([r.cent_id for r in cents], dtype=np.int64)
     cmat = np.array([r.cent_emb for r in cents], dtype=np.float64)
     cnorm = np.array([r.cent_norm for r in cents], dtype=np.float64)
+    # materialize the query-side assignment ONCE (localCheckpoint is
+    # eager) — it feeds both the probed-cluster collect and the join, and
+    # without this the Arrow assignment job would run twice
     q_assigned = F.broadcast(
-        ivf_assign(queries_df, cent_ids, cmat, cnorm, n_probe).select(
+        ivf_assign(queries_df, cent_ids, cmat, cnorm, n_probe)
+        .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             F.col("norm_sq").alias("q_norm"),
             "cent_id",
         )
+        .localCheckpoint()
     )
     probed = sorted(
         {r.cent_id for r in q_assigned.select("cent_id").distinct().collect()}
@@ -768,8 +777,15 @@ def ivf_topk_indexed(
             "cent_id",
         )
     )
-    pairs = c_assigned.join(q_assigned, "cent_id").where(
-        F.col("q_id") != F.col("c_id")
+    # an index written with n_probe>1 (the near-dup layout) stores each
+    # candidate in several clusters; a candidate sharing 2+ probed
+    # clusters with a query would otherwise surface twice and burn two
+    # top-k rank slots — its cosine is identical in every shared cluster,
+    # so keeping one (q_id, c_id) row is lossless
+    pairs = (
+        c_assigned.join(q_assigned, "cent_id")
+        .where(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
     )
     cos = pairs.withColumn(
         "cosine",

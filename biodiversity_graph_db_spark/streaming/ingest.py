@@ -137,10 +137,18 @@ def merge_events_into_graph(
             F.col("event_type").alias("pretty_name"),
             F.to_json(F.struct("ts", "user_id", "value")).alias("payload"),
         ).dropDuplicates(["key"])
-        try:
+        # explicit sink-existence check: only the first-batch/path-missing
+        # case may skip the anti-join; any real read failure (corrupt
+        # file, FS error, permissions) must propagate or replay would
+        # silently duplicate keys (cf. pipeline._path_exists)
+        from biodiversity_graph_db_spark.streaming.pipeline import (
+            _path_exists,
+        )
+
+        if _path_exists(spark, nodes_path):
             existing = spark.read.parquet(nodes_path).select("key")
             fresh = new_nodes.join(existing, "key", "left_anti")
-        except Exception:
+        else:
             fresh = new_nodes
         fresh.write.mode("append").parquet(nodes_path)
         if fail_once_marker is not None:

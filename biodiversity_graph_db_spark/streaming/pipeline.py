@@ -47,6 +47,16 @@ DOCUMENTS_STREAM_SCHEMA = StructType(
 )
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Backend-agnostic existence check via the Hadoop FileSystem API —
+    correct for local paths, HDFS, and object stores alike (a plain
+    os.path.exists would only cover file://)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
@@ -58,7 +68,12 @@ def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
 def prepare_documents(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     """The stateless stages, usable identically in batch and streaming:
     PII scrub, quality gate, fingerprint, split + token count."""
-    scrubbed = docs.withColumn("text", scrub_pii(F.col("text")))
+    # recompute n_chars post-scrub so the stored length, the stored text,
+    # and the quality score are mutually consistent (matches batch T2,
+    # where n_chars always describes the scored text)
+    scrubbed = docs.withColumn("text", scrub_pii(F.col("text"))).withColumn(
+        "n_chars", F.length(F.col("text")).cast("long")
+    )
     scored = scrubbed.withColumn(
         "quality", quality_score(F.col("text"), F.col("n_chars"))
     )
@@ -99,12 +114,15 @@ def run_pretraining_ingest(
             .where(F.col("rk") == 1)
             .drop("rk")
         )
-        # … then against everything already ingested
-        try:
+        # … then against everything already ingested.  The sink's
+        # existence is checked explicitly (Hadoop FS, so it works on any
+        # backend): ONLY the first-batch/path-missing case skips the
+        # anti-join — a corrupt file, transient FS error, or permission
+        # failure must propagate, or replay would silently append
+        # duplicates while claiming idempotence.
+        if _path_exists(spark, out_path):
             seen = spark.read.parquet(out_path).select("fingerprint")
             fresh = fresh.join(seen, "fingerprint", "left_anti")
-        except Exception:
-            pass  # first batch: nothing ingested yet
         fresh.write.mode("append").partitionBy("split").parquet(out_path)
 
     return (

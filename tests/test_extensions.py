@@ -70,6 +70,17 @@ class TestSimilarity:
         n3 = similarity.ivf_neardup(emb, n_centroids=32, n_probe=3).count()
         assert n3 >= n2
 
+    def test_ivf_assign_clamps_probe_to_centroid_count(self, spark, sf_dir):
+        """n_probe > k must clamp to k (ADVICE r3): previously the kernel
+        repeated vec_id n_probe times but sliced only k cent_ids per row,
+        crashing pandas with a column-length mismatch."""
+        emb = table(spark, sf_dir, "embeddings").limit(20)
+        cent_ids, cmat, cnorm = similarity._collect_centroids(emb, 4)
+        out = similarity.ivf_assign(emb, cent_ids, cmat, cnorm, n_probe=9)
+        # every vector lands in exactly k=4 clusters, not 9
+        per_vec = out.groupBy("vec_id").count().select("count").distinct()
+        assert [r["count"] for r in per_vec.collect()] == [4]
+
 
 class TestDedup:
     def test_minhash_estimates_jaccard(self, spark, sf_dir):
