@@ -47,73 +47,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a previous round and (b) still covered every run by the local oracle-
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
-    # red in r2, fixed this round (Spark 4.x NTZ casts; T4 oracle type) —
-    # must show driver-green
+    # NEW or FIXED this round — must show driver-green (VERDICT r3 items
+    # 1-2): T13's vocab ranking rebuilt scale-safe (its FIRST driver
+    # grade), the spatial layer's two queries
+    "T13_rarity_score",
+    "GEO1_bbox_contexts",
+    "GEO2_polygon_contains",
+    # the 34 queries whose latest driver evidence is round 2 — all rotate
+    # back in for current-round evidence (VERDICT r3 item 3)
+    "A1_gen_statistics",
+    "A3_merge_into_index",
+    "A4_duplicate_guard",
+    "A5_array_sections_complete",
+    "A6_next_id",
+    "E1_ngram_jaccard_topk",
+    "E2_minhash_lsh_neardup",
+    "E3_simhash_neardup",
+    "ED1_edge_date_range",
+    "F10_conditional_route",
+    "G3_connected_components",
+    "G5_triangle_count",
+    "G7_shortest_paths",
+    "G8_motif_find",
+    "J1_one_hop_traversal",
+    "J2_multihop_extract",
+    "J3_reverse_membership",
+    "J4_fk_violation_check",
+    "J5_signature_check",
+    "J6_hyperedge_star",
+    "J8_interval_containment",
+    "M1_unpivot_wide_matrix",
+    "MM1_media_decode_metadata",
+    "O2_topk_per_group",
+    "S4_batch_key_lookup",
+    "T1_token_stats",
+    "T2_quality_scores",
+    "T3_fingerprint_dedup",
+    "T5_langid_ngram",
+    "V1_cosine_topk",
+    "V2_embedding_neardup",
+    "W3_moving_smooth",
+    "W5_tumbling_window",
+    "W6_sliding_window",
+    # r3-green keepers: a spread across the §2 families plus the newest /
+    # most complex code paths, to show no regressions among r3's 50
+    "Q1_pricing_summary",
     "W1_next_in_sequence",
     "W4_sessionize",
-    "T4_lang_profile",
-    # new this round: LPA oracle row, UsedDatabase typed-payload query,
-    # PII detection/scrubbing
     "G9_label_propagation",
     "ED2_database_access_date",
-    "T9_pii_detect",
-    "T10_vocab_topk",
-    "T11_hash_split",
-    "D3_quality_canonical",
-    "MM2_frame_sample",
-    "ED3_calibration_curves",
-    "T12_length_quantiles",
-    # the 25 queries graded only in r1 (yielded their slots in r2) — all
-    # rotate back in for current-round driver evidence (VERDICT r2 item 5)
-    "Q1_pricing_summary",
-    "A2_group_by_type",
-    "G1_star_one_hop",
-    "S14_seed_statistics",
-    "W1_seed_next_chain",
-    "G4_holocene_contains",
-    "X5_old_date_normalization",
-    "F5_pretty_name_lookup",
-    "F7_nodes_of_type",
-    "F9_nearest_year_select",
-    "J2G_evidence_extract",
-    "M2_pivot_row_view",
-    "M3_shape_check",
-    "M4_transpose",
-    "F1_point_lookup",
-    "F3_typed_predicate_scan",
-    "F6_derived_column_match",
-    "F8_substring_search",
-    "O1_index_sort",
-    "O3_display_truncation",
-    "U5_edge_dedup",
-    "U6_set_difference",
-    "X7_author_display",
-    "X13_validation_suite",
-    "W2_temporal_extent",
-    # r2-green keepers: a spread across the §2 families plus the newest /
-    # most complex code paths, to show no regressions among r2's 47
     "K1_source_keys",
-    "K2_population_keys",
-    "P1_typed_date_dispatch",
-    "V4_ivf_neardup",
-    "C1_age_depth_interpolate",
     "D1_neardup_clusters",
     "D2_semantic_dedup",
-    "T6_winnow_fingerprints",
-    "T7_repetition_signals",
-    "T8_contamination_overlap",
-    "V3_ivf_topk",
+    "V4_ivf_neardup",
     "G2_hierarchy_closure",
     "G6_pagerank",
-    # past the window (all r2-green, local-parity covered every run):
-    # A1 (A2 in-window covers the aggregate family),
-    # ED1 (ED2/ED3 in-window exercise the same promote-at-write path),
-    # J2 (J2G in-window covers the multihop family), J8, F10, W3, W5, W6,
-    # O2, E1, E2 (D1/D3 in-window run its full pipeline), E3, MM1 (MM2
-    # exercises the same Arrow kernel path), V1/V2 (V3/V4 in-window
-    # cover ANN), T1-T3 (T10/T11 represent the token family), T5 (T4
-    # in-window covers lang-ID), A3-A6, G3, G5, G7, G8, J1, J3-J6,
-    # M1, S4
+    "T9_pii_detect",
+    "C1_age_depth_interpolate",
+    # past the window (all r3-green, local-parity covered every run):
+    # T4/T10/T11/T12 (T13 in-window covers the token family; all r3),
+    # D3, MM2, ED3, the r3-green relational/graph singles (F1/F3/F5-F9,
+    # O1/O3, U5/U6, X5/X7/X13, M2-M4, G1/G4, S14, W1_seed, W2, J2G,
+    # K2, P1, V3, T6-T8) — every one graded green in CORRECTNESS_r03
 )
 
 
@@ -138,6 +133,7 @@ def load_all() -> None:
         key_synthesis,
         matrix,
         relational,
+        spatial,
         temporal,
         windows,
     )

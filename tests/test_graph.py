@@ -250,6 +250,55 @@ class TestTraversal:
         ]
 
 
+class TestConcurrentWriters:
+    def test_two_writers_last_save_wins(self, spark, seeded, tmp_path):
+        """Documents (not fixes) the multi-writer contract: GraphStore's
+        anti-join+union MERGE is correct SINGLE-writer — two writers that
+        both load the same stored graph, each add a node, and both
+        ``save()`` do NOT merge.  The second overwrite replaces the
+        first wholesale (plain parquet has no commit protocol), so
+        writer A's node is silently lost: last-write-wins, no error.
+        A real lakehouse table format (Delta/Iceberg/Hudi) adds the
+        missing pieces — atomic commit log, optimistic-concurrency
+        conflict detection, and a transactional MERGE INTO — which is
+        exactly what production would layer under ``save()``; see
+        SCALE.md.  The streaming ingest path (foreachBatch + checkpoint)
+        is single-writer by construction, so it is NOT exposed to this."""
+        from biodiversity_graph_db_spark.graph.store import GraphStore
+
+        base = str(tmp_path / "g")
+        seeded.save(base)
+
+        writer_a = GraphStore.load(spark, base)
+        writer_b = GraphStore.load(spark, base)
+        a2 = writer_a.add_nodes(
+            _nodes(spark, [("contextnode_writer_a", "ContextNode", "A")])
+        )
+        b2 = writer_b.add_nodes(
+            _nodes(spark, [("contextnode_writer_b", "ContextNode", "B")])
+        )
+        # each writer's own MERGE was correct in isolation
+        assert a2.nodes.where(F.col("key") == "contextnode_writer_a").count() == 1
+        assert b2.nodes.where(F.col("key") == "contextnode_writer_b").count() == 1
+
+        out_a = str(tmp_path / "out_a")
+        out_b = str(tmp_path / "out_b")
+        a2.save(out_a)
+        b2.save(out_b)
+        # sequential re-save to ONE path: materialize B's state first
+        # (parquet overwrite reads-then-clobbers its own input otherwise),
+        # then overwrite base — the last writer wins, A's node is gone
+        final = GraphStore.load(spark, out_b)
+        final.save(base)
+        merged = GraphStore.load(spark, base)
+        assert merged.nodes.where(
+            F.col("key") == "contextnode_writer_b"
+        ).count() == 1
+        assert merged.nodes.where(
+            F.col("key") == "contextnode_writer_a"
+        ).count() == 0  # lost update — the documented hazard
+
+
 class TestJsonRoundTrip:
     def test_jsonl_round_trip(self, spark, seeded, tmp_path):
         from biodiversity_graph_db_spark.graph import store as st

@@ -1,0 +1,157 @@
+"""Spatial layer (operators/spatial.py): promotion round-trip, an
+independent pure-Python ray-cast cross-check, and the scale-shape plan
+properties (stored-table bbox pushdown; no codegen blowup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.operators import spatial
+
+
+def _pip_python(lon: float, lat: float) -> bool:
+    """Textbook even-odd ray cast, written independently of the column
+    expression (different formulation: slope comparison per edge)."""
+    poly = spatial.QUERY_POLYGON
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > lat) != (y2 > lat):
+            x_cross = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+            if lon < x_cross:
+                inside = not inside
+    return inside
+
+
+class TestPromotion:
+    def test_dms_parse_golden(self, spark):
+        """40°26'46"N,79°58'56"W → (40.446111..., -79.982222...)."""
+        df = spark.createDataFrame(
+            [("k", "SiteDMS", None, None, "40°26'46\"N,79°58'56\"W", None)],
+            "key string, kind string, site_lat double, site_lon double,"
+            " dms string, wkt string",
+        ).withColumn("payload", F.lit("{}"))
+        row = spatial.promote_context_cols(df).collect()[0]
+        assert row.pt_lat == pytest.approx(40 + 26 / 60 + 46 / 3600)
+        assert row.pt_lon == pytest.approx(-(79 + 58 / 60 + 56 / 3600))
+        assert row.lat_min == row.lat_max == row.pt_lat
+
+    def test_wkt_bbox(self, spark):
+        df = spark.createDataFrame(
+            [
+                (
+                    "k",
+                    "Area",
+                    None,
+                    None,
+                    None,
+                    "POLYGON((10 -5,30 -5,30 5,10 5,10 -5))",
+                )
+            ],
+            "key string, kind string, site_lat double, site_lon double,"
+            " dms string, wkt string",
+        ).withColumn("payload", F.lit("{}"))
+        row = spatial.promote_context_cols(df).collect()[0]
+        assert (row.lon_min, row.lon_max) == (10.0, 30.0)
+        assert (row.lat_min, row.lat_max) == (-5.0, 5.0)
+        assert row.pt_lat is None  # polygons have no point location
+
+    def test_every_mint_row_promotes(self, spark, sf_dir):
+        promoted = spatial.promote_context_cols(
+            spatial.mint_context_nodes(spark, sf_dir)
+        )
+        bad = promoted.where(
+            F.col("lat_min").isNull()
+            | F.col("lat_max").isNull()
+            | F.col("lon_min").isNull()
+            | F.col("lon_max").isNull()
+        ).count()
+        assert bad == 0
+        kinds = {r.kind for r in promoted.select("kind").distinct().collect()}
+        assert kinds == {"Site", "SiteDMS", "Area"}
+
+
+class TestRayCast:
+    def test_matches_independent_python_raycast(self, spark, sf_dir):
+        """Column-expression parity classification == an independently
+        written Python ray cast, for every minted point location."""
+        promoted = spatial.promote_context_cols(
+            spatial.mint_context_nodes(spark, sf_dir)
+        )
+        pts = promoted.where(F.col("kind").isin("Site", "SiteDMS"))
+        got = pts.select(
+            "key",
+            "pt_lat",
+            "pt_lon",
+            spatial.point_in_query_polygon(
+                F.col("pt_lat"), F.col("pt_lon")
+            ).alias("inside"),
+        ).collect()
+        assert len(got) > 0
+        for r in got:
+            assert r.inside == _pip_python(r.pt_lon, r.pt_lat), r
+
+    def test_known_points(self, spark):
+        """Centroid-ish point in, far point out."""
+        df = spark.range(1).select(
+            spatial.point_in_query_polygon(F.lit(0.0), F.lit(0.0)).alias("a"),
+            spatial.point_in_query_polygon(F.lit(89.0), F.lit(170.0)).alias(
+                "b"
+            ),
+        )
+        row = df.collect()[0]
+        assert row.a is True and row.b is False
+
+
+class TestSpatialPlans:
+    def test_stored_bbox_filter_pushes_down(self, spark, sf_dir, tmp_path):
+        """The production path: promoted context parquet answers bbox
+        queries with pushed range predicates on plain double columns —
+        row-group min/max pruning at scale."""
+        path = str(tmp_path / "ctx")
+        spatial.promote_context_cols(
+            spatial.mint_context_nodes(spark, sf_dir)
+        ).write.parquet(path)
+        df = (
+            spark.read.parquet(path)
+            .where(
+                (F.col("lat_max") >= spatial.BBOX["lat_lo"])
+                & (F.col("lat_min") <= spatial.BBOX["lat_hi"])
+                & (F.col("lon_max") >= spatial.BBOX["lon_lo"])
+                & (F.col("lon_min") <= spatial.BBOX["lon_hi"])
+            )
+            .select("key", "kind")
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "GreaterThanOrEqual(lat_max,-30.0)" in plan
+        assert "LessThanOrEqual(lat_min,30.0)" in plan
+        assert "GreaterThanOrEqual(lon_max,-60.0)" in plan
+        assert "LessThanOrEqual(lon_min,60.0)" in plan
+        # column pruning: the payload JSON must not be read for a bbox hit
+        read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "payload" not in read_schema
+
+    def test_geo2_compiles_within_codegen_limits(self, spark, sf_dir):
+        """The fused mint+parse+ray-cast plan must stay inside
+        whole-stage codegen: with fallback disabled, a Janino 64 KB
+        blowup (the bug the projection barrier fixes) raises instead of
+        silently degrading to interpreted eval."""
+        from biodiversity_graph_db_spark import registry
+
+        registry.load_all()
+        old = spark.conf.get("spark.sql.codegen.fallback")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            rows = registry.QUERIES["GEO2_polygon_contains"](
+                spark, sf_dir
+            ).collect()
+            assert len(rows) > 0
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old)
