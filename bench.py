@@ -50,6 +50,14 @@ HEADLINE = [
     "T5_langid_ngram",
     "W5_tumbling_window",
     "W6_sliding_window",
+    # round 4 additions: scale-safe token rarity (rebuilt T13) and the
+    # spatial layer — benched so their cost is tracked; earlier rounds'
+    # comparable totals are the subsets above
+    "T13_rarity_score",
+    "GEO1_bbox_contexts",
+    "GEO2_polygon_contains",
+    "GEO3_points_in_areas",
+    "GEO4_radius_sites",
 ]
 
 
@@ -78,33 +86,72 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in registry.QUERIES]
 
-    # Each query runs twice; report the min.  The first run pays one-shot
-    # Catalyst analysis (~0.5-1.5 s for the wide-agg/iterative plans) —
-    # fixed driver latency that vanishes relative to execution at the
-    # 100 TB design point, and run-to-run noise on it exceeds most real
-    # plan differences.  min-of-2 measures steady-state execution.
+    # Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2); report the
+    # min.  The first run pays one-shot Catalyst analysis (~0.5-1.5 s for
+    # the wide-agg/iterative plans) — fixed driver latency that vanishes
+    # relative to execution at the 100 TB design point, and run-to-run
+    # noise on it exceeds most real plan differences.  min-of-N measures
+    # steady-state execution; SPARK_GRAFT_BENCH_VERBOSE=1 additionally
+    # emits every run so per-query variance is a recorded number
+    # (SCALE.md's noise-band table), not folklore.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        ts = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            ts.append(time.perf_counter() - t0)
+        timings[name] = round(min(ts), 3)
+        all_runs[name] = [round(t, 3) for t in ts]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": 2,
-            }
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": runs,
+    }
+
+    # ED2 split (VERDICT r3 item 4): the headline ED2 number is the
+    # write path (mint + JSON payload + promotion).  Persist the promoted
+    # edge table once, then time the stored-table scan separately — the
+    # promoted-column claim ("read path is a pushed columnar filter, no
+    # JSON") as a measured number.  Not added to `value` so the headline
+    # total stays comparable across rounds.
+    if "ED2_database_access_date" in timings:
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.operators.temporal import (
+            ed2_promoted_edges,
+            ed2_rollup,
         )
-    )
+
+        tmp = tempfile.mkdtemp(prefix="ed2_bench_")
+        try:
+            path = f"{tmp}/edges"
+            w0 = time.perf_counter()
+            ed2_promoted_edges(spark, sf_dir).write.parquet(path)
+            write_s = time.perf_counter() - w0
+            read_ts = []
+            for _ in range(runs):
+                r0 = time.perf_counter()
+                ed2_rollup(spark.read.parquet(path)).collect()
+                read_ts.append(time.perf_counter() - r0)
+            out["ed2_split"] = {
+                "ED2_write": round(write_s, 3),
+                "ED2_read": round(min(read_ts), 3),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+        out["all_runs"] = all_runs
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -79,6 +79,34 @@ def main() -> None:
         results["dedup_rows_per_sec"] = round(n_rows / dt, 1)
         results["dedup_sec"] = round(dt, 2)
 
+        # 2b) pretraining ingest with cross-batch NEAR-dup (MinHash band
+        # ledger) over the documents table — the round-4 pipeline stage
+        from biodiversity_graph_db_spark.streaming import pipeline
+
+        docs_dir = f"{tmp}/docs"
+        (
+            table(spark, sf_dir, "documents")
+            .repartitionByRange(n_files, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(docs_dir)
+        )
+        n_docs = spark.read.parquet(docs_dir).count()
+        t0 = time.perf_counter()
+        q = pipeline.run_pretraining_ingest_neardup(
+            pipeline.read_documents_stream(spark, docs_dir),
+            f"{tmp}/pretrain_out",
+            f"{tmp}/ckpt_neardup",
+        ).start()
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        results["neardup_docs_per_sec"] = round(n_docs / dt, 1)
+        results["neardup_sec"] = round(dt, 2)
+        results["neardup_docs"] = n_docs
+        results["neardup_kept"] = spark.read.parquet(
+            f"{tmp}/pretrain_out"
+        ).count()
+
         # 3) tumbling windowed agg → memory sink (stateful shuffle path)
         t0 = time.perf_counter()
         q = (

@@ -101,6 +101,38 @@ CTX_ORACLE_CTE = """
 """
 
 
+def normalize_dms(dms: Column) -> Column:
+    """Entry-format DMS → the canonical form ``promote_context_cols``
+    parses, as pure column expressions.  The reference's entry regex
+    (Types.fs:416-418, our validation.DMS_REGEX) accepts ``:`` or ``°``
+    degree separators, ``:``/``'``/``′`` minute separators, optional
+    fractional seconds, and ``"``/``″`` second marks; this rebuilds
+    ``D°M'S"H,D°M'S"H`` (missing seconds → 0, fraction preserved) and
+    returns NULL for strings the entry regex rejects.  Runs ONCE at the
+    ingest boundary — stored context tables carry the canonical string,
+    so the hot promote path never pays the 8-group regex."""
+    from biodiversity_graph_db_spark.functions.validation import DMS_REGEX
+
+    cleaned = F.translate(dms, "′″", "'\"")
+
+    def axis(d: int, m: int, s: int, h: int) -> Column:
+        sec = F.regexp_extract(cleaned, DMS_REGEX, s)
+        return F.concat(
+            F.regexp_extract(cleaned, DMS_REGEX, d),
+            F.lit("°"),
+            F.regexp_extract(cleaned, DMS_REGEX, m),
+            F.lit("'"),
+            F.when(sec == "", F.lit("0")).otherwise(sec),
+            F.lit("\""),
+            F.regexp_extract(cleaned, DMS_REGEX, h),
+        )
+
+    return F.when(
+        cleaned.rlike(DMS_REGEX),
+        F.concat(axis(1, 2, 3, 4), F.lit(","), axis(5, 6, 7, 8)),
+    )
+
+
 def mint_context_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ContextNodes carrying each SamplingLocation variant
     in its native stored form — DD doubles for Site, a DMS *string* for
@@ -206,6 +238,7 @@ def promote_context_cols(nodes: DataFrame) -> DataFrame:
         "key",
         "kind",
         "payload",
+        "wkt",  # kept for exact polygon tests downstream (GEO3)
         pt_lat.alias("pt_lat"),
         pt_lon.alias("pt_lon"),
         F.when(is_area, F.array_min(lats)).otherwise(pt_lat).alias("lat_min"),
@@ -316,6 +349,266 @@ def _pip_sql(lat: str, lon: str) -> str:
         expr = term if expr is None else f"({expr} <> {term})"
     assert expr is not None
     return expr
+
+
+def point_in_polygon_col(lat: Column, lon: Column, pts: Column) -> Column:
+    """Even-odd ray cast where the polygon is a COLUMN (array of
+    lon/lat structs from ``wkt_polygon_points``), via ``F.aggregate``
+    over the edge indices — the general form behind GEO3's spatial join
+    (the constant-polygon unroll can't apply when every row carries its
+    own polygon).  CodegenFallback (higher-order fn), so keep it AFTER
+    a cheap bucketing/bbox candidate cut, never on the full corpus.
+
+    Horizontal edges are safe: the crossing parity conjunct
+    ``(y1>py) != (y2>py)`` is False there, and Spark's three-valued
+    logic gives ``false AND <anything> = false``, so the dy division
+    never poisons the fold."""
+    n = F.size(pts)
+
+    def crossing(i: Column) -> Column:
+        p1 = F.element_at(pts, i + 1)
+        p2 = F.element_at(pts, i + 2)
+        y1, y2 = p1["lat"], p2["lat"]
+        x1, x2 = p1["lon"], p2["lon"]
+        return ((y1 > lat) != (y2 > lat)) & (
+            lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 2),
+        F.lit(False),
+        lambda acc, i: acc != crossing(i),
+    )
+
+
+#: Grid cell size (degrees) for the GEO3 spatial-join bucketing.
+GRID_DEG = 10.0
+
+
+@query(
+    "GEO3_points_in_areas",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE},
+    pts AS (
+      SELECT key, pt_lat, pt_lon FROM ctx_promoted
+      WHERE kind IN ('Site', 'SiteDMS')
+    ),
+    areas AS (
+      SELECT key AS area_key, lat_min, lat_max, lon_min, lon_max
+      FROM ctx_promoted WHERE kind = 'Area'
+    )
+    SELECT area_key,
+           COUNT(*) AS n_points,
+           MIN(p.key) AS first_point
+    FROM areas a JOIN pts p
+      ON  p.pt_lat >= a.lat_min AND p.pt_lat < a.lat_max
+      AND p.pt_lon >= a.lon_min AND p.pt_lon < a.lon_max
+    GROUP BY area_key
+    ORDER BY area_key
+    """,
+)
+def geo3_points_in_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial JOIN: for every Area context, the point contexts inside
+    its polygon — "which sites fall within each study region".  The
+    100 TB shape: both sides are bucketed onto a fixed lon/lat grid
+    (points → their cell; polygons → every cell their bbox overlaps, a
+    handful of rows each), the join is a plain EQUI-join on the cell id
+    (never a cartesian / nested-loop — plan-tested), and the exact
+    ray-cast (``point_in_polygon_col``) runs only on within-cell
+    candidates.  The same layout stores as bucketed tables for a
+    shuffle-free repeat join; production swaps the square grid for H3 /
+    Sedona partitioning with no change to the query shape.
+
+    The minted Areas are axis-aligned rectangles, so the DuckDB oracle
+    can state exact containment as half-open bbox predicates — which is
+    precisely the even-odd ray-cast semantics on a rectangle
+    ([lon_min, lon_max) × [lat_min, lat_max), boundary rules included),
+    making the general ray-cast path value-verified end-to-end."""
+    promoted = promote_context_cols(mint_context_nodes(spark, sf_dir))
+    pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
+        "key",
+        "pt_lat",
+        "pt_lon",
+        F.floor(F.col("pt_lon") / GRID_DEG).alias("cx"),
+        F.floor(F.col("pt_lat") / GRID_DEG).alias("cy"),
+    )
+    # barrier for the same fused-plan reason as GEO2 (the parse feeds
+    # the join key AND the candidate filter)
+    pts = pts.withColumn("_barrier", F.monotonically_increasing_id())
+    areas = (
+        promoted.where(F.col("kind") == "Area")
+        .select(
+            F.col("key").alias("area_key"),
+            wkt_polygon_points(F.col("wkt")).alias("poly"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lon_min") / GRID_DEG),
+                    F.floor(F.col("lon_max") / GRID_DEG),
+                )
+            ).alias("cx"),
+            "lat_min",
+            "lat_max",
+            "lon_min",
+            "lon_max",
+        )
+        .select(
+            "area_key",
+            "poly",
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lat_min") / GRID_DEG),
+                    F.floor(F.col("lat_max") / GRID_DEG),
+                )
+            ).alias("cy"),
+            "lat_min",
+            "lat_max",
+            "lon_min",
+            "lon_max",
+        )
+    )
+    # filter-refine: cheap codegen'd bbox predicates discard most
+    # within-cell candidates before the interpreted exact ray-cast runs
+    # (measured 4.4 s → bbox-survivors only at sf0.1)
+    cand = (
+        pts.where(F.col("_barrier") >= 0)
+        .join(areas, ["cx", "cy"])
+        .where(
+            F.col("pt_lat").between(F.col("lat_min"), F.col("lat_max"))
+            & F.col("pt_lon").between(F.col("lon_min"), F.col("lon_max"))
+        )
+        .dropDuplicates(["key", "area_key"])
+    )
+    inside = cand.where(
+        point_in_polygon_col(F.col("pt_lat"), F.col("pt_lon"), F.col("poly"))
+    )
+    return (
+        inside.groupBy("area_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("key").alias("first_point"),
+        )
+        .orderBy("area_key")
+    )
+
+
+#: Radius (degrees) for the GEO4 proximity join.
+RADIUS_DEG = 5.0
+
+
+@query(
+    "GEO4_radius_sites",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE},
+    pts AS (
+      SELECT key, pt_lat, pt_lon FROM ctx_promoted
+      WHERE kind IN ('Site', 'SiteDMS')
+    ),
+    areas AS (
+      SELECT key AS area_key,
+             (lat_min + lat_max) / 2.0 AS c_lat,
+             (lon_min + lon_max) / 2.0 AS c_lon
+      FROM ctx_promoted WHERE kind = 'Area'
+    ),
+    cand AS (
+      SELECT a.area_key, p.key,
+             (p.pt_lat - a.c_lat) * (p.pt_lat - a.c_lat)
+             + (p.pt_lon - a.c_lon) * (p.pt_lon - a.c_lon) AS d2
+      FROM areas a JOIN pts p
+        ON (p.pt_lat - a.c_lat) * (p.pt_lat - a.c_lat)
+           + (p.pt_lon - a.c_lon) * (p.pt_lon - a.c_lon)
+           <= {RADIUS_DEG * RADIUS_DEG}
+    ),
+    ranked AS (
+      SELECT area_key, key, d2,
+             ROW_NUMBER() OVER (PARTITION BY area_key
+                                ORDER BY d2, key) AS rk
+      FROM cand
+    )
+    SELECT c.area_key,
+           COUNT(*) AS n_sites,
+           {sql_dquant('MIN(c.d2)')} AS min_d2,
+           MIN(r.key) AS nearest_site
+    FROM cand c
+    JOIN ranked r ON r.area_key = c.area_key AND r.rk = 1
+    GROUP BY c.area_key
+    ORDER BY c.area_key
+    """,
+)
+def geo4_radius_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity join: point contexts within RADIUS_DEG of each Area
+    centroid, with the nearest site per area — "which sites lie near
+    each study region", the radius/nearest-neighbour query shape.
+
+    Same grid bucketing as GEO3, with the polygon's cell set expanded by
+    the radius (centroid bbox ± R), so the join stays a cell-id
+    EQUI-join and each candidate pays one codegen'd squared-distance
+    comparison.  Distance is squared-euclidean in DEGREE space —
+    deliberately transcendental-free so the DuckDB oracle hash-matches
+    bit-for-bit (libm sin/cos differ across engines in the last ulp);
+    production at geographic fidelity swaps in haversine or Sedona
+    ST_DWithin on the same bucketed layout, changing only the distance
+    expression.  Nearest-site selection is a single map-side-combinable
+    struct-min (min over (d2, key) tuples), not a window."""
+    promoted = promote_context_cols(mint_context_nodes(spark, sf_dir))
+    pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
+        "key",
+        "pt_lat",
+        "pt_lon",
+        F.floor(F.col("pt_lon") / GRID_DEG).alias("cx"),
+        F.floor(F.col("pt_lat") / GRID_DEG).alias("cy"),
+    )
+    pts = pts.withColumn("_barrier", F.monotonically_increasing_id())
+    c_lat = (F.col("lat_min") + F.col("lat_max")) / 2.0
+    c_lon = (F.col("lon_min") + F.col("lon_max")) / 2.0
+    areas = (
+        promoted.where(F.col("kind") == "Area")
+        .select(
+            F.col("key").alias("area_key"),
+            c_lat.alias("c_lat"),
+            c_lon.alias("c_lon"),
+            F.explode(
+                F.sequence(
+                    F.floor((c_lon - RADIUS_DEG) / GRID_DEG),
+                    F.floor((c_lon + RADIUS_DEG) / GRID_DEG),
+                )
+            ).alias("cx"),
+        )
+        .select(
+            "area_key",
+            "c_lat",
+            "c_lon",
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("c_lat") - RADIUS_DEG) / GRID_DEG),
+                    F.floor((F.col("c_lat") + RADIUS_DEG) / GRID_DEG),
+                )
+            ).alias("cy"),
+        )
+    )
+    d2 = (F.col("pt_lat") - F.col("c_lat")) * (
+        F.col("pt_lat") - F.col("c_lat")
+    ) + (F.col("pt_lon") - F.col("c_lon")) * (
+        F.col("pt_lon") - F.col("c_lon")
+    )
+    cand = (
+        pts.where(F.col("_barrier") >= 0)
+        .join(areas, ["cx", "cy"])
+        .dropDuplicates(["key", "area_key"])
+        .where(d2 <= RADIUS_DEG * RADIUS_DEG)
+        .select("area_key", "key", d2.alias("d2"))
+    )
+    nearest = F.min(F.struct(F.col("d2"), F.col("key")))
+    return (
+        cand.groupBy("area_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            dquant(F.min("d2")).alias("min_d2"),
+            nearest.getField("key").alias("nearest_site"),
+        )
+        .orderBy("area_key")
+    )
 
 
 @query(

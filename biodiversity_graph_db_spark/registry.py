@@ -53,6 +53,8 @@ PRIORITY: tuple[str, ...] = (
     "T13_rarity_score",
     "GEO1_bbox_contexts",
     "GEO2_polygon_contains",
+    "GEO3_points_in_areas",
+    "GEO4_radius_sites",
     # the 34 queries whose latest driver evidence is round 2 — all rotate
     # back in for current-round evidence (VERDICT r3 item 3)
     "A1_gen_statistics",
@@ -98,17 +100,16 @@ PRIORITY: tuple[str, ...] = (
     "ED2_database_access_date",
     "K1_source_keys",
     "D1_neardup_clusters",
-    "D2_semantic_dedup",
     "V4_ivf_neardup",
     "G2_hierarchy_closure",
     "G6_pagerank",
-    "T9_pii_detect",
     "C1_age_depth_interpolate",
     # past the window (all r3-green, local-parity covered every run):
-    # T4/T10/T11/T12 (T13 in-window covers the token family; all r3),
-    # D3, MM2, ED3, the r3-green relational/graph singles (F1/F3/F5-F9,
-    # O1/O3, U5/U6, X5/X7/X13, M2-M4, G1/G4, S14, W1_seed, W2, J2G,
-    # K2, P1, V3, T6-T8) — every one graded green in CORRECTNESS_r03
+    # T4/T9/T10/T11/T12 (T13 in-window covers the token family; all r3),
+    # D2/D3 (D1+V4 in-window run the LSH/IVF dedup pipelines), MM2, ED3,
+    # the r3-green relational/graph singles (F1/F3/F5-F9, O1/O3, U5/U6,
+    # X5/X7/X13, M2-M4, G1/G4, S14, W1_seed, W2, J2G, K2, P1, V3,
+    # T6-T8) — every one graded green in CORRECTNESS_r03
 )
 
 

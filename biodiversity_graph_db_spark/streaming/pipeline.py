@@ -130,3 +130,127 @@ def run_pretraining_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+# --- cross-batch NEAR-dup (MinHash band ledger) ----------------------------
+
+
+def doc_bands(prepared: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH rows for a prepared micro-batch —
+    the same fused single-shuffle banding as batch E2
+    (dedup.minhash_bands over unigram shingles)."""
+    from biodiversity_graph_db_spark.extensions.dedup import (
+        minhash_bands,
+        unigram_shingles,
+    )
+
+    return minhash_bands(
+        prepared.select(
+            "doc_id", unigram_shingles(F.col("text")).alias("shingles")
+        )
+    )
+
+
+def run_pretraining_ingest_neardup(
+    docs_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    min_quality: float = 0.5,
+):
+    """Pretraining ingest with cross-batch NEAR-duplicate suppression —
+    the fingerprint-ledger pattern generalized to MinHash LSH.
+
+    Keeper rule (order-independent given doc_id-monotone arrival, which
+    makes the stream equal its batch twin): a document is kept iff no
+    lower-doc_id document EVER SEEN shares any LSH band bucket with it.
+    The band ledger at ``{out}/_bands`` therefore records every seen
+    document's bands — kept AND dropped — because a rejected document
+    must not launder later near-copies of itself into the corpus (its
+    own keeper is transitively responsible only for ITS buckets, not the
+    rejected doc's other buckets).
+
+    Per micro-batch cost at 100 TB: one banding groupBy over the batch,
+    one left-semi join batch-bands → ledger partitioned on
+    (band, band_key), one ledger append — state grows with corpus bands
+    (≈4 rows/doc), never rescanned wholesale if the ledger is stored
+    bucketed by (band, band_key).  Exact-dup suppression (the fingerprint
+    anti-join) still runs first: it is cheaper and catches byte-identical
+    replays before the LSH stage spends shuffles on them."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prepared = prepare_documents(batch, min_quality)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        fresh = (
+            prepared.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("rk")
+        )
+        if _path_exists(spark, out_path):
+            seen = spark.read.parquet(out_path).select("fingerprint")
+            fresh = fresh.join(seen, "fingerprint", "left_anti")
+
+        # near-dup stage: bands for every doc surviving the exact stage
+        bands = doc_bands(fresh).localCheckpoint()
+        ledger_path = f"{out_path}/_bands"
+        # within-batch: keeper is the min doc_id of each bucket
+        bucket_min = bands.groupBy("band", "band_key").agg(
+            F.min("doc_id").alias("min_doc")
+        )
+        conflicted = (
+            bands.join(bucket_min, ["band", "band_key"])
+            .where(F.col("doc_id") > F.col("min_doc"))
+            .select("doc_id")
+        )
+        if _path_exists(spark, ledger_path):
+            # explicit schema: a survivor-free batch appends zero rows,
+            # and schema inference on a part-file-less dir would throw
+            prior = spark.read.schema(
+                "doc_id long, band int, band_key string"
+            ).parquet(ledger_path)
+            conflicted = conflicted.unionByName(
+                bands.join(
+                    prior, ["band", "band_key"], "left_semi"
+                ).select("doc_id")
+            )
+        fresh = fresh.join(conflicted.distinct(), "doc_id", "left_anti")
+        fresh.write.mode("append").partitionBy("split").parquet(out_path)
+        # ledger append AFTER the sink append: on crash-between, replay
+        # re-runs the batch, the exact anti-join removes already-written
+        # rows, and the ledger converges (duplicate band rows are
+        # harmless for a semi-join)
+        bands.write.mode("append").parquet(ledger_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def neardup_batch_twin(prepared: DataFrame) -> DataFrame:
+    """The batch-mode twin of the streaming keeper rule, for the
+    stream==batch equivalence test: keep a doc iff no lower doc_id
+    shares its fingerprint, and no lower doc_id (anywhere in the corpus)
+    shares any LSH band bucket."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    exact_kept = (
+        prepared.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    bands = doc_bands(exact_kept)
+    bucket_min = bands.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("min_doc")
+    )
+    conflicted = (
+        bands.join(bucket_min, ["band", "band_key"])
+        .where(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id")
+        .distinct()
+    )
+    return exact_kept.join(conflicted, "doc_id", "left_anti")

@@ -59,6 +59,37 @@ class TestPromotion:
         assert (row.lat_min, row.lat_max) == (-5.0, 5.0)
         assert row.pt_lat is None  # polygons have no point location
 
+    def test_normalize_dms_entry_formats(self, spark):
+        """Every entry format the reference's DMS regex accepts
+        (Types.fs:416-418: ':' or '°' separators, prime marks, optional
+        fractional seconds) must normalize to the canonical form the
+        promote parser reads; invalid strings → NULL."""
+        cases = [
+            ("40:26:46\"N,79:58:56\"W", "40°26'46\"N,79°58'56\"W"),
+            ("40°26′46.5″N,79°58′56″W", "40°26'46.5\"N,79°58'56\"W"),
+            ("40°26'46\"N,79°58'56\"W", "40°26'46\"N,79°58'56\"W"),
+            ("not a coordinate", None),
+            ("40°26'46\"X,79°58'56\"W", None),  # bad hemisphere
+        ]
+        df = spark.createDataFrame(cases, "raw string, want string").select(
+            "want", spatial.normalize_dms(F.col("raw")).alias("got")
+        )
+        for r in df.collect():
+            assert r.got == r.want, (r.got, r.want)
+
+    def test_normalized_entry_dms_promotes(self, spark):
+        """Entry-format DMS → normalize → promote round-trips to the
+        same decimal degrees as the canonical form, fraction included."""
+        df = spark.createDataFrame(
+            [("k", "SiteDMS", None, None, "40:26:46.5\"N,79:58:56\"W", None)],
+            "key string, kind string, site_lat double, site_lon double,"
+            " dms string, wkt string",
+        ).withColumn("payload", F.lit("{}"))
+        df = df.withColumn("dms", spatial.normalize_dms(F.col("dms")))
+        row = spatial.promote_context_cols(df).collect()[0]
+        assert row.pt_lat == pytest.approx(40 + 26 / 60 + 46.5 / 3600)
+        assert row.pt_lon == pytest.approx(-(79 + 58 / 60 + 56 / 3600))
+
     def test_every_mint_row_promotes(self, spark, sf_dir):
         promoted = spatial.promote_context_cols(
             spatial.mint_context_nodes(spark, sf_dir)
@@ -137,6 +168,58 @@ class TestSpatialPlans:
         # column pruning: the payload JSON must not be read for a bbox hit
         read_schema = plan.split("ReadSchema")[1].splitlines()[0]
         assert "payload" not in read_schema
+
+    def test_geo3_spatial_join_is_equi_join(self, spark, sf_dir):
+        """The points-in-areas join must be grid-cell bucketed: a plain
+        equi-join on (cx, cy), never a cartesian or nested-loop over
+        points × polygons."""
+        from biodiversity_graph_db_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES["GEO3_points_in_areas"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert df.count() > 0
+
+    def test_geo4_radius_join_is_equi_join(self, spark, sf_dir):
+        """The radius join must stay a grid-cell equi-join with a
+        codegen'd distance predicate — no cartesian/BNLJ, and the
+        nearest-site pick is an aggregate (struct-min), not a window."""
+        from biodiversity_graph_db_spark import registry
+
+        registry.load_all()
+        df = registry.QUERIES["GEO4_radius_sites"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" not in plan  # struct-min, map-side combinable
+        assert df.count() > 0
+
+    def test_pip_column_matches_constant_unroll(self, spark, sf_dir):
+        """point_in_polygon_col (the F.aggregate general form) must agree
+        with the unrolled constant-polygon ray cast on the same pentagon
+        for every minted point."""
+        promoted = spatial.promote_context_cols(
+            spatial.mint_context_nodes(spark, sf_dir)
+        )
+        ring = list(spatial.QUERY_POLYGON) + [spatial.QUERY_POLYGON[0]]
+        poly = F.array(
+            *[
+                F.struct(F.lit(x).alias("lon"), F.lit(y).alias("lat"))
+                for x, y in ring
+            ]
+        )
+        pts = promoted.where(F.col("kind").isin("Site", "SiteDMS"))
+        diff = pts.select(
+            spatial.point_in_query_polygon(
+                F.col("pt_lat"), F.col("pt_lon")
+            ).alias("a"),
+            spatial.point_in_polygon_col(
+                F.col("pt_lat"), F.col("pt_lon"), poly
+            ).alias("b"),
+        ).where(F.col("a") != F.col("b"))
+        assert diff.count() == 0
 
     def test_geo2_compiles_within_codegen_limits(self, spark, sf_dir):
         """The fused mint+parse+ray-cast plan must stay inside

@@ -13,6 +13,21 @@ from biodiversity_graph_db_spark.streaming import ingest
 from biodiversity_graph_db_spark.tables import table
 
 
+def _force_monotone_arrival(docs_dir: str) -> None:
+    """Pin ascending mtimes on the range-partitioned part files (name
+    order == doc_id-range order) so FileStreamSource, which orders
+    batches by modification time, delivers them doc_id-monotone — the
+    parallel write leaves mtimes in arbitrary order otherwise, and the
+    near-dup keeper rule (first arrival == min doc_id) needs the order."""
+    import glob
+    import os
+    import time
+
+    now = time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{docs_dir}/part-*.parquet"))):
+        os.utime(p, (now + i, now + i))
+
+
 @pytest.fixture(scope="module")
 def events_dir(spark, sf_dir):
     """Copy events into a plain directory the file-source can stream,
@@ -237,6 +252,7 @@ class TestPretrainingIngest:
                 .write.mode("overwrite")
                 .parquet(docs_dir)
             )
+            _force_monotone_arrival(docs_dir)
             q = pipeline.run_pretraining_ingest(
                 pipeline.read_documents_stream(spark, docs_dir),
                 out,
@@ -300,8 +316,89 @@ class TestPretrainingIngest:
                 .write.mode("overwrite")
                 .parquet(docs_dir)
             )
+            _force_monotone_arrival(docs_dir)
             for ckpt in ("ckpt1", "ckpt2"):
                 q = pipeline.run_pretraining_ingest(
+                    pipeline.read_documents_stream(spark, docs_dir),
+                    out,
+                    f"{tmp}/{ckpt}",
+                ).start()
+                q.awaitTermination(300)
+                if ckpt == "ckpt1":
+                    n1 = spark.read.parquet(out).count()
+            assert spark.read.parquet(out).count() == n1
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_stream_neardup_matches_batch(self, spark, sf_dir):
+        """Cross-batch NEAR-dup (MinHash band ledger, VERDICT r3 item 7):
+        the streamed corpus must equal the batch twin's keeper set —
+        keep a doc iff no lower doc_id shares its fingerprint or any LSH
+        band bucket — across multiple micro-batches (maxFilesPerTrigger=1
+        over doc_id-ordered files, so first arrival == min doc_id)."""
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import pipeline
+        from biodiversity_graph_db_spark.tables import table
+
+        tmp = tempfile.mkdtemp(prefix="pretrain_neardup_")
+        docs_dir = f"{tmp}/docs"
+        out = f"{tmp}/out"
+        try:
+            (
+                table(spark, sf_dir, "documents")
+                .repartitionByRange(4, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(docs_dir)
+            )
+            _force_monotone_arrival(docs_dir)
+            q = pipeline.run_pretraining_ingest_neardup(
+                pipeline.read_documents_stream(spark, docs_dir),
+                out,
+                f"{tmp}/ckpt",
+            ).start()
+            q.awaitTermination(300)
+            got = spark.read.parquet(out)
+            want = pipeline.neardup_batch_twin(
+                pipeline.prepare_documents(spark.read.parquet(docs_dir))
+            )
+            assert got.count() == want.count()
+            assert (
+                got.select("doc_id")
+                .exceptAll(want.select("doc_id"))
+                .isEmpty()
+            )
+            assert got.count() <= spark.read.parquet(docs_dir).count()
+            # the band ledger recorded every post-exact-stage doc (kept
+            # and near-dropped), 4 band rows each
+            ledger = spark.read.parquet(f"{out}/_bands")
+            assert ledger.select("doc_id").distinct().count() >= got.count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_stream_neardup_restart_idempotent(self, spark, sf_dir):
+        """Replaying the whole source with a fresh checkpoint must leave
+        the near-dup-ingested corpus unchanged (exact anti-join absorbs
+        replayed rows before the band stage can see them)."""
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import pipeline
+        from biodiversity_graph_db_spark.tables import table
+
+        tmp = tempfile.mkdtemp(prefix="pretrain_neardup_restart_")
+        docs_dir = f"{tmp}/docs"
+        out = f"{tmp}/out"
+        try:
+            (
+                table(spark, sf_dir, "documents")
+                .repartitionByRange(2, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(docs_dir)
+            )
+            for ckpt in ("ckpt1", "ckpt2"):
+                q = pipeline.run_pretraining_ingest_neardup(
                     pipeline.read_documents_stream(spark, docs_dir),
                     out,
                     f"{tmp}/{ckpt}",
