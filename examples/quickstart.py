@@ -103,6 +103,22 @@ def main() -> None:
                     n_probe=2, k=5)
     hits.orderBy("q_id", "rank").show()
 
+    # 7. Spatial: promote sampling locations once, then bbox + polygon
+    from biodiversity_graph_db_spark.operators import spatial
+
+    ctx = spatial.promote_context_cols(
+        spatial.mint_context_nodes(spark, SF_DIR)
+    )
+    in_box = ctx.where(
+        (F.col("lat_max") >= -30) & (F.col("lat_min") <= 30)
+        & (F.col("lon_max") >= -60) & (F.col("lon_min") <= 60)
+    )
+    print("contexts intersecting the viewport:", in_box.count())
+    in_poly = ctx.where(F.col("kind").isin("Site", "SiteDMS")).where(
+        spatial.point_in_query_polygon(F.col("pt_lat"), F.col("pt_lon"))
+    )
+    print("point contexts inside the study polygon:", in_poly.count())
+
     spark.stop()
 
 

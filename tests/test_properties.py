@@ -245,3 +245,70 @@ def test_ivf_assign_matches_column_expression(spark):
         .collect()
     }
     assert got == want
+
+
+# --- spatial ray-cast vs independent Python model --------------------------
+
+
+@st.composite
+def _polygon_and_points(draw):
+    """A random closed polygon (3-7 vertices, may be self-intersecting —
+    even-odd parity is well-defined for any closed polyline) plus a
+    batch of random probe points."""
+    coord = st.tuples(
+        st.floats(-170, 170, allow_nan=False).map(lambda v: round(v, 3)),
+        st.floats(-85, 85, allow_nan=False).map(lambda v: round(v, 3)),
+    )
+    verts = draw(st.lists(coord, min_size=3, max_size=7))
+    pts = draw(st.lists(coord, min_size=5, max_size=20))
+    return verts, pts
+
+
+def _model_raycast(poly, lon, lat):
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > lat) != (y2 > lat):
+            if lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+                inside = not inside
+    return inside
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_polygon_and_points())
+def test_point_in_polygon_col_matches_model(spark, data):
+    """point_in_polygon_col (F.aggregate even-odd ray cast) must agree
+    with an independent Python implementation on arbitrary polygons —
+    including concave and self-intersecting rings — for every probe."""
+    from biodiversity_graph_db_spark.operators import spatial
+
+    verts, pts = data
+    ring = verts + [verts[0]]  # close the ring, as WKT does
+    poly = F.array(
+        *[
+            F.struct(F.lit(x).alias("lon"), F.lit(y).alias("lat"))
+            for x, y in ring
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, lon, lat) for i, (lon, lat) in enumerate(pts)],
+        "id long, lon double, lat double",
+    )
+    got = {
+        r.id: r.inside
+        for r in df.select(
+            "id",
+            spatial.point_in_polygon_col(
+                F.col("lat"), F.col("lon"), poly
+            ).alias("inside"),
+        ).collect()
+    }
+    for i, (lon, lat) in enumerate(pts):
+        want = _model_raycast(ring, lon, lat)
+        assert got[i] == want, (verts, (lon, lat), got[i], want)

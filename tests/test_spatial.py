@@ -221,6 +221,31 @@ class TestSpatialPlans:
         ).where(F.col("a") != F.col("b"))
         assert diff.count() == 0
 
+    def test_stored_context_table_partition_prunes(self, spark, sf_dir, tmp_path):
+        """The lon_band-partitioned store: a bbox read must (a) return
+        exactly what the unpartitioned filter returns and (b) carry the
+        band range as a PARTITION filter, so unmatched bands are pruned
+        at the directory level before any file opens."""
+        promoted = spatial.promote_context_cols(
+            spatial.mint_context_nodes(spark, sf_dir)
+        )
+        path = str(tmp_path / "ctx_banded")
+        spatial.write_context_table(promoted, path)
+        box = dict(lat_lo=-30.0, lat_hi=30.0, lon_lo=-60.0, lon_hi=60.0)
+        got = spatial.read_contexts_bbox(spark, path, **box)
+        want = promoted.where(
+            (F.col("lat_max") >= box["lat_lo"])
+            & (F.col("lat_min") <= box["lat_hi"])
+            & (F.col("lon_max") >= box["lon_lo"])
+            & (F.col("lon_min") <= box["lon_hi"])
+        )
+        assert sorted(r.key for r in got.select("key").collect()) == sorted(
+            r.key for r in want.select("key").collect()
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "lon_band" in plan.split("PartitionFilters")[1].split("]")[0]
+
     def test_geo2_compiles_within_codegen_limits(self, spark, sf_dir):
         """The fused mint+parse+ray-cast plan must stay inside
         whole-stage codegen: with fallback disabled, a Janino 64 KB
