@@ -156,26 +156,38 @@ def run_pretraining_ingest_neardup(
     out_path: str,
     checkpoint: str,
     min_quality: float = 0.5,
+    fail_once_marker: str | None = None,
 ):
     """Pretraining ingest with cross-batch NEAR-duplicate suppression —
     the fingerprint-ledger pattern generalized to MinHash LSH.
 
     Keeper rule (order-independent given doc_id-monotone arrival, which
-    makes the stream equal its batch twin): a document is kept iff no
-    lower-doc_id document EVER SEEN shares any LSH band bucket with it.
-    The band ledger at ``{out}/_bands`` therefore records every seen
-    document's bands — kept AND dropped — because a rejected document
-    must not launder later near-copies of itself into the corpus (its
-    own keeper is transitively responsible only for ITS buckets, not the
-    rejected doc's other buckets).
+    makes the stream equal its batch twin): a document is kept iff NO
+    STRICTLY-SMALLER doc_id ever seen shares any LSH band bucket with
+    it — evaluated as ONE rule against (ledger ∪ own batch's bands), so
+    within-batch and cross-batch conflicts need no separate logic.  The
+    band ledger at ``{out}/_bands`` records every seen document's bands —
+    kept AND dropped — because a rejected document must not launder later
+    near-copies of itself into the corpus.
+
+    Crash-replay safety hangs on the STRICT inequality: the replayed
+    batch's own bands may already sit in the ledger (crash after the
+    ledger append) without self-conflicting, and the survivor set is
+    recomputed from the same deterministic inputs regardless of which
+    append committed — a crash between sink and ledger appends replays
+    to the identical survivor set, which the exact fingerprint anti-join
+    then removes (no duplicates), after which the ledger converges.  A
+    bucket-keeper rule (min doc_id per bucket among the batch) would NOT
+    be replay-safe: after a crash-between, the already-written keepers
+    are anti-joined out of the batch and the rule would promote the
+    next-smallest near-dup to keeper.
 
     Per micro-batch cost at 100 TB: one banding groupBy over the batch,
-    one left-semi join batch-bands → ledger partitioned on
-    (band, band_key), one ledger append — state grows with corpus bands
-    (≈4 rows/doc), never rescanned wholesale if the ledger is stored
-    bucketed by (band, band_key).  Exact-dup suppression (the fingerprint
-    anti-join) still runs first: it is cheaper and catches byte-identical
-    replays before the LSH stage spends shuffles on them."""
+    one equi-join batch-bands → (band, band_key)-bucketed ledger with a
+    doc_id inequality post-filter, one ledger append — state grows with
+    corpus bands (≈4 rows/doc), never rescanned wholesale when stored
+    bucketed.  Exact-dup suppression (the fingerprint anti-join) still
+    runs on the sink side: it is what makes replayed appends idempotent."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -188,39 +200,45 @@ def run_pretraining_ingest_neardup(
             .where(F.col("rk") == 1)
             .drop("rk")
         )
-        if _path_exists(spark, out_path):
-            seen = spark.read.parquet(out_path).select("fingerprint")
-            fresh = fresh.join(seen, "fingerprint", "left_anti")
 
-        # near-dup stage: bands for every doc surviving the exact stage
         bands = doc_bands(fresh).localCheckpoint()
         ledger_path = f"{out_path}/_bands"
-        # within-batch: keeper is the min doc_id of each bucket
-        bucket_min = bands.groupBy("band", "band_key").agg(
-            F.min("doc_id").alias("min_doc")
-        )
-        conflicted = (
-            bands.join(bucket_min, ["band", "band_key"])
-            .where(F.col("doc_id") > F.col("min_doc"))
-            .select("doc_id")
-        )
+        all_bands = bands
         if _path_exists(spark, ledger_path):
             # explicit schema: a survivor-free batch appends zero rows,
             # and schema inference on a part-file-less dir would throw
-            prior = spark.read.schema(
-                "doc_id long, band int, band_key string"
-            ).parquet(ledger_path)
-            conflicted = conflicted.unionByName(
-                bands.join(
-                    prior, ["band", "band_key"], "left_semi"
-                ).select("doc_id")
+            all_bands = all_bands.unionByName(
+                spark.read.schema(
+                    "doc_id long, band int, band_key string"
+                ).parquet(ledger_path)
             )
-        fresh = fresh.join(conflicted.distinct(), "doc_id", "left_anti")
+        conflicted = (
+            bands.alias("b")
+            .join(
+                all_bands.alias("l"),
+                (F.col("b.band") == F.col("l.band"))
+                & (F.col("b.band_key") == F.col("l.band_key"))
+                & (F.col("l.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        fresh = fresh.join(conflicted, "doc_id", "left_anti")
+        if _path_exists(spark, out_path):
+            seen = spark.read.parquet(out_path).select("fingerprint")
+            fresh = fresh.join(seen, "fingerprint", "left_anti")
         fresh.write.mode("append").partitionBy("split").parquet(out_path)
-        # ledger append AFTER the sink append: on crash-between, replay
-        # re-runs the batch, the exact anti-join removes already-written
-        # rows, and the ledger converges (duplicate band rows are
-        # harmless for a semi-join)
+        if fail_once_marker is not None:
+            # crash injection for the replay test: die in the exact
+            # window the docstring reasons about — sink committed,
+            # ledger (and checkpoint) not
+            import os
+
+            if os.path.exists(fail_once_marker):
+                os.remove(fail_once_marker)
+                raise RuntimeError(
+                    "injected crash between sink and ledger appends"
+                )
         bands.write.mode("append").parquet(ledger_path)
 
     return (

@@ -377,6 +377,71 @@ class TestPretrainingIngest:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_stream_neardup_exactly_once_after_crash(self, spark, sf_dir):
+        """Crash in the WORST window — after a batch's sink append,
+        before its ledger append and checkpoint commit.  Restarting from
+        the same checkpoint must converge to exactly the batch twin's
+        keeper set: the strict-inequality conflict rule recomputes the
+        identical survivor set on replay and the exact anti-join absorbs
+        the duplicate append (the bucket-keeper formulation this
+        replaced would have promoted a suppressed near-dup here)."""
+        import os
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import pipeline
+        from biodiversity_graph_db_spark.tables import table
+
+        tmp = tempfile.mkdtemp(prefix="pretrain_neardup_crash_")
+        docs_dir = f"{tmp}/docs"
+        out = f"{tmp}/out"
+        ckpt = f"{tmp}/ckpt"
+        marker = f"{tmp}/crash_once"
+        open(marker, "w").close()
+        try:
+            (
+                table(spark, sf_dir, "documents")
+                .repartitionByRange(4, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(docs_dir)
+            )
+            _force_monotone_arrival(docs_dir)
+            q = pipeline.run_pretraining_ingest_neardup(
+                pipeline.read_documents_stream(spark, docs_dir),
+                out,
+                ckpt,
+                fail_once_marker=marker,
+            ).start()
+            try:
+                q.awaitTermination(300)
+                crashed = False
+            except Exception as exc:
+                crashed = "injected crash" in str(exc)
+            assert crashed, "expected the injected crash"
+            assert not os.path.exists(marker)
+            # restart from the SAME checkpoint: replays the crashed
+            # epoch, drains the rest
+            q2 = pipeline.run_pretraining_ingest_neardup(
+                pipeline.read_documents_stream(spark, docs_dir),
+                out,
+                ckpt,
+            ).start()
+            q2.awaitTermination(300)
+            got = spark.read.parquet(out)
+            want = pipeline.neardup_batch_twin(
+                pipeline.prepare_documents(spark.read.parquet(docs_dir))
+            )
+            assert got.count() == want.count()
+            assert (
+                got.select("doc_id").exceptAll(want.select("doc_id")).isEmpty()
+            )
+            # and no doc was ingested twice
+            assert (
+                got.groupBy("doc_id").count().where("count > 1").count() == 0
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def test_stream_neardup_restart_idempotent(self, spark, sf_dir):
         """Replaying the whole source with a fresh checkpoint must leave
         the near-dup-ingested corpus unchanged (exact anti-join absorbs
