@@ -58,6 +58,8 @@ HEADLINE = [
     "GEO2_polygon_contains",
     "GEO3_points_in_areas",
     "GEO4_radius_sites",
+    "T14_chunking",
+    "T15_packing_stats",
 ]
 
 

@@ -938,3 +938,143 @@ def t13_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- training-sequence preparation: chunking + packing ---------------------
+
+CHUNK_TOKENS = 50  # tokens per chunk
+CHUNK_OVERLAP = 10  # tokens shared between consecutive chunks
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "T14_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 100
+    ),
+    n AS (
+      SELECT doc_id, toks,
+             GREATEST(1, CAST(CEIL((len(toks) - {CHUNK_OVERLAP})
+                                   / {_STRIDE}.0) AS BIGINT)) AS n_chunks
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id * {_STRIDE} + 1
+                         : chunk_id * {_STRIDE} + {CHUNK_TOKENS}])
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[chunk_id * {_STRIDE} + 1
+                                : chunk_id * {_STRIDE} + {CHUNK_TOKENS}],
+                           ' ') AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def t14_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — long documents split into
+    fixed-token training chunks with overlap (the step between corpus
+    curation and tokenization in every pretraining pipeline).  Pure
+    column expressions: one split per row, a ``sequence`` +
+    ``posexplode``-style fan-out sized by the chunk arithmetic, and
+    per-chunk ``slice``/``concat_ws`` — no UDF, no shuffle before the
+    output sort, 1→N fan-out entirely inside the row's own task.  At
+    100 TB this is embarrassingly parallel map work; chunk row count is
+    bounded by corpus_tokens / stride regardless of document skew (one
+    pathological 10 GB doc fans out in its own task without touching its
+    neighbours)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = tokens(F.trim(F.col("text")))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - CHUNK_OVERLAP) / float(_STRIDE)).cast("long"),
+    )
+    chunks = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    sl = F.slice(
+        F.col("toks"),
+        (F.col("chunk_id") * _STRIDE + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+SEQ_LEN = 512  # packing bin capacity (tokens)
+
+
+@query(
+    "T15_packing_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS off
+      FROM d
+    )
+    SELECT lang,
+           CAST(FLOOR(off / {SEQ_LEN}.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           {sql_dquant(f'SUM(n_tokens) / {SEQ_LEN}.0')} AS fill_ratio
+    FROM o
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+)
+def t15_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing assignment + fill statistics: documents are
+    packed greedily in doc_id order into SEQ_LEN-token bins (the
+    standard "concat then split into training sequences" model — a doc
+    belongs to the bin its start offset falls in), per language here.
+
+    Scale shape: the running-offset window partitions by ``lang`` —
+    production packs per DATA SHARD exactly like this (the window's
+    partition key becomes the shard id), so the cumulative sum never
+    crosses a partition and never plans a single-partition window; the
+    per-bin rollup is an ordinary map-side-combinable groupBy.  Trainers
+    that pack per-file at 100 TB run this identical plan with
+    thousands of window partitions."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count(F.trim(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.withColumn("bin", F.floor(off / float(SEQ_LEN)))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            dquant(F.sum("n_tokens") / float(SEQ_LEN)).alias("fill_ratio"),
+        )
+        .orderBy("lang", "bin")
+    )
