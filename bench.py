@@ -60,6 +60,8 @@ HEADLINE = [
     "GEO4_radius_sites",
     "T14_chunking",
     "T15_packing_stats",
+    "T16_mix_sampling",
+    "T17_corpus_cube",
 ]
 
 

@@ -1078,3 +1078,144 @@ def t15_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+# --- data mixture + corpus cube --------------------------------------------
+
+
+def mix_bucket(doc_id: Column) -> Column:
+    """Deterministic 0-99 sampling bucket, salted differently from the
+    train/val/test split so mixture sampling and split assignment are
+    independent coin flips (same md5 idiom as ``split_bucket``)."""
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("mix_"), doc_id.cast("string"))), 1, 8
+    )
+    return F.conv(hex8, 16, 10).cast("long") % 100
+
+
+def source_weight_pct(source: Column) -> Column:
+    """Per-source sampling weight (percent).  Derived deterministically
+    from the source id here (four weight tiers); production supplies a
+    curated weights table and broadcast-joins it — the sampling
+    expression is identical either way."""
+    tier = F.substring(source, 4, 10).cast("int") % 4
+    return (
+        F.when(tier == 0, F.lit(100))
+        .when(tier == 1, F.lit(75))
+        .when(tier == 2, F.lit(50))
+        .otherwise(F.lit(25))
+    )
+
+
+@query(
+    "T16_mix_sampling",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CASE CAST(substr(source, 4) AS INT) % 4
+               WHEN 0 THEN 100 WHEN 1 THEN 75 WHEN 2 THEN 50
+               ELSE 25 END AS weight_pct,
+             CAST(('0x' || substr(md5('mix_' || doc_id), 1, 8)) AS BIGINT)
+               % 100 AS bucket,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(weight_pct) AS BIGINT) AS weight_pct,
+           COUNT(*) AS n_docs_in,
+           CAST(SUM(CASE WHEN bucket < weight_pct THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN bucket < weight_pct THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS n_tokens_kept
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t16_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling: each source is down-sampled
+    to its mixture weight by a salted hash bucket — the standard way a
+    pretraining run re-weights web/books/code sources.  Stable under
+    reprocessing and partitioning (hash of the doc key, never random()),
+    independent of the train/val/test split (different salt), and pure
+    column expressions into one map-side-combinable rollup — at 100 TB
+    the keep-decision is computed in the scan and the per-source audit
+    is one shuffle on |sources| groups."""
+    d = table(spark, sf_dir, "documents")
+    keep = mix_bucket(F.col("doc_id")) < source_weight_pct(F.col("source"))
+    return (
+        d.select(
+            "source",
+            source_weight_pct(F.col("source")).alias("w"),
+            keep.cast("long").alias("kept"),
+            (
+                keep.cast("long") * token_count(F.trim(F.col("text")))
+            ).alias("kept_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("w").cast("long").alias("weight_pct"),
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum("kept").cast("long").alias("n_docs_kept"),
+            F.sum("kept_tokens").cast("long").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "T17_corpus_cube",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             CASE WHEN CAST(('0x' || substr(md5('doc_' || doc_id), 1, 8))
+                       AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('doc_' || doc_id), 1, 8))
+                       AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(split, 'ALL') AS split,
+           CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+           CAST(GROUPING(split) AS BIGINT) AS g_split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM d
+    GROUP BY CUBE (lang, split)
+    ORDER BY g_lang, g_split, lang, split
+    """,
+)
+def t17_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition CUBE: docs/tokens at every (lang × split)
+    granularity — per-cell, per-lang, per-split, and grand total in ONE
+    pass (`df.cube`), the dashboard rollup a data curation team watches.
+    Spark expands the cube map-side (each row contributes to its 4
+    grouping sets in the partial aggregate), so it is one shuffle over
+    ≤ 4×|cells| groups — strictly cheaper than 4 separate groupBys at
+    any scale.  GROUPING() flags disambiguate real values from rollup
+    rows (the standard trick, since a lang could itself be 'ALL')."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        split_name(F.col("doc_id")).alias("split"),
+        token_count(F.trim(F.col("text"))).alias("n_tokens"),
+    )
+    return (
+        d.cube("lang", "split")
+        .agg(
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.grouping("split").cast("long").alias("g_split"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("split"), F.lit("ALL")).alias("split"),
+            "g_lang",
+            "g_split",
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("g_lang", "g_split", "lang", "split")
+    )

@@ -49,7 +49,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 PRIORITY: tuple[str, ...] = (
     # NEW or FIXED this round — must show driver-green (VERDICT r3 items
     # 1-2): T13's vocab ranking rebuilt scale-safe (its FIRST driver
-    # grade), the spatial layer (GEO1-4), chunking + packing (T14/T15)
+    # grade), the spatial layer (GEO1-4), training-sequence prep
+    # (T14/T15) and mixture sampling / corpus cube (T16/T17)
     "T13_rarity_score",
     "GEO1_bbox_contexts",
     "GEO2_polygon_contains",
@@ -57,6 +58,8 @@ PRIORITY: tuple[str, ...] = (
     "GEO4_radius_sites",
     "T14_chunking",
     "T15_packing_stats",
+    "T16_mix_sampling",
+    "T17_corpus_cube",
     # the 34 queries whose latest driver evidence is round 2 — all rotate
     # back in for current-round evidence (VERDICT r3 item 3)
     "A1_gen_statistics",
@@ -98,14 +101,13 @@ PRIORITY: tuple[str, ...] = (
     "Q1_pricing_summary",
     "W4_sessionize",
     "G9_label_propagation",
-    "ED2_database_access_date",
-    "K1_source_keys",
     "D1_neardup_clusters",
     "V4_ivf_neardup",
     "G6_pagerank",
     "C1_age_depth_interpolate",
     # past the window (all r3-green, local-parity covered every run;
-    # W1/G2 rotated out this round to make room — both r3-green):
+    # W1/G2/ED2/K1 rotated out this round to make room — all r3-green,
+    # ED2 additionally carries the round-4 write/read bench split):
     # T4/T9/T10/T11/T12 (T13 in-window covers the token family; all r3),
     # D2/D3 (D1+V4 in-window run the LSH/IVF dedup pipelines), MM2, ED3,
     # the r3-green relational/graph singles (F1/F3/F5-F9, O1/O3, U5/U6,
