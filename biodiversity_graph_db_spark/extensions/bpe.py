@@ -1,0 +1,217 @@
+"""Distributed BPE tokenizer training — the learn-the-merges step of
+byte-pair encoding, run as Spark jobs over the corpus.
+
+Every pretraining pipeline trains a tokenizer before it tokenizes;
+at 100 TB the pair-counting pass is a corpus-scale aggregation, not a
+single-machine loop, so the engine supplies it as an operator.  The
+classic algorithm (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units"): represent each distinct word as a
+symbol sequence (initially characters), repeatedly count adjacent
+symbol pairs weighted by word frequency, merge the most frequent pair
+corpus-wide, emit the merge table.
+
+Spark shape, per merge step:
+
+- **Pair counting** is one map-side-combinable groupBy over the
+  exploded adjacent pairs of the word-type table — NOT the raw corpus:
+  the working set is |distinct words| rows (Zipf-bounded, ~10^7 for a
+  web corpus) with an attached frequency, so 100 TB of text collapses
+  to a small table after the one up-front word-count aggregation.
+- **Winner selection** is ``orderBy(count).limit(1)`` —
+  TakeOrderedAndProject (partial per-partition top-1, single-row
+  reduce), never a global sort (the T13 lesson).  Deterministic
+  tie-break on (count DESC, left, right).
+- **The merge** applies to every word via a broadcast 1-row cross join
+  + literal string ``replace`` — pure map work, no shuffle.  Words are
+  held as space-joined symbol strings (the canonical BPE trick), so
+  "merge pair (a,b)" is ``replace(' a b ' → ' ab ')``; because a
+  replacement consumes the boundary space, immediately-adjacent
+  occurrences need further passes, so ``_MERGE_PASSES`` fixed passes
+  are applied — enough to reach the replace FIXED POINT for any word
+  with same-symbol runs far beyond natural text.  That fixed point is
+  the merge semantics: deterministic, identical in Spark / DuckDB /
+  Python (all ``replace`` are leftmost-non-overlapping; unit-tested
+  against the Python fixed point).  On odd same-symbol runs it can
+  pair differently from strict one-symbol-at-a-time greedy scan — a
+  tie among equal-count merges that the classic implementations
+  (subword-nmt's single-pass ``re.sub``, HuggingFace's iterative
+  scan) also resolve differently from each other.
+- Each step's corpus is ``localCheckpoint``-ed (the G9/LPA iterative
+  pattern): K chained merge steps stay K independent small jobs instead
+  of one 4-deep recomputed lineage.
+
+The oracle is the same algorithm unrolled in SQL (cf. G9's unrolled
+label-propagation oracle), so every step's winning pair and count are
+value-verified against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.extensions.textstats import tokens
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+#: merge iterations trained / verified by the T18 oracle row.
+BPE_STEPS = 4
+#: fixed literal-replace passes per merge (adjacent-occurrence fixup).
+_MERGE_PASSES = 8
+
+
+def _word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(wstr, freq): distinct lowercase whitespace words of the corpus
+    as space-joined character strings with corpus frequencies — the
+    one corpus-scale pass; everything after works on word TYPES."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = d.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).where(F.col("w") != "")
+    words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # " a b c " — every symbol space-wrapped so merges are literal
+    # string replaces with exact element boundaries
+    return words.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+        ).alias("wstr"),
+        "freq",
+    )
+
+
+def _top_pair(corpus: DataFrame) -> DataFrame:
+    """Most frequent adjacent symbol pair (1 row), deterministically."""
+    a = F.split(F.trim(F.col("wstr")), " ")
+    pairs = (
+        corpus.select(a.alias("a"), "freq")
+        .where(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(a, 1, size(a) - 1),"
+                    " (s, i) -> struct(s AS l, a[i + 1] AS r))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq")
+    )
+    return (
+        pairs.groupBy("l", "r")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "l", "r")
+        .limit(1)
+    )
+
+
+def _apply_merge(corpus: DataFrame, top: DataFrame) -> DataFrame:
+    """Merge the winning pair in every word: broadcast 1-row cross join
+    + ``_MERGE_PASSES`` literal replaces — map-only, no shuffle."""
+    merged = corpus.crossJoin(
+        F.broadcast(
+            top.select(F.col("l").alias("_l"), F.col("r").alias("_r"))
+        )
+    )
+    pat = F.concat(
+        F.lit(" "), F.col("_l"), F.lit(" "), F.col("_r"), F.lit(" ")
+    )
+    rep = F.concat(F.lit(" "), F.col("_l"), F.col("_r"), F.lit(" "))
+    expr = F.col("wstr")
+    for _ in range(_MERGE_PASSES):
+        expr = F.replace(expr, pat, rep)
+    return merged.withColumn("wstr", expr).select("wstr", "freq")
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_steps: int = BPE_STEPS
+) -> DataFrame:
+    """Train ``n_steps`` BPE merges; returns the merge table
+    (step, left_sym, right_sym, merged, pair_count)."""
+    corpus = _word_types(spark, sf_dir).localCheckpoint()
+    steps: list[DataFrame] = []
+    for k in range(1, n_steps + 1):
+        top = _top_pair(corpus).localCheckpoint()  # 1 row, eager
+        steps.append(
+            top.select(
+                F.lit(k).cast("long").alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat(F.col("l"), F.col("r")).alias("merged"),
+                "pair_count",
+            )
+        )
+        if k < n_steps:
+            corpus = _apply_merge(corpus, top).localCheckpoint()
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
+
+
+def _nested_replace_sql(expr: str, n: int) -> str:
+    for _ in range(n):
+        expr = (
+            f"replace({expr}, ' ' || l || ' ' || r || ' ',"
+            f" ' ' || l || r || ' ')"
+        )
+    return expr
+
+
+def _bpe_oracle(n_steps: int = BPE_STEPS) -> str:
+    """The same algorithm unrolled in DuckDB SQL (cf. G9's oracle)."""
+    ctes = [
+        """toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE doc_id < 100
+    )""",
+        """corpus0 AS (
+      SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS wstr,
+             COUNT(*) AS freq
+      FROM toks WHERE w <> '' GROUP BY w
+    )""",
+    ]
+    selects = []
+    for k in range(1, n_steps + 1):
+        prev = f"corpus{k - 1}"
+        ctes.append(
+            f"""pairs{k} AS (
+      SELECT a[i] AS l, a[i + 1] AS r,
+             CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM (
+        SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM (SELECT string_split(trim(wstr), ' ') AS a, freq
+              FROM {prev}) WHERE len(a) >= 2
+      ) GROUP BY l, r
+    )""",
+        )
+        ctes.append(
+            f"""top{k} AS (
+      SELECT l, r, pair_count FROM pairs{k}
+      ORDER BY pair_count DESC, l, r LIMIT 1
+    )""",
+        )
+        if k < n_steps:
+            ctes.append(
+                f"""corpus{k} AS (
+      SELECT {_nested_replace_sql('wstr', _MERGE_PASSES)} AS wstr, freq
+      FROM {prev} CROSS JOIN top{k}
+    )""",
+            )
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, l AS left_sym,"
+            f" r AS right_sym, l || r AS merged, pair_count FROM top{k}"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY step"
+    )
+
+
+@query("T18_bpe_merges", oracle=_bpe_oracle())
+def t18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``BPE_STEPS`` learned BPE merges over the documents
+    corpus — see module docstring for the distributed shape."""
+    return bpe_train(spark, sf_dir)

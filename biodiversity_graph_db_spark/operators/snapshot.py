@@ -1,0 +1,141 @@
+"""Graph snapshot diff — "what changed between two versions of the
+evidence graph".
+
+The reference versions its graph as one JSON file per node atom in a
+plain directory (Storage.fs:116-139 ``loadAtomsFromDisk`` /
+``saveAtomToDisk``), so change review happens OUTSIDE the engine via
+file-level diffing of that directory; there is no in-engine operator
+that answers "which nodes were added / removed / changed between
+snapshot A and snapshot B".  For a Spark-native store this is a
+first-class query: two stored node (or edge) tables, one key-equi
+full-outer join, change classification as column expressions.
+
+Scale shape: the diff is ONE join keyed exactly like the storage
+layout — ``GraphStore.save_bucketed`` buckets nodes by ``key`` (and
+edges by ``source_key``), so diffing two bucketed snapshots plans as a
+zero-Exchange SortMergeJoin at any size.  Wide payloads compare via a
+single ``xxhash64`` over the payload columns, computed map-side before
+the join, so the shuffle carries (key, hash) + the few projected
+columns, not the full payload.  Unchanged rows — the overwhelming
+majority at 100 TB — are dropped by the post-join filter, so the
+output is proportional to the delta, not the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.operators._util import dquant, sql_dquant
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Classify every key as added / removed / changed between two
+    snapshots sharing a schema; unchanged keys are dropped.
+
+    ``key_cols`` is the storage key (``["key"]`` for node tables,
+    ``["source_key", "sink_key", "relation"]`` for edge tables);
+    ``value_col`` is the comparison payload — pass a precomputed
+    ``xxhash64(...)`` column name to diff wide payloads by hash.
+    Output: key cols + ``change`` + ``old_val`` / ``new_val``.
+    """
+    # presence flags, not null-payload checks: a legitimately-NULL
+    # payload on one side must not masquerade as an add/remove
+    o = old.select(
+        *key_cols,
+        F.col(value_col).alias("old_val"),
+        F.lit(True).alias("_o"),
+    )
+    n = new.select(
+        *key_cols,
+        F.col(value_col).alias("new_val"),
+        F.lit(True).alias("_n"),
+    )
+    joined = o.join(n, list(key_cols), "full_outer")
+    change = (
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_val").eqNullSafe(F.col("new_val")), F.lit("changed")
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*key_cols, "change", "old_val", "new_val")
+    )
+
+
+@query(
+    "SD1_snapshot_diff",
+    oracle=f"""
+    WITH old_snap AS (
+      SELECT 'customernode_' || c_custkey AS key,
+             {sql_dquant('c_acctbal')} AS val
+      FROM customer
+    ),
+    new_snap AS (
+      SELECT 'customernode_' || c_custkey AS key,
+             {sql_dquant("c_acctbal + CASE WHEN c_custkey % 7 = 0 "
+                         "THEN 100.0 ELSE 0.0 END")} AS val
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT 'suppliernode_' || s_suppkey AS key,
+             {sql_dquant('s_acctbal')} AS val
+      FROM supplier
+    )
+    SELECT COALESCE(o.key, n.key) AS key,
+           CASE WHEN o.key IS NULL THEN 'added'
+                WHEN n.key IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           o.val AS old_val,
+           n.val AS new_val
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.key = n.key
+    WHERE o.key IS NULL OR n.key IS NULL OR o.val <> n.val
+    ORDER BY key
+    """,
+)
+def sd1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-table diff between two deterministic graph snapshots minted
+    from ``customer``/``supplier``: snapshot B removes every 13th
+    customer node, revalues every 7th, and adds the supplier nodes.
+    Exercises all three change kinds through the generic
+    ``snapshot_diff`` (the same call diffs edge tables on their
+    composite key)."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    old_snap = c.select(
+        F.concat(F.lit("customernode_"), F.col("c_custkey")).alias("key"),
+        dquant("c_acctbal").alias("val"),
+    )
+    new_snap = (
+        c.where(F.col("c_custkey") % 13 != 0)
+        .select(
+            F.concat(F.lit("customernode_"), F.col("c_custkey")).alias(
+                "key"
+            ),
+            dquant(
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 7 == 0, 100.0).otherwise(0.0)
+            ).alias("val"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("suppliernode_"), F.col("s_suppkey")).alias(
+                    "key"
+                ),
+                dquant("s_acctbal").alias("val"),
+            )
+        )
+    )
+    return snapshot_diff(old_snap, new_snap, ["key"], "val").orderBy("key")

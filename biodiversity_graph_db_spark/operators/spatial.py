@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 from biodiversity_graph_db_spark.functions.validation import (
     wkt_polygon_points,
 )
-from biodiversity_graph_db_spark.operators._util import dquant, sql_dquant
+from biodiversity_graph_db_spark.operators._util import (
+    davg,
+    dquant,
+    sql_davg,
+    sql_dquant,
+)
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -718,4 +723,62 @@ def geo2_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
             dquant("pt_lon").alias("lon"),
         )
         .orderBy("key")
+    )
+
+
+@query(
+    "GEO5_density_grid",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE}
+    SELECT CAST(FLOOR(pt_lon / {GRID_DEG}) AS BIGINT) AS cx,
+           CAST(FLOOR(pt_lat / {GRID_DEG}) AS BIGINT) AS cy,
+           COUNT(*) AS n_sites,
+           {sql_davg('pt_lat')} AS mean_lat,
+           {sql_davg('pt_lon')} AS mean_lon,
+           'contextnode_' || MIN(CAST(regexp_extract(key, '([0-9]+)$', 1)
+                                      AS BIGINT)) AS sample_site
+    FROM ctx_promoted
+    WHERE kind IN ('Site', 'SiteDMS')
+    GROUP BY cx, cy
+    ORDER BY cx, cy
+    """,
+)
+def geo5_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-density heatmap: point contexts rolled up onto the fixed
+    lon/lat grid (the same ``GRID_DEG`` cells GEO3/GEO4 join on) with
+    per-cell count, deterministic mean coordinates, and a sample site —
+    the "where is the evidence concentrated" overview map a biodiversity
+    user reads first (reference: context locations, Population.fs:154-171;
+    no such rollup exists there — every map view rescans the node list).
+
+    Scale shape: a single map-side-combinable groupBy on the derived
+    cell id — partial aggregation happens before the one shuffle over
+    ≤(360/G)·(180/G) groups, so at 100 TB this is one pass over the
+    stored context table with a bounded-cardinality reduce.  On the
+    partitioned store (``write_context_table``) the lon_band partition
+    column IS ``floor(lon/G)``, so per-band cells never cross files."""
+    promoted = promote_context_cols(mint_context_nodes(spark, sf_dir))
+    pts = promoted.where(F.col("kind").isin("Site", "SiteDMS"))
+    return (
+        pts.groupBy(
+            F.floor(F.col("pt_lon") / GRID_DEG).cast("long").alias("cx"),
+            F.floor(F.col("pt_lat") / GRID_DEG).cast("long").alias("cy"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            davg("pt_lat").alias("mean_lat"),
+            davg("pt_lon").alias("mean_lon"),
+            # numeric min + rebuild, NOT min(key): a string agg buffer
+            # would force SortAggregate; all-primitive buffers keep the
+            # whole rollup in HashAggregate (plan-tested)
+            F.concat(
+                F.lit("contextnode_"),
+                F.min(
+                    F.regexp_extract(F.col("key"), "([0-9]+)$", 1).cast(
+                        "long"
+                    )
+                ),
+            ).alias("sample_site"),
+        )
+        .orderBy("cx", "cy")
     )

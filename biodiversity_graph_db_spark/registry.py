@@ -49,8 +49,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 PRIORITY: tuple[str, ...] = (
     # NEW or FIXED this round — must show driver-green (VERDICT r3 items
     # 1-2): T13's vocab ranking rebuilt scale-safe (its FIRST driver
-    # grade), the spatial layer (GEO1-4), training-sequence prep
-    # (T14/T15) and mixture sampling / corpus cube (T16/T17)
+    # grade), the spatial layer (GEO1-5), training-sequence prep
+    # (T14/T15), mixture sampling / corpus cube (T16/T17), BPE merge
+    # training (T18) and the graph snapshot diff (SD1)
+    "T18_bpe_merges",
+    "SD1_snapshot_diff",
+    "GEO5_density_grid",
     "T13_rarity_score",
     "GEO1_bbox_contexts",
     "GEO2_polygon_contains",
@@ -96,15 +100,13 @@ PRIORITY: tuple[str, ...] = (
     "W3_moving_smooth",
     "W5_tumbling_window",
     "W6_sliding_window",
-    # r3-green keepers: a spread across the §2 families plus the newest /
-    # most complex code paths, to show no regressions among r3's 50
-    "Q1_pricing_summary",
-    "W4_sessionize",
+    # r3-green keepers: the newest / most complex code paths, to show no
+    # regressions among r3's 50 (Q1/W4/C1 rotated out to make room for
+    # T18/SD1/GEO5 — all three r3-green, stable single-shuffle plans)
     "G9_label_propagation",
     "D1_neardup_clusters",
     "V4_ivf_neardup",
     "G6_pagerank",
-    "C1_age_depth_interpolate",
     # past the window (all r3-green, local-parity covered every run;
     # W1/G2/ED2/K1 rotated out this round to make room — all r3-green,
     # ED2 additionally carries the round-4 write/read bench split):
@@ -137,11 +139,13 @@ def load_all() -> None:
         key_synthesis,
         matrix,
         relational,
+        snapshot,
         spatial,
         temporal,
         windows,
     )
     from biodiversity_graph_db_spark.extensions import (  # noqa: F401
+        bpe,
         dedup,
         multimodal,
         similarity,

@@ -382,3 +382,102 @@ class TestIvfIndex:
         )
         scan = plan.split("PartitionFilters:")[1].splitlines()[0]
         assert "cent_id" in scan, plan
+
+
+class TestRound4NewOps:
+    def test_bpe_pair_count_is_take_ordered(self, spark, sf_dir):
+        """Per merge step, the winner selection must be limit-before-
+        anything (TakeOrderedAndProject over map-side partial counts) —
+        never a global sort or single-partition funnel of the pair
+        table, which at 100 TB has ~|vocab|^2 candidate rows."""
+        from biodiversity_graph_db_spark.extensions.bpe import (
+            _top_pair,
+            _word_types,
+        )
+
+        df = _top_pair(_word_types(spark, sf_dir))
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("HashAggregate") >= 2  # map-side partials
+        assert "Exchange SinglePartition" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_bpe_merge_is_map_only(self, spark, sf_dir):
+        """Applying a merge is a broadcast 1-row cross join + literal
+        replaces — zero shuffles over the word table."""
+        from biodiversity_graph_db_spark.extensions.bpe import (
+            _apply_merge,
+            _top_pair,
+            _word_types,
+        )
+
+        words = _word_types(spark, sf_dir).localCheckpoint()
+        df = _apply_merge(words, _top_pair(words).localCheckpoint())
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row broadcast side
+        assert "Exchange hashpartitioning" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_bpe_merge_matches_replace_fixed_point(self, spark):
+        """The merge semantics are the FIXED POINT of leftmost
+        non-overlapping boundary-delimited replace (the documented
+        variant — bpe.py module docstring): the Spark expression after
+        ``_MERGE_PASSES`` passes must equal the Python fixed point,
+        including same-symbol-run edge cases where single-pass replace
+        has not yet converged."""
+        from biodiversity_graph_db_spark.extensions.bpe import _apply_merge
+
+        def fixed_point(syms: list[str], l: str, r: str) -> str:
+            s = " " + " ".join(syms) + " "
+            pat, rep = f" {l} {r} ", f" {l}{r} "
+            while pat in s:
+                s = s.replace(pat, rep)
+            return s
+
+        cases = [
+            (["a", "a"], "a", "a"),
+            (["a", "a", "a"], "a", "a"),
+            (["a", "a", "a", "a", "a", "a", "a"], "a", "a"),
+            (["a", "b", "a", "b", "a", "b"], "a", "b"),
+            (["x", "a", "b", "a", "b", "y"], "a", "b"),
+            (["b", "a", "b", "a"], "a", "b"),
+        ]
+        for syms, l, r in cases:
+            top = spark.createDataFrame([(l, r)], "l string, r string")
+            src = " " + " ".join(syms) + " "
+            got = {
+                row.wstr
+                for row in _apply_merge(
+                    spark.createDataFrame(
+                        [(src, 1)], "wstr string, freq long"
+                    ),
+                    top,
+                ).collect()
+            }
+            want = fixed_point(syms, l, r)
+            assert got == {want}, (syms, l, r, got, want)
+
+    def test_sd1_diff_is_one_full_outer_join(self, spark, sf_dir):
+        """The snapshot diff must be ONE key-equi full-outer join —
+        never a cartesian / nested-loop — so it inherits the bucketed
+        store's zero-Exchange layout when both snapshots are stored."""
+        plan = _plan(spark, sf_dir, "SD1_snapshot_diff")
+        assert "FullOuter" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_geo5_density_is_single_rollup(self, spark, sf_dir):
+        """Density grid: one map-side-combinable groupBy on the derived
+        cell id — exactly one hash shuffle, bounded group count."""
+        plan = _plan(spark, sf_dir, "GEO5_density_grid")
+        assert plan.count("HashAggregate") >= 2
+        assert plan.count("hashpartitioning(") == 1
+        assert "BatchEvalPython" not in plan
