@@ -62,6 +62,13 @@ HEADLINE = [
     "T15_packing_stats",
     "T16_mix_sampling",
     "T17_corpus_cube",
+    "T18_bpe_merges",
+    "T19_bpe_encode",
+    "T20_kmv_distinct",
+    "J9_asof_join",
+    "SD1_snapshot_diff",
+    "SD2_incremental_stats",
+    "GEO5_density_grid",
 ]
 
 

@@ -107,6 +107,27 @@ def main() -> None:
             f"{tmp}/pretrain_out"
         ).count()
 
+        # 2c) timeout-based stateful sessionization (applyInPandasWithState
+        # closed-session emitter — the custom-state path)
+        t0 = time.perf_counter()
+        q = (
+            ingest.closed_sessions(
+                ingest.read_events_stream(spark, events_dir)
+            )
+            .writeStream.format("memory")
+            .queryName("bench_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        results["sessions_rows_per_sec"] = round(n_rows / dt, 1)
+        results["sessions_sec"] = round(dt, 2)
+        results["sessions_closed"] = spark.sql(
+            "SELECT COUNT(*) c FROM bench_sessions"
+        ).collect()[0].c
+
         # 3) tumbling windowed agg → memory sink (stateful shuffle path)
         t0 = time.perf_counter()
         q = (

@@ -215,3 +215,125 @@ def t18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first ``BPE_STEPS`` learned BPE merges over the documents
     corpus — see module docstring for the distributed shape."""
     return bpe_train(spark, sf_dir)
+
+
+def _alias_tops_sql(n_steps: int) -> str:
+    """CTE suffixes aliasing each step's winning pair for the encode
+    oracle (top{k}(l,r) → l{k}/r{k}, one row each)."""
+    return ",\n    ".join(
+        f"ptop{k} AS (SELECT l AS l{k}, r AS r{k} FROM top{k})"
+        for k in range(1, n_steps + 1)
+    )
+
+
+def _nested_replace_sql_k(expr: str, k: int, n: int) -> str:
+    for _ in range(n):
+        expr = (
+            f"replace({expr}, ' ' || l{k} || ' ' || r{k} || ' ',"
+            f" ' ' || l{k} || r{k} || ' ')"
+        )
+    return expr
+
+
+def _compression_sql() -> str:
+    from biodiversity_graph_db_spark.operators._util import sql_dquant
+
+    return (
+        sql_dquant(
+            "SUM(len(w)) / CAST(SUM(len(string_split(trim(estr), ' ')))"
+            " AS DOUBLE)"
+        )
+        + " AS compression"
+    )
+
+
+def _encode_oracle(n_steps: int = BPE_STEPS) -> str:
+    """T19: re-derive the merge table (same CTEs as T18), then apply the
+    K merges in order to every document's words and count tokens."""
+    base = _bpe_oracle(n_steps)
+    # reuse everything up to the final SELECT: strip the union tail
+    ctes = base[: base.index("\n    SELECT CAST(1 AS BIGINT)")]
+    expr = "wstr"
+    for k in range(1, n_steps + 1):
+        expr = _nested_replace_sql_k(expr, k, _MERGE_PASSES)
+    tops = ", ".join(f"ptop{k}" for k in range(1, n_steps + 1))
+    return f"""{ctes},
+    {_alias_tops_sql(n_steps)},
+    dwords AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE doc_id < 100
+    ),
+    dsym AS (
+      SELECT doc_id, w,
+             ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS wstr
+      FROM dwords WHERE w <> ''
+    ),
+    enc AS (
+      SELECT doc_id, w, {expr} AS estr
+      FROM dsym CROSS JOIN {tops.replace(', ', ' CROSS JOIN ')}
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(w)) AS BIGINT) AS n_symbols,
+           CAST(SUM(len(string_split(trim(estr), ' '))) AS BIGINT)
+             AS n_tokens,
+           {_compression_sql()}
+    FROM enc
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
+
+@query("T19_bpe_encode", oracle=_encode_oracle())
+def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — apply the learned merge table to the corpus (the
+    tokenize step that runs at full 100 TB scale, after ``T18`` trains
+    the merges on it).
+
+    The merge table is the tokenizer model: K tiny rows, collected to
+    the driver ONCE (the one by-design driver materialization — a
+    tokenizer model is a driver-side artifact, like broadcast-join dims)
+    and compiled into a chain of K·``_MERGE_PASSES`` literal ``replace``
+    expressions over the per-word symbol strings.  Encoding is then
+    pure whole-stage-codegen map work: no join, no shuffle until the
+    per-document rollup — embarrassingly parallel at any corpus size.
+
+    Output per document: word / pre-merge symbol / post-merge token
+    counts and the compression ratio — the signal that decides whether
+    the learned vocab is worth its size."""
+    from biodiversity_graph_db_spark.operators._util import dquant
+
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(spark, sf_dir).orderBy("step").collect()
+    ]
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    words = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).where(F.col("w") != "")
+    wstr = F.concat(
+        F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+    )
+    estr = wstr
+    for l, r in merges:
+        pat = F.lit(f" {l} {r} ")
+        rep = F.lit(f" {l}{r} ")
+        for _ in range(_MERGE_PASSES):
+            estr = F.replace(estr, pat, rep)
+    enc = words.select(
+        "doc_id",
+        F.length("w").alias("n_sym"),
+        F.size(F.split(F.trim(estr), " ")).alias("n_tok"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_symbols"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            dquant(
+                F.sum("n_sym") / F.sum("n_tok").cast("double")
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )

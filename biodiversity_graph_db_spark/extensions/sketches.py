@@ -1,0 +1,136 @@
+"""Mergeable cardinality sketches — distinct-count estimation at
+100 TB without a corpus-wide exact distinct.
+
+`approx_count_distinct` (HLL++) is Spark's built-in answer, but its
+sketch bytes are engine-specific, so it can never be value-verified
+against another engine.  This module implements the **KMV (k-minimum-
+values) sketch** (Bar-Yossef et al. 2002; Beyer et al. 2007,
+"On synopses for distinct-value estimation under multiset operations")
+with a PORTABLE hash — pure BIGINT arithmetic that DuckDB evaluates
+bit-identically — so the whole estimator is oracle-checkable end to
+end, unlike any engine-native HLL.
+
+Estimator: hash every element uniformly into [0, M); keep the k
+smallest distinct hashes per group; if fewer than k distinct values
+exist the count is exact, else estimate (k-1)·M / h(k) where h(k) is
+the k-th smallest hash.  The sketch is MERGEABLE (union = merge the
+k-smallest sets and re-truncate), which is what makes it a map-side-
+combinable distributed aggregate:
+
+- the `distinct` on (group, h) is a map-side-partial aggregation —
+  each partition contributes at most its local distinct hashes;
+- the per-group k-smallest selection is a window partitioned BY GROUP
+  (thousands of bounded partitions — never a global sort; the T13
+  rule), with O(k) state per group;
+- at 100 TB the same shape runs as: per-partition local KMV (bounded
+  memory) → merge by group → estimate.  The two-phase distinct+rank
+  here is the declarative equivalent that lets Catalyst choose the
+  physical strategy.
+
+The multiplicative hash ((x·2654435761 + 982451653) mod 4294967291,
+Knuth's constant, largest 32-bit prime modulus) is NOT cryptographic —
+it is an order-scrambling bijection-ish spread good enough for
+synopsis estimation, chosen because both engines compute it exactly
+in 64-bit integer arithmetic (no xxhash64 in DuckDB, no DuckDB `hash`
+in Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.registry import query
+from biodiversity_graph_db_spark.tables import table
+
+#: sketch size (minimum hashes kept per group).
+KMV_K = 64
+#: Knuth multiplicative constant / odd offset / largest 32-bit prime.
+_MUL = 2654435761
+_ADD = 982451653
+_MOD = 4294967291
+
+
+def portable_hash(x: Column) -> Column:
+    """Deterministic BIGINT spread hash, identical in Spark and DuckDB."""
+    return (x.cast("long") * F.lit(_MUL) + F.lit(_ADD)) % F.lit(_MOD)
+
+
+_HASH_SQL = f"((CAST({{x}} AS BIGINT) * {_MUL} + {_ADD}) % {_MOD})"
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group distinct-count estimate via a k-minimum-values sketch
+    over ``value_col``.  Output: (group, n_kept, kth_hash, est_distinct)."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col), portable_hash(F.col(value_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    kept = hashed.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+    return (
+        kept.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("kth_hash"),
+        )
+        .select(
+            group_col,
+            "n_kept",
+            "kth_hash",
+            F.when(F.col("n_kept") < k, F.col("n_kept"))
+            .otherwise(
+                F.floor(F.lit((k - 1) * float(_MOD)) / F.col("kth_hash"))
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+@query(
+    "T20_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             {_HASH_SQL.format(x='user_id')} AS h
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed
+    ),
+    sk AS (
+      SELECT event_type,
+             COUNT(*) AS n_kept,
+             MAX(h) AS kth_hash
+      FROM kept WHERE rk <= {KMV_K}
+      GROUP BY event_type
+    )
+    SELECT event_type, n_kept, kth_hash,
+           CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                ELSE FLOOR({(KMV_K - 1) * float(_MOD)} / kth_hash)
+                END AS BIGINT) AS est_distinct,
+           (SELECT COUNT(DISTINCT user_id) FROM events e
+            WHERE e.event_type = sk.event_type) AS true_distinct
+    FROM sk
+    ORDER BY event_type
+    """,
+)
+def t20_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the KMV sketch, alongside the
+    exact count (cheap at test scale; at 100 TB only the sketch runs).
+    The sketch values — k-th hash and the derived estimate — are
+    oracle-verified bit-for-bit, which no engine-native HLL allows."""
+    ev = table(spark, sf_dir, "events")
+    sk = kmv_distinct(ev, "event_type", "user_id")
+    true = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("true_distinct")
+    )
+    return sk.join(true, "event_type").orderBy("event_type")

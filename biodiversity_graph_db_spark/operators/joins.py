@@ -307,3 +307,93 @@ def j8_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .orderBy("period")
     )
+
+
+@query(
+    "J9_asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, MAX(event_id) AS prior_purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.prior_purchase_id,
+           CASE WHEN p.prior_purchase_id IS NULL THEN NULL
+                ELSE date_diff('second', p.ts, c.ts) END AS gap_seconds
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY click_id
+    """,
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — for every click, the user's most recent purchase at
+    or before it (the point-in-time join behind feature backfills,
+    price-as-of lookups, and the reference's nearest-year selection F9
+    generalized to two event streams).
+
+    Spark has no ASOF JOIN operator; the naive encodings are a range
+    join (nested-loop explosion) or a per-left-row aggregation over all
+    earlier rights (quadratic).  The scale-safe encoding used here is
+    the **union trick**: tag both sides, union into one frame, and take
+    ``last(right_attrs, ignorenulls=True)`` over a window partitioned
+    by the join key and ordered by (ts, side) — right rows sort before
+    left rows at equal timestamps, so the inclusive `ts >= ts` bound
+    holds.  ONE shuffle on user_id, O(1) window state per row, no
+    range explosion; at 100 TB the window partitions by the join key
+    across executors exactly like W4's sessionization.  Tie resolution
+    for same-timestamp purchases lives in the window ORDER (event_id
+    ascending ⇒ ``last`` keeps the max id) instead of a pre-dedup
+    groupBy — which would cost a second shuffle on (user_id, ts); the
+    plan test pins exactly ONE hashpartitioning.  DuckDB's native ASOF
+    JOIN (+ explicit MAX dedup) is the oracle."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("prior_purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(0).alias("side"),  # right rows first at equal ts
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("prior_purchase_id"),
+        F.col("event_id").alias("click_id"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "prior_purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = p.unionByName(c).select(
+        "*",
+        F.last("prior_purchase_id", ignorenulls=True)
+        .over(w)
+        .alias("asof_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("asof_ts"),
+    )
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("asof_ts"))
+    return (
+        tagged.where(F.col("side") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("asof_id").alias("prior_purchase_id"),
+            F.when(F.col("asof_id").isNotNull(), gap).alias("gap_seconds"),
+        )
+        .orderBy("click_id")
+    )

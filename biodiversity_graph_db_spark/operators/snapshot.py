@@ -139,3 +139,92 @@ def sd1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old_snap, new_snap, ["key"], "val").orderBy("key")
+
+
+@query(
+    "SD2_incremental_stats",
+    oracle=f"""
+    WITH new_snap AS (
+      SELECT 'customernode_' || c_custkey AS key,
+             'CustomerNode' AS node_type
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT 'suppliernode_' || s_suppkey AS key,
+             'SupplierNode' AS node_type
+      FROM supplier
+    )
+    SELECT node_type, COUNT(*) AS n_nodes
+    FROM new_snap GROUP BY node_type ORDER BY node_type
+    """,
+)
+def sd2_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-type node counts of snapshot B
+    computed WITHOUT scanning B — old stats (from snapshot A) + the
+    SD1 diff's per-type delta (+1 added, −1 removed, 0 changed).
+
+    The IVM identity under test: ``stats(B) = stats(A) + Δ(diff)``.
+    The Spark side takes the incremental path; the oracle computes
+    stats(B) directly — a value match proves the maintenance rule, the
+    point of the operator.  At 100 TB this is how a statistics /
+    rollup table follows a mutating store: the diff is ∝ the delta and
+    the update is one tiny outer join on the (bounded) group key,
+    instead of a full rescan of the corpus.  The same shape maintains
+    any distributive aggregate (counts, sums, scaled-int totals);
+    algebraic ones (avg) maintain their (sum, count) parts."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    node_type = F.when(
+        F.col("key").startswith("customernode_"), "CustomerNode"
+    ).otherwise("SupplierNode")
+    old_snap = c.select(
+        F.concat(F.lit("customernode_"), F.col("c_custkey")).alias("key"),
+        dquant("c_acctbal").alias("val"),
+    )
+    new_snap = (
+        c.where(F.col("c_custkey") % 13 != 0)
+        .select(
+            F.concat(F.lit("customernode_"), F.col("c_custkey")).alias(
+                "key"
+            ),
+            dquant(
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 7 == 0, 100.0).otherwise(0.0)
+            ).alias("val"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("suppliernode_"), F.col("s_suppkey")).alias(
+                    "key"
+                ),
+                dquant("s_acctbal").alias("val"),
+            )
+        )
+    )
+    old_stats = old_snap.groupBy(node_type.alias("node_type")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    delta = (
+        snapshot_diff(old_snap, new_snap, ["key"], "val")
+        .groupBy(node_type.alias("node_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("change") == "added", 1)
+                .when(F.col("change") == "removed", -1)
+                .otherwise(0)
+            ).alias("d")
+        )
+    )
+    return (
+        old_stats.join(delta, "node_type", "full_outer")
+        .select(
+            "node_type",
+            (
+                F.coalesce(F.col("n_nodes"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_nodes"),
+        )
+        .where(F.col("n_nodes") > 0)
+        .orderBy("node_type")
+    )

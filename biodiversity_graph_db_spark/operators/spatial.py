@@ -527,13 +527,13 @@ def geo3_points_in_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter-refine: cheap codegen'd bbox predicates discard most
     # within-cell candidates before the interpreted exact ray-cast runs
     # (measured 4.4 s → bbox-survivors only at sf0.1)
-    cand = (
-        pts.join(areas, ["cx", "cy"])
-        .where(
-            F.col("pt_lat").between(F.col("lat_min"), F.col("lat_max"))
-            & F.col("pt_lon").between(F.col("lon_min"), F.col("lon_max"))
-        )
-        .dropDuplicates(["key", "area_key"])
+    # no dedup needed: a point carries exactly ONE (cx, cy) and an area
+    # lists each covered cell once, so the equi-join yields each
+    # (key, area_key) pair at most once — a dropDuplicates here would
+    # re-shuffle the candidate set for nothing
+    cand = pts.join(areas, ["cx", "cy"]).where(
+        F.col("pt_lat").between(F.col("lat_min"), F.col("lat_max"))
+        & F.col("pt_lon").between(F.col("lon_min"), F.col("lon_max"))
     )
     inside = cand.where(
         point_in_polygon_col(F.col("pt_lat"), F.col("pt_lon"), F.col("poly"))
@@ -650,9 +650,10 @@ def geo4_radius_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + (F.col("pt_lon") - F.col("c_lon")) * (
         F.col("pt_lon") - F.col("c_lon")
     )
+    # unique (key, area_key) pairs by construction (one cell per point,
+    # each cell once per area) — see GEO3; no dedup shuffle
     cand = (
         pts.join(areas, ["cx", "cy"])
-        .dropDuplicates(["key", "area_key"])
         .where(d2 <= RADIUS_DEG * RADIUS_DEG)
         .select("area_key", "key", d2.alias("d2"))
     )

@@ -53,6 +53,10 @@ PRIORITY: tuple[str, ...] = (
     # (T14/T15), mixture sampling / corpus cube (T16/T17), BPE merge
     # training (T18) and the graph snapshot diff (SD1)
     "T18_bpe_merges",
+    "T19_bpe_encode",
+    "T20_kmv_distinct",
+    "SD2_incremental_stats",
+    "J9_asof_join",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -64,7 +68,9 @@ PRIORITY: tuple[str, ...] = (
     "T15_packing_stats",
     "T16_mix_sampling",
     "T17_corpus_cube",
-    # the 34 queries whose latest driver evidence is round 2 — all rotate
+    # queries whose latest driver evidence is round 2 (V1/V2 left to the
+    # local gate this window: their scale-path twins V3/V4 verify the same
+    # kernels, V4 in-window; W6 likewise: benched every round, W5 in) — rotate
     # back in for current-round evidence (VERDICT r3 item 3)
     "A1_gen_statistics",
     "A3_merge_into_index",
@@ -95,18 +101,15 @@ PRIORITY: tuple[str, ...] = (
     "T2_quality_scores",
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
-    "V1_cosine_topk",
-    "V2_embedding_neardup",
     "W3_moving_smooth",
     "W5_tumbling_window",
-    "W6_sliding_window",
     # r3-green keepers: the newest / most complex code paths, to show no
-    # regressions among r3's 50 (Q1/W4/C1 rotated out to make room for
-    # T18/SD1/GEO5 — all three r3-green, stable single-shuffle plans)
+    # regressions among r3's 50 (Q1/W4/C1/G6 rotated out to make room
+    # for T18/T19/SD1/GEO5 — all r3-green, stable plans, G6 still
+    # benched every round)
     "G9_label_propagation",
     "D1_neardup_clusters",
     "V4_ivf_neardup",
-    "G6_pagerank",
     # past the window (all r3-green, local-parity covered every run;
     # W1/G2/ED2/K1 rotated out this round to make room — all r3-green,
     # ED2 additionally carries the round-4 write/read bench split):
@@ -147,6 +150,7 @@ def load_all() -> None:
     from biodiversity_graph_db_spark.extensions import (  # noqa: F401
         bpe,
         dedup,
+        sketches,
         multimodal,
         similarity,
         simhash,

@@ -225,3 +225,138 @@ def running_user_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def closed_sessions(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Timeout-based sessionization with custom session payloads — the
+    stateful-operator shape ``session_window`` can't express: arbitrary
+    per-session accumulators (here: scaled-int value total, but the same
+    state walk carries event-sequence fingerprints, funnels, etc.) and
+    explicit emit-on-close semantics.
+
+    Per user, state is the ONE open session (start/last event time,
+    count, floor(value·10⁴) running total).  Each micro-batch walks the
+    user's events in event-time order: a gap > ``gap_seconds`` closes
+    the open session (emitted downstream, state replaced); otherwise the
+    accumulators extend.  A session whose user goes quiet is closed by
+    an **event-time timeout** set ``gap_seconds`` past its last event —
+    when the watermark passes that point the state times out, the
+    session is emitted and the state removed, so state size stays
+    bounded by |active users|, never stream length.
+
+    Ordering contract (standard for stateful session stores): events
+    arrive batch-monotone in event time per key — late data beyond the
+    watermark is dropped by the watermark filter upstream.  Rows with
+    ``event_type='__flush__'`` act as pure gap-triggers (close anything
+    older than the gap, never open/extend a session) — a test/drain
+    hook mirroring Kafka tombstone heartbeats.
+
+    Output mode: append (closed sessions only — each exactly once)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp,"
+        " n_events long, total_value double"
+    )
+    state_schema = "start_us long, last_us long, n long, total_scaled long"
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            # quiet user: watermark passed last_event + gap — the open
+            # session is definitively closed (no on-time event can
+            # extend it any more)
+            if state.exists:
+                closed.append(tuple(state.get))
+                state.remove()
+        else:
+            cur = tuple(state.get) if state.exists else None
+            frames = list(pdf_iter)
+            if frames:
+                ev = pd.concat(frames).sort_values(["ts", "event_id"])
+                for row in ev.itertuples(index=False):
+                    us = int(row.ts.value // 1000)
+                    if cur is not None and us - cur[1] > gap_us:
+                        closed.append(cur)
+                        cur = None
+                    if row.event_type == "__flush__":
+                        continue
+                    if cur is None:
+                        cur = (us, us, 0, 0)
+                    cur = (
+                        cur[0],
+                        us,
+                        cur[2] + 1,
+                        cur[3] + math.floor(row.value * 10000),
+                    )
+            if cur is not None:
+                state.update(cur)
+                # event-time timeout at last_event + gap; must sit
+                # strictly past the current watermark or Spark rejects it
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(cur[1] // 1000 + gap_seconds * 1000, wm_ms + 1)
+                )
+            elif state.exists:
+                state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(c[0] * 1000) for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1] * 1000) for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] / 10000.0 for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def closed_sessions_batch(ev: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch twin of ``closed_sessions`` (all sessions close in batch):
+    the W4 lag-gap + running-sum shape, with the same µs gap rule and
+    scaled-int totals, emitting one row per session."""
+    from pyspark.sql import Window
+
+    ev = ev.where(F.col("event_type") != "__flush__")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            (us - F.lag(us).over(w) > gap_seconds * 1_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_no", F.sum("is_new").over(wrun))
+    return flagged.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 10000)) / 10000.0).alias(
+            "total_value"
+        ),
+    )

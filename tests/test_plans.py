@@ -481,3 +481,27 @@ class TestRound4NewOps:
         assert plan.count("HashAggregate") >= 2
         assert plan.count("hashpartitioning(") == 1
         assert "BatchEvalPython" not in plan
+
+    def test_t20_kmv_no_global_funnel(self, spark, sf_dir):
+        """KMV sketch: the k-smallest selection is a window partitioned
+        BY GROUP — never a global single-partition sort — and the whole
+        estimator stays JVM-side."""
+        plan = _plan(spark, sf_dir, "T20_kmv_distinct")
+        assert "Exchange SinglePartition" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_sd2_incremental_no_cartesian(self, spark, sf_dir):
+        """IVM stats update: keyed joins only (diff + stats merge)."""
+        plan = _plan(spark, sf_dir, "SD2_incremental_stats")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_j9_asof_is_one_keyed_shuffle(self, spark, sf_dir):
+        """The as-of join must be the union-trick single window — one
+        hash shuffle on the join key, never a range/nested-loop join."""
+        plan = _plan(spark, sf_dir, "J9_asof_join")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("hashpartitioning(") == 1
+        assert "Exchange SinglePartition" not in plan

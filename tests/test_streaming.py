@@ -474,3 +474,156 @@ class TestPretrainingIngest:
             assert spark.read.parquet(out).count() == n1
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestClosedSessions:
+    """Timeout-based stateful sessionization (ingest.closed_sessions)."""
+
+    def _dir_with_flush(self, spark, events_dir, n_flush_files=1):
+        """Copy the streamed events dir and append a later-mtime flush
+        file (one '__flush__' heartbeat per user, 4 gaps after the last
+        event) so every real session closes deterministically."""
+        import glob
+        import os
+        import shutil
+        import time
+
+        tmp = tempfile.mkdtemp(prefix="events_sessions_")
+        dst = f"{tmp}/events"
+        os.makedirs(dst)
+        for p in sorted(glob.glob(f"{events_dir}/part-*.parquet")):
+            shutil.copy(p, dst)
+        _force_monotone_arrival(dst)
+        ev = spark.read.parquet(events_dir)
+        # one flush ts for all users: max event ts + 4 gaps
+        mx = ev.agg(F.max("ts").alias("mx")).collect()[0].mx
+        flush = (
+            ev.select("user_id")
+            .distinct()
+            .select(
+                (F.lit(10**9) + F.col("user_id")).alias("event_id"),
+                (
+                    F.timestamp_micros(
+                        F.unix_micros(F.lit(mx)) + 4 * 1800 * 10**6
+                    )
+                ).alias("ts"),
+                "user_id",
+                F.lit("__flush__").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+        fpath = f"{dst}/part-zz-flush.parquet"
+        flush.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_flush")
+        import glob as g
+
+        src = g.glob(f"{tmp}/_flush/part-*.parquet")[0]
+        shutil.copy(src, fpath)
+        now = time.time()
+        os.utime(fpath, (now + 1000, now + 1000))
+        return tmp, dst
+
+    def test_closed_sessions_match_batch(self, spark, events_dir):
+        tmp, dst = self._dir_with_flush(spark, events_dir)
+        try:
+            stream = ingest.closed_sessions(
+                ingest.read_events_stream(spark, dst)
+            )
+            _run_to_memory(stream, "closed_s", "append")
+            got = {
+                (
+                    r.user_id,
+                    r.session_start,
+                    r.session_end,
+                    r.n_events,
+                    r.total_value,
+                )
+                for r in spark.sql("SELECT * FROM closed_s").collect()
+            }
+            want = {
+                (
+                    r.user_id,
+                    r.session_start,
+                    r.session_end,
+                    r.n_events,
+                    r.total_value,
+                )
+                for r in ingest.closed_sessions_batch(
+                    spark.read.parquet(dst)
+                ).collect()
+            }
+            assert got == want and len(got) > 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_quiet_user_closed_by_timeout(self, spark, events_dir):
+        """Without any flush heartbeat for the quiet user, the open
+        session must close via the EventTimeTimeout when OTHER users'
+        later events advance the watermark."""
+        import os
+        import time
+
+        tmp = tempfile.mkdtemp(prefix="events_timeout_")
+        dst = f"{tmp}/events"
+        os.makedirs(dst)
+        try:
+            ev = spark.read.parquet(events_dir)
+            quiet = ev.orderBy("user_id").limit(1).collect()[0]
+            # file 1: the quiet user's single early event
+            spark.createDataFrame(
+                [
+                    (
+                        1,
+                        quiet.ts,
+                        quiet.user_id,
+                        "click",
+                        1.0,
+                        None,
+                    )
+                ],
+                ingest.EVENTS_STREAM_SCHEMA,
+            ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f1")
+            # file 2: another user's event far in the future — advances
+            # the watermark past quiet_ts + gap + watermark delay
+            import pandas as pd
+
+            far = pd.Timestamp(quiet.ts) + pd.Timedelta(hours=12)
+            spark.createDataFrame(
+                [(2, far.to_pydatetime(), quiet.user_id + 1, "click", 1.0, None)],
+                ingest.EVENTS_STREAM_SCHEMA,
+            ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f2")
+            # file 3: and once more, so the NEXT micro-batch runs with
+            # the advanced watermark and fires the timeout
+            spark.createDataFrame(
+                [
+                    (
+                        3,
+                        (far + pd.Timedelta(hours=1)).to_pydatetime(),
+                        quiet.user_id + 1,
+                        "click",
+                        1.0,
+                        None,
+                    )
+                ],
+                ingest.EVENTS_STREAM_SCHEMA,
+            ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f3")
+            import glob
+            import shutil as sh
+
+            now = time.time()
+            for i, d in enumerate(["f1", "f2", "f3"]):
+                src = glob.glob(f"{tmp}/{d}/part-*.parquet")[0]
+                p = f"{dst}/part-{i:05d}.parquet"
+                sh.copy(src, p)
+                os.utime(p, (now + i, now + i))
+            stream = ingest.closed_sessions(
+                ingest.read_events_stream(spark, dst)
+            )
+            _run_to_memory(stream, "timeout_s", "append")
+            rows = spark.sql(
+                f"SELECT * FROM timeout_s WHERE user_id = {quiet.user_id}"
+            ).collect()
+            assert len(rows) == 1
+            assert rows[0].n_events == 1
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
