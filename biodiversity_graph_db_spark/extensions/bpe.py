@@ -301,12 +301,22 @@ def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per document: word / pre-merge symbol / post-merge token
     counts and the compression ratio — the signal that decides whether
     the learned vocab is worth its size."""
-    from biodiversity_graph_db_spark.operators._util import dquant
-
     merges = [
         (r.left_sym, r.right_sym)
         for r in bpe_train(spark, sf_dir).orderBy("step").collect()
     ]
+    return bpe_encode_docs(spark, sf_dir, merges)
+
+
+def bpe_encode_docs(
+    spark: SparkSession, sf_dir: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The encode map alone, given a trained merge list — benched
+    separately from training (bench.py ``bpe_split``): at 100 TB
+    training runs once on the word-type table while THIS is the
+    full-corpus pass."""
+    from biodiversity_graph_db_spark.operators._util import dquant
+
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     words = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")

@@ -1219,3 +1219,88 @@ def t17_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_lang", "g_split", "lang", "split")
     )
+
+
+# --- boilerplate detection (corpus-common shingles) -----------------------
+
+BOILER_K = 5  # tokens per shingle
+BOILER_MIN_DOCS = 3  # shingle is "boilerplate" if it appears in >= docs
+
+
+@query(
+    "T21_boilerplate_frac",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, GREATEST(len(toks) - {BOILER_K - 1}, 0)),
+               i -> md5(array_to_string(toks[i:i+{BOILER_K - 1}], ' '))
+             ))) AS g
+      FROM docs
+    ), common AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+    )
+    SELECT gr.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common,
+           {sql_dquant('CAST(SUM(CASE WHEN c.g IS NOT NULL THEN 1 '
+                       'ELSE 0 END) AS DOUBLE) / COUNT(*)')}
+             AS boiler_frac
+    FROM grams gr LEFT JOIN common c ON gr.g = c.g
+    GROUP BY gr.doc_id
+    ORDER BY gr.doc_id
+    """,
+)
+def t21_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the fraction of each document's distinct
+    {BOILER_K}-token shingles that are corpus-common (≥ BOILER_MIN_DOCS
+    documents share them) — headers, footers, navigation chrome, and
+    licence blocks score high and get scrubbed or down-weighted before
+    pretraining (the cross-document complement of T7's within-document
+    repetition signals; cf. Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", which removes cross-corpus
+    repeated passages).
+
+    Scale shape: shingle document-frequency is one map-side-combinable
+    groupBy on the shingle hash; the common set joins back on the same
+    key (no broadcast assumption — boilerplate shingle count is corpus-
+    dependent; AQE may still choose broadcast when it fits), and the
+    per-document rollup is one more keyed aggregation.  Every shuffle
+    is on a hash key; hot shingles are exactly the salting candidates
+    documented for T6."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(token_kgrams(norm_tokens(F.col("text")), BOILER_K))
+        ).alias("g"),
+    )
+    common = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .where(F.col("dfreq") >= BOILER_MIN_DOCS)
+        .select("g", F.lit(1).alias("is_common"))
+    )
+    return (
+        grams.join(common, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_common"), F.lit(0)))
+            .cast("long")
+            .alias("n_common"),
+            dquant(
+                F.sum(F.coalesce(F.col("is_common"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -228,3 +228,28 @@ def sd2_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_nodes") > 0)
         .orderBy("node_type")
     )
+
+
+def apply_diff(
+    old: DataFrame,
+    diff: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str = "val",
+) -> DataFrame:
+    """Reconstruct the new snapshot from the old one plus a
+    ``snapshot_diff`` output: drop removed/changed keys, then append the
+    added/changed rows with their new values — the replay primitive
+    that lets a replica follow a primary store by shipping deltas
+    (∝ change volume) instead of full snapshots.
+
+    Inverse property (tested): ``apply_diff(A, snapshot_diff(A, B)) ≡ B``
+    for any A, B.  Scale shape: one left-anti join + one union, both on
+    the storage key — zero-Exchange on bucketed snapshots, like SD1."""
+    dropped = diff.where(F.col("change").isin("removed", "changed")).select(
+        *key_cols
+    )
+    appended = diff.where(F.col("change").isin("added", "changed")).select(
+        *key_cols, F.col("new_val").alias(value_col)
+    )
+    kept = old.join(dropped, list(key_cols), "left_anti")
+    return kept.select(*key_cols, value_col).unionByName(appended)

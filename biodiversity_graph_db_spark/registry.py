@@ -57,6 +57,7 @@ PRIORITY: tuple[str, ...] = (
     "T20_kmv_distinct",
     "SD2_incremental_stats",
     "J9_asof_join",
+    "T21_boilerplate_frac",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -70,7 +71,7 @@ PRIORITY: tuple[str, ...] = (
     "T17_corpus_cube",
     # queries whose latest driver evidence is round 2 (V1/V2 left to the
     # local gate this window: their scale-path twins V3/V4 verify the same
-    # kernels, V4 in-window; W6 likewise: benched every round, W5 in) — rotate
+    # kernels, V4 in-window; W5/W6 likewise: benched every round) — rotate
     # back in for current-round evidence (VERDICT r3 item 3)
     "A1_gen_statistics",
     "A3_merge_into_index",
@@ -102,7 +103,6 @@ PRIORITY: tuple[str, ...] = (
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
     "W3_moving_smooth",
-    "W5_tumbling_window",
     # r3-green keepers: the newest / most complex code paths, to show no
     # regressions among r3's 50 (Q1/W4/C1/G6 rotated out to make room
     # for T18/T19/SD1/GEO5 — all r3-green, stable plans, G6 still

@@ -312,3 +312,176 @@ def test_point_in_polygon_col_matches_model(spark, data):
     for i, (lon, lat) in enumerate(pts):
         want = _model_raycast(ring, lon, lat)
         assert got[i] == want, (verts, (lon, lat), got[i], want)
+
+
+# --- round-4 additions: BPE / snapshot diff / KMV / as-of -----------------
+
+
+def _fixed_point_merge(word: list[str], l: str, r: str) -> str:
+    s = " " + " ".join(word) + " "
+    pat, rep = f" {l} {r} ", f" {l}{r} "
+    while pat in s:
+        s = s.replace(pat, rep)
+    return s
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from("abc"),
+    st.sampled_from("abc"),
+)
+def test_bpe_merge_matches_python_fixed_point(spark, words, l, r):
+    """_apply_merge over arbitrary small-alphabet words equals the
+    Python replace fixed point (the documented merge semantics), for
+    every pair including the same-symbol-run cases."""
+    from biodiversity_graph_db_spark.extensions.bpe import _apply_merge
+
+    corpus = spark.createDataFrame(
+        [(" " + " ".join(w) + " ", i + 1) for i, w in enumerate(words)],
+        "wstr string, freq long",
+    )
+    top = spark.createDataFrame([(l, r)], "l string, r string")
+    got = sorted(
+        (row.wstr, row.freq) for row in _apply_merge(corpus, top).collect()
+    )
+    want = sorted(
+        (_fixed_point_merge(w, l, r), i + 1) for i, w in enumerate(words)
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.integers(0, 30), st.integers(-3, 3), min_size=0, max_size=20
+    ),
+    st.dictionaries(
+        st.integers(0, 30), st.integers(-3, 3), min_size=0, max_size=20
+    ),
+)
+def test_snapshot_diff_apply_roundtrip(spark, a, b):
+    """apply_diff(A, snapshot_diff(A, B)) == B for arbitrary snapshots,
+    including empty sides and NULL-valued payloads."""
+    from biodiversity_graph_db_spark.operators.snapshot import (
+        apply_diff,
+        snapshot_diff,
+    )
+
+    def mk(d):
+        rows = [(f"k{k}", None if v == 0 else v) for k, v in d.items()]
+        return spark.createDataFrame(rows or [("__none__", None)], "key string, val long").where(
+            F.col("key") != "__none__"
+        )
+
+    old, new = mk(a), mk(b)
+    diff = snapshot_diff(old, new, ["key"], "val")
+    got = {
+        (r.key, r.val) for r in apply_diff(old, diff, ["key"]).collect()
+    }
+    want = {(f"k{k}", None if v == 0 else v) for k, v in b.items()}
+    assert got == want
+    # and the diff itself never reports an unchanged key
+    for r in diff.collect():
+        assert not (
+            r.change == "changed" and r.old_val == r.new_val
+        )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=60))
+def test_kmv_exact_below_k_and_order_free(spark, vals):
+    """With fewer than k distinct values the KMV 'estimate' is exact,
+    and the sketch is invariant to row order / partitioning."""
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = kmv_distinct(df, "g", "v", k=64).collect()
+    assert len(out) == 1
+    assert out[0].est_distinct == len(set(vals))
+    out2 = kmv_distinct(df.repartition(7), "g", "v", k=64).collect()
+    assert out[0] == out2[0]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),            # user
+            st.integers(0, 50),           # ts (seconds)
+            st.booleans(),                # is_click (else purchase)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_asof_union_trick_matches_model(spark, evs):
+    """The J9 union-trick window equals the brute-force as-of model:
+    for each click, the max-id purchase among those with the max
+    ts <= click ts for the same user."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(seconds=ts),
+            u,
+            "click" if is_c else "purchase",
+            0.0,
+            None,
+        )
+        for i, (u, ts, is_c) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = df.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("pid"),
+        F.lit(None).cast("long").alias("cid"),
+        F.lit(0).alias("side"),
+    )
+    c = df.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("pid"),
+        F.col("event_id").alias("cid"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.cid, r.asof)
+        for r in p.unionByName(c)
+        .select(
+            "*",
+            F.last("pid", ignorenulls=True).over(w).alias("asof"),
+        )
+        .where(F.col("side") == 1)
+        .collect()
+    }
+    want = {}
+    purchases = [
+        (i, u, ts) for i, (u, ts, is_c) in enumerate(evs) if not is_c
+    ]
+    for i, (u, ts, is_c) in enumerate(evs):
+        if not is_c:
+            continue
+        elig = [(pts, pi) for pi, pu, pts in purchases if pu == u and pts <= ts]
+        want[i] = max(elig)[1] if elig else None
+    assert got == set(want.items())
