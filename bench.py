@@ -67,6 +67,7 @@ HEADLINE = [
     "T20_kmv_distinct",
     "J9_asof_join",
     "T21_boilerplate_frac",
+    "G10_ebv_richness",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     "GEO5_density_grid",

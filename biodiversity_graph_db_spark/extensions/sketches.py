@@ -29,10 +29,14 @@ combinable distributed aggregate:
 
 The multiplicative hash ((x·2654435761 + 982451653) mod 4294967291,
 Knuth's constant, largest 32-bit prime modulus) is NOT cryptographic —
-it is an order-scrambling bijection-ish spread good enough for
-synopsis estimation, chosen because both engines compute it exactly
-in 64-bit integer arithmetic (no xxhash64 in DuckDB, no DuckDB `hash`
-in Spark).
+it is an order-scrambling spread good enough for synopsis estimation,
+chosen because both engines compute it exactly in 64-bit integer
+arithmetic (no xxhash64 in DuckDB, no DuckDB `hash` in Spark).  For
+inputs below the prime modulus it is a BIJECTION (x·a+b mod p is
+invertible), so the sub-k branch is collision-free and exactly the
+true distinct count (property-tested); larger key domains would chain
+two rounds with different constants, trading exactness below k for
+spread, without changing the plan shape.
 """
 
 from __future__ import annotations

@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "SD2_incremental_stats",
     "J9_asof_join",
     "T21_boilerplate_frac",
+    "G10_ebv_richness",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -104,11 +105,10 @@ PRIORITY: tuple[str, ...] = (
     "T5_langid_ngram",
     "W3_moving_smooth",
     # r3-green keepers: the newest / most complex code paths, to show no
-    # regressions among r3's 50 (Q1/W4/C1/G6 rotated out to make room
+    # regressions among r3's 50 (Q1/W4/C1/G6/D1 rotated out to make room
     # for T18/T19/SD1/GEO5 — all r3-green, stable plans, G6 still
     # benched every round)
     "G9_label_propagation",
-    "D1_neardup_clusters",
     "V4_ivf_neardup",
     # past the window (all r3-green, local-parity covered every run;
     # W1/G2/ED2/K1 rotated out this round to make room — all r3-green,
@@ -136,6 +136,7 @@ def load_all() -> None:
     the registry in grading-priority order."""
     from biodiversity_graph_db_spark.operators import (  # noqa: F401
         aggregations,
+        ebv,
         graph_analytics,
         graph_queries,
         joins,

@@ -505,3 +505,14 @@ class TestRound4NewOps:
         assert "BroadcastNestedLoopJoin" not in plan
         assert plan.count("hashpartitioning(") == 1
         assert "Exchange SinglePartition" not in plan
+
+    def test_g10_ebv_cube_is_keyed_joins_plus_two_phase_distinct(
+        self, spark, sf_dir
+    ):
+        """The EBV cube must be equi-joins + two-phase distinct
+        aggregation — no cartesian, no single-partition funnel."""
+        plan = _plan(spark, sf_dir, "G10_ebv_richness")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Exchange SinglePartition" not in plan
+        assert plan.count("HashAggregate") >= 2
