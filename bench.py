@@ -68,6 +68,8 @@ HEADLINE = [
     "J9_asof_join",
     "T21_boilerplate_frac",
     "G10_ebv_richness",
+    "GEO6_area_overlap",
+    "SD3_time_travel_read",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     "GEO5_density_grid",

@@ -253,3 +253,103 @@ def apply_diff(
     )
     kept = old.join(dropped, list(key_cols), "left_anti")
     return kept.select(*key_cols, value_col).unionByName(appended)
+
+
+# --- versioned storage: upsert log + time-travel reads --------------------
+
+
+def save_version(
+    df: DataFrame, path: str, version: int, key_cols: Sequence[str]
+) -> None:
+    """Append one version's UPSERTS (and tombstones — rows with
+    ``deleted=true``) to a versioned log partitioned by version.  Each
+    version stores only its delta, so log size ∝ total change volume,
+    and version partitions prune at the directory level on read."""
+    cols = [c for c in df.columns if c not in ("version", "deleted")]
+    out = df.select(
+        *cols,
+        (
+            F.col("deleted") if "deleted" in df.columns else F.lit(False)
+        ).alias("deleted"),
+        F.lit(version).cast("long").alias("version"),
+    )
+    out.write.mode("append").partitionBy("version").parquet(path)
+
+
+def read_as_of(
+    spark: SparkSession, path: str, version: int, key_cols: Sequence[str]
+) -> DataFrame:
+    """Time-travel read: the table state AS OF ``version`` — for each
+    key, the latest write with version ≤ v wins; tombstoned keys drop.
+
+    Scale shape: the ``version <= v`` predicate is a PARTITION filter
+    (later versions never read), and latest-per-key is one window
+    partitioned by the storage key — the same key the bucketed store
+    shuffles on, so a bucketed log reads with zero extra Exchange.
+    This is the plain-parquet core of what Delta/Iceberg time travel
+    adds metadata transactions around (cf. the concurrent-writer
+    contract note, SCALE.md)."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(path).where(F.col("version") <= version)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("version").desc())
+    latest = (
+        log.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return latest.where(~F.col("deleted")).drop("deleted", "version")
+
+
+@query(
+    "SD3_time_travel_read",
+    oracle=f"""
+    SELECT 'customernode_' || c_custkey AS key,
+           {sql_dquant("c_acctbal + CASE WHEN c_custkey % 7 = 0 "
+                       "THEN 100.0 ELSE 0.0 END")} AS val
+    FROM customer
+    WHERE c_custkey % 13 <> 0
+    ORDER BY key
+    """,
+)
+def sd3_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read verified end-to-end THROUGH the versioned
+    store: version 1 writes the base customer nodes, version 2 revalues
+    every 7th and tombstones every 13th, version 3 tombstones
+    everything else (a later state that must NOT leak into the read).
+    The query writes the log, then reads AS OF version 2; the oracle
+    recomputes that state directly from the mint arithmetic — a match
+    proves delta storage, tombstone handling, latest-per-key
+    resolution, and version pruning together."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        F.concat(F.lit("customernode_"), F.col("c_custkey")).alias("key"),
+        dquant("c_acctbal").alias("val"),
+    )
+    v2 = (
+        c.where((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 13 == 0))
+        .select(
+            F.concat(F.lit("customernode_"), F.col("c_custkey")).alias(
+                "key"
+            ),
+            dquant(F.col("c_acctbal") + 100.0).alias("val"),
+            (F.col("c_custkey") % 13 == 0).alias("deleted"),
+        )
+    )
+    v3 = base.select("key", "val", F.lit(True).alias("deleted"))
+    # deterministic per-SF scratch path (the driver may call repeatedly;
+    # overwrite each time so the read is reproducible)
+    sf_tag = re.sub(r"\W+", "_", sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"sd3_versioned_{sf_tag}", "log"
+    )
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    save_version(base, path, 1, ["key"])
+    save_version(v2, path, 2, ["key"])
+    save_version(v3, path, 3, ["key"])
+    return read_as_of(spark, path, 2, ["key"]).orderBy("key")

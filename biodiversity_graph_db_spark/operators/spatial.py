@@ -50,8 +50,10 @@ from biodiversity_graph_db_spark.functions.validation import (
 from biodiversity_graph_db_spark.operators._util import (
     davg,
     dquant,
+    dsum,
     sql_davg,
     sql_dquant,
+    sql_dsum,
 )
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
@@ -782,4 +784,115 @@ def geo5_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_site"),
         )
         .orderBy("cx", "cy")
+    )
+
+
+@query(
+    "GEO6_area_overlap",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE},
+    ar AS (
+      SELECT key, lat_min, lat_max, lon_min, lon_max
+      FROM ctx_promoted WHERE kind = 'Area'
+    )
+    SELECT a.key AS area_key,
+           COUNT(*) AS n_overlaps,
+           {sql_dsum('(LEAST(a.lat_max, b.lat_max)'
+                     ' - GREATEST(a.lat_min, b.lat_min))'
+                     ' * (LEAST(a.lon_max, b.lon_max)'
+                     ' - GREATEST(a.lon_min, b.lon_min))')}
+             AS total_overlap_deg2
+    FROM ar a JOIN ar b
+      ON a.key <> b.key
+     AND LEAST(a.lat_max, b.lat_max) > GREATEST(a.lat_min, b.lat_min)
+     AND LEAST(a.lon_max, b.lon_max) > GREATEST(a.lon_min, b.lon_min)
+    GROUP BY a.key
+    ORDER BY area_key
+    """,
+)
+def geo6_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon (bbox) OVERLAP join: for every Area, how many
+    other study regions it intersects and the total overlap area —
+    "which study regions cover the same ground", the region-comparison
+    question GEO3 answers for points.
+
+    The scale mechanics extend GEO3 with the **PBSM reference-point
+    rule** (Patel & DeWitt 1996): both areas list every grid cell their
+    bbox covers, the join is the plain cell equi-join — but a pair of
+    boxes can share MANY cells, and a dropDuplicates over the candidate
+    set would be a whole extra shuffle (the exact waste the round-4
+    GEO3/GEO4 review removed).  Instead each candidate pair is kept
+    ONLY in the one cell containing the intersection box's (min lon,
+    min lat) corner — that corner lies inside both boxes, so both list
+    its cell, and it lies in exactly one cell, so the pair survives
+    exactly once.  Dedup becomes a codegen'd comparison, not a shuffle.
+    Strict (positive-area) overlap keeps the half-open semantics of the
+    rest of the GEO family."""
+    promoted = promote_context_cols(
+        mint_context_nodes(spark, sf_dir)
+    ).localCheckpoint()
+
+    def side(prefix: str) -> DataFrame:
+        ar = promoted.where(F.col("kind") == "Area").select(
+            F.col("key").alias(f"{prefix}_key"),
+            F.col("lat_min").alias(f"{prefix}_lat_min"),
+            F.col("lat_max").alias(f"{prefix}_lat_max"),
+            F.col("lon_min").alias(f"{prefix}_lon_min"),
+            F.col("lon_max").alias(f"{prefix}_lon_max"),
+        )
+        return ar.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{prefix}_lon_min") / GRID_DEG),
+                    F.floor(F.col(f"{prefix}_lon_max") / GRID_DEG),
+                )
+            ).alias("cx"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{prefix}_lat_min") / GRID_DEG),
+                    F.floor(F.col(f"{prefix}_lat_max") / GRID_DEG),
+                )
+            ).alias("cy"),
+        )
+
+    a, b = side("a"), side("b")
+    inter_lat = F.least(F.col("a_lat_max"), F.col("b_lat_max")) - F.greatest(
+        F.col("a_lat_min"), F.col("b_lat_min")
+    )
+    inter_lon = F.least(F.col("a_lon_max"), F.col("b_lon_max")) - F.greatest(
+        F.col("a_lon_min"), F.col("b_lon_min")
+    )
+    owned = (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("a_key") != F.col("b_key"))
+        .where((inter_lat > 0) & (inter_lon > 0))
+        # PBSM reference point: keep the pair only in the cell holding
+        # the intersection's min corner — exactly-once without a shuffle
+        .where(
+            (
+                F.col("cx")
+                == F.floor(
+                    F.greatest(F.col("a_lon_min"), F.col("b_lon_min"))
+                    / GRID_DEG
+                )
+            )
+            & (
+                F.col("cy")
+                == F.floor(
+                    F.greatest(F.col("a_lat_min"), F.col("b_lat_min"))
+                    / GRID_DEG
+                )
+            )
+        )
+    )
+    return (
+        owned.groupBy(F.col("a_key").alias("area_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            dsum(inter_lat * inter_lon).alias("total_overlap_deg2"),
+        )
+        .orderBy("area_key")
     )

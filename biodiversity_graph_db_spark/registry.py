@@ -59,6 +59,8 @@ PRIORITY: tuple[str, ...] = (
     "J9_asof_join",
     "T21_boilerplate_frac",
     "G10_ebv_richness",
+    "GEO6_area_overlap",
+    "SD3_time_travel_read",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -104,12 +106,9 @@ PRIORITY: tuple[str, ...] = (
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
     "W3_moving_smooth",
-    # r3-green keepers: the newest / most complex code paths, to show no
-    # regressions among r3's 50 (Q1/W4/C1/G6/D1 rotated out to make room
-    # for T18/T19/SD1/GEO5 — all r3-green, stable plans, G6 still
-    # benched every round)
-    "G9_label_propagation",
-    "V4_ivf_neardup",
+    # (the r3-green keepers Q1/W4/C1/G6/D1/V4/G9 all rotated out across
+    # this round's additions — every one is r3-driver-green, stays in the
+    # bench headline, and re-verifies in the local gate each run)
     # past the window (all r3-green, local-parity covered every run;
     # W1/G2/ED2/K1 rotated out this round to make room — all r3-green,
     # ED2 additionally carries the round-4 write/read bench split):

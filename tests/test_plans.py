@@ -516,3 +516,40 @@ class TestRound4NewOps:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Exchange SinglePartition" not in plan
         assert plan.count("HashAggregate") >= 2
+
+    def test_geo6_overlap_no_dedup_shuffle(self, spark, sf_dir):
+        """The PBSM reference-point rule replaces pair dedup: the plan
+        must hold only the cell join (2 exchanges) + the rollup (1) —
+        no extra dropDuplicates shuffle, no cartesian."""
+        plan = _plan(spark, sf_dir, "GEO6_area_overlap")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Exchange SinglePartition" not in plan
+        assert plan.count("hashpartitioning(") <= 3
+
+    def test_sd3_as_of_read_prunes_versions(self, spark, sf_dir, tmp_path):
+        """Time travel must prune later versions at the partition level
+        and resolve latest-per-key with a key-partitioned window."""
+        from biodiversity_graph_db_spark.operators.snapshot import (
+            read_as_of,
+            save_version,
+        )
+
+        df = spark.range(100).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            F.col("id").alias("val"),
+        )
+        path = str(tmp_path / "log")
+        save_version(df, path, 1, ["key"])
+        save_version(df.limit(10), path, 2, ["key"])
+        save_version(df.limit(5), path, 3, ["key"])
+        q = read_as_of(spark, path, 2, ["key"])
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        scan = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "version" in scan
+        assert "Exchange SinglePartition" not in plan
+        assert q.count() == 100  # v3 never read, v2 upserts win
