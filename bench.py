@@ -70,6 +70,7 @@ HEADLINE = [
     "G10_ebv_richness",
     "GEO6_area_overlap",
     "SD3_time_travel_read",
+    "V5_ivf_recall",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     "GEO5_density_grid",

@@ -802,3 +802,92 @@ def ivf_topk_indexed(
             (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
         )
     )
+
+
+@query(
+    "V5_ivf_recall",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+    terms AS (
+      SELECT q_id, c_id, unnest(qe) AS qa, unnest(ce) AS cb
+      FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    dots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM terms GROUP BY q_id, c_id
+    ),
+    cos AS (
+      SELECT d.q_id, d.c_id,
+             d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                          * CAST(nc.norm_sq AS DOUBLE)) AS cosv
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms nc ON nc.vec_id = d.c_id
+    ),
+    exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosv DESC, c_id) AS rank
+        FROM cos
+      ) WHERE rank <= 5
+    ),
+    {_ASSIGN_SQL},
+    cassign AS (SELECT c_id, cent_id FROM aranked WHERE crk = 1),
+    qassign AS (SELECT c_id AS q_id, cent_id FROM aranked
+                WHERE crk <= 2 AND c_id < 10),
+    prs AS (
+      SELECT qa2.q_id, ca2.c_id
+      FROM qassign qa2 JOIN cassign ca2 USING (cent_id)
+      WHERE qa2.q_id <> ca2.c_id
+    ),
+    approx AS (
+      SELECT q_id, c_id FROM (
+        SELECT p.q_id, p.c_id,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                                  ORDER BY k.cosv DESC, p.c_id) AS rank
+        FROM prs p JOIN cos k ON k.q_id = p.q_id AND k.c_id = p.c_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.q_id,
+           CAST(COUNT(a.c_id) AS BIGINT) AS n_hits,
+           FLOOR(COUNT(a.c_id) / 5.0 * 10000) / 10000 AS recall_at_5
+    FROM exact e LEFT JOIN approx a
+      ON a.q_id = e.q_id AND a.c_id = e.c_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+)
+def v5_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the IVF scale path against the exact
+    brute-force baseline, per query — the quality metric that governs
+    the speed/recall trade (n_probe, centroid count) in any production
+    ANN deployment.  Pure composition: both sides are the V1/V3
+    operators, joined on (q_id, c_id) and rolled up; the oracle
+    recomputes both rankings in SQL, so the recall NUMBER itself is
+    cross-engine verified — the measurement can't silently drift from
+    the thing it measures."""
+    from biodiversity_graph_db_spark.operators._util import dquant
+
+    exact = v1_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = v3_ivf_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            dquant(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )

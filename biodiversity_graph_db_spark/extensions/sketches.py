@@ -56,7 +56,12 @@ _MOD = 4294967291
 
 
 def portable_hash(x: Column) -> Column:
-    """Deterministic BIGINT spread hash, identical in Spark and DuckDB."""
+    """Deterministic BIGINT spread hash, identical in Spark and DuckDB.
+
+    Assumes non-negative keys: both engines' ``%`` follows the sign of
+    the dividend, so negative inputs hash negative — still engine-
+    identical (parity holds) but outside the estimator's [0, M) model;
+    shift or ``pmod`` signed key domains first."""
     return (x.cast("long") * F.lit(_MUL) + F.lit(_ADD)) % F.lit(_MOD)
 
 

@@ -101,7 +101,8 @@ def snapshot_diff(
            o.val AS old_val,
            n.val AS new_val
     FROM old_snap o FULL OUTER JOIN new_snap n ON o.key = n.key
-    WHERE o.key IS NULL OR n.key IS NULL OR o.val <> n.val
+    WHERE o.key IS NULL OR n.key IS NULL
+       OR o.val IS DISTINCT FROM n.val
     ORDER BY key
     """,
 )
@@ -322,8 +323,6 @@ def sd3_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves delta storage, tombstone handling, latest-per-key
     resolution, and version pruning together."""
     import os
-    import re
-    import shutil
     import tempfile
 
     c = table(spark, sf_dir, "customer")
@@ -342,13 +341,11 @@ def sd3_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v3 = base.select("key", "val", F.lit(True).alias("deleted"))
-    # deterministic per-SF scratch path (the driver may call repeatedly;
-    # overwrite each time so the read is reproducible)
-    sf_tag = re.sub(r"\W+", "_", sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(), f"sd3_versioned_{sf_tag}", "log"
-    )
-    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    # unique scratch dir per call: a fixed path would corrupt under the
+    # concurrent gate runs this repo actually does (local pytest + driver
+    # side by side); the dir outlives the call because the returned
+    # DataFrame reads it lazily (bounded leak in tmp, driver-run sized)
+    path = os.path.join(tempfile.mkdtemp(prefix="sd3_versioned_"), "log")
     save_version(base, path, 1, ["key"])
     save_version(v2, path, 2, ["key"])
     save_version(v3, path, 3, ["key"])

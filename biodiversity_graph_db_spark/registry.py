@@ -61,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "G10_ebv_richness",
     "GEO6_area_overlap",
     "SD3_time_travel_read",
+    "V5_ivf_recall",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -74,7 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "T17_corpus_cube",
     # queries whose latest driver evidence is round 2 (V1/V2 left to the
     # local gate this window: their scale-path twins V3/V4 verify the same
-    # kernels, V4 in-window; W5/W6 likewise: benched every round) — rotate
+    # kernels; W5/W6 + MM1 likewise benched/stable) — rotate
     # back in for current-round evidence (VERDICT r3 item 3)
     "A1_gen_statistics",
     "A3_merge_into_index",
@@ -98,7 +99,6 @@ PRIORITY: tuple[str, ...] = (
     "J6_hyperedge_star",
     "J8_interval_containment",
     "M1_unpivot_wide_matrix",
-    "MM1_media_decode_metadata",
     "O2_topk_per_group",
     "S4_batch_key_lookup",
     "T1_token_stats",

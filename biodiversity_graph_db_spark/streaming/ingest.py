@@ -360,3 +360,49 @@ def closed_sessions_batch(ev: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             "total_value"
         ),
     )
+
+
+def run_kmv_sketch(
+    events: DataFrame, out_path: str, checkpoint: str, k: int = 64
+):
+    """Streaming distinct-count maintenance: a per-event-type KMV
+    sketch (extensions/sketches.py) kept current across micro-batches —
+    the MERGEABILITY of the synopsis doing real work: each batch's
+    distinct (group, hash) set unions into the stored k-smallest ledger
+    and re-truncates to k rows per group, so state is O(groups · k)
+    forever while the estimate tracks the full stream's distinct count.
+    This is how a 100 TB ingest keeps live cardinality dashboards
+    without ever running COUNT(DISTINCT) over the corpus; the batch
+    operator (T20) over the same data is the equivalence oracle
+    (tested: final stream sketch == batch sketch, bit-for-bit)."""
+    from pyspark.sql import Window
+
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        portable_hash,
+    )
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.select(
+            F.col("event_type"),
+            portable_hash(F.col("user_id")).alias("h"),
+        ).distinct()
+        if _path_exists(spark, out_path):
+            fresh = fresh.unionByName(
+                spark.read.parquet(out_path)
+            ).distinct()
+        w = Window.partitionBy("event_type").orderBy("h")
+        kept = (
+            fresh.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .drop("rk")
+        )
+        # overwrite via staging: the ledger is tiny (groups × k rows)
+        kept.localCheckpoint().write.mode("overwrite").parquet(out_path)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

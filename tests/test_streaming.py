@@ -627,3 +627,66 @@ class TestClosedSessions:
             assert rows[0].n_events == 1
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingKmv:
+    def test_stream_sketch_equals_batch_sketch(self, spark, events_dir):
+        """The KMV ledger after streaming all micro-batches must equal
+        the batch sketch over the same data — the mergeability claim
+        (union + re-truncate preserves the k-smallest set) verified
+        end-to-end."""
+        from biodiversity_graph_db_spark.extensions.sketches import (
+            kmv_distinct,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="kmv_stream_")
+        try:
+            q = ingest.run_kmv_sketch(
+                ingest.read_events_stream(spark, events_dir),
+                f"{tmp}/sketch",
+                f"{tmp}/ckpt",
+            ).start()
+            q.awaitTermination(120)
+            got = {
+                (r.event_type, r.h)
+                for r in spark.read.parquet(f"{tmp}/sketch").collect()
+            }
+            # batch twin: the k-smallest distinct hashes per group
+            from pyspark.sql import Window
+
+            from biodiversity_graph_db_spark.extensions.sketches import (
+                portable_hash,
+            )
+
+            ev = spark.read.parquet(events_dir)
+            w = Window.partitionBy("event_type").orderBy("h")
+            want = {
+                (r.event_type, r.h)
+                for r in ev.select(
+                    "event_type", portable_hash(F.col("user_id")).alias("h")
+                )
+                .distinct()
+                .withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= 64)
+                .collect()
+            }
+            assert got == want and len(got) > 0
+            # and the batch T20 operator over the raw events derives the
+            # same (n_kept, kth_hash) the ledger now holds per group
+            ledger = {
+                r.event_type: (r.n_kept, r.kth_hash)
+                for r in spark.read.parquet(f"{tmp}/sketch")
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_kept"),
+                    F.max("h").alias("kth_hash"),
+                )
+                .collect()
+            }
+            batch = {
+                r.event_type: (r.n_kept, r.kth_hash)
+                for r in kmv_distinct(ev, "event_type", "user_id").collect()
+            }
+            assert ledger == batch
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
