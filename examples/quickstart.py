@@ -119,6 +119,42 @@ def main() -> None:
     )
     print("point contexts inside the study polygon:", in_poly.count())
 
+    # 8. Tokenizer: learn 4 BPE merges on the corpus, encode it, and
+    #    read the compression the learned vocab buys
+    from biodiversity_graph_db_spark.extensions.bpe import (
+        bpe_encode_docs,
+        bpe_train,
+    )
+
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(spark, SF_DIR).orderBy("step").collect()
+    ]
+    print("learned merges:", merges)
+    bpe_encode_docs(spark, SF_DIR, merges).agg(
+        F.sum("n_symbols").alias("symbols"), F.sum("n_tokens").alias("tokens")
+    ).show()
+
+    # 9. Change management: diff two store versions, maintain stats
+    #    incrementally, reconstruct by replaying the diff
+    from biodiversity_graph_db_spark.operators.snapshot import (
+        apply_diff,
+        snapshot_diff,
+    )
+
+    v_a = store.nodes.select(
+        "key", F.xxhash64("node_type", "pretty_name").alias("val")
+    )
+    v_b = v_a.where(~F.col("key").startswith("biodiversity")).unionByName(
+        spark.createDataFrame(
+            [("sourcenode_new_2025", 0)], "key string, val long"
+        )
+    )
+    diff = snapshot_diff(v_a, v_b, ["key"], "val")
+    diff.groupBy("change").count().show()
+    assert apply_diff(v_a, diff, ["key"]).exceptAll(v_b).isEmpty()
+    print("diff replay reconstructs the new snapshot exactly")
+
     spark.stop()
 
 
