@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     LongType,
     StringType,
@@ -278,4 +279,82 @@ def decode_media_real(df: DataFrame) -> DataFrame:
         "media codecs (PIL/ffmpeg) are not available in this container; "
         "use decode_media / sample_frames / resize_images (deterministic "
         "fakes) for plumbing tests"
+    )
+
+
+# --- media → embedding → ANN (the multimodal retrieval path) --------------
+
+EMB_DIM = 16
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("embedding", ArrayType(LongType()), True),
+    ]
+)
+
+
+def media_embeddings(df: DataFrame) -> DataFrame:
+    """Arrow kernel: opaque media payload → a deterministic
+    ``EMB_DIM``-dim byte-histogram embedding (the stand-in for a real
+    CLIP/wav2vec encoder — swap the kernel body, keep the plumbing).
+    Vectorized with numpy ``bincount`` per blob; at 100 TB this is the
+    same embarrassingly-parallel mapInPandas stage as ``decode_media``,
+    feeding the similarity layer's IVF index directly."""
+    import numpy as np
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for m in pdf["media"]:
+                b = np.frombuffer(m if m is not None else b"", dtype=np.uint8)
+                embs.append(
+                    np.bincount(b % EMB_DIM, minlength=EMB_DIM)
+                    .astype("int64")
+                    .tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "embedding": embs,
+                }
+            )
+
+    return df.mapInPandas(embed, schema=EMBED_SCHEMA)
+
+
+@query(
+    "MM3_media_embedding",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             list_transform(string_split(text, ''),
+                            ch -> unicode(ch)) AS codes
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id AS media_id, n_bytes,
+           list_transform(generate_series(0, {EMB_DIM - 1}),
+                          b -> CAST(len(list_filter(codes,
+                                    c -> c % {EMB_DIM} = b)) AS BIGINT))
+             AS embedding
+    FROM chars
+    ORDER BY media_id
+    """,
+)
+def mm3_media_embedding(spark, sf_dir: str) -> DataFrame:
+    """Media-to-embedding through the real Arrow plumbing, value-
+    verified: the kernel histograms the BLOB's bytes; the oracle
+    histograms the text's code points — identical on the (verified-
+    ASCII) corpus, so a hash match proves the binary payload round-trip
+    AND the kernel arithmetic.  The embeddings feed ``ivf_topk``
+    unchanged (composition test: nearest-media retrieval,
+    tests/test_extensions.py)."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (
+        media_embeddings(media_from_documents(docs))
+        .select("media_id", "n_bytes", "embedding")
+        .orderBy("media_id")
     )

@@ -487,6 +487,14 @@ def geo3_points_in_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     promoted = promote_context_cols(
         mint_context_nodes(spark, sf_dir)
     ).localCheckpoint()
+    return points_in_areas(promoted)
+
+
+def points_in_areas(promoted: DataFrame) -> DataFrame:
+    """The GEO3 join path alone, over an already-promoted context
+    table — benched separately on the STORED form (bench.py
+    ``geo_split``): in production the mint/DMS-parse runs once at
+    ingest, and THIS is the per-query cost."""
     pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
         "key",
         "pt_lat",

@@ -62,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "GEO6_area_overlap",
     "SD3_time_travel_read",
     "V5_ivf_recall",
+    "MM3_media_embedding",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -75,7 +76,8 @@ PRIORITY: tuple[str, ...] = (
     "T17_corpus_cube",
     # queries whose latest driver evidence is round 2 (V1/V2 left to the
     # local gate this window: their scale-path twins V3/V4 verify the same
-    # kernels; W5/W6 + MM1 likewise benched/stable) — rotate
+    # kernels; W5/W6 + MM1 benched/stable; J1 subsumed by in-window
+    # J2/J3/J6/J8/J9) — rotate
     # back in for current-round evidence (VERDICT r3 item 3)
     "A1_gen_statistics",
     "A3_merge_into_index",
@@ -91,7 +93,6 @@ PRIORITY: tuple[str, ...] = (
     "G5_triangle_count",
     "G7_shortest_paths",
     "G8_motif_find",
-    "J1_one_hop_traversal",
     "J2_multihop_extract",
     "J3_reverse_membership",
     "J4_fk_violation_check",

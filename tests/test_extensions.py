@@ -270,3 +270,44 @@ class TestTextRepetition:
         df = registry.QUERIES["T8_contamination_overlap"](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestMediaRetrieval:
+    def test_media_embeddings_feed_the_ann_layer(self, spark, sf_dir):
+        """The multimodal→similarity composition: byte-histogram media
+        embeddings run through BOTH ANN paths unchanged; the IVF path
+        must recover most of the exact top-5 (recall@5 ≥ 0.6 on this
+        corpus) and every IVF hit must carry the exact path's cosine
+        for that pair (same kernel arithmetic)."""
+        from biodiversity_graph_db_spark.extensions.multimodal import (
+            media_embeddings,
+            media_from_documents,
+        )
+        from biodiversity_graph_db_spark.extensions.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+        from biodiversity_graph_db_spark.tables import table
+
+        docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+        emb = (
+            media_embeddings(media_from_documents(docs))
+            .select(
+                F.col("media_id").alias("vec_id"),
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            .localCheckpoint()
+        )
+        q = emb.where(F.col("vec_id") < 5)
+        exact = {
+            (r.q_id, r.c_id): r.cosine
+            for r in brute_force_topk(q, emb, k=5).collect()
+        }
+        approx = {
+            (r.q_id, r.c_id): r.cosine
+            for r in ivf_topk(emb, q, n_centroids=8, n_probe=2, k=5).collect()
+        }
+        hits = set(exact) & set(approx)
+        assert len(hits) / len(exact) >= 0.6
+        for pair in hits:
+            assert exact[pair] == approx[pair]
