@@ -72,6 +72,7 @@ HEADLINE = [
     "SD3_time_travel_read",
     "V5_ivf_recall",
     "MM3_media_embedding",
+    "E4_fuzzy_name_match",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     "GEO5_density_grid",

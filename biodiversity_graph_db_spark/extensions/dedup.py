@@ -548,3 +548,111 @@ def d3_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- fuzzy (edit-distance) name matching ----------------------------------
+
+FUZZY_MAX_DIST = 1
+FUZZY_DIRTY_LIMIT = 500  # bounded dirty side for the oracle's exact join
+
+
+def fuzzy_match_names(
+    dirty: DataFrame, clean: DataFrame, max_dist: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """Edit-distance-≤1 join via the wildcard-position signature
+    (the substitution form of SymSpell's deletion neighborhood): two
+    same-length strings within one SUBSTITUTION — which is the only way
+    same-length strings reach levenshtein 1 — become identical when the
+    differing position is wildcarded, so each name fans out to L
+    variants (position i replaced by a sentinel) and candidates come
+    from a plain equi-join on (position, variant).  The join key embeds
+    the whole string but one char, so bucket entropy stays high even on
+    low-entropy-prefix names — the failure mode of half/segment
+    signatures (a first cut here used PassJoin halves; on
+    'Customer#0000…' names the constant first half degenerated to a
+    75M-pair hot key and 12 s at sf0.1 — replaced, now sub-second).
+    The exact ``levenshtein`` runs only on candidates (plan-tested
+    no-NLJ).  Cost model: L× fan-out on both sides (the classic
+    SymSpell space/time trade), shuffle keyed on the variant;
+    τ>1 wildcards τ positions (L^τ variants) — τ=1 shipped.
+
+    Inputs: dirty(id, dname), clean(key, name).  Output: every
+    (id, key, dist) with equal lengths and dist ≤ ``max_dist``."""
+    assert max_dist == 1, "τ>1 needs multi-position wildcards; τ=1 shipped"
+    SENTINEL = "\x01"
+
+    def variants(df: DataFrame, name_col: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({name_col})),"
+                    f" i -> concat(substring({name_col}, 1, i - 1),"
+                    f" '{SENTINEL}', substring({name_col}, i + 1)))"
+                )
+            ).alias("pos", "variant"),
+        )
+
+    d = variants(dirty, "dname")
+    c = variants(clean, "name")
+    cand = d.join(c, ["pos", "variant"]).where(
+        F.length("dname") == F.length("name")
+    )
+    return (
+        cand.where(F.levenshtein("dname", "name") <= max_dist)
+        .select(
+            "id",
+            "key",
+            F.levenshtein("dname", "name").cast("long").alias("dist"),
+        )
+        # equal strings share every variant; substitution pairs share
+        # exactly one — dedup on the pair key, one keyed shuffle over
+        # the (small) match set
+        .dropDuplicates(["id", "key"])
+    )
+
+
+@query(
+    "E4_fuzzy_name_match",
+    oracle=f"""
+    WITH clean AS (
+      SELECT c_custkey AS key, c_name AS name FROM customer
+    ),
+    dirty AS (
+      SELECT c_custkey AS id,
+             substr(c_name, 1, (c_custkey * 7) % length(c_name))
+               || 'x' ||
+             substr(c_name, (c_custkey * 7) % length(c_name) + 2) AS dname
+      FROM customer WHERE c_custkey < {FUZZY_DIRTY_LIMIT}
+    )
+    SELECT d.id, c.key,
+           CAST(levenshtein(d.dname, c.name) AS BIGINT) AS dist
+    FROM dirty d JOIN clean c
+      ON length(d.dname) = length(c.name)
+     AND levenshtein(d.dname, c.name) <= {FUZZY_MAX_DIST}
+    ORDER BY id, key
+    """,
+)
+def e4_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: corrupted names (one substituted char,
+    minted deterministically) matched back against the clean dictionary
+    at edit distance ≤ 1 — the offline analog of the reference's GBIF
+    taxon-backbone lookup (sources/enrichment.py S11, sandbox-stubbed),
+    where OCR'd / misspelt taxon names must land on checklist entries.
+    The DuckDB oracle runs the exact quadratic join; the Spark side
+    must reproduce it through the signature path — a value match proves
+    the pigeonhole filter is lossless."""
+    c = table(spark, sf_dir, "customer")
+    clean = c.select(F.col("c_custkey").alias("key"), F.col("c_name").alias("name"))
+    pos = (F.col("c_custkey") * 7) % F.length("c_name")
+    dirty = c.where(F.col("c_custkey") < FUZZY_DIRTY_LIMIT).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(
+            F.expr("substring(c_name, 1, CAST((c_custkey * 7) % length(c_name) AS INT))"),
+            F.lit("x"),
+            F.expr(
+                "substring(c_name, CAST((c_custkey * 7) % length(c_name) AS INT) + 2)"
+            ),
+        ).alias("dname"),
+    )
+    return fuzzy_match_names(dirty, clean).orderBy("id", "key")

@@ -63,6 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "SD3_time_travel_read",
     "V5_ivf_recall",
     "MM3_media_embedding",
+    "E4_fuzzy_name_match",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -76,7 +77,8 @@ PRIORITY: tuple[str, ...] = (
     "T17_corpus_cube",
     # queries whose latest driver evidence is round 2 (V1/V2 left to the
     # local gate this window: their scale-path twins V3/V4 verify the same
-    # kernels; W5/W6 + MM1 benched/stable; J1 subsumed by in-window
+    # kernels; W5/W6 + MM1 benched/stable; F10 r2-green relational
+    # single; J1 subsumed by in-window
     # J2/J3/J6/J8/J9) — rotate
     # back in for current-round evidence (VERDICT r3 item 3)
     "A1_gen_statistics",
@@ -88,7 +90,6 @@ PRIORITY: tuple[str, ...] = (
     "E2_minhash_lsh_neardup",
     "E3_simhash_neardup",
     "ED1_edge_date_range",
-    "F10_conditional_route",
     "G3_connected_components",
     "G5_triangle_count",
     "G7_shortest_paths",

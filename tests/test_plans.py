@@ -553,3 +553,11 @@ class TestRound4NewOps:
         assert "version" in scan
         assert "Exchange SinglePartition" not in plan
         assert q.count() == 100  # v3 never read, v2 upserts win
+
+    def test_e4_fuzzy_join_no_quadratic_levenshtein(self, spark, sf_dir):
+        """The fuzzy join must come from the half-signature equi-joins
+        — never a cartesian/NLJ levenshtein over all pairs."""
+        plan = _plan(spark, sf_dir, "E4_fuzzy_name_match")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Exchange SinglePartition" not in plan

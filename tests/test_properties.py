@@ -485,3 +485,115 @@ def test_asof_union_trick_matches_model(spark, evs):
         elig = [(pts, pi) for pi, pu, pts in purchases if pu == u and pts <= ts]
         want[i] = max(elig)[1] if elig else None
     assert got == set(want.items())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abX", min_size=2, max_size=6),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    st.data(),
+)
+def test_fuzzy_match_lossless_vs_bruteforce(spark, names, data):
+    """The wildcard-position signature must find EXACTLY the pairs the
+    brute-force levenshtein-≤1 same-length join finds, on adversarial
+    low-entropy alphabets (shared prefixes/suffixes, repeated chars)."""
+    import itertools
+
+    from biodiversity_graph_db_spark.extensions.dedup import (
+        fuzzy_match_names,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    # dirty = each name with one substituted char (position chosen by
+    # hypothesis), plus one uncorrupted copy
+    dirty_rows = []
+    for i, n in enumerate(names):
+        pos = data.draw(st.integers(0, len(n) - 1))
+        ch = data.draw(st.sampled_from("abX"))
+        dirty_rows.append((i, n[:pos] + ch + n[pos + 1 :]))
+    clean = spark.createDataFrame(
+        [(j, n) for j, n in enumerate(names)], "key long, name string"
+    )
+    dirty = spark.createDataFrame(dirty_rows, "id long, dname string")
+    got = {
+        (r.id, r.key, r.dist)
+        for r in fuzzy_match_names(dirty, clean).collect()
+    }
+    want = {
+        (i, j, lev(dn, cn))
+        for (i, dn), (j, cn) in itertools.product(
+            dirty_rows, enumerate(names)
+        )
+        if len(dn) == len(cn) and lev(dn, cn) <= 1
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 8),              # key
+                st.integers(0, 5),              # value
+                st.booleans(),                  # tombstone
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_versioned_log_matches_dict_replay(spark, tmp_path_factory, versions):
+    """read_as_of at every version equals a Python dict replay of the
+    same upserts/tombstones (latest-per-key, deletes win)."""
+    from biodiversity_graph_db_spark.operators.snapshot import (
+        read_as_of,
+        save_version,
+    )
+
+    tmp = tmp_path_factory.mktemp("vlog")
+    path = str(tmp / "log")
+    state: dict[int, int] = {}
+    for v, rows in enumerate(versions, start=1):
+        # per-version, last write per key within the batch is undefined;
+        # keep keys unique inside a version
+        dedup = {k: (val, dead) for k, val, dead in rows}
+        df = spark.createDataFrame(
+            [
+                (f"k{k}", val, dead)
+                for k, (val, dead) in sorted(dedup.items())
+            ],
+            "key string, val long, deleted boolean",
+        )
+        save_version(df, path, v, ["key"])
+        for k, (val, dead) in dedup.items():
+            if dead:
+                state.pop(k, None)
+                state[k] = None
+            else:
+                state[k] = val
+        # state keeps tombstones as None markers; visible = non-None
+        got = {
+            (r.key, r.val)
+            for r in read_as_of(spark, path, v, ["key"]).collect()
+        }
+        want = {
+            (f"k{k}", val) for k, val in state.items() if val is not None
+        }
+        assert got == want, (v, got, want)
