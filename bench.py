@@ -73,6 +73,7 @@ HEADLINE = [
     "V5_ivf_recall",
     "MM3_media_embedding",
     "E4_fuzzy_name_match",
+    "G11_kcore",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     "GEO5_density_grid",

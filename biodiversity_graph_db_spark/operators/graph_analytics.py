@@ -282,3 +282,97 @@ def g8_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     return found.select(
         "s", "tl", "h", "taxon", "outcome", "e_relation"
     ).orderBy("s", "tl", "h", "taxon", "outcome")
+
+
+# --- G11: k-core decomposition (fixed-round peel) -------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def kcore_peel(
+    und: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """k-core by synchronous peeling: each round drops every vertex
+    whose degree in the SURVIVING subgraph is < k, then restricts the
+    edge set to both-surviving endpoints.  ``rounds`` is fixed (the
+    G9/LPA unrolled-oracle discipline — both engines run the identical
+    bounded computation); the fixpoint test asserts convergence within
+    the budget at test scale, and production monitors the per-round
+    drop count to stop early.
+
+    Scale shape per round: one map-side-combinable degree count + two
+    semi-join-shaped restrictions, all keyed on the vertex id — the
+    same one-shuffle-per-iteration budget as PageRank/LPA;
+    localCheckpoint truncates the per-round lineage.  Input ``und`` is
+    the canonical undirected edge list (a < b)."""
+    edges = und
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionByName(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = deg.where(F.col("c") >= k).select("v")
+        edges = (
+            edges.join(alive.withColumnRenamed("v", "a"), "a")
+            .join(alive.withColumnRenamed("v", "b"), "b")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = ["und0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for r in range(1, rounds + 1):
+        prev = f"und{r - 1}"
+        ctes.append(
+            f"""deg{r} AS (
+      SELECT v, COUNT(*) AS c FROM (
+        SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev}
+      ) GROUP BY v
+    )"""
+        )
+        ctes.append(
+            f"keep{r} AS MATERIALIZED (SELECT v FROM deg{r} WHERE c >= {k})"
+        )
+        ctes.append(
+            f"""und{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN keep{r} ka ON ka.v = e.a
+      JOIN keep{r} kb ON kb.v = e.b
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {_LI_GRAPH_SQL},
+    {joined}
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+      SELECT a AS v FROM und{rounds} UNION ALL SELECT b FROM und{rounds}
+    ) GROUP BY v
+    ORDER BY v
+    """
+
+
+@query("G11_kcore", oracle=_kcore_oracle())
+def g11_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {KCORE_K}-core of the lineitem co-occurrence graph after
+    {KCORE_ROUNDS} peeling rounds (converged at test scale — fixpoint
+    test) — the density filter that strips pendant vertices before
+    community/triangle analytics, completing the classic GraphX set
+    (CC, PageRank, triangles, BFS, LPA, motif, k-core)."""
+    und = (
+        li_graph(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates()
+    )
+    return kcore_peel(und).orderBy("v")

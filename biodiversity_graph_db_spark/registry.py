@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "V5_ivf_recall",
     "MM3_media_embedding",
     "E4_fuzzy_name_match",
+    "G11_kcore",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -77,7 +78,8 @@ PRIORITY: tuple[str, ...] = (
     "T17_corpus_cube",
     # queries whose latest driver evidence is round 2 (V1/V2 left to the
     # local gate this window: their scale-path twins V3/V4 verify the same
-    # kernels; W5/W6 + MM1 benched/stable; F10 r2-green relational
+    # kernels; W5/W6 + MM1 benched/stable; G5 shares G11's graph and
+    # mint (k-core green validates the same substrate); F10 r2-green relational
     # single; J1 subsumed by in-window
     # J2/J3/J6/J8/J9) — rotate
     # back in for current-round evidence (VERDICT r3 item 3)
@@ -91,7 +93,6 @@ PRIORITY: tuple[str, ...] = (
     "E3_simhash_neardup",
     "ED1_edge_date_range",
     "G3_connected_components",
-    "G5_triangle_count",
     "G7_shortest_paths",
     "G8_motif_find",
     "J2_multihop_extract",

@@ -157,3 +157,36 @@ def test_pagerank_matches_reference_power_iteration(spark):
                 incoming[d] += math.floor((r[s] * 85) / (100 * len(ds)))
         r = {n: base + incoming[n] for n in nodes}
     assert ranks == r
+
+
+class TestKCore:
+    def test_peel_converges_within_round_budget(self, spark, sf_dir):
+        """The fixed KCORE_ROUNDS budget must reach the true k-core at
+        test scale: one more round changes nothing, and every surviving
+        vertex has core_degree >= k."""
+        from biodiversity_graph_db_spark.operators.graph_analytics import (
+            KCORE_K,
+            KCORE_ROUNDS,
+            kcore_peel,
+            li_graph,
+        )
+
+        und = (
+            li_graph(spark, sf_dir)
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .dropDuplicates()
+        )
+        at_budget = {
+            (r.v, r.core_degree)
+            for r in kcore_peel(und, KCORE_K, KCORE_ROUNDS).collect()
+        }
+        one_more = {
+            (r.v, r.core_degree)
+            for r in kcore_peel(und, KCORE_K, KCORE_ROUNDS + 1).collect()
+        }
+        assert at_budget == one_more
+        assert all(d >= KCORE_K for _, d in at_budget)
+        assert len(at_budget) > 0
