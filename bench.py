@@ -74,6 +74,7 @@ HEADLINE = [
     "MM3_media_embedding",
     "E4_fuzzy_name_match",
     "G11_kcore",
+    "C2_radiocarbon_calibrate",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     "GEO5_density_grid",

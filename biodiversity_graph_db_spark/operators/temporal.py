@@ -587,3 +587,90 @@ def ed3_calibration_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("curve", "software")
     )
+
+
+@query(
+    "C2_radiocarbon_calibrate",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey % 2 AS cal_id,
+             CAST((o_orderkey // 2) * 200 AS DOUBLE) AS depth,
+             CAST(FLOOR((o_orderkey // 2) * 200 * 1.08)
+                  + (o_orderkey * 37) % 140 AS DOUBLE) AS ctrl_age
+      FROM orders WHERE o_orderkey < 102
+    ), s AS (
+      SELECT o_orderkey % 2 AS cal_id, o_orderkey AS sample_id,
+             CAST((o_orderkey * 13) % 10400 AS DOUBLE) AS depth
+      FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 900
+    ), prev AS (
+      SELECT s.sample_id, max(m.depth) AS pd
+      FROM s JOIN m ON m.cal_id = s.cal_id AND m.depth <= s.depth
+      GROUP BY s.sample_id
+    ), nxt AS (
+      SELECT s.sample_id, min(m.depth) AS nd
+      FROM s JOIN m ON m.cal_id = s.cal_id AND m.depth >= s.depth
+      GROUP BY s.sample_id
+    )
+    SELECT CASE s.cal_id WHEN 0 THEN 'TestCal-A' ELSE 'TestCal-B' END
+             AS curve,
+           s.sample_id AS date_id,
+           s.depth AS c14_age_bp,
+      CASE WHEN prev.pd IS NULL OR nxt.nd IS NULL THEN NULL
+           WHEN nxt.nd = prev.pd THEN FLOOR(pa.ctrl_age * 10000) / 10000
+           ELSE FLOOR((pa.ctrl_age + (s.depth - prev.pd)
+                       * (na.ctrl_age - pa.ctrl_age)
+                       / (nxt.nd - prev.pd)) * 10000) / 10000
+      END AS cal_age_bp
+    FROM s
+    LEFT JOIN prev ON prev.sample_id = s.sample_id
+    LEFT JOIN nxt ON nxt.sample_id = s.sample_id
+    LEFT JOIN m pa ON pa.cal_id = s.cal_id AND pa.depth = prev.pd
+    LEFT JOIN m na ON na.cal_id = s.cal_id AND na.depth = nxt.nd
+    ORDER BY date_id
+    """,
+)
+def c2_radiocarbon_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radiocarbon calibration: uncalibrated ¹⁴C ages → cal yr BP
+    through a calibration CURVE — the apply step the reference stores
+    metadata for (``DateCalibration``/``Calibrated`` edges,
+    Exposure.fs:87-105, Types.fs:617-633; our ED3 reads curve names)
+    but never executes in-engine.
+
+    Deliberate reuse: a calibration curve IS an (x=uncal, y=cal)
+    control-point model, so this is the SAME generic
+    ``age_depth_interpolate`` operator C1 uses — one as-of
+    interpolation primitive serves age-depth models and calibration
+    curves (and any piecewise-linear lookup), with wiggles/plateaus
+    handled because nothing assumes monotone y.  Two synthetic curves
+    (51 knots each, 200-yr spacing, deterministic wiggle term) and 500
+    dates minted from orders; dates past the curve end calibrate to
+    NULL (the out-of-span contract, same as C1)."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    curves = o.where(k < 102).select(
+        (k % 2).alias("cal_id"),
+        (F.expr("o_orderkey div 2").cast("double") * 200).alias("depth"),
+        (
+            F.floor(F.expr("o_orderkey div 2") * 200 * 1.08)
+            + (k * 37) % 140
+        )
+        .cast("double")
+        .alias("ctrl_age"),
+    )
+    dates = o.where((k >= 400) & (k < 900)).select(
+        (k % 2).alias("cal_id"),
+        k.alias("sample_id"),
+        ((k * 13) % 10400).cast("double").alias("depth"),
+    )
+    return (
+        age_depth_interpolate(curves, dates)
+        .select(
+            F.when(F.col("cal_id") == 0, "TestCal-A")
+            .otherwise("TestCal-B")
+            .alias("curve"),
+            F.col("sample_id").alias("date_id"),
+            F.col("depth").alias("c14_age_bp"),
+            F.col("age_bp").alias("cal_age_bp"),
+        )
+        .orderBy("date_id")
+    )

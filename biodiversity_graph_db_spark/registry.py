@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "MM3_media_embedding",
     "E4_fuzzy_name_match",
     "G11_kcore",
+    "C2_radiocarbon_calibrate",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -78,7 +79,8 @@ PRIORITY: tuple[str, ...] = (
     "T17_corpus_cube",
     # queries whose latest driver evidence is round 2 (V1/V2 left to the
     # local gate this window: their scale-path twins V3/V4 verify the same
-    # kernels; W5/W6 + MM1 benched/stable; G5 shares G11's graph and
+    # kernels; W5/W6 + MM1 benched/stable; W3 r2-green window single
+    # (W1/W2/O2 cover the family in-window); G5 shares G11's graph and
     # mint (k-core green validates the same substrate); F10 r2-green relational
     # single; J1 subsumed by in-window
     # J2/J3/J6/J8/J9) — rotate
@@ -108,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "T2_quality_scores",
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
-    "W3_moving_smooth",
     # (the r3-green keepers Q1/W4/C1/G6/D1/V4/G9 all rotated out across
     # this round's additions — every one is r3-driver-green, stays in the
     # bench headline, and re-verifies in the local gate each run)
