@@ -128,6 +128,23 @@ def main() -> None:
             "SELECT COUNT(*) c FROM bench_sessions"
         ).collect()[0].c
 
+        # 2d) stateful as-of enrichment (clicks + latest purchase state)
+        t0 = time.perf_counter()
+        q = (
+            ingest.asof_enrich(
+                ingest.read_events_stream(spark, events_dir)
+            )
+            .writeStream.format("memory")
+            .queryName("bench_asof")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        results["asof_rows_per_sec"] = round(n_rows / dt, 1)
+        results["asof_sec"] = round(dt, 2)
+
         # 3) tumbling windowed agg → memory sink (stateful shuffle path)
         t0 = time.perf_counter()
         q = (

@@ -406,3 +406,73 @@ def run_kmv_sketch(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def asof_enrich(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming point-in-time enrichment — the J9 AS-OF join as a
+    stateful stream: every click is emitted with the user's most recent
+    purchase at-or-before it.  State per user is ONE tuple (last
+    purchase id + event time), updated as purchases flow and read as
+    clicks flow — the online form of the batch union-trick window,
+    with the same ordering contract as ``closed_sessions`` (batch-
+    monotone event time per key; ties resolve purchase-before-click,
+    then max event id).  This is how a feature store serves
+    "latest-value-as-of" lookups during ingest without re-running the
+    batch join; state size is O(|users|), never stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "click_id long, user_id long, ts timestamp,"
+        " prior_purchase_id long"
+    )
+    state_schema = "last_pid long, last_us long"
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        last_pid, last_us = state.get if state.exists else (None, None)
+        out: list[tuple] = []
+        frames = list(pdf_iter)
+        if frames:
+            ev = pd.concat(frames)
+            # purchase-before-click at equal ts (side 0 < 1), then id
+            ev = ev.assign(
+                _side=(ev["event_type"] != "purchase").astype(int)
+            ).sort_values(["ts", "_side", "event_id"])
+            for row in ev.itertuples(index=False):
+                us = int(row.ts.value // 1000)
+                if row.event_type == "purchase":
+                    # monotone arrival ⇒ us >= last_us; max-id tie-break
+                    if (
+                        last_us is None
+                        or us > last_us
+                        or (us == last_us and row.event_id > last_pid)
+                    ):
+                        last_pid, last_us = int(row.event_id), us
+                elif row.event_type == "click":
+                    out.append((int(row.event_id), row.ts, last_pid))
+        if last_pid is not None:
+            state.update((last_pid, last_us))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "click_id": [o[0] for o in out],
+                    "user_id": [user_id] * len(out),
+                    "ts": [o[1] for o in out],
+                    "prior_purchase_id": [o[2] for o in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

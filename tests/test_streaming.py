@@ -690,3 +690,65 @@ class TestStreamingKmv:
             assert ledger == batch
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingAsof:
+    def test_asof_enrich_matches_batch_j9(self, spark, events_dir):
+        """The stateful streaming as-of enrichment must equal the batch
+        union-trick window (J9 semantics) over the same events."""
+        import glob
+        import os
+        import shutil as sh
+
+        from pyspark.sql import Window
+
+        # the stateful walk's ordering contract is batch-monotone event
+        # time — copy the source and pin ascending mtimes (name order ==
+        # ts-range order), as a real time-ordered ingest delivers
+        tmp = tempfile.mkdtemp(prefix="events_asof_")
+        dst = f"{tmp}/events"
+        os.makedirs(dst)
+        for p in sorted(glob.glob(f"{events_dir}/part-*.parquet")):
+            sh.copy(p, dst)
+        _force_monotone_arrival(dst)
+        try:
+            stream = ingest.asof_enrich(
+                ingest.read_events_stream(spark, dst)
+            )
+            _run_to_memory(stream, "asof_s", "append")
+            got = {
+                (r.click_id, r.prior_purchase_id)
+                for r in spark.sql("SELECT * FROM asof_s").collect()
+            }
+        finally:
+            sh.rmtree(tmp, ignore_errors=True)
+        ev = spark.read.parquet(events_dir)
+        p = ev.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("pid"),
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(0).alias("side"),
+        )
+        c = ev.where(F.col("event_type") == "click").select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("pid"),
+            F.col("event_id").alias("cid"),
+            F.lit(1).alias("side"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "side", "pid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            (r.cid, r.asof)
+            for r in p.unionByName(c)
+            .select(
+                "*", F.last("pid", ignorenulls=True).over(w).alias("asof")
+            )
+            .where(F.col("side") == 1)
+            .collect()
+        }
+        assert got == want and len(got) > 0
