@@ -24,6 +24,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _force_monotone_arrival(d: str) -> None:
+    """Pin ascending mtimes on the part files (name order == range
+    order): FileStreamSource orders micro-batches by MTIME, which a
+    parallel write leaves arbitrary — without this the stateful paths'
+    outputs (sessions closed, near-dup keepers) vary run to run."""
+    import glob
+    import time as _t
+
+    now = _t.time()
+    for i, p in enumerate(sorted(glob.glob(f"{d}/part-*.parquet"))):
+        os.utime(p, (now + i, now + i))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
@@ -47,6 +60,7 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(events_dir)
         )
+        _force_monotone_arrival(events_dir)
         n_rows = spark.read.parquet(events_dir).count()
 
         results: dict[str, float] = {}
@@ -91,6 +105,7 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(docs_dir)
         )
+        _force_monotone_arrival(docs_dir)
         n_docs = spark.read.parquet(docs_dir).count()
         t0 = time.perf_counter()
         q = pipeline.run_pretraining_ingest_neardup(
