@@ -65,3 +65,57 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
+
+
+def compact_partitioned(
+    spark,
+    src_path: str,
+    dst_path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Small-file compaction for a partitioned parquet store — the
+    maintenance pass every streaming sink needs: ``foreachBatch``
+    appends one-plus files per micro-batch per partition, and a month
+    of 1-minute batches turns a 100 TB table into tens of millions of
+    KB-sized files whose open/footer cost dominates every scan.
+
+    Shape: ONE distributed job — ``repartition(partition_cols)``
+    clusters each Hive partition's rows into a single task (so each
+    partition directory is rewritten by one writer, no tiny-file
+    re-fragmentation), and ``maxRecordsPerFile`` re-splits only where a
+    partition genuinely exceeds the target.  Writes to ``dst_path``
+    (atomic swap is the caller's move — a metastore/Delta layer does it
+    transactionally; plain dirs rename); never mutates ``src_path`` in
+    place, so a crashed compaction loses nothing.
+
+    Returns {"files_before", "files_after", "rows"} for the ops log.
+
+    Skew note: one writer per partition is the right default for
+    many-small-partitions stores (split=…, lon_band=…); a single
+    jumbo partition would instead salt the repartition key — same
+    call shape, documented here rather than auto-guessed."""
+    import glob
+    import os
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        )
+
+    df = spark.read.parquet(src_path)
+    rows = df.count()
+    before = _count_files(src_path)
+    (
+        df.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(dst_path)
+    )
+    return {
+        "files_before": before,
+        "files_after": _count_files(dst_path),
+        "rows": rows,
+    }

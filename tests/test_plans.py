@@ -561,3 +561,41 @@ class TestRound4NewOps:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Exchange SinglePartition" not in plan
+
+
+class TestCompaction:
+    def test_compact_fragmented_split_store(self, spark, sf_dir, tmp_path):
+        """A fragmented split-partitioned store (many appends, one-plus
+        files each — the streaming-sink shape) must compact to one file
+        per partition with identical data."""
+        from biodiversity_graph_db_spark.plans.layout import (
+            compact_partitioned,
+        )
+        from biodiversity_graph_db_spark.tables import table
+
+        src = str(tmp_path / "frag")
+        dst = str(tmp_path / "compact")
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 3).cast("string").alias("split"),
+        )
+        # simulate 6 micro-batch appends, several files each
+        for i in range(6):
+            (
+                docs.where(F.col("doc_id") % 6 == i)
+                .repartition(3)
+                .write.mode("append")
+                .partitionBy("split")
+                .parquet(src)
+            )
+        stats = compact_partitioned(spark, src, dst, ["split"])
+        assert stats["files_before"] > stats["files_after"]
+        assert stats["files_after"] <= 3  # one file per split partition
+        got = spark.read.parquet(dst)
+        want = spark.read.parquet(src)
+        assert got.count() == want.count() == stats["rows"]
+        assert got.exceptAll(want).isEmpty()
+        # partition structure preserved (directory-level pruning intact)
+        import glob
+
+        assert glob.glob(f"{dst}/split=*")
