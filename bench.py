@@ -75,6 +75,7 @@ HEADLINE = [
     "E4_fuzzy_name_match",
     "G11_kcore",
     "C2_radiocarbon_calibrate",
+    "PR1_profile_events",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     "GEO5_density_grid",

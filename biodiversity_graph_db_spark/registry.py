@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "E4_fuzzy_name_match",
     "G11_kcore",
     "C2_radiocarbon_calibrate",
+    "PR1_profile_events",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -80,7 +81,8 @@ PRIORITY: tuple[str, ...] = (
     # queries whose latest driver evidence is round 2 (V1/V2 left to the
     # local gate this window: their scale-path twins V3/V4 verify the same
     # kernels; W5/W6 + MM1 benched/stable; W3 r2-green window single
-    # (W1/W2/O2 cover the family in-window); G5 shares G11's graph and
+    # (W1/W2/O2 cover the family in-window); S4 r2-green (F1 point read
+    # in spirit stays via relational singles in local gate); G5 shares G11's graph and
     # mint (k-core green validates the same substrate); F10 r2-green relational
     # single; J1 subsumed by in-window
     # J2/J3/J6/J8/J9) — rotate
@@ -105,7 +107,6 @@ PRIORITY: tuple[str, ...] = (
     "J8_interval_containment",
     "M1_unpivot_wide_matrix",
     "O2_topk_per_group",
-    "S4_batch_key_lookup",
     "T1_token_stats",
     "T2_quality_scores",
     "T3_fingerprint_dedup",
@@ -154,6 +155,7 @@ def load_all() -> None:
     from biodiversity_graph_db_spark.extensions import (  # noqa: F401
         bpe,
         dedup,
+        profiling,
         sketches,
         multimodal,
         similarity,
