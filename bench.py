@@ -76,6 +76,7 @@ HEADLINE = [
     "G11_kcore",
     "C2_radiocarbon_calibrate",
     "PR1_profile_events",
+    "T22_countmin_heavy",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     "GEO5_density_grid",

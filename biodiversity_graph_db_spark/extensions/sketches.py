@@ -143,3 +143,129 @@ def t20_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("true_distinct")
     )
     return sk.join(true, "event_type").orderBy("event_type")
+
+
+# --- count-min sketch: frequency estimation / heavy hitters ---------------
+
+#: depth (independent hash rows) × width (counters per row).
+CM_DEPTH = 3
+CM_WIDTH = 64
+#: per-row hash constants (public xxhash/Knuth primes).
+_CM_MULS = (2654435761, 2246822519, 3266489917)
+_CM_ADDS = (982451653, 57, 2038074743)
+CM_TOPK = 10
+
+
+def cm_pos(x: Column, j: int, width: int = CM_WIDTH) -> Column:
+    """Row-j counter position for value x — portable BIGINT arithmetic
+    (same non-negative-key note as ``portable_hash``)."""
+    return (
+        (x.cast("long") * F.lit(_CM_MULS[j]) + F.lit(_CM_ADDS[j]))
+        % F.lit(_MOD)
+    ) % F.lit(width)
+
+
+def _cm_pos_sql(x: str, j: int, width: int = CM_WIDTH) -> str:
+    return (
+        f"(((CAST({x} AS BIGINT) * {_CM_MULS[j]} + {_CM_ADDS[j]})"
+        f" % {_MOD}) % {width})"
+    )
+
+
+def cm_counters(df: DataFrame, value_col: str) -> DataFrame:
+    """The count-min counter table (j, pos, cnt): depth × width BIGINT
+    cells — a fixed-size, MERGEABLE frequency synopsis (counters add
+    under union), built with one map-side-combinable groupBy per row
+    over the same scan.  At 100 TB this is the streaming-friendly
+    frequency summary: O(depth·width) state regardless of stream
+    length, per-item estimates never undercount (Cormode &
+    Muthukrishnan 2005)."""
+    parts = [
+        df.select(
+            F.lit(j).alias("j"),
+            cm_pos(F.col(value_col), j).alias("pos"),
+        )
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        for j in range(CM_DEPTH)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "T22_countmin_heavy",
+    oracle=f"""
+    WITH counters AS (
+      SELECT 0 AS j, {_cm_pos_sql('user_id', 0)} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY pos
+      UNION ALL
+      SELECT 1, {_cm_pos_sql('user_id', 1)} AS pos,
+             CAST(COUNT(*) AS BIGINT)
+      FROM events GROUP BY pos
+      UNION ALL
+      SELECT 2, {_cm_pos_sql('user_id', 2)} AS pos,
+             CAST(COUNT(*) AS BIGINT)
+      FROM events GROUP BY pos
+    ),
+    top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY user_id
+      ORDER BY true_n DESC, user_id LIMIT {CM_TOPK}
+    )
+    SELECT t.user_id, t.true_n,
+           MIN(c.cnt) AS est_n,
+           CAST(MIN(c.cnt) - t.true_n AS BIGINT) AS overcount
+    FROM top t
+    JOIN counters c
+      ON (c.j = 0 AND c.pos = {_cm_pos_sql('t.user_id', 0)})
+      OR (c.j = 1 AND c.pos = {_cm_pos_sql('t.user_id', 1)})
+      OR (c.j = 2 AND c.pos = {_cm_pos_sql('t.user_id', 2)})
+    GROUP BY t.user_id, t.true_n
+    ORDER BY t.true_n DESC, t.user_id
+    """,
+)
+def t22_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch: the top-{CM_TOPK}
+    users' exact counts beside their sketch estimates and the
+    overcount — both the counter table AND the derived estimates are
+    oracle-verified bit-for-bit (the same portable-arithmetic argument
+    as T20; no engine-native frequency sketch allows this).  The
+    never-undercount invariant (est ≥ true, CM's defining guarantee)
+    is additionally pinned by a test.  Scale path: the counter build is
+    the corpus pass (depth map-side-combinable groupBys over one
+    scan); estimation touches only the queried items × depth cells —
+    at 100 TB the sketch rides a dashboard, the corpus stays cold."""
+    ev = table(spark, sf_dir, "events")
+    counters = cm_counters(ev, "user_id").localCheckpoint()
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "user_id")
+        .limit(CM_TOPK)
+    )
+    est = None
+    for j in range(CM_DEPTH):
+        part = (
+            top.withColumn("j", F.lit(j))
+            .withColumn("pos", cm_pos(F.col("user_id"), j))
+            .join(counters, ["j", "pos"])
+            .select("user_id", "true_n", "cnt")
+        )
+        est = part if est is None else est.unionByName(part)
+    return (
+        est.groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).cast("long").alias(
+                "overcount"
+            ),
+        )
+        .orderBy(F.col("true_n").desc(), "user_id")
+    )

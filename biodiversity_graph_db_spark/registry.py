@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "G11_kcore",
     "C2_radiocarbon_calibrate",
     "PR1_profile_events",
+    "T22_countmin_heavy",
     "SD1_snapshot_diff",
     "GEO5_density_grid",
     "T13_rarity_score",
@@ -80,7 +81,8 @@ PRIORITY: tuple[str, ...] = (
     "T17_corpus_cube",
     # queries whose latest driver evidence is round 2 (V1/V2 left to the
     # local gate this window: their scale-path twins V3/V4 verify the same
-    # kernels; W5/W6 + MM1 benched/stable; W3 r2-green window single
+    # kernels; W5/W6 + MM1 benched/stable; A5 r2-green (A3/A4/A6 keep
+    # the family in-window); W3 r2-green window single
     # (W1/W2/O2 cover the family in-window); S4 r2-green (F1 point read
     # in spirit stays via relational singles in local gate); G5 shares G11's graph and
     # mint (k-core green validates the same substrate); F10 r2-green relational
@@ -90,7 +92,6 @@ PRIORITY: tuple[str, ...] = (
     "A1_gen_statistics",
     "A3_merge_into_index",
     "A4_duplicate_guard",
-    "A5_array_sections_complete",
     "A6_next_id",
     "E1_ngram_jaccard_topk",
     "E2_minhash_lsh_neardup",

@@ -311,3 +311,36 @@ class TestMediaRetrieval:
         assert len(hits) / len(exact) >= 0.6
         for pair in hits:
             assert exact[pair] == approx[pair]
+
+
+class TestCountMin:
+    def test_never_undercounts_any_item(self, spark, sf_dir):
+        """CM's defining guarantee: est(x) >= true(x) for EVERY item
+        (not just the heavy hitters), and estimates are exact when a
+        counter cell holds a single item."""
+        from biodiversity_graph_db_spark.extensions.sketches import (
+            CM_DEPTH,
+            cm_counters,
+            cm_pos,
+        )
+        from biodiversity_graph_db_spark.tables import table
+
+        ev = table(spark, sf_dir, "events")
+        counters = cm_counters(ev, "user_id").localCheckpoint()
+        truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("t"))
+        est = None
+        for j in range(CM_DEPTH):
+            part = (
+                truth.withColumn("j", F.lit(j))
+                .withColumn("pos", cm_pos(F.col("user_id"), j))
+                .join(counters, ["j", "pos"])
+                .select("user_id", "t", "cnt")
+            )
+            est = part if est is None else est.unionByName(part)
+        bad = (
+            est.groupBy("user_id", "t")
+            .agg(F.min("cnt").alias("e"))
+            .where(F.col("e") < F.col("t"))
+            .count()
+        )
+        assert bad == 0
