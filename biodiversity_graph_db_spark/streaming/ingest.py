@@ -476,3 +476,33 @@ def asof_enrich(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_cm_sketch(events: DataFrame, out_path: str, checkpoint: str):
+    """Streaming count-min maintenance: the frequency synopsis kept
+    current across micro-batches.  Even simpler than the KMV ledger —
+    CM counters ADD under union, so each batch's (j, pos, cnt) cells
+    merge into the store by grouped sum; state stays exactly
+    depth × width rows forever.  Equivalence oracle: the batch
+    ``cm_counters`` over the same data (tested bit-for-bit)."""
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        cm_counters,
+    )
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = cm_counters(batch, "user_id")
+        if _path_exists(spark, out_path):
+            fresh = (
+                fresh.unionByName(spark.read.parquet(out_path))
+                .groupBy("j", "pos")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        fresh.localCheckpoint().write.mode("overwrite").parquet(out_path)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

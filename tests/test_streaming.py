@@ -752,3 +752,35 @@ class TestStreamingAsof:
             .collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamingCountMin:
+    def test_stream_counters_equal_batch_counters(self, spark, events_dir):
+        """After draining the stream, the maintained CM counter table
+        must equal the batch sketch over the same events bit-for-bit
+        (counters add under union — the mergeability claim tested)."""
+        from biodiversity_graph_db_spark.extensions.sketches import (
+            cm_counters,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="cm_stream_")
+        try:
+            q = ingest.run_cm_sketch(
+                ingest.read_events_stream(spark, events_dir),
+                f"{tmp}/sketch",
+                f"{tmp}/ckpt",
+            ).start()
+            q.awaitTermination(120)
+            got = {
+                (r.j, r.pos, r.cnt)
+                for r in spark.read.parquet(f"{tmp}/sketch").collect()
+            }
+            want = {
+                (r.j, r.pos, r.cnt)
+                for r in cm_counters(
+                    spark.read.parquet(events_dir), "user_id"
+                ).collect()
+            }
+            assert got == want and len(got) > 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
