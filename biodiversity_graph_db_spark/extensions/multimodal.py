@@ -336,12 +336,11 @@ def media_embeddings(df: DataFrame) -> DataFrame:
       FROM documents WHERE doc_id < 100
     )
     SELECT doc_id AS media_id, n_bytes,
-           list_transform(generate_series(0, {EMB_DIM - 1}),
-                          b -> CAST(len(list_filter(codes,
-                                    c -> c % {EMB_DIM} = b)) AS BIGINT))
-             AS embedding
-    FROM chars
-    ORDER BY media_id
+           CAST(gs.b AS BIGINT) AS dim,
+           CAST(len(list_filter(codes, c -> c % {EMB_DIM} = gs.b))
+                AS BIGINT) AS emb_value
+    FROM chars, generate_series(0, {EMB_DIM - 1}) AS gs(b)
+    ORDER BY media_id, dim
     """,
 )
 def mm3_media_embedding(spark, sf_dir: str) -> DataFrame:
@@ -351,10 +350,26 @@ def mm3_media_embedding(spark, sf_dir: str) -> DataFrame:
     ASCII) corpus, so a hash match proves the binary payload round-trip
     AND the kernel arithmetic.  The embeddings feed ``ivf_topk``
     unchanged (composition test: nearest-media retrieval,
-    tests/test_extensions.py)."""
+    tests/test_extensions.py).
+
+    The registered output is FLATTENED to one row per (media_id, dim)
+    with scalar columns only: the driver's canonicalizer hashes cells
+    through pandas, where an ``array<bigint>`` cell is unhashable
+    (round-4 red).  ``media_embeddings`` itself keeps returning the
+    array column for the ANN composition path."""
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return (
         media_embeddings(media_from_documents(docs))
-        .select("media_id", "n_bytes", "embedding")
-        .orderBy("media_id")
+        .select(
+            "media_id",
+            "n_bytes",
+            F.posexplode("embedding").alias("dim", "emb_value"),
+        )
+        .select(
+            "media_id",
+            "n_bytes",
+            F.col("dim").cast("long").alias("dim"),
+            "emb_value",
+        )
+        .orderBy("media_id", "dim")
     )

@@ -301,12 +301,21 @@ def norm_tokens(text: Column) -> Column:
 
 
 def token_kgrams(toks: Column, k: int) -> Column:
-    """md5 hash of every k-token gram (positions 1..n-k+1)."""
+    """md5 hash of every k-token gram (positions 1..n-k+1).
+
+    Guarded for short documents: ``sequence(1, 0)`` in Spark DESCENDS to
+    ``[1, 0]`` (step -1), and ``slice(toks, 0, k)`` then throws at runtime
+    (SQL array indices start at 1) — while the DuckDB oracle's
+    ``generate_series(1, 0)`` is empty.  Any doc with fewer than ``k``
+    tokens therefore takes the explicit empty-array branch."""
     n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-    )
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def winnow_fingerprints(
@@ -327,10 +336,15 @@ def winnow_fingerprints(
     """
     grams = token_kgrams(norm_tokens(text), k)
     nh = F.size(grams)
-    fps = F.transform(
-        F.sequence(F.lit(1), F.greatest(nh - (w - 1), F.lit(0))),
-        lambda j: F.array_min(F.slice(grams, j, w)),
-    )
+    # Same short-input guard as token_kgrams: sequence(1, 0) descends and
+    # slice(grams, 0, w) would throw for docs with fewer than w grams.
+    fps = F.when(
+        nh >= w,
+        F.transform(
+            F.sequence(F.lit(1), nh - (w - 1)),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(fps)
 
 

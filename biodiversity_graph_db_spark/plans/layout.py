@@ -95,14 +95,21 @@ def compact_partitioned(
     many-small-partitions stores (split=…, lon_band=…); a single
     jumbo partition would instead salt the repartition key — same
     call shape, documented here rather than auto-guessed."""
-    import glob
-    import os
-
     def _count_files(p: str) -> int:
-        return sum(
-            1
-            for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
-        )
+        # Hadoop FileSystem API, not glob/os.path: correct on HDFS and
+        # object stores — exactly where small-file compaction matters —
+        # matching the repo's _path_exists discipline (streaming.pipeline).
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return 0
+        it = fs.listFiles(hpath, True)  # recursive
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
 
     df = spark.read.parquet(src_path)
     rows = df.count()

@@ -478,28 +478,48 @@ def asof_enrich(
     )
 
 
+def cm_sketch_upsert(batch: DataFrame, batch_id: int, out_path: str) -> None:
+    """One micro-batch's count-min merge — module-level so the replay
+    path is directly testable.  Skips any ``batch_id`` at or below the
+    store's recorded ``last_batch``: that batch's counts are already in
+    the parquet store, and re-adding them (crash between the store
+    overwrite and the streaming checkpoint commit) would double-count."""
+    from biodiversity_graph_db_spark.extensions.sketches import cm_counters
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    spark = batch.sparkSession
+    fresh = cm_counters(batch, "user_id")
+    if _path_exists(spark, out_path):
+        stored = spark.read.parquet(out_path)
+        applied = stored.agg(F.max("last_batch")).first()[0]
+        if applied is not None and applied >= batch_id:
+            return  # replayed batch — its counts are already in
+        fresh = (
+            fresh.unionByName(stored.drop("last_batch"))
+            .groupBy("j", "pos")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    fresh = fresh.withColumn("last_batch", F.lit(batch_id).cast("long"))
+    fresh.localCheckpoint().write.mode("overwrite").parquet(out_path)
+
+
 def run_cm_sketch(events: DataFrame, out_path: str, checkpoint: str):
     """Streaming count-min maintenance: the frequency synopsis kept
     current across micro-batches.  Even simpler than the KMV ledger —
     CM counters ADD under union, so each batch's (j, pos, cnt) cells
     merge into the store by grouped sum; state stays exactly
     depth × width rows forever.  Equivalence oracle: the batch
-    ``cm_counters`` over the same data (tested bit-for-bit)."""
-    from biodiversity_graph_db_spark.extensions.sketches import (
-        cm_counters,
-    )
-    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+    ``cm_counters`` over the same data (tested bit-for-bit).
 
+    Replay safety: unlike KMV (distinct-union, naturally idempotent) and
+    the exact-dedup merge (anti-join), CM counters DOUBLE-count a
+    replayed batch.  The store therefore carries the last-applied
+    ``batch_id`` on every row; a foreachBatch invocation whose batch_id
+    is ≤ the stored one is a post-crash replay of work already
+    committed to the parquet store and is skipped (crash-replay test:
+    tests/test_streaming.py)."""
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        fresh = cm_counters(batch, "user_id")
-        if _path_exists(spark, out_path):
-            fresh = (
-                fresh.unionByName(spark.read.parquet(out_path))
-                .groupBy("j", "pos")
-                .agg(F.sum("cnt").cast("long").alias("cnt"))
-            )
-        fresh.localCheckpoint().write.mode("overwrite").parquet(out_path)
+        cm_sketch_upsert(batch, batch_id, out_path)
 
     return (
         events.writeStream.foreachBatch(upsert)

@@ -344,3 +344,30 @@ class TestCountMin:
             .count()
         )
         assert bad == 0
+
+
+class TestShortDocGrams:
+    def test_kgrams_and_winnow_on_short_and_empty_docs(self, spark):
+        """ADVICE r4: sequence(1, 0) DESCENDS in Spark, so slice(toks, 0,
+        k) used to throw on any doc shorter than k tokens (and diverge
+        from DuckDB's empty generate_series).  Short/empty docs must now
+        yield empty gram/fingerprint arrays, no runtime error."""
+        from biodiversity_graph_db_spark.extensions.textstats import (
+            norm_tokens,
+            token_kgrams,
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame(
+            [("",), ("one",), ("one two",), ("a b c d e f g h i j",)],
+            ["text"],
+        )
+        out = df.select(
+            F.size(token_kgrams(norm_tokens(F.col("text")), 5)).alias("ng"),
+            F.size(winnow_fingerprints(F.col("text"))).alias("nf"),
+        ).collect()
+        # docs 0-2 are shorter than k=5 tokens -> zero grams
+        assert [r.ng for r in out[:3]] == [0, 0, 0]
+        assert out[3].ng == 10 - 5 + 1
+        # winnow on short docs: empty, not an exception
+        assert all(r.nf >= 0 for r in out)

@@ -39,3 +39,26 @@ def test_gate_rejects_hugeint_vs_bigint(spark, sf_dir):
     sql = "SELECT SUM(x) AS s FROM (VALUES (0), (1), (2)) v(x)"
     with pytest.raises(AssertionError, match="type-kind mismatch"):
         compare(spark, sf_dir, "hugeint_fixture", spark_fn, sql)
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_no_complex_output_columns(spark, sf_dir, name):
+    """Registry-wide output-schema guard (VERDICT r4 item 2): the
+    driver's canonicalizer hashes cells through pandas, where an
+    array/map/struct cell is unhashable (`TypeError: unhashable type:
+    'list'` — the round-4 MM3 red).  Every registered query must emit
+    scalar columns only; this builds each LAZY plan (no execution) and
+    would have caught MM3 before the driver did."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = registry.QUERIES[name](spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — the driver cannot "
+        "hash them; flatten (posexplode) or fold (portable hash) at the "
+        "registered-query boundary"
+    )

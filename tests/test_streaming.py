@@ -784,3 +784,54 @@ class TestStreamingCountMin:
             assert got == want and len(got) > 0
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestCountMinReplay:
+    def test_replayed_batch_does_not_double_count(self, spark, events_dir):
+        """ADVICE r4: CM counters ADD under merge, so a crash between the
+        parquet overwrite and the checkpoint commit replays the batch into
+        the store.  The last-applied batch_id guard must make the replay a
+        no-op (store bit-identical), while the NEXT batch still merges."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import ingest
+
+        tmp = tempfile.mkdtemp(prefix="cm_replay_")
+        try:
+            ev = spark.read.parquet(events_dir)
+            b0 = ev.where(F.col("event_id") % 2 == 0)
+            b1 = ev.where(F.col("event_id") % 2 == 1)
+            out = f"{tmp}/sketch"
+
+            ingest.cm_sketch_upsert(b0, 0, out)
+            after_first = {
+                (r.j, r.pos, r.cnt)
+                for r in spark.read.parquet(out).collect()
+            }
+            # crash-replay of batch 0: must be a no-op
+            ingest.cm_sketch_upsert(b0, 0, out)
+            after_replay = {
+                (r.j, r.pos, r.cnt)
+                for r in spark.read.parquet(out).collect()
+            }
+            assert after_replay == after_first
+
+            # the genuinely-new batch still merges, and the final
+            # counters equal the batch sketch over ALL events
+            ingest.cm_sketch_upsert(b1, 1, out)
+            from biodiversity_graph_db_spark.extensions.sketches import (
+                cm_counters,
+            )
+
+            got = {
+                (r.j, r.pos, r.cnt)
+                for r in spark.read.parquet(out).collect()
+            }
+            want = {
+                (r.j, r.pos, r.cnt)
+                for r in cm_counters(ev, "user_id").collect()
+            }
+            assert got == want
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
