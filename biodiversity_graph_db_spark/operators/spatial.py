@@ -334,6 +334,15 @@ def geo1_bbox_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet scan on stored context tables (plan-tested), row-group
     pruned by min/max stats at scale."""
     promoted = promote_context_cols(mint_context_nodes(spark, sf_dir))
+    return geo1_bbox_stored(promoted)
+
+
+def geo1_bbox_stored(promoted: DataFrame) -> DataFrame:
+    """GEO1's recurring read path over an already-promoted (stored)
+    context table — benched separately from the mint (bench.py
+    ``geo_split``): at 100 TB the promote runs once at ingest while THIS
+    is every viewport query; the four range predicates push to the
+    parquet scan and row-group-prune on min/max stats."""
     return (
         promoted.where(
             (F.col("lat_max") >= BBOX["lat_lo"])
