@@ -181,6 +181,10 @@ class GraphStore:
             ).join(
                 keys.withColumnRenamed("key", "sink_key"), "sink_key", "left_anti"
             )
+            # USING-joins move the join column to the front; restore the
+            # canonical schema order so positional consumers (collect
+            # tuples, versioned-log diffs) see a stable layout
+            .select([f.name for f in EDGES_SCHEMA.fields])
         )
         return GraphStore(self.spark, nodes, edges)
 

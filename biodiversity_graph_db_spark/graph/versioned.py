@@ -1,0 +1,159 @@
+"""Versioned graph log — time travel for the evidence graph itself.
+
+The reference gets history for free by keeping the graph as one JSON
+file per atom inside a git repository: every mutation is a copy-on-write
+file replace (Storage.fs:239-275) and "read the graph as of commit X"
+is a git checkout, OUTSIDE the engine.  The in-engine equivalent routes
+``GraphStore`` mutations through SD3's versioned delta log
+(operators/snapshot.py ``save_version`` / ``read_as_of``): each commit
+appends only the CHANGED rows (upserts + tombstones) partitioned by
+version, and any past state reconstructs with one latest-per-key window
+under a version partition filter.
+
+Scale shape per commit: the delta is ONE full-outer join per table on
+the storage key comparing an ``xxhash64`` over the payload columns —
+the exact SD1 diff plan (zero-Exchange on bucketed stores); log volume
+is ∝ change volume, never corpus size, and reads prune version
+partitions at the directory level.  This is the plain-parquet core of
+what Delta Lake wraps in transactional metadata (see the
+concurrent-writer contract, SCALE.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biodiversity_graph_db_spark.graph.schema import (
+    EDGES_SCHEMA,
+    NODES_SCHEMA,
+)
+from biodiversity_graph_db_spark.graph.store import GraphStore
+from biodiversity_graph_db_spark.operators.snapshot import (
+    read_as_of,
+    save_version,
+)
+
+#: edge identity — the same 4-tuple ``add_relations`` dedups on
+EDGE_KEY: tuple[str, ...] = ("source_key", "sink_key", "relation", "payload")
+
+
+def table_delta(
+    old: DataFrame, new: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Full-row delta between two same-schema snapshots: the NEW side's
+    rows for added/changed keys, plus tombstones (``deleted=true``, key
+    cols only) for removed keys — exactly what ``save_version`` appends.
+    Payload comparison is one map-side ``xxhash64`` over the non-key
+    columns, so the join shuffles (key, hash), not wide payloads (the
+    SD1 shape)."""
+    val_cols = [c for c in old.columns if c not in key_cols]
+    types = dict(old.dtypes)
+    # NULL-SAFE key equality: edge identity includes the nullable
+    # ``payload`` column, and a plain equi-join (NULL != NULL) would
+    # tombstone AND re-add every unchanged null-payload edge — a same-
+    # version tombstone/upsert tie the latest-per-key read cannot break.
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        F.xxhash64(*val_cols).alias("_oh"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *val_cols,
+        F.xxhash64(*val_cols).alias("_nh"),
+    )
+    cond = None
+    for k in key_cols:
+        c = o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"])
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    # xxhash64 never returns NULL, so a NULL hash marks side absence
+    upserts = (
+        j.where(
+            F.col("_nh").isNotNull()
+            & (F.col("_oh").isNull() | (F.col("_oh") != F.col("_nh")))
+        )
+        .select(
+            *[F.col(f"_nk_{k}").alias(k) for k in key_cols],
+            *val_cols,
+        )
+        .withColumn("deleted", F.lit(False))
+    )
+    tombstones = j.where(F.col("_nh").isNull()).select(
+        *[F.col(f"_ok_{k}").alias(k) for k in key_cols],
+        *[F.lit(None).cast(types[c]).alias(c) for c in val_cols],
+        F.lit(True).alias("deleted"),
+    )
+    return upserts.unionByName(tombstones)
+
+
+class VersionedGraphLog:
+    """The graph's delta log: ``commit`` a ``GraphStore`` to append one
+    version's changes; ``read_version`` any past state back as a live
+    ``GraphStore``.  Version numbers are dense from 1."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._head = 0  # highest committed version
+        self._head_store: GraphStore | None = None  # avoids log replay
+
+    @property
+    def head(self) -> int:
+        return self._head
+
+    def _log_paths(self) -> tuple[str, str]:
+        return f"{self.path}/nodes_log", f"{self.path}/edges_log"
+
+    def commit(self, store: GraphStore) -> int:
+        """Append the delta between the current head state and ``store``
+        as the next version; returns the new version number.  The first
+        commit writes the full table (delta vs empty)."""
+        nodes_log, edges_log = self._log_paths()
+        version = self._head + 1
+        if self._head == 0:
+            old = GraphStore.empty(self.spark)
+        elif self._head_store is not None:
+            # diff against the previous commit's input directly — no log
+            # replay on the hot path; the replay only happens when a log
+            # is reopened in a fresh session
+            old = self._head_store
+        else:
+            old = self.read_version(self._head)
+        node_delta = table_delta(old.nodes, store.nodes, ["key"])
+        edge_delta = table_delta(old.edges, store.edges, list(EDGE_KEY))
+        save_version(node_delta, nodes_log, version, ["key"])
+        save_version(edge_delta, edges_log, version, list(EDGE_KEY))
+        self._head = version
+        self._head_store = store
+        return version
+
+    def read_version(self, version: int) -> GraphStore:
+        """Time-travel read: the graph as of ``version`` — SD3's
+        latest-per-key window under a version partition filter, per
+        table, re-wrapped as a queryable ``GraphStore``."""
+        from pyspark.sql.types import BooleanType, LongType, StructField
+
+        def log_schema(base):
+            return type(base)(
+                list(base.fields)
+                + [
+                    StructField("deleted", BooleanType(), True),
+                    StructField("version", LongType(), True),
+                ]
+            )
+
+        nodes_log, edges_log = self._log_paths()
+        nodes = read_as_of(
+            self.spark, nodes_log, version, ["key"], schema=log_schema(NODES_SCHEMA)
+        ).select([f.name for f in NODES_SCHEMA.fields])
+        edges = read_as_of(
+            self.spark,
+            edges_log,
+            version,
+            list(EDGE_KEY),
+            schema=log_schema(EDGES_SCHEMA),
+        ).select([f.name for f in EDGES_SCHEMA.fields])
+        return GraphStore(self.spark, nodes, edges)
