@@ -58,6 +58,7 @@ HEADLINE = [
     "GEO2_polygon_contains",
     "GEO3_points_in_areas",
     "GEO4_radius_sites",
+    "GEO4b_radius_sites_geodesic",
     "T14_chunking",
     "T15_packing_stats",
     "T16_mix_sampling",
@@ -74,12 +75,17 @@ HEADLINE = [
     "V5_ivf_recall",
     "MM3_media_embedding",
     "E4_fuzzy_name_match",
+    "E4b_fuzzy_name_match_d2",
     "G11_kcore",
     "C2_radiocarbon_calibrate",
     "PR1_profile_events",
     "T22_countmin_heavy",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
+    # SD4_graph_time_travel is oracle-graded but not a bench headline:
+    # like J2G, its one-shot time is ~15 tiny mutation/commit/probe jobs
+    # (fixed driver latency; 3 versioned log writes + integrity probes),
+    # not data throughput — SD3 tracks the versioned-read cost.
     "GEO5_density_grid",
 ]
 

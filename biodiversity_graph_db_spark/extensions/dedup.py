@@ -656,3 +656,144 @@ def e4_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dname"),
     )
     return fuzzy_match_names(dirty, clean).orderBy("id", "key")
+
+
+# --- E4b: fuzzy matching at edit distance <= 2 (SymSpell deletions) -------
+
+FUZZY2_MAX_DIST = 2
+FUZZY2_DIRTY_LIMIT = 300  # bounded dirty side for the oracle's exact join
+
+
+def _deletion_variants(name_col: str, tau: int = FUZZY2_MAX_DIST) -> F.Column:
+    """All strings reachable by deleting ≤ ``tau`` characters (τ=2):
+    the SymSpell deletion neighborhood (Garbe 2012).  Completeness for
+    ANY Levenshtein edit mix: take an optimal alignment with s
+    substitutions, i insertions, d deletions (s+i+d ≤ τ); deleting the
+    substituted+deleted positions from one string and the
+    substituted+inserted positions from the other leaves the identical
+    aligned core, so every true match shares ≥ 1 variant.  Unlike the
+    τ=1 wildcard signature this also covers LENGTH-CHANGING edits.
+    Guarded for short strings (sequence() descends below its floor —
+    the token_kgrams lesson)."""
+    assert tau == 2, "deletion neighborhood generated for tau=2"
+    s = name_col
+    d1 = (
+        f"transform(sequence(1, length({s})),"
+        f" i -> concat(substring({s}, 1, i - 1), substring({s}, i + 1)))"
+    )
+    d2 = (
+        f"flatten(transform(sequence(1, length({s}) - 1),"
+        f" i -> transform(sequence(i + 1, length({s})),"
+        f" j -> concat(substring({s}, 1, i - 1),"
+        f" substring({s}, i + 1, j - i - 1), substring({s}, j + 1)))))"
+    )
+    return F.expr(
+        f"array_distinct(concat(array({s}),"
+        f" CASE WHEN length({s}) >= 1 THEN {d1} ELSE array() END,"
+        f" CASE WHEN length({s}) >= 2 THEN {d2} ELSE array() END))"
+    )
+
+
+def fuzzy_match_names_d2(
+    dirty: DataFrame, clean: DataFrame, max_dist: int = FUZZY2_MAX_DIST
+) -> DataFrame:
+    """Edit-distance-≤2 join — the GBIF-backbone use case (misspelt
+    binomials routinely need d≤2; VERDICT r4 item 6).  Each side fans
+    out to its ≤2-deletion neighborhood (1 + L + C(L,2) variants — the
+    classic SymSpell space/time trade; ~170 for L=18) and candidates
+    come from ONE equi-join on the variant string.  Variant keys keep
+    L-2 of the characters, so bucket entropy stays high on shared-
+    prefix names (the E4 hot-bucket lesson, COVERAGE.md); the exact
+    ``levenshtein`` runs only on deduped candidates (plan-tested
+    no-NLJ).  At 100 TB: fan-out is map-side, the join is one keyed
+    shuffle, and very long names (L > ~40) would cap the neighborhood
+    via prefix truncation (SymSpell's prefix optimization) — same call
+    shape."""
+    # round-robin repartition BEFORE the fan-out: a small dictionary
+    # arrives in 1-2 scan partitions and the ~170× higher-order-function
+    # explode (interpreted, not codegen) would run on as many cores —
+    # 4.2 s serial vs 0.4 s spread at sf0.1.  At scale the input is
+    # already many-partition and this is one cheap row-count-preserving
+    # shuffle that also balances the fan-out.
+    par = dirty.sparkSession.sparkContext.defaultParallelism
+    d = dirty.repartition(par).select(
+        "*", F.explode(_deletion_variants("dname")).alias("variant")
+    )
+    c = clean.repartition(par).select(
+        "*", F.explode(_deletion_variants("name")).alias("variant")
+    )
+    # filter BEFORE the dedup shuffle: low-entropy names (shared
+    # prefixes, zero-heavy ids) make hot variant keys whose candidate
+    # pairs dwarf the true-match set, and shuffling them all to dedup
+    # first cost 6.7 s at sf0.1; the threshold-banded levenshtein
+    # (O(τ·L) early-exit DP) runs map-side on each candidate and the
+    # dedup then shuffles only survivors (0.9 s, same result)
+    return (
+        d.join(c, "variant")
+        .where(F.levenshtein("dname", "name", max_dist) >= 0)
+        .select(
+            "id",
+            "key",
+            F.levenshtein("dname", "name").cast("long").alias("dist"),
+        )
+        .dropDuplicates(["id", "key"])
+    )
+
+
+@query(
+    "E4b_fuzzy_name_match_d2",
+    oracle=f"""
+    WITH clean AS (
+      SELECT c_custkey AS key, c_name AS name FROM customer
+    ),
+    dirty AS (
+      SELECT c_custkey AS id,
+             substr(c_name, 1, (c_custkey * 7) % (length(c_name) - 1))
+               || 'x' ||
+             substr(c_name, (c_custkey * 7) % (length(c_name) - 1) + 2,
+                    (c_custkey * 11) % (length(c_name)
+                       - (c_custkey * 7) % (length(c_name) - 1) - 1))
+               ||
+             substr(c_name, (c_custkey * 7) % (length(c_name) - 1) + 2
+                    + (c_custkey * 11) % (length(c_name)
+                       - (c_custkey * 7) % (length(c_name) - 1) - 1) + 1)
+               AS dname
+      FROM customer WHERE c_custkey < {FUZZY2_DIRTY_LIMIT}
+    )
+    SELECT d.id, c.key,
+           CAST(levenshtein(d.dname, c.name) AS BIGINT) AS dist
+    FROM dirty d JOIN clean c
+      ON levenshtein(d.dname, c.name) <= {FUZZY2_MAX_DIST}
+    ORDER BY id, key
+    """,
+)
+def e4b_fuzzy_name_match_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-2 fuzzy matching end to end: names corrupted by one
+    SUBSTITUTION and one DELETION (both positions minted
+    deterministically from the key, deletion after the substitution
+    point so the edits never cancel) matched back against the clean
+    dictionary.  The DuckDB oracle runs the exact quadratic
+    levenshtein join with NO length constraint — a value match proves
+    the deletion-neighborhood filter is lossless across mixed,
+    length-changing edit types."""
+    c = table(spark, sf_dir, "customer")
+    clean = c.select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    # substitution at p1 = (k*7) % (L-1)  (0-based, never the last char);
+    # deletion at a position strictly after p1, offset (k*11) bounded to
+    # the remaining tail so both edits always land inside the string
+    p1 = "CAST((c_custkey * 7) % (length(c_name) - 1) AS INT)"
+    off = (
+        f"CAST((c_custkey * 11) % (length(c_name) - {p1} - 1) AS INT)"
+    )
+    dirty = c.where(F.col("c_custkey") < FUZZY2_DIRTY_LIMIT).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(
+            F.expr(f"substring(c_name, 1, {p1})"),
+            F.lit("x"),
+            F.expr(f"substring(c_name, {p1} + 2, {off})"),
+            F.expr(f"substring(c_name, {p1} + 2 + {off} + 1)"),
+        ).alias("dname"),
+    )
+    return fuzzy_match_names_d2(dirty, clean).orderBy("id", "key")

@@ -113,6 +113,14 @@ class VersionedGraphLog:
         commit writes the full table (delta vs empty)."""
         nodes_log, edges_log = self._log_paths()
         version = self._head + 1
+        # lineage cut (the G9 iterative pattern): the committed state is
+        # diffed now AND serves as the next commit's old side — without
+        # this, commit k re-executes the whole k-deep mutation chain
+        store = GraphStore(
+            self.spark,
+            store.nodes.localCheckpoint(),
+            store.edges.localCheckpoint(),
+        )
         if self._head == 0:
             old = GraphStore.empty(self.spark)
         elif self._head_store is not None:

@@ -913,3 +913,156 @@ def geo6_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("area_key")
     )
+
+
+# --- GEO4b: geodesic (haversine) radius join ------------------------------
+
+#: Radius in kilometres for the geodesic variant.
+RADIUS_KM = 400.0
+#: Mean Earth radius (IUGG), km.
+EARTH_R_KM = 6371.0088
+#: Conservative km-per-degree floor for grid expansion (true meridian
+#: value is pi*R/180 = 111.195 — using 110.0 over-expands ~1%, which
+#: absorbs the small-angle curvature terms the linear bound drops).
+KM_PER_DEG_FLOOR = 110.0
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance in km — pure column expressions (radians/
+    sin/cos/asin/sqrt exist identically in Spark and DuckDB; outputs
+    cross the oracle boundary through the scaled-int ``dquant``
+    rendering, the C1 convention, so last-ulp libm differences cannot
+    flip the hash)."""
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlmb = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    return 2.0 * EARTH_R_KM * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def _sql_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"2.0 * {EARTH_R_KM} * asin(sqrt(least("
+        f"sin(radians(({lat2}) - ({lat1})) / 2)"
+        f" * sin(radians(({lat2}) - ({lat1})) / 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin(radians(({lon2}) - ({lon1})) / 2)"
+        f" * sin(radians(({lon2}) - ({lon1})) / 2), 1.0)))"
+    )
+
+
+@query(
+    "GEO4b_radius_sites_geodesic",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE},
+    pts AS (
+      SELECT key, pt_lat, pt_lon FROM ctx_promoted
+      WHERE kind IN ('Site', 'SiteDMS')
+    ),
+    areas AS (
+      SELECT key AS area_key,
+             (lat_min + lat_max) / 2.0 AS c_lat,
+             (lon_min + lon_max) / 2.0 AS c_lon
+      FROM ctx_promoted WHERE kind = 'Area'
+    ),
+    cand AS (
+      SELECT a.area_key, p.key,
+             FLOOR({_sql_haversine('p.pt_lat', 'p.pt_lon',
+                                   'a.c_lat', 'a.c_lon')} * 10000)
+               / 10000.0 AS dist_q
+      FROM areas a JOIN pts p
+        ON {_sql_haversine('p.pt_lat', 'p.pt_lon',
+                           'a.c_lat', 'a.c_lon')} <= {RADIUS_KM}
+    )
+    SELECT area_key,
+           COUNT(*) AS n_sites,
+           {sql_dquant('MIN(dist_q)')} AS min_km,
+           FIRST(key ORDER BY dist_q, key) AS nearest_site
+    FROM cand
+    GROUP BY area_key
+    ORDER BY area_key
+    """,
+)
+def geo4b_radius_sites_geodesic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GEO4 at GEOGRAPHIC fidelity (VERDICT r4 item 7): sites within
+    ``RADIUS_KM`` great-circle km of each Area centroid.  Degree-space
+    distance distorts ~2x at 60°N; this variant filters on haversine
+    while keeping GEO4's exact plan shape — the only changes are the
+    distance expression and a LATITUDE-AWARE cell expansion: the
+    longitude radius widens by 1/cos(|c_lat|+lat_r) per area (clamped
+    at 89°), so high-latitude areas probe more grid cells instead of
+    silently missing true neighbours.  Completeness: dist ≤ R implies
+    |Δlat| ≤ R/111.195 and |Δlon| ≤ R/(111.195·cos φ_max) — both
+    covered by the 110.0-floor expansion.  Nearest ranking uses the
+    QUANTIZED distance (ties broken by key) so a last-ulp libm
+    difference can never pick a different site across engines."""
+    promoted = promote_context_cols(
+        mint_context_nodes(spark, sf_dir)
+    ).localCheckpoint()
+    pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
+        "key",
+        "pt_lat",
+        "pt_lon",
+        F.floor(F.col("pt_lon") / GRID_DEG).alias("cx"),
+        F.floor(F.col("pt_lat") / GRID_DEG).alias("cy"),
+    )
+    c_lat = (F.col("lat_min") + F.col("lat_max")) / 2.0
+    c_lon = (F.col("lon_min") + F.col("lon_max")) / 2.0
+    lat_r = F.lit(RADIUS_KM / KM_PER_DEG_FLOOR)
+    lon_r = F.least(
+        lat_r
+        / F.cos(F.radians(F.least(F.abs(c_lat) + lat_r, F.lit(89.0)))),
+        F.lit(180.0),
+    )
+    areas = (
+        promoted.where(F.col("kind") == "Area")
+        .select(
+            F.col("key").alias("area_key"),
+            c_lat.alias("c_lat"),
+            c_lon.alias("c_lon"),
+            lon_r.alias("lon_r"),
+            F.explode(
+                F.sequence(
+                    F.floor((c_lon - lon_r) / GRID_DEG),
+                    F.floor((c_lon + lon_r) / GRID_DEG),
+                )
+            ).alias("cx"),
+        )
+        .select(
+            "area_key",
+            "c_lat",
+            "c_lon",
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("c_lat") - lat_r) / GRID_DEG),
+                    F.floor((F.col("c_lat") + lat_r) / GRID_DEG),
+                )
+            ).alias("cy"),
+        )
+    )
+    dist = haversine_km(
+        F.col("pt_lat"), F.col("pt_lon"), F.col("c_lat"), F.col("c_lon")
+    )
+    cand = (
+        pts.join(areas, ["cx", "cy"])
+        .where(dist <= RADIUS_KM)
+        .select("area_key", "key", dquant(dist).alias("dist_q"))
+    )
+    nearest = F.min(F.struct(F.col("dist_q"), F.col("key")))
+    return (
+        cand.groupBy("area_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            dquant(F.min("dist_q")).alias("min_km"),
+            nearest.getField("key").alias("nearest_site"),
+        )
+        .orderBy("area_key")
+    )
