@@ -47,6 +47,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a previous round and (b) still covered every run by the local oracle-
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
+    # ---- ROUND-5 WINDOW (first 50 = the driver's grading window) ----
+    # (1) fixed/new this round — first driver grade needed: MM3's
+    # flattened output (the round-4 red), the BPE kernel encode path,
+    # graph time travel, distance-2 fuzzy match, geodesic radius join
+    "MM3_media_embedding",
+    "T19b_bpe_encode_kernel",
+    "SD4_graph_time_travel",
+    "E4b_fuzzy_name_match_d2",
+    "GEO4b_radius_sites_geodesic",
+    # (2) queries over code CHANGED this round (token_kgrams short-doc
+    # guard feeds T6/T8/T21) — regression evidence
+    "T6_winnow_fingerprints",
+    "T8_contamination_overlap",
+    "T21_boilerplate_frac",
+    # (3) the 11 queries whose latest driver evidence is round 2
+    # (VERDICT r4 item 4) — rotate in for current-round evidence
+    "A5_array_sections_complete",
+    "F10_conditional_route",
+    "G5_triangle_count",
+    "J1_one_hop_traversal",
+    "MM1_media_decode_metadata",
+    "S4_batch_key_lookup",
+    "V1_cosine_topk",
+    "V2_embedding_neardup",
+    "W3_moving_smooth",
+    "W5_tumbling_window",
+    "W6_sliding_window",
+    # (4) round-3-graded queries rotated back for freshness (31 slots);
+    # after this round no query's driver evidence is older than r4
+    "Q1_pricing_summary",
+    "W4_sessionize",
+    "C1_age_depth_interpolate",
+    "G6_pagerank",
+    "G9_label_propagation",
+    "D1_neardup_clusters",
+    "D2_semantic_dedup",
+    "D3_quality_canonical",
+    "V3_ivf_topk",
+    "V4_ivf_neardup",
+    "MM2_frame_sample",
+    "ED2_database_access_date",
+    "ED3_calibration_curves",
+    "K1_source_keys",
+    "K2_population_keys",
+    "G1_star_one_hop",
+    "G2_hierarchy_closure",
+    "G4_holocene_contains",
+    "S14_seed_statistics",
+    "W1_seed_next_chain",
+    "W1_next_in_sequence",
+    "W2_temporal_extent",
+    "J2G_evidence_extract",
+    "P1_typed_date_dispatch",
+    "X5_old_date_normalization",
+    "X7_author_display",
+    "X13_validation_suite",
+    "F1_point_lookup",
+    "O1_index_sort",
+    "U5_edge_dedup",
+    "M2_pivot_row_view",
+    # ---- past the window: the entire round-4-graded set (fresh r4
+    # evidence, re-verified every run by the local gate replica) ----
     # NEW or FIXED this round — must show driver-green (VERDICT r3 items
     # 1-2): T13's vocab ranking rebuilt scale-safe (its FIRST driver
     # grade), the spatial layer (GEO1-5), training-sequence prep
