@@ -123,9 +123,16 @@ def main() -> None:
     # steady-state execution; SPARK_GRAFT_BENCH_VERBOSE=1 additionally
     # emits every run so per-query variance is a recorded number
     # (SCALE.md's noise-band table), not folklore.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3 (was 2): round-5 control runs of the UNCHANGED round-4
+    # tree on the same day measured 68.3 s and 128.3 s — ~1.9x host-level
+    # noise (bursty CPU steal), with multi-second stalls landing on
+    # random queries.  A third run materially improves the odds that one
+    # run of each query misses a stall window (SCALE.md §14).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    import gc
+
     for name in names:
         ts = []
         for _ in range(runs):
@@ -134,6 +141,12 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         timings[name] = round(min(ts), 3)
         all_runs[name] = [round(t, 3) for t in ts]
+        # drop py4j refs to the query's DataFrames/checkpoints promptly
+        # so the ContextCleaner (periodicGC, session.py) can unpersist
+        # their blocks — dead checkpoint blocks otherwise accumulate
+        # across the 57-query session until storage eviction churn
+        # stalls whichever query runs when the store fills
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -34,6 +34,13 @@ def get_spark(app_name: str = "biodiversity-graph-db-spark") -> SparkSession:
         # supplier, part, the 14k-row time index) are all far below this.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # localCheckpoint blocks are only unpersisted when the JVM GC
+        # collects their weak references (ContextCleaner); a 16g heap can
+        # go minutes without a full GC, so long multi-query sessions
+        # accumulate dead checkpoint/broadcast blocks until storage
+        # eviction churn stalls live jobs.  Force the cleaner's periodic
+        # GC often enough that dead blocks drain between queries.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
