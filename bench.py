@@ -80,6 +80,7 @@ HEADLINE = [
     "C2_radiocarbon_calibrate",
     "PR1_profile_events",
     "T22_countmin_heavy",
+    "T23_bloom_membership",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     # SD4_graph_time_travel is oracle-graded but not a bench headline:

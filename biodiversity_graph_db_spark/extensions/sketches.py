@@ -269,3 +269,151 @@ def t22_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_n").desc(), "user_id")
     )
+
+
+# --- Bloom filter: membership sketch / join pruning -----------------------
+
+#: Bloom geometry: bit-array width × independent hash functions.
+BLOOM_WIDTH = 65536
+BLOOM_K = 3
+
+
+def bloom_pos(x: Column, j: int, width: int = BLOOM_WIDTH) -> Column:
+    """Bit position j for value x — the same portable BIGINT arithmetic
+    family as ``cm_pos`` (non-negative keys)."""
+    return (
+        (x.cast("long") * F.lit(_CM_MULS[j]) + F.lit(_CM_ADDS[j]))
+        % F.lit(_MOD)
+    ) % F.lit(width)
+
+
+def _bloom_pos_sql(x: str, j: int, width: int = BLOOM_WIDTH) -> str:
+    return (
+        f"(((CAST({x} AS BIGINT) * {_CM_MULS[j]} + {_CM_ADDS[j]})"
+        f" % {_MOD}) % {width})"
+    )
+
+
+def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+    """The Bloom filter as a SPARSE set-bit table ``(pos)`` — distinct
+    positions touched by any member under the K hashes.  Mergeable by
+    union-distinct (like the KMV ledger, so it is replay-idempotent in
+    a stream), bounded by ``BLOOM_WIDTH`` rows regardless of input
+    size, and broadcastable to prune joins.  One map-side-combinable
+    distinct over a K-element per-row fan-out — a single scan of the
+    member set at any scale.
+
+    Spark ships ``bloom_filter_agg``/``might_contain``, but its sketch
+    bytes are engine-private; this sparse-position form is value-
+    verifiable cross-engine, the house sketch rule (KMV/CM)."""
+    pos = F.explode(
+        F.array(
+            *[bloom_pos(F.col(value_col), j) for j in range(BLOOM_K)]
+        )
+    ).alias("pos")
+    return df.select(pos).distinct()
+
+
+def bloom_probe(
+    candidates: DataFrame, bloom: DataFrame, value_col: str
+) -> DataFrame:
+    """Membership test: a candidate passes iff ALL K positions are set.
+    The bloom table is broadcast (≤ BLOOM_WIDTH rows) so probing is a
+    map-side hash lookup — no shuffle of the candidate side; this is
+    exactly how the filter prunes a join's big side before the real
+    shuffle.  No false negatives (Bloom's defining guarantee —
+    invariant-tested); false positives at rate ≈ fill^K."""
+    probes = candidates.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[bloom_pos(F.col(value_col), j) for j in range(BLOOM_K)]
+            )
+        ).alias("pos"),
+    )
+    hit = probes.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), "pos", "left"
+    )
+    return (
+        hit.groupBy(value_col)
+        .agg(
+            (F.count("_set") == BLOOM_K).alias("in_bloom"),
+        )
+    )
+
+
+@query(
+    "T23_bloom_membership",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+    ),
+    bloom AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {_bloom_pos_sql('k', 0)} AS pos FROM members
+        UNION ALL SELECT {_bloom_pos_sql('k', 1)} FROM members
+        UNION ALL SELECT {_bloom_pos_sql('k', 2)} FROM members
+      )
+    ),
+    probes AS (
+      SELECT c_custkey AS k,
+             ({_bloom_pos_sql('c_custkey', 0)} IN (SELECT pos FROM bloom)
+              AND {_bloom_pos_sql('c_custkey', 1)} IN (SELECT pos FROM bloom)
+              AND {_bloom_pos_sql('c_custkey', 2)} IN (SELECT pos FROM bloom))
+               AS in_bloom,
+             EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+               AS is_member
+      FROM customer
+    )
+    SELECT CASE
+             WHEN is_member AND in_bloom THEN 'true_positive'
+             WHEN is_member AND NOT in_bloom THEN 'false_negative'
+             WHEN NOT is_member AND in_bloom THEN 'false_positive'
+             ELSE 'true_negative' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM probes
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def t23_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, end to end verified: build the filter
+    over ordering customers, probe EVERY customer, classify against
+    exact membership.  The oracle recomputes the same sparse bit set
+    with the same portable arithmetic, so the classification counts —
+    including the exact number of Bloom false positives — hash-match
+    across engines; 'false_negative' appearing on either side would be
+    a broken filter (additionally invariant-tested).
+
+    Completes the sketch family: KMV (distinct), count-min
+    (frequency), Bloom (membership) — all mergeable, all with portable
+    cross-engine-verified arithmetic.  Scale use: broadcast the ≤64k-row
+    set-bit table to prune a 100 TB probe side down to passers BEFORE
+    its shuffle (the manual form of what Spark's runtime row-group
+    bloom pruning does engine-internally)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    members = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bloom = bloom_build(members, "k")
+    probed = bloom_probe(
+        cust.select(F.col("c_custkey").alias("k")), bloom, "k"
+    )
+    truth = cust.select(
+        F.col("c_custkey").alias("k")
+    ).join(members.withColumn("_m", F.lit(1)), "k", "left").select(
+        "k", F.col("_m").isNotNull().alias("is_member")
+    )
+    status = (
+        F.when(
+            F.col("is_member") & F.col("in_bloom"), "true_positive"
+        )
+        .when(F.col("is_member") & ~F.col("in_bloom"), "false_negative")
+        .when(~F.col("is_member") & F.col("in_bloom"), "false_positive")
+        .otherwise("true_negative")
+    )
+    return (
+        probed.join(truth, "k")
+        .groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("status")
+    )

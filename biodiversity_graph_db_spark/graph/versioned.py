@@ -165,3 +165,21 @@ class VersionedGraphLog:
             schema=log_schema(EDGES_SCHEMA),
         ).select([f.name for f in EDGES_SCHEMA.fields])
         return GraphStore(self.spark, nodes, edges)
+
+
+def open_log(spark: SparkSession, path: str) -> VersionedGraphLog:
+    """Reopen an existing log: head = highest version partition present
+    on disk (Hadoop FS listing, backend-agnostic) — how a fresh session
+    (or a restarted stream's foreachBatch) resumes committing."""
+    log = VersionedGraphLog(spark, path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/nodes_log")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    head = 0
+    if fs.exists(hpath):
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("version="):
+                head = max(head, int(name.split("=", 1)[1]))
+    log._head = head
+    return log

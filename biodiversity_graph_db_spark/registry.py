@@ -56,6 +56,7 @@ PRIORITY: tuple[str, ...] = (
     "SD4_graph_time_travel",
     "E4b_fuzzy_name_match_d2",
     "GEO4b_radius_sites_geodesic",
+    "T23_bloom_membership",
     # (2) queries over code CHANGED this round (token_kgrams short-doc
     # guard feeds T6/T8/T21) — regression evidence
     "T6_winnow_fingerprints",
@@ -106,7 +107,6 @@ PRIORITY: tuple[str, ...] = (
     "F1_point_lookup",
     "O1_index_sort",
     "U5_edge_dedup",
-    "M2_pivot_row_view",
     # ---- past the window: the entire round-4-graded set (fresh r4
     # evidence, re-verified every run by the local gate replica) ----
     # NEW or FIXED this round — must show driver-green (VERDICT r3 items

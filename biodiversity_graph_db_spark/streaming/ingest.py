@@ -526,3 +526,53 @@ def run_cm_sketch(events: DataFrame, out_path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def merge_events_into_versioned_graph(
+    events: DataFrame, log_path: str, checkpoint: str
+):
+    """Streaming ingest INTO THE VERSIONED GRAPH (SD4 online): every
+    micro-batch commits one version to the graph's delta log, so the
+    stream produces not just the current graph but its full history —
+    ``read_version(v)`` reproduces the graph as of any batch, the
+    in-engine form of the reference's git-commit-per-edit lifecycle
+    (Storage.fs:239-275) driven by a live source.
+
+    Exactly-once story: the batch's nodes anti-join the head state (the
+    merge_events_into_graph shape), so a REPLAYED batch contributes an
+    EMPTY delta — the replay commits a contentless version and every
+    ``read_version`` answer is unchanged (tested).  Per-commit cost is
+    one hash-diff against the head ∝ graph size; a production
+    deployment caches the head store between batches (the
+    ``_head_store`` fast path) and periodically compacts old versions
+    (plans/layout.compact_partitioned)."""
+    from biodiversity_graph_db_spark.graph.store import GraphStore
+    from biodiversity_graph_db_spark.graph.versioned import open_log
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        log = open_log(spark, log_path)
+        prev = (
+            log.read_version(log.head)
+            if log.head
+            else GraphStore.empty(spark)
+        )
+        new_nodes = batch.select(
+            F.concat(F.lit("eventnode_"), F.col("event_id")).alias("key"),
+            F.lit("EventNode").alias("node_type"),
+            F.col("event_type").alias("pretty_name"),
+            F.to_json(F.struct("ts", "user_id", "value")).alias("payload"),
+        ).dropDuplicates(["key"])
+        fresh = new_nodes.join(prev.nodes.select("key"), "key", "left_anti")
+        merged = GraphStore(
+            spark,
+            prev.nodes.unionByName(prev._conform(fresh)),
+            prev.edges,
+        )
+        log.commit(merged)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -416,3 +416,49 @@ class TestBpeKernelEncode:
         ).collect()
         want = bpe.bpe_encode_docs_kernel(spark, sf_dir, real).collect()
         assert [tuple(r) for r in out] == [tuple(r) for r in want]
+
+
+class TestBloom:
+    def test_no_false_negatives_and_join_prune_equivalence(
+        self, spark, sf_dir
+    ):
+        """Bloom's defining guarantee: every true member passes.  And
+        the join-pruning use: big-side rows surviving the bloom,
+        joined exactly, equal the unpruned join."""
+        from biodiversity_graph_db_spark.extensions.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+        from biodiversity_graph_db_spark.tables import table
+
+        orders = table(spark, sf_dir, "orders")
+        cust = table(spark, sf_dir, "customer")
+        members = orders.select(F.col("o_custkey").alias("k")).distinct()
+        bloom = bloom_build(members, "k").localCheckpoint()
+        probed = bloom_probe(
+            cust.select(F.col("c_custkey").alias("k")), bloom, "k"
+        )
+        fn = (
+            probed.join(members.withColumn("_m", F.lit(1)), "k", "left")
+            .where(F.col("_m").isNotNull() & ~F.col("in_bloom"))
+            .count()
+        )
+        assert fn == 0
+
+        # prune-then-join == plain join
+        pruned = probed.where("in_bloom").select("k")
+        got = (
+            cust.join(
+                pruned, cust["c_custkey"] == pruned["k"], "left_semi"
+            )
+            .join(
+                members,
+                cust["c_custkey"] == members["k"],
+                "left_semi",
+            )
+            .count()
+        )
+        want = cust.join(
+            members, cust["c_custkey"] == members["k"], "left_semi"
+        ).count()
+        assert got == want

@@ -835,3 +835,62 @@ class TestCountMinReplay:
             assert got == want
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestVersionedGraphStream:
+    def test_stream_commits_versions_with_history(self, spark, events_dir):
+        """Streaming ingest INTO the versioned graph: each micro-batch
+        commits one version; the head state equals the exactly-once
+        batch ground truth, history is monotone, and a replayed batch
+        commits an EMPTY delta (state unchanged)."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.graph.versioned import open_log
+        from biodiversity_graph_db_spark.streaming import ingest
+
+        tmp = tempfile.mkdtemp(prefix="vgraph_stream_")
+        try:
+            q = ingest.merge_events_into_versioned_graph(
+                ingest.read_events_stream(spark, events_dir),
+                f"{tmp}/log",
+                f"{tmp}/ckpt",
+            ).start()
+            q.awaitTermination(180)
+
+            log = open_log(spark, f"{tmp}/log")
+            assert log.head >= 2  # maxFilesPerTrigger=1 over 4 files
+
+            truth = (
+                spark.read.parquet(events_dir)
+                .select("event_id")
+                .distinct()
+                .count()
+            )
+            head_nodes = log.read_version(log.head).nodes
+            assert head_nodes.count() == truth
+
+            # history: earlier versions are strictly smaller prefixes
+            v1 = log.read_version(1).nodes.count()
+            assert 0 < v1 < truth
+
+            # replay: committing the SAME head state again adds an
+            # empty delta — contentless version, answers unchanged
+            from biodiversity_graph_db_spark.graph.versioned import (
+                VersionedGraphLog,
+            )
+
+            log2 = open_log(spark, f"{tmp}/log")
+            prev_head = log2.head
+            log2.commit(log2.read_version(prev_head))
+            delta_rows = (
+                spark.read.parquet(f"{tmp}/log/nodes_log")
+                .where(F.col("version") == prev_head + 1)
+                .count()
+            )
+            assert delta_rows == 0
+            assert (
+                log2.read_version(prev_head + 1).nodes.count() == truth
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
