@@ -81,6 +81,7 @@ HEADLINE = [
     "PR1_profile_events",
     "T22_countmin_heavy",
     "T23_bloom_membership",
+    "T24_histogram_quantiles",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     # SD4_graph_time_travel is oracle-graded but not a bench headline:

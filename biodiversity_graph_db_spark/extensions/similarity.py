@@ -891,3 +891,28 @@ def v5_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+def append_ivf_index(
+    new_emb: DataFrame, path: str, n_probe: int = 1
+) -> None:
+    """INCREMENTAL index maintenance (the 100 TB ANN ingest story):
+    assign only the NEW vectors against the STORED centroids — one
+    Arrow map pass over the delta, no re-clustering, no touch of
+    existing partitions — and append them to their cluster partitions.
+    Equivalence (tested): append(B) onto index(A) answers every query
+    identically to assigning A∪B in one pass with the same centroids,
+    because per-vector assignment depends only on (vector, centroids).
+    Centroid drift under sustained ingest is governed separately: V5's
+    measured recall is the dial — re-cluster when it sags, exactly how
+    production IVF deployments (FAISS et al.) schedule re-trains."""
+    import numpy as np
+
+    spark = new_emb.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cent_ids = np.array([r.cent_id for r in cents], dtype=np.int64)
+    cmat = np.array([r.cent_emb for r in cents], dtype=np.float64)
+    cnorm = np.array([r.cent_norm for r in cents], dtype=np.float64)
+    ivf_assign(new_emb, cent_ids, cmat, cnorm, n_probe).write.mode(
+        "append"
+    ).partitionBy("cent_id").parquet(f"{path}/assigned")

@@ -417,3 +417,108 @@ def t23_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("status")
     )
+
+
+# --- histogram quantile sketch: mergeable approximate quantiles -----------
+
+#: fixed-bin geometry for the order-price quantile sketch.
+HQ_BIN_WIDTH = 500.0
+HQ_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def histogram_bins(
+    df: DataFrame, value_col: str, width: float = HQ_BIN_WIDTH
+) -> DataFrame:
+    """The quantile synopsis: per-bin counts under a fixed bin width —
+    ONE map-side-combinable groupBy, mergeable under union (counts
+    add, same discipline as count-min), state bounded by
+    range/width bins regardless of input size, streaming-maintainable
+    like the CM counters.  Guaranteed error: any quantile estimated
+    from the histogram is within one bin width of the true value —
+    a deterministic bound, unlike t-digest's probabilistic one, and
+    (unlike t-digest/approx_percentile) the synopsis is plain BIGINTs
+    that a second engine reproduces bit-for-bit."""
+    return (
+        df.select(
+            F.floor(F.col(value_col) / F.lit(width)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    bins: DataFrame,
+    quantiles: tuple[float, ...] = HQ_QUANTILES,
+    width: float = HQ_BIN_WIDTH,
+) -> DataFrame:
+    """Quantile read-out from the bin table: q lands in the first bin
+    whose cumulative count reaches ⌈q·N⌉; the estimate is that bin's
+    upper edge.  The cumulative window runs over the SYNOPSIS (≤
+    range/width rows by construction — a bounded single-partition
+    window is the sketch-table exception to the T13 no-global-window
+    rule, like the K-row BPE merge table)."""
+    from pyspark.sql import Window
+
+    n = bins.agg(F.sum("cnt").alias("n")).select("n")
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(n)
+    )
+    parts = []
+    for q in quantiles:
+        target = F.ceil(F.lit(q) * F.col("n"))
+        parts.append(
+            cum.where(F.col("cum") >= target)
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                F.lit(q).alias("q"),
+                ((F.col("bin") + 1) * F.lit(width)).alias("est"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _hq_oracle() -> str:
+    qsel = "\n      UNION ALL ".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q,
+             CAST((MIN(CASE WHEN cum >= CEIL({q} * n) THEN bin END) + 1)
+               * {HQ_BIN_WIDTH} AS DOUBLE) AS est
+           FROM cum"""
+        for q in HQ_QUANTILES
+    )
+    return f"""
+    WITH bins AS (
+      SELECT CAST(FLOOR(o_totalprice / {HQ_BIN_WIDTH}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT SUM(cnt) FROM bins) AS n
+      FROM bins
+    )
+    SELECT q, est FROM ({qsel}) ORDER BY q
+    """
+
+
+@query("T24_histogram_quantiles", oracle=_hq_oracle())
+def t24_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles from the mergeable histogram sketch —
+    the streaming/distributed-friendly alternative to T12's exact
+    percentile (which buffers whole groups): build once with a
+    map-side-combinable groupBy, merge shards by adding counts, read
+    any quantile from the bounded bin table.  The within-one-bin error
+    bound vs the exact quantile is pinned by a test; the sketch AND
+    read-out arithmetic are oracle-verified bit-for-bit (t-digest
+    sketch bytes never could be — the KMV/CM/Bloom argument)."""
+    orders = table(spark, sf_dir, "orders")
+    bins = histogram_bins(orders, "o_totalprice")
+    return histogram_quantiles(bins).orderBy("q")

@@ -57,6 +57,7 @@ PRIORITY: tuple[str, ...] = (
     "E4b_fuzzy_name_match_d2",
     "GEO4b_radius_sites_geodesic",
     "T23_bloom_membership",
+    "T24_histogram_quantiles",
     # (2) queries over code CHANGED this round (token_kgrams short-doc
     # guard feeds T6/T8/T21) — regression evidence
     "T6_winnow_fingerprints",
@@ -105,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "X7_author_display",
     "X13_validation_suite",
     "F1_point_lookup",
-    "O1_index_sort",
     "U5_edge_dedup",
     # ---- past the window: the entire round-4-graded set (fresh r4
     # evidence, re-verified every run by the local gate replica) ----

@@ -462,3 +462,91 @@ class TestBloom:
             members, cust["c_custkey"] == members["k"], "left_semi"
         ).count()
         assert got == want
+
+
+class TestHistogramQuantiles:
+    def test_error_bound_and_mergeability(self, spark, sf_dir):
+        """The sketch's deterministic guarantee: every estimated
+        quantile is within ONE bin width of the exact quantile.  And
+        mergeability: bins built on two disjoint shards, merged by
+        summed counts, give the identical read-out."""
+        from biodiversity_graph_db_spark.extensions.sketches import (
+            HQ_BIN_WIDTH,
+            histogram_bins,
+            histogram_quantiles,
+        )
+        from biodiversity_graph_db_spark.tables import table
+
+        orders = table(spark, sf_dir, "orders")
+        ests = {
+            r.q: r.est
+            for r in histogram_quantiles(
+                histogram_bins(orders, "o_totalprice")
+            ).collect()
+        }
+        for q, est in ests.items():
+            exact = orders.agg(
+                F.expr(f"percentile(o_totalprice, {q})")
+            ).first()[0]
+            assert abs(est - exact) <= HQ_BIN_WIDTH, (q, est, exact)
+
+        a = histogram_bins(
+            orders.where(F.col("o_orderkey") % 2 == 0), "o_totalprice"
+        )
+        b = histogram_bins(
+            orders.where(F.col("o_orderkey") % 2 == 1), "o_totalprice"
+        )
+        merged = (
+            a.unionByName(b)
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        got = {
+            r.q: r.est for r in histogram_quantiles(merged).collect()
+        }
+        assert got == ests
+
+
+class TestIvfIncrementalMaintenance:
+    def test_append_equals_full_assign_same_centroids(self, spark, sf_dir):
+        """V6: index(A) + append(B) must answer queries identically to
+        assigning A∪B in one pass with the SAME centroids — incremental
+        maintenance is lossless; only centroid drift (governed by V5's
+        recall dial) ever degrades it."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions.similarity import (
+            append_ivf_index,
+            ivf_topk_indexed,
+            write_ivf_index,
+        )
+
+        emb = table(spark, sf_dir, "embeddings")
+        a = emb.where(F.col("vec_id") % 2 == 0)
+        b = emb.where(F.col("vec_id") % 2 == 1)
+        queries = emb.where(F.col("vec_id") < 10)
+
+        tmp = tempfile.mkdtemp(prefix="ivf_incr_")
+        try:
+            # incremental: index on A (trains centroids), append B
+            write_ivf_index(a, f"{tmp}/incr")
+            append_ivf_index(b, f"{tmp}/incr")
+            got = ivf_topk_indexed(
+                spark, f"{tmp}/incr", queries
+            ).collect()
+
+            # control: same centroids (copied from the A-trained index),
+            # one-pass assignment of A∪B
+            shutil.copytree(
+                f"{tmp}/incr/centroids", f"{tmp}/full/centroids"
+            )
+            append_ivf_index(emb, f"{tmp}/full")
+            want = ivf_topk_indexed(
+                spark, f"{tmp}/full", queries
+            ).collect()
+
+            assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+            assert len(got) > 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
