@@ -183,3 +183,37 @@ def open_log(spark: SparkSession, path: str) -> VersionedGraphLog:
                 head = max(head, int(name.split("=", 1)[1]))
     log._head = head
     return log
+
+
+def compact_graph_log(log: VersionedGraphLog, upto: int) -> None:
+    """Compact both of the graph log's tables (operators/snapshot.py
+    ``compact_versions``): history below ``upto`` becomes one resolved
+    base; every ``read_version(v ≥ upto)`` answer is unchanged
+    (tested), reads replay fewer deltas."""
+    from pyspark.sql.types import BooleanType, LongType, StructField
+
+    def log_schema(base):
+        return type(base)(
+            list(base.fields)
+            + [
+                StructField("deleted", BooleanType(), True),
+                StructField("version", LongType(), True),
+            ]
+        )
+
+    from biodiversity_graph_db_spark.operators.snapshot import (
+        compact_versions,
+    )
+
+    nodes_log, edges_log = log._log_paths()
+    compact_versions(
+        log.spark, nodes_log, upto, ["key"], schema=log_schema(NODES_SCHEMA)
+    )
+    compact_versions(
+        log.spark,
+        edges_log,
+        upto,
+        list(EDGE_KEY),
+        schema=log_schema(EDGES_SCHEMA),
+    )
+    log._head_store = None  # resolved layout changed; re-read on demand

@@ -425,3 +425,93 @@ def sd4_graph_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .nodes.select("key", "pretty_name")
         .orderBy("key")
     )
+
+
+def compact_versions(
+    spark: SparkSession,
+    path: str,
+    upto: int,
+    key_cols: Sequence[str],
+    schema=None,
+) -> None:
+    """Log compaction: collapse all versions ≤ ``upto`` into one BASE
+    version — the Delta/Iceberg checkpoint idea on the plain-parquet
+    log.  A long-lived log replays ever more deltas per read and keeps
+    tombstones for long-dead keys; after compaction the base holds the
+    RESOLVED state (latest-per-key, tombstoned keys simply absent), so
+    ``read_as_of(v)`` for any v ≥ ``upto`` is unchanged (oracle-proved
+    by SD5) while reads pay one partition + the later deltas.  History
+    BELOW ``upto`` is intentionally discarded — choose ``upto`` as the
+    retention horizon.
+
+    Shape: one as-of read (the existing partition-pruned latest-per-key
+    plan) written as a single version partition, then directory swaps
+    via the Hadoop FS API.  The swap is not transactional on plain
+    dirs — same caller contract as ``plans.layout.compact_partitioned``
+    (a metastore/Delta layer makes it atomic); a crash between delete
+    and rename loses no committed data because the tmp base is written
+    FIRST."""
+    base = read_as_of(spark, path, upto, key_cols, schema=schema)
+    tmp = f"{path}__compact_tmp"
+    (
+        base.withColumn("deleted", F.lit(False))
+        .withColumn("version", F.lit(upto).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("version")
+        .parquet(tmp)
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("version=") and int(name.split("=", 1)[1]) <= upto:
+            fs.delete(st.getPath(), True)
+    src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/version={upto}")
+    fs.rename(src, jvm.org.apache.hadoop.fs.Path(f"{path}/version={upto}"))
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+
+@query(
+    "SD5_compacted_time_travel",
+    oracle=f"""
+    SELECT 'customernode_' || c_custkey AS key,
+           {sql_dquant("c_acctbal + CASE WHEN c_custkey % 7 = 0 "
+                       "THEN 100.0 ELSE 0.0 END")} AS val
+    FROM customer
+    WHERE c_custkey % 13 <> 0
+    ORDER BY key
+    """,
+)
+def sd5_compacted_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SD3's exact scenario read AFTER compacting versions ≤ 2 into a
+    base — the oracle is identical to SD3's (the state at v2), so a
+    hash match proves compaction preserves as-of semantics: resolved
+    latest-per-key base, tombstoned keys dropped, the later v3 still
+    layered on top and still not leaking into the v2 read."""
+    import os
+    import tempfile
+
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        F.concat(F.lit("customernode_"), F.col("c_custkey")).alias("key"),
+        dquant("c_acctbal").alias("val"),
+    )
+    v2 = (
+        c.where((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 13 == 0))
+        .select(
+            F.concat(F.lit("customernode_"), F.col("c_custkey")).alias(
+                "key"
+            ),
+            dquant(F.col("c_acctbal") + 100.0).alias("val"),
+            (F.col("c_custkey") % 13 == 0).alias("deleted"),
+        )
+    )
+    v3 = base.select("key", "val", F.lit(True).alias("deleted"))
+    path = os.path.join(tempfile.mkdtemp(prefix="sd5_versioned_"), "log")
+    save_version(base, path, 1, ["key"])
+    save_version(v2, path, 2, ["key"])
+    save_version(v3, path, 3, ["key"])
+    compact_versions(spark, path, 2, ["key"])
+    return read_as_of(spark, path, 2, ["key"]).orderBy("key")

@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "GEO4b_radius_sites_geodesic",
     "T23_bloom_membership",
     "T24_histogram_quantiles",
+    "SD5_compacted_time_travel",
     # (2) queries over code CHANGED this round (token_kgrams short-doc
     # guard feeds T6/T8/T21) — regression evidence
     "T6_winnow_fingerprints",
@@ -106,7 +107,6 @@ PRIORITY: tuple[str, ...] = (
     "X7_author_display",
     "X13_validation_suite",
     "F1_point_lookup",
-    "U5_edge_dedup",
     # ---- past the window: the entire round-4-graded set (fresh r4
     # evidence, re-verified every run by the local gate replica) ----
     # NEW or FIXED this round — must show driver-green (VERDICT r3 items

@@ -576,3 +576,74 @@ def merge_events_into_versioned_graph(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def run_bloom_sketch(events: DataFrame, out_path: str, checkpoint: str):
+    """Streaming Bloom maintenance: each micro-batch's set-bit
+    positions union-distinct into the stored filter.  Like the KMV
+    ledger — and unlike count-min — the merge is idempotent under
+    replay (set union), so no batch-id guard is needed; state is
+    bounded by BLOOM_WIDTH rows forever.  Stream == batch bit-equality
+    tested."""
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        bloom_build,
+    )
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = bloom_build(batch.select(F.col("user_id").alias("k")), "k")
+        if _path_exists(spark, out_path):
+            fresh = fresh.unionByName(
+                spark.read.parquet(out_path)
+            ).distinct()
+        fresh.localCheckpoint().write.mode("overwrite").parquet(out_path)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def hist_sketch_upsert(
+    batch: DataFrame, batch_id: int, out_path: str
+) -> None:
+    """One micro-batch's histogram merge — bin counts ADD (the
+    count-min failure mode), so the store carries the last-applied
+    batch_id and replays are skipped, exactly the cm_sketch_upsert
+    contract."""
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        histogram_bins,
+    )
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    spark = batch.sparkSession
+    fresh = histogram_bins(batch, "value")
+    if _path_exists(spark, out_path):
+        stored = spark.read.parquet(out_path)
+        applied = stored.agg(F.max("last_batch")).first()[0]
+        if applied is not None and applied >= batch_id:
+            return
+        fresh = (
+            fresh.unionByName(stored.drop("last_batch"))
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    fresh = fresh.withColumn("last_batch", F.lit(batch_id).cast("long"))
+    fresh.localCheckpoint().write.mode("overwrite").parquet(out_path)
+
+
+def run_hist_sketch(events: DataFrame, out_path: str, checkpoint: str):
+    """Streaming histogram-quantile maintenance over ``value`` — live
+    percentile dashboards with O(bins) state; read any quantile from
+    the store with ``histogram_quantiles``."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        hist_sketch_upsert(batch, batch_id, out_path)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -494,3 +494,60 @@ class TestVersionedGraph:
             assert v2_nodes == 1
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestGraphLogCompaction:
+    def test_reads_survive_compaction(self, spark, seeded):
+        """Compacting versions <= 2 must leave read_version(2) and (3)
+        bit-identical, drop the version=1 partitions, and still accept
+        new commits on top."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.graph.versioned import (
+            VersionedGraphLog,
+            compact_graph_log,
+        )
+
+        def state(store):
+            return (
+                {tuple(r) for r in store.nodes.collect()},
+                {tuple(r) for r in store.edges.collect()},
+            )
+
+        tmp = tempfile.mkdtemp(prefix="graph_compact_")
+        try:
+            log = VersionedGraphLog(spark, tmp)
+            g1 = seeded
+            log.commit(g1)
+            g2 = g1.add_nodes(
+                _nodes(spark, [("taxonnode_x", "TaxonNode", "X")])
+            )
+            log.commit(g2)
+            g3 = g2.remove_nodes(
+                spark.createDataFrame([("taxonnode_x",)], "key string")
+            )
+            log.commit(g3)
+            want2, want3 = state(log.read_version(2)), state(
+                log.read_version(3)
+            )
+
+            compact_graph_log(log, 2)
+            assert state(log.read_version(2)) == want2
+            assert state(log.read_version(3)) == want3
+            versions = {
+                int(p.name.split("=")[1])
+                for p in __import__("pathlib")
+                .Path(f"{tmp}/nodes_log")
+                .glob("version=*")
+            }
+            assert versions == {2, 3}
+
+            # the log still accepts commits after compaction
+            g4 = g3.add_nodes(
+                _nodes(spark, [("taxonnode_y", "TaxonNode", "Y")])
+            )
+            log.commit(g4)
+            assert state(log.read_version(4)) == state(g4)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

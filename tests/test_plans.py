@@ -609,3 +609,35 @@ class TestCompaction:
         import glob
 
         assert glob.glob(f"{dst}/split=*")
+
+
+class TestSketchPlans:
+    def test_t23_bloom_probe_is_broadcast(self, spark, sf_dir):
+        """The bloom probe must broadcast the (bounded) set-bit table —
+        a shuffled probe would defeat the filter's purpose of pruning
+        the big side BEFORE its shuffle."""
+        plan = _plan(spark, sf_dir, "T23_bloom_membership")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_t24_histogram_build_is_one_combinable_agg(self, spark, sf_dir):
+        """The corpus pass (bin counts) must be a partial-then-final
+        HashAggregate; the only single-partition work is the read-out
+        window over the ≤range/width-row synopsis (the bounded-sketch
+        exception, like the K-row BPE table)."""
+        from biodiversity_graph_db_spark.extensions.sketches import (
+            histogram_bins,
+        )
+        from biodiversity_graph_db_spark.tables import table
+
+        plan = (
+            histogram_bins(
+                table(spark, sf_dir, "orders"), "o_totalprice"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "HashAggregate" in plan
+        assert "Exchange SinglePartition" not in plan

@@ -894,3 +894,72 @@ class TestVersionedGraphStream:
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingBloomAndHist:
+    def test_stream_sketches_equal_batch(self, spark, events_dir):
+        """The remaining two sketches under streaming maintenance:
+        the Bloom set-bit table and the value histogram must finish
+        bit-identical to their batch twins; a replayed histogram batch
+        must be a no-op (the CM batch-id contract)."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions.sketches import (
+            bloom_build,
+            histogram_bins,
+        )
+        from biodiversity_graph_db_spark.streaming import ingest
+
+        tmp = tempfile.mkdtemp(prefix="sketch_stream_")
+        try:
+            qb = ingest.run_bloom_sketch(
+                ingest.read_events_stream(spark, events_dir),
+                f"{tmp}/bloom",
+                f"{tmp}/ckpt_b",
+            ).start()
+            qh = ingest.run_hist_sketch(
+                ingest.read_events_stream(spark, events_dir),
+                f"{tmp}/hist",
+                f"{tmp}/ckpt_h",
+            ).start()
+            qb.awaitTermination(120)
+            qh.awaitTermination(120)
+
+            ev = spark.read.parquet(events_dir)
+            got_bloom = {
+                r.pos for r in spark.read.parquet(f"{tmp}/bloom").collect()
+            }
+            want_bloom = {
+                r.pos
+                for r in bloom_build(
+                    ev.select(F.col("user_id").alias("k")), "k"
+                ).collect()
+            }
+            assert got_bloom == want_bloom and got_bloom
+
+            got_hist = {
+                (r.bin, r.cnt)
+                for r in spark.read.parquet(f"{tmp}/hist").collect()
+            }
+            want_hist = {
+                (r.bin, r.cnt)
+                for r in histogram_bins(ev, "value").collect()
+            }
+            assert got_hist == want_hist and got_hist
+
+            # histogram replay guard: re-applying the last batch id
+            # leaves the store unchanged
+            last = (
+                spark.read.parquet(f"{tmp}/hist")
+                .agg(F.max("last_batch"))
+                .first()[0]
+            )
+            ingest.hist_sketch_upsert(ev, last, f"{tmp}/hist")
+            after = {
+                (r.bin, r.cnt)
+                for r in spark.read.parquet(f"{tmp}/hist").collect()
+            }
+            assert after == got_hist
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
