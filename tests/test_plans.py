@@ -641,3 +641,43 @@ class TestSketchPlans:
         )
         assert "HashAggregate" in plan
         assert "Exchange SinglePartition" not in plan
+
+
+class TestLogSchemaEvolution:
+    def test_old_versions_read_with_nulls_for_new_columns(
+        self, spark, tmp_path
+    ):
+        """Schema evolution on the versioned log: version 1 predates the
+        `val2` column; reading with the CURRENT schema must surface the
+        old rows with val2 NULL (parquet name-based resolution under the
+        explicit-schema read, the read_as_of path), and the v2 upsert
+        must win per key."""
+        from biodiversity_graph_db_spark.operators.snapshot import (
+            read_as_of,
+            save_version,
+        )
+
+        path = str(tmp_path / "log")
+        v1 = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "key string, val long"
+        )
+        save_version(v1, path, 1, ["key"])
+        v2 = spark.createDataFrame(
+            [("b", 20, "new")], "key string, val long, val2 string"
+        )
+        save_version(v2, path, 2, ["key"])
+
+        schema = (
+            "key string, val long, val2 string, "
+            "deleted boolean, version long"
+        )
+        from pyspark.sql.types import _parse_datatype_string
+
+        got = {
+            (r.key, r.val, r.val2)
+            for r in read_as_of(
+                spark, path, 2, ["key"],
+                schema=_parse_datatype_string(schema),
+            ).collect()
+        }
+        assert got == {("a", 1, None), ("b", 20, "new")}
