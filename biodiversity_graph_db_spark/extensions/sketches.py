@@ -433,9 +433,12 @@ def histogram_bins(
     ONE map-side-combinable groupBy, mergeable under union (counts
     add, same discipline as count-min), state bounded by
     range/width bins regardless of input size, streaming-maintainable
-    like the CM counters.  Guaranteed error: any quantile estimated
-    from the histogram is within one bin width of the true value —
-    a deterministic bound, unlike t-digest's probabilistic one, and
+    like the CM counters.  Guaranteed error: the estimate is the upper
+    edge of the bin holding the ceil(qN)-th order statistic, so it is
+    within one bin width above the RANK-BASED (inverse-CDF) quantile —
+    a deterministic bound (property-tested; vs INTERPOLATED quantiles
+    it additionally needs data dense relative to the bins), unlike
+    t-digest's probabilistic one, and
     (unlike t-digest/approx_percentile) the synopsis is plain BIGINTs
     that a second engine reproduces bit-for-bit."""
     return (

@@ -597,3 +597,195 @@ def test_versioned_log_matches_dict_replay(spark, tmp_path_factory, versions):
             (f"k{k}", val) for k, val in state.items() if val is not None
         }
         assert got == want, (v, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abX", min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    st.data(),
+)
+def test_fuzzy_d2_lossless_vs_bruteforce(spark, names, data):
+    """E4b: the ≤2-deletion neighborhood join must find EXACTLY the
+    levenshtein-≤2 pairs — including length-changing edits — on
+    adversarial low-entropy alphabets.  Dirty side: one substitution
+    AND/OR one deletion/insertion drawn per name."""
+    import itertools
+
+    from biodiversity_graph_db_spark.extensions.dedup import (
+        fuzzy_match_names_d2,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    dirty_rows = []
+    for i, n in enumerate(names):
+        s = n
+        kind = data.draw(st.sampled_from(["sub", "del", "ins", "subdel"]))
+        pos = data.draw(st.integers(0, max(0, len(s) - 1)))
+        if kind in ("sub", "subdel"):
+            ch = data.draw(st.sampled_from("abX"))
+            s = s[:pos] + ch + s[pos + 1 :]
+        if kind == "del" and len(s) > 1:
+            s = s[:pos] + s[pos + 1 :]
+        if kind == "subdel" and len(s) > 1:
+            p2 = data.draw(st.integers(0, len(s) - 1))
+            s = s[:p2] + s[p2 + 1 :]
+        if kind == "ins":
+            ch = data.draw(st.sampled_from("abX"))
+            s = s[:pos] + ch + s[pos:]
+        dirty_rows.append((i, s))
+    clean = spark.createDataFrame(
+        [(j, n) for j, n in enumerate(names)], "key long, name string"
+    )
+    dirty = spark.createDataFrame(dirty_rows, "id long, dname string")
+    got = {
+        (r.id, r.key, r.dist)
+        for r in fuzzy_match_names_d2(dirty, clean).collect()
+    }
+    want = {
+        (i, j, lev(dn, cn))
+        for (i, dn), (j, cn) in itertools.product(
+            dirty_rows, enumerate(names)
+        )
+        if lev(dn, cn) <= 2
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=60),
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=30),
+)
+def test_bloom_never_false_negative_property(spark, members, probes):
+    """Bloom invariant under arbitrary integer sets: every member
+    probes true; non-members may collide but never crash the
+    classification."""
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m = spark.createDataFrame([(x,) for x in set(members)], "k long")
+    p = spark.createDataFrame(
+        [(x,) for x in set(probes) | set(members)], "k long"
+    )
+    bloom = bloom_build(m, "k")
+    got = {r.k: r.in_bloom for r in bloom_probe(p, bloom, "k").collect()}
+    for x in set(members):
+        assert got[x] is True
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.floats(0, 5_000, allow_nan=False), min_size=1, max_size=80))
+def test_histogram_quantile_error_bound_property(spark, vals):
+    """T24 invariant under arbitrary value sets: every read-out
+    quantile is within one bin width of the RANK-BASED (inverse-CDF)
+    quantile — the estimate is the upper edge of the bin holding the
+    ⌈qN⌉-th order statistic.  (Against INTERPOLATED quantiles the
+    bound additionally needs data dense relative to the bins — a
+    two-point set can interpolate mid-gap, arbitrarily far from any
+    bin edge.)"""
+    import math
+
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        HQ_BIN_WIDTH,
+        histogram_bins,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = histogram_quantiles(histogram_bins(df, "x")).collect()
+    svals = sorted(vals)
+    for r in out:
+        exact = svals[math.ceil(r.q * len(svals)) - 1]  # inverse CDF
+        assert 0 <= r.est - exact < HQ_BIN_WIDTH + 1e-9, (
+            r.q,
+            r.est,
+            exact,
+        )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    ),
+    st.data(),
+)
+def test_bpe_kernel_equals_expression_on_random_words(spark, words, data):
+    """T19b: the greedy-rank kernel must reproduce the chained-replace
+    expression path's TOKEN COUNTS on adversarial same-symbol-run
+    words, for a random valid (dependency-ordered) merge list."""
+    from biodiversity_graph_db_spark.extensions.bpe import (
+        _MERGE_PASSES,
+    )
+
+    # a valid BPE merge table over {a, b}: later merges may only use
+    # symbols produced earlier
+    symbols = ["a", "b"]
+    merges = []
+    for _ in range(data.draw(st.integers(1, 4))):
+        l = data.draw(st.sampled_from(symbols))
+        r = data.draw(st.sampled_from(symbols))
+        if (l, r) in merges:
+            continue
+        merges.append((l, r))
+        symbols.append(l + r)
+
+    # expression path (replace fixed point) in plain Python — same
+    # leftmost-non-overlapping semantics as Spark/DuckDB replace
+    def expr_tokens(w: str) -> int:
+        s = " " + " ".join(w) + " "
+        for l, r in merges:
+            for _ in range(_MERGE_PASSES):
+                s = s.replace(f" {l} {r} ", f" {l}{r} ")
+        return len(s.split())
+
+    # kernel path (greedy lowest-rank all-occurrence merge)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def kern_tokens(w: str) -> int:
+        syms = list(w)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best = rk
+            if best is None:
+                break
+            l, r = merges[best]
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == l
+                    and syms[i + 1] == r
+                ):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for w in words:
+        assert expr_tokens(w) == kern_tokens(w), (w, merges)
