@@ -155,6 +155,54 @@ def main() -> None:
     assert apply_diff(v_a, diff, ["key"]).exceptAll(v_b).isEmpty()
     print("diff replay reconstructs the new snapshot exactly")
 
+    # 10. Time travel on the graph itself: commit mutations to the
+    #     delta log, read any past version back, compact old history
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.graph.versioned import (
+        VersionedGraphLog,
+        compact_graph_log,
+    )
+
+    logdir = tempfile.mkdtemp(prefix="quickstart_vlog_")
+    try:
+        log = VersionedGraphLog(spark, logdir)
+        log.commit(store)  # v1: the seed graph
+        mutated = store.add_nodes(
+            spark.createDataFrame(
+                [("taxonnode_genus_demo", "TaxonNode", "Demo")],
+                "key string, node_type string, pretty_name string",
+            )
+        )
+        log.commit(mutated)  # v2
+        assert log.read_version(1).nodes.count() + 1 == (
+            log.read_version(2).nodes.count()
+        )
+        compact_graph_log(log, 1)  # collapse history below v1
+        print("graph versions:", log.head, "— v1 readable after compaction:",
+              log.read_version(1).nodes.count(), "nodes")
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+
+    # 11. Sketches: Bloom join pruning and histogram quantiles
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        bloom_build,
+        bloom_probe,
+        histogram_bins,
+        histogram_quantiles,
+    )
+    from biodiversity_graph_db_spark.tables import table
+
+    orders = table(spark, SF_DIR, "orders")
+    members = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bloom = bloom_build(members, "k")
+    cust = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    bloom_probe(cust, bloom, "k").groupBy("in_bloom").count().show()
+    histogram_quantiles(histogram_bins(orders, "o_totalprice")).show()
+
     spark.stop()
 
 
