@@ -376,3 +376,93 @@ def g11_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     return kcore_peel(und).orderBy("v")
+
+
+# --- G12: strongly connected components -----------------------------------
+
+_SCC_MINT_SQL = """
+    mint AS (SELECT DISTINCT c_custkey % 300 AS v FROM customer),
+    e_num AS (
+      SELECT v AS s, (v - v % 10) + ((v % 10) + 1) % 10 AS d FROM mint
+      UNION ALL
+      SELECT 1000 + v, v FROM mint WHERE v % 7 = 0
+      UNION ALL
+      SELECT v, v + 10 FROM mint
+      WHERE v % 10 = 3 AND ((v - v % 10) // 10) % 4 = 0 AND v + 10 < 300
+    ),
+    edges AS (
+      SELECT DISTINCT 'n' || lpad(CAST(s AS VARCHAR), 4, '0') AS src,
+                      'n' || lpad(CAST(d AS VARCHAR), 4, '0') AS dst
+      FROM e_num
+    ),
+    vnodes AS (
+      SELECT DISTINCT src AS key FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    )
+"""
+
+
+@query(
+    "G12_scc",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SCC_MINT_SQL},
+    reach(s, d) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.d
+    ),
+    mutual AS (
+      SELECT r1.s AS v, r1.d AS u
+      FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+    )
+    SELECT n.key AS key,
+           LEAST(n.key, COALESCE(MIN(m.u), n.key)) AS scc_id
+    FROM vnodes n LEFT JOIN mutual m ON m.v = n.key
+    GROUP BY n.key
+    ORDER BY key
+    """,
+)
+def g12_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a minted DIRECTED graph —
+    completes the directed side of the analytics set (CC is
+    undirected; cyclic dependency audits over the evidence graph's
+    directed relations need SCC).  Mint: 10-node directed cycles per
+    custkey-residue decade, DAG tail feeders (trim fodder) and a few
+    cycle→cycle cross edges (forcing multi-round extraction).  The
+    engine runs the iterative trim+coloring algorithm
+    (graph/algorithms.scc — closure-free, keyed-shuffle rounds); the
+    oracle materializes the full transitive closure recursively and
+    defines SCC(v) = min mutually-reachable vertex — maximally
+    independent machinery, same answer.  Generality over arbitrary
+    digraphs is property-tested against a Python Tarjan model
+    (tests/test_properties.py)."""
+    from biodiversity_graph_db_spark.graph import algorithms
+
+    c = table(spark, sf_dir, "customer")
+    v = (F.col("c_custkey") % 300).cast("long")
+    mint = c.select(v.alias("v")).distinct()
+    dec = F.col("v") - F.col("v") % 10
+    cyc = mint.select(
+        F.col("v").alias("s"),
+        (dec + ((F.col("v") % 10) + 1) % 10).alias("d"),
+    )
+    tail = mint.where(F.col("v") % 7 == 0).select(
+        (F.col("v") + 1000).alias("s"), F.col("v").alias("d")
+    )
+    cross = mint.where(
+        (F.col("v") % 10 == 3)
+        & ((dec / 10).cast("long") % 4 == 0)
+        & (F.col("v") + 10 < 300)
+    ).select(F.col("v").alias("s"), (F.col("v") + 10).alias("d"))
+
+    def name(col):
+        return F.concat(F.lit("n"), F.lpad(col.cast("string"), 4, "0"))
+
+    edges = (
+        cyc.unionByName(tail)
+        .unionByName(cross)
+        .select(name(F.col("s")).alias("src"), name(F.col("d")).alias("dst"))
+        .dropDuplicates()
+    )
+    return algorithms.scc(edges).orderBy("key")

@@ -59,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     "T23_bloom_membership",
     "T24_histogram_quantiles",
     "SD5_compacted_time_travel",
+    "G12_scc",
     # (2) queries over code CHANGED this round (token_kgrams short-doc
     # guard feeds T6/T8/T21) — regression evidence
     "T6_winnow_fingerprints",
@@ -104,7 +105,6 @@ PRIORITY: tuple[str, ...] = (
     "J2G_evidence_extract",
     "P1_typed_date_dispatch",
     "X5_old_date_normalization",
-    "X7_author_display",
     "X13_validation_suite",
     "F1_point_lookup",
     # ---- past the window: the entire round-4-graded set (fresh r4

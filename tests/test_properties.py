@@ -789,3 +789,80 @@ def test_bpe_kernel_equals_expression_on_random_words(spark, words, data):
 
     for w in words:
         assert expr_tokens(w) == kern_tokens(w), (w, merges)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=18,
+        unique=True,
+    )
+)
+def test_scc_matches_tarjan_model(spark, edge_list):
+    """graph/algorithms.scc on ARBITRARY small digraphs (self-loops,
+    multi-cycles, nested SCCs, DAG tails) must equal a Python Tarjan
+    model — proving the trim+coloring rounds are general, not just
+    correct on the G12 mint."""
+    from biodiversity_graph_db_spark.graph.algorithms import scc
+
+    edges = [(f"n{a}", f"n{b}") for a, b in edge_list]
+    nodes = sorted({x for e in edges for x in e})
+
+    # iterative Tarjan
+    adj: dict[str, list[str]] = {n: [] for n in nodes}
+    for a, b in edges:
+        adj[a].append(b)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on: set[str] = set()
+    stack: list[str] = []
+    comp: dict[str, str] = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            advanced = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                cid = min(members)
+                for w in members:
+                    comp[w] = cid
+
+    for n in nodes:
+        if n not in index:
+            strongconnect(n)
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.key, r.scc_id) for r in scc(df, max_rounds=12).collect()}
+    want = set(comp.items())
+    assert got == want, (sorted(got), sorted(want), edges)
