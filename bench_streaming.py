@@ -160,6 +160,24 @@ def main() -> None:
         results["asof_rows_per_sec"] = round(n_rows / dt, 1)
         results["asof_sec"] = round(dt, 2)
 
+        # 2e) versioned-graph commits: each micro-batch becomes one
+        # graph version (SD4 online) — the history-producing ingest
+        from biodiversity_graph_db_spark.graph.versioned import open_log
+
+        t0 = time.perf_counter()
+        q = ingest.merge_events_into_versioned_graph(
+            ingest.read_events_stream(spark, events_dir),
+            f"{tmp}/vlog",
+            f"{tmp}/ckpt_vlog",
+        ).start()
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        vlog = open_log(spark, f"{tmp}/vlog")
+        assert vlog.read_version(vlog.head).nodes.count() == n_rows
+        results["versioned_rows_per_sec"] = round(n_rows / dt, 1)
+        results["versioned_sec"] = round(dt, 2)
+        results["versioned_versions"] = vlog.head
+
         # 3) tumbling windowed agg → memory sink (stateful shuffle path)
         t0 = time.perf_counter()
         q = (

@@ -107,24 +107,18 @@ PRIORITY: tuple[str, ...] = (
     "X5_old_date_normalization",
     "X13_validation_suite",
     "F1_point_lookup",
-    # ---- past the window: the entire round-4-graded set (fresh r4
-    # evidence, re-verified every run by the local gate replica) ----
-    # NEW or FIXED this round — must show driver-green (VERDICT r3 items
-    # 1-2): T13's vocab ranking rebuilt scale-safe (its FIRST driver
-    # grade), the spatial layer (GEO1-5), training-sequence prep
-    # (T14/T15), mixture sampling / corpus cube (T16/T17), BPE merge
-    # training (T18) and the graph snapshot diff (SD1)
+    # ---- past the window: the round-4-graded set (fresh r4 evidence,
+    # re-verified every run by the local gate replica; ordering below
+    # preserved from the r4 window for stable cross-round diffs) ----
     "T18_bpe_merges",
     "T19_bpe_encode",
     "T20_kmv_distinct",
     "SD2_incremental_stats",
     "J9_asof_join",
-    "T21_boilerplate_frac",
     "G10_ebv_richness",
     "GEO6_area_overlap",
     "SD3_time_travel_read",
     "V5_ivf_recall",
-    "MM3_media_embedding",
     "E4_fuzzy_name_match",
     "G11_kcore",
     "C2_radiocarbon_calibrate",
