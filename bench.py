@@ -50,6 +50,7 @@ HEADLINE = [
     "T5_langid_ngram",
     "W5_tumbling_window",
     "W6_sliding_window",
+    "W7_resample_ffill",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

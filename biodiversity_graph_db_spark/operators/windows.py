@@ -277,3 +277,99 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "W7_resample_ffill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 20
+    ),
+    ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    ),
+    hv AS (SELECT user_id, h, value FROM ranked WHERE rn = 1),
+    bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           FLOOR(LAST_VALUE(hv.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 10000) / 10000.0 AS val_ffill
+    FROM grid g
+    LEFT JOIN hv ON hv.user_id = g.user_id AND hv.h = g.h
+    ORDER BY g.user_id, hour_ts
+    """,
+)
+def w7_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE + forward fill: each user's event values
+    regularized onto an hourly grid (last observation in the hour
+    wins, ties broken by event_id; empty hours carry the previous
+    value forward) — the gap-fill primitive every sensor/telemetry
+    series needs before joins or models, which the window family
+    (W1-W6) lacked.
+
+    Scale shape: the grid fan-out (``sequence`` of timestamps +
+    ``explode``) is TASK-LOCAL per user; last-in-hour is one
+    combinable max_by-shaped window per (user, hour); the forward fill
+    is one window PARTITIONED BY USER (bounded partitions — the T13
+    rule) using ``last(ignorenulls)``.  No global sort, no driver
+    loop; at 100 TB users shard across executors and each emits its
+    own grid."""
+    from biodiversity_graph_db_spark.operators._util import dquant
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    h = F.date_trunc("hour", F.col("ts"))
+    w_rank = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hv = (
+        ev.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hv, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            dquant(F.last("value", ignorenulls=True).over(w_fill)).alias(
+                "val_ffill"
+            ),
+        )
+        .orderBy("user_id", "hour_ts")
+    )

@@ -126,3 +126,58 @@ def compact_partitioned(
         "files_after": _count_files(dst_path),
         "rows": rows,
     }
+
+
+def morton_code(x: "F.Column", y: "F.Column", bits: int = 16) -> "F.Column":
+    """Interleave the low ``bits`` of two non-negative ints into a
+    Morton (Z-order) key — pure shift/mask column expressions, codegen
+    end to end."""
+    one = F.lit(1).cast("long")
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column.bitwiseOR/bitwiseAND — python & | on Columns are LOGICAL
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return code
+
+
+def zorder_write(
+    df,
+    path: str,
+    lon_col: str,
+    lat_col: str,
+    bits: int = 16,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write a table CLUSTERED on the Z-order curve of (lon, lat) — the
+    space-filling-curve layout (Morton 1966; the technique behind
+    Delta/Iceberg ``ZORDER BY``) that makes 2-D range predicates prune
+    on 1-D parquet row-group min/max stats: nearby points land in the
+    same files, so a bbox viewport query (GEO1's shape) skips most of
+    a 100 TB store instead of scanning it.  Locality is tested as a
+    measured number (per-file bbox area ≪ global area,
+    tests/test_plans.py), not asserted folklore.
+
+    Shape: quantize both axes to ``bits`` each, interleave
+    (``morton_code``), ONE range repartition on the key (the same
+    shuffle any sorted write pays) + in-partition sort, drop the key,
+    write.  Degrees-space quantization matches the GEO grid
+    convention; production swaps in any monotone CRS transform."""
+    qx = F.floor(
+        (F.col(lon_col) + 180.0) / 360.0 * ((1 << bits) - 1)
+    ).cast("long")
+    qy = F.floor(
+        (F.col(lat_col) + 90.0) / 180.0 * ((1 << bits) - 1)
+    ).cast("long")
+    (
+        df.withColumn("_z", morton_code(qx, qy, bits))
+        .repartitionByRange(F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

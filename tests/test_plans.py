@@ -681,3 +681,56 @@ class TestLogSchemaEvolution:
             ).collect()
         }
         assert got == {("a", 1, None), ("b", 20, "new")}
+
+
+class TestZOrderLayout:
+    def test_zorder_clusters_files_spatially(self, spark, sf_dir, tmp_path):
+        """Z-order write must (a) preserve the data exactly and (b)
+        actually cluster: the average per-file lat×lon bounding-box
+        area must be a small fraction of the global area (this is the
+        property that lets parquet min/max stats prune bbox reads) —
+        measured against the same data written unclustered."""
+        from biodiversity_graph_db_spark.plans.layout import zorder_write
+
+        # deterministic 20k-point cloud (spread via the portable-hash
+        # constants) — dense enough that per-file locality is a sharp
+        # signal at any SF
+        pts = spark.range(20_000).select(
+            F.col("id").alias("key"),
+            (((F.col("id") * 2654435761) % 180000) / 1000.0 - 90.0).alias(
+                "pt_lat"
+            ),
+            (((F.col("id") * 2246822519) % 360000) / 1000.0 - 180.0).alias(
+                "pt_lon"
+            ),
+        )
+        zpath = str(tmp_path / "zorder")
+        zorder_write(pts, zpath, "pt_lon", "pt_lat", max_records_per_file=700)
+
+        back = spark.read.parquet(zpath)
+        assert sorted(r.key for r in back.collect()) == sorted(
+            r.key for r in pts.collect()
+        )
+
+        def avg_file_area(df):
+            per_file = (
+                df.withColumn("f", F.input_file_name())
+                .groupBy("f")
+                .agg(
+                    (
+                        (F.max("pt_lat") - F.min("pt_lat"))
+                        * (F.max("pt_lon") - F.min("pt_lon"))
+                    ).alias("area")
+                )
+            )
+            return per_file.agg(F.avg("area")).first()[0]
+
+        plain = str(tmp_path / "plain")
+        pts.repartition(28).write.option(
+            "maxRecordsPerFile", 700
+        ).parquet(plain)
+        z_area = avg_file_area(back)
+        p_area = avg_file_area(spark.read.parquet(plain))
+        # z-ordered files cover a small fraction of the globe; random
+        # files each cover essentially all of it
+        assert z_area < p_area * 0.2, (z_area, p_area)
