@@ -83,6 +83,7 @@ HEADLINE = [
     "T22_countmin_heavy",
     "T23_bloom_membership",
     "T24_histogram_quantiles",
+    "T25_grouped_quantiles",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     # SD4_graph_time_travel is oracle-graded but not a bench headline:

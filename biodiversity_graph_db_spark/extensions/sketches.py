@@ -525,3 +525,115 @@ def t24_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     bins = histogram_bins(orders, "o_totalprice")
     return histogram_quantiles(bins).orderBy("q")
+
+
+# --- grouped histogram quantiles (per-group sketch) -----------------------
+
+#: bin width for the per-language doc-length sketch.
+GHQ_BIN_WIDTH = 250.0
+
+
+def grouped_histogram_bins(
+    df: DataFrame, group_col: str, value_col: str, width: float
+) -> DataFrame:
+    """Per-group bin counts — same synopsis as ``histogram_bins`` with
+    a group key: one map-side-combinable groupBy, state bounded by
+    groups × bins, mergeable by adding counts."""
+    return (
+        df.select(
+            F.col(group_col),
+            F.floor(F.col(value_col) / F.lit(width)).alias("bin"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grouped_histogram_quantiles(
+    bins: DataFrame,
+    group_col: str,
+    quantiles: tuple[float, ...],
+    width: float,
+) -> DataFrame:
+    """Per-group quantile read-out: cumulative window PARTITIONED BY
+    GROUP (bounded partitions — the T13 rule, no single-partition
+    stage even at millions of groups), one min-bin aggregate per
+    requested quantile."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(group_col)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    parts = []
+    for q in quantiles:
+        parts.append(
+            cum.where(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")))
+            .groupBy(group_col)
+            .agg(
+                F.lit(q).alias("q"),
+                ((F.min("bin") + 1) * F.lit(width)).alias("est"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "T25_grouped_quantiles",
+    oracle=f"""
+    WITH bins AS (
+      SELECT lang, CAST(FLOOR(n_chars / {GHQ_BIN_WIDTH}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY lang, bin
+    ),
+    cum AS (
+      SELECT lang, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+      FROM bins
+    )
+    SELECT lang, q, est FROM (
+      SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+             CAST((MIN(bin) + 1) * {GHQ_BIN_WIDTH} AS DOUBLE) AS est
+      FROM cum WHERE cum >= CEIL(0.5 * n) GROUP BY lang
+      UNION ALL
+      SELECT lang, CAST(0.9 AS DOUBLE),
+             CAST((MIN(bin) + 1) * {GHQ_BIN_WIDTH} AS DOUBLE)
+      FROM cum WHERE cum >= CEIL(0.9 * n) GROUP BY lang
+      UNION ALL
+      SELECT lang, CAST(0.99 AS DOUBLE),
+             CAST((MIN(bin) + 1) * {GHQ_BIN_WIDTH} AS DOUBLE)
+      FROM cum WHERE cum >= CEIL(0.99 * n) GROUP BY lang
+    ) ORDER BY lang, q
+    """,
+)
+def t25_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length quantiles from the grouped histogram
+    sketch — the scale path T12's docstring promises for unbounded
+    group cardinalities (exact ``percentile`` buffers whole groups;
+    ``approx_percentile`` sketches are engine-private).  Everything
+    stays group-partitioned: no single-partition stage at ANY group
+    count, counts-add mergeable, streaming-maintainable, and the whole
+    read-out is oracle-verified bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    bins = grouped_histogram_bins(d, "lang", "n_chars", GHQ_BIN_WIDTH)
+    return (
+        grouped_histogram_quantiles(
+            bins, "lang", (0.5, 0.9, 0.99), GHQ_BIN_WIDTH
+        )
+        .select(
+            "lang",
+            F.col("q").cast("double").alias("q"),
+            F.col("est").cast("double").alias("est"),
+        )
+        .orderBy("lang", "q")
+    )
