@@ -89,10 +89,27 @@ def table_delta(
     return upserts.unionByName(tombstones)
 
 
+class VersionConflictError(RuntimeError):
+    """Another writer committed this version first — reload (``open_log``)
+    and retry on the new head (optimistic concurrency)."""
+
+
 class VersionedGraphLog:
     """The graph's delta log: ``commit`` a ``GraphStore`` to append one
     version's changes; ``read_version`` any past state back as a live
-    ``GraphStore``.  Version numbers are dense from 1."""
+    ``GraphStore``.  Version numbers are dense from 1.
+
+    Concurrency contract (cf. the GraphStore plain-``save`` last-write-
+    wins hazard, SCALE.md): ``commit`` performs an OPTIMISTIC check —
+    if the target version's partition already exists on disk, another
+    writer won the race and ``VersionConflictError`` is raised BEFORE
+    anything is written; the loser reopens the log and recomputes its
+    delta against the new head.  This is check-then-write, not an
+    atomic compare-and-swap: two writers passing the check in the same
+    instant can still interleave (both append into one version — the
+    same window-tie hazard as plain parquet).  A metastore/Delta layer
+    upgrades exactly this check to a real transaction; the contract is
+    tested (test_graph.py::TestVersionedLogConcurrency)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -113,6 +130,18 @@ class VersionedGraphLog:
         commit writes the full table (delta vs empty)."""
         nodes_log, edges_log = self._log_paths()
         version = self._head + 1
+        # optimistic concurrency: refuse to write a version another
+        # writer already committed (see class docstring for the limits)
+        jvm = self.spark._jvm
+        vpath = jvm.org.apache.hadoop.fs.Path(
+            f"{nodes_log}/version={version}"
+        )
+        fs = vpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(vpath):
+            raise VersionConflictError(
+                f"version {version} already committed by another writer; "
+                "reopen the log (open_log) and retry against the new head"
+            )
         # lineage cut (the G9 iterative pattern): the committed state is
         # diffed now AND serves as the next commit's old side — without
         # this, commit k re-executes the whole k-deep mutation chain
@@ -170,7 +199,13 @@ class VersionedGraphLog:
 def open_log(spark: SparkSession, path: str) -> VersionedGraphLog:
     """Reopen an existing log: head = highest version partition present
     on disk (Hadoop FS listing, backend-agnostic) — how a fresh session
-    (or a restarted stream's foreachBatch) resumes committing."""
+    (or a restarted stream's foreachBatch) resumes committing.
+
+    Note: an all-empty delta (e.g. a replayed streaming batch) writes
+    no partition directory, so empty versions are invisible here and to
+    the commit conflict check — the version counter may reuse such a
+    number, which is benign: every ``read_version`` answer is defined
+    by the rows present, and an empty version contributes none."""
     log = VersionedGraphLog(spark, path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/nodes_log")

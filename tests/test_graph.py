@@ -551,3 +551,63 @@ class TestGraphLogCompaction:
             assert state(log.read_version(4)) == state(g4)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestVersionedLogConcurrency:
+    def test_stale_writer_conflicts_then_retries(self, spark, seeded):
+        """Optimistic concurrency: a writer holding a stale head must
+        get VersionConflictError BEFORE writing anything; after
+        reopening the log it commits cleanly on the new head."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.graph.versioned import (
+            VersionConflictError,
+            VersionedGraphLog,
+            open_log,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="graph_vlog_conc_")
+        try:
+            a = VersionedGraphLog(spark, tmp)
+            a.commit(seeded)  # v1
+
+            b = open_log(spark, tmp)  # both see head=1
+            g2a = seeded.add_nodes(
+                _nodes(spark, [("taxonnode_a", "TaxonNode", "A")])
+            )
+            g2b = seeded.add_nodes(
+                _nodes(spark, [("taxonnode_b", "TaxonNode", "B")])
+            )
+            a.commit(g2a)  # v2 — writer A wins
+
+            import pytest as _pytest
+
+            with _pytest.raises(VersionConflictError):
+                b.commit(g2b)  # stale head -> refused, nothing written
+
+            # v2 is intact (only A's node present)
+            keys2 = {
+                r.key
+                for r in a.read_version(2)
+                .nodes.where(F.col("key").startswith("taxonnode_"))
+                .collect()
+            }
+            assert "taxonnode_a" in keys2 and "taxonnode_b" not in keys2
+
+            # loser reopens, rebases, succeeds as v3
+            b2 = open_log(spark, tmp)
+            assert b2.head == 2
+            g3 = b2.read_version(2).add_nodes(
+                _nodes(spark, [("taxonnode_b", "TaxonNode", "B")])
+            )
+            assert b2.commit(g3) == 3
+            keys3 = {
+                r.key
+                for r in b2.read_version(3)
+                .nodes.where(F.col("key").startswith("taxonnode_"))
+                .collect()
+            }
+            assert {"taxonnode_a", "taxonnode_b"} <= keys3
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
