@@ -322,8 +322,14 @@ def bloom_probe(
     map-side hash lookup — no shuffle of the candidate side; this is
     exactly how the filter prunes a join's big side before the real
     shuffle.  No false negatives (Bloom's defining guarantee —
-    invariant-tested); false positives at rate ≈ fill^K."""
-    probes = candidates.select(
+    invariant-tested); false positives at rate ≈ fill^K.
+
+    Output is one row PER DISTINCT VALUE (value, in_bloom): the
+    verdict is a property of the value, and probing must dedup first —
+    the all-K-positions count would otherwise see K·m matched rows for
+    a value appearing m times and wrongly fail true members (fact-side
+    foreign keys repeat; join the verdict back by value to prune)."""
+    probes = candidates.select(value_col).distinct().select(
         F.col(value_col),
         F.explode(
             F.array(

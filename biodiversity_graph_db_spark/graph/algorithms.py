@@ -274,16 +274,23 @@ def scc(
     remaining = _pairs(edges).localCheckpoint()
     spark = edges.sparkSession
     assigned = spark.createDataFrame([], "key string, scc_id string")
+    # the UNASSIGNED node set is carried across rounds explicitly — it
+    # must NOT be re-derived from the remaining edges each round: a
+    # vertex whose every edge touches an extracted SCC loses all its
+    # edges when those members are removed, and rebuilding the node set
+    # from edges would silently drop it instead of assigning it as a
+    # singleton (caught by the Tarjan property test's counterexample)
+    active = (
+        remaining.select(F.col("src").alias("key"))
+        .unionByName(remaining.select(F.col("dst").alias("key")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
 
     for _ in range(max_rounds):
-        if remaining.limit(1).isEmpty():
+        if active.limit(1).isEmpty():
             return assigned
-        nodes = (
-            remaining.select(F.col("src").alias("key"))
-            .unionByName(remaining.select(F.col("dst").alias("key")))
-            .dropDuplicates()
-            .localCheckpoint()
-        )
+        nodes = active
         # -- 1. trim ----------------------------------------------------
         for _ in range(max_inner):
             has_in = remaining.select(F.col("dst").alias("key")).dropDuplicates()
@@ -297,6 +304,7 @@ def scc(
                 singles.select("key", F.col("key").alias("scc_id"))
             ).localCheckpoint()
             nodes = nodes.join(singles, "key", "left_anti").localCheckpoint()
+            active = nodes
             remaining = (
                 remaining.join(
                     nodes.withColumnRenamed("key", "src"), "src", "left_semi"
@@ -395,6 +403,7 @@ def scc(
         )
         assigned = assigned.unionByName(members).localCheckpoint()
         done = members.select("key")
+        active = active.join(done, "key", "left_anti").localCheckpoint()
         remaining = (
             remaining.join(
                 done.withColumnRenamed("key", "src"), "src", "left_anti"
@@ -402,6 +411,6 @@ def scc(
             .join(done.withColumnRenamed("key", "dst"), "dst", "left_anti")
             .localCheckpoint()
         )
-    if not remaining.limit(1).isEmpty():
+    if not active.limit(1).isEmpty():
         raise RuntimeError("scc: outer round budget exhausted")
     return assigned

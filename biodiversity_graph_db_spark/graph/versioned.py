@@ -40,6 +40,21 @@ from biodiversity_graph_db_spark.operators.snapshot import (
 EDGE_KEY: tuple[str, ...] = ("source_key", "sink_key", "relation", "payload")
 
 
+def _log_schema(base):
+    """A table's on-disk LOG schema: base columns + deleted + version —
+    the single definition of the layout ``save_version`` writes and both
+    ``read_version`` and ``compact_graph_log`` read."""
+    from pyspark.sql.types import BooleanType, LongType, StructField
+
+    return type(base)(
+        list(base.fields)
+        + [
+            StructField("deleted", BooleanType(), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+
 def table_delta(
     old: DataFrame, new: DataFrame, key_cols: Sequence[str]
 ) -> DataFrame:
@@ -131,17 +146,22 @@ class VersionedGraphLog:
         nodes_log, edges_log = self._log_paths()
         version = self._head + 1
         # optimistic concurrency: refuse to write a version another
-        # writer already committed (see class docstring for the limits)
+        # writer already committed (see class docstring for the limits).
+        # BOTH logs are probed — an edge-only commit writes no nodes_log
+        # partition (its node delta is empty), so checking one log alone
+        # would let a second writer append into its edges_log partition.
         jvm = self.spark._jvm
-        vpath = jvm.org.apache.hadoop.fs.Path(
-            f"{nodes_log}/version={version}"
-        )
-        fs = vpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if fs.exists(vpath):
-            raise VersionConflictError(
-                f"version {version} already committed by another writer; "
-                "reopen the log (open_log) and retry against the new head"
+        conf = self.spark._jsc.hadoopConfiguration()
+        for log_dir in (nodes_log, edges_log):
+            vpath = jvm.org.apache.hadoop.fs.Path(
+                f"{log_dir}/version={version}"
             )
+            if vpath.getFileSystem(conf).exists(vpath):
+                raise VersionConflictError(
+                    f"version {version} already committed by another "
+                    "writer; reopen the log (open_log) and retry against "
+                    "the new head"
+                )
         # lineage cut (the G9 iterative pattern): the committed state is
         # diffed now AND serves as the next commit's old side — without
         # this, commit k re-executes the whole k-deep mutation chain
@@ -171,27 +191,16 @@ class VersionedGraphLog:
         """Time-travel read: the graph as of ``version`` — SD3's
         latest-per-key window under a version partition filter, per
         table, re-wrapped as a queryable ``GraphStore``."""
-        from pyspark.sql.types import BooleanType, LongType, StructField
-
-        def log_schema(base):
-            return type(base)(
-                list(base.fields)
-                + [
-                    StructField("deleted", BooleanType(), True),
-                    StructField("version", LongType(), True),
-                ]
-            )
-
         nodes_log, edges_log = self._log_paths()
         nodes = read_as_of(
-            self.spark, nodes_log, version, ["key"], schema=log_schema(NODES_SCHEMA)
+            self.spark, nodes_log, version, ["key"], schema=_log_schema(NODES_SCHEMA)
         ).select([f.name for f in NODES_SCHEMA.fields])
         edges = read_as_of(
             self.spark,
             edges_log,
             version,
             list(EDGE_KEY),
-            schema=log_schema(EDGES_SCHEMA),
+            schema=_log_schema(EDGES_SCHEMA),
         ).select([f.name for f in EDGES_SCHEMA.fields])
         return GraphStore(self.spark, nodes, edges)
 
@@ -208,14 +217,20 @@ def open_log(spark: SparkSession, path: str) -> VersionedGraphLog:
     by the rows present, and an empty version contributes none."""
     log = VersionedGraphLog(spark, path)
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/nodes_log")
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    conf = spark._jsc.hadoopConfiguration()
     head = 0
-    if fs.exists(hpath):
-        for st in fs.listStatus(hpath):
-            name = st.getPath().getName()
-            if name.startswith("version="):
-                head = max(head, int(name.split("=", 1)[1]))
+    # max over BOTH logs: a commit whose node delta is empty (edge-only
+    # mutation) creates only an edges_log partition — reading one log
+    # alone would under-report the head, silently dropping the committed
+    # edges from reopened reads and letting the next commit collide
+    for sub in ("nodes_log", "edges_log"):
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        fs = hpath.getFileSystem(conf)
+        if fs.exists(hpath):
+            for st in fs.listStatus(hpath):
+                name = st.getPath().getName()
+                if name.startswith("version="):
+                    head = max(head, int(name.split("=", 1)[1]))
     log._head = head
     return log
 
@@ -225,30 +240,19 @@ def compact_graph_log(log: VersionedGraphLog, upto: int) -> None:
     ``compact_versions``): history below ``upto`` becomes one resolved
     base; every ``read_version(v ≥ upto)`` answer is unchanged
     (tested), reads replay fewer deltas."""
-    from pyspark.sql.types import BooleanType, LongType, StructField
-
-    def log_schema(base):
-        return type(base)(
-            list(base.fields)
-            + [
-                StructField("deleted", BooleanType(), True),
-                StructField("version", LongType(), True),
-            ]
-        )
-
     from biodiversity_graph_db_spark.operators.snapshot import (
         compact_versions,
     )
 
     nodes_log, edges_log = log._log_paths()
     compact_versions(
-        log.spark, nodes_log, upto, ["key"], schema=log_schema(NODES_SCHEMA)
+        log.spark, nodes_log, upto, ["key"], schema=_log_schema(NODES_SCHEMA)
     )
     compact_versions(
         log.spark,
         edges_log,
         upto,
         list(EDGE_KEY),
-        schema=log_schema(EDGES_SCHEMA),
+        schema=_log_schema(EDGES_SCHEMA),
     )
     log._head_store = None  # resolved layout changed; re-read on demand

@@ -384,7 +384,6 @@ def sd4_graph_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     state from the mint arithmetic — a match proves the mutation
     routing, per-commit delta extraction (full-outer hash diff),
     tombstones, and version pruning end to end."""
-    import os
     import tempfile
 
     from biodiversity_graph_db_spark.graph.store import GraphStore

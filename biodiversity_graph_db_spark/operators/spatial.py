@@ -927,6 +927,18 @@ EARTH_R_KM = 6371.0088
 KM_PER_DEG_FLOOR = 110.0
 
 
+def wrap_lon_cell(cx: Column) -> Column:
+    """Wrap a longitude grid-cell index across the antimeridian: the
+    haversine distance is seam-safe (sin is periodic) but a LINEAR cell
+    range is not — an expansion window crossing ±180° must land on the
+    cells actually holding the far side's points.  Maps any integer
+    cell into [-18, 17] for the 10° grid (identity for in-range ids).
+    GEO4 (degree-space) deliberately does NOT wrap: its distance
+    semantics and its oracle are both linear in degrees."""
+    n = int(360.0 / GRID_DEG)
+    return F.pmod(cx + F.lit(n // 2), F.lit(n)) - F.lit(n // 2)
+
+
 def haversine_km(lat1, lon1, lat2, lon2) -> Column:
     """Great-circle distance in km — pure column expressions (radians/
     sin/cos/asin/sqrt exist identically in Spark and DuckDB; outputs
@@ -1010,7 +1022,7 @@ def geo4b_radius_sites_geodesic(
         "key",
         "pt_lat",
         "pt_lon",
-        F.floor(F.col("pt_lon") / GRID_DEG).alias("cx"),
+        wrap_lon_cell(F.floor(F.col("pt_lon") / GRID_DEG)).alias("cx"),
         F.floor(F.col("pt_lat") / GRID_DEG).alias("cy"),
     )
     c_lat = (F.col("lat_min") + F.col("lat_max")) / 2.0
@@ -1028,10 +1040,20 @@ def geo4b_radius_sites_geodesic(
             c_lat.alias("c_lat"),
             c_lon.alias("c_lon"),
             lon_r.alias("lon_r"),
+            # each linear-expansion cell wrapped across the seam
+            # (transform, not post-explode: generators can't nest in
+            # expressions) then DEDUPED — a clamped lon_r near 180°
+            # wraps onto itself and a duplicate (area, cell) row would
+            # double-count candidate pairs
             F.explode(
-                F.sequence(
-                    F.floor((c_lon - lon_r) / GRID_DEG),
-                    F.floor((c_lon + lon_r) / GRID_DEG),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.floor((c_lon - lon_r) / GRID_DEG),
+                            F.floor((c_lon + lon_r) / GRID_DEG),
+                        ),
+                        wrap_lon_cell,
+                    )
                 )
             ).alias("cx"),
         )

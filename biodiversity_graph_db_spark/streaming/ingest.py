@@ -491,7 +491,14 @@ def cm_sketch_upsert(batch: DataFrame, batch_id: int, out_path: str) -> None:
     fresh = cm_counters(batch, "user_id")
     if _path_exists(spark, out_path):
         stored = spark.read.parquet(out_path)
-        applied = stored.agg(F.max("last_batch")).first()[0]
+        # stores written before the replay guard existed have no
+        # last_batch column — treat as "no batch recorded" and migrate
+        # on this write rather than crashing the stream
+        applied = (
+            stored.agg(F.max("last_batch")).first()[0]
+            if "last_batch" in stored.columns
+            else None
+        )
         if applied is not None and applied >= batch_id:
             return  # replayed batch — its counts are already in
         fresh = (
@@ -549,13 +556,25 @@ def merge_events_into_versioned_graph(
     from biodiversity_graph_db_spark.graph.store import GraphStore
     from biodiversity_graph_db_spark.graph.versioned import open_log
 
+    state: dict = {}  # the opened log, cached across micro-batches
+
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        log = open_log(spark, log_path)
+        # open the log ONCE per query (not per batch): a fresh open_log
+        # every batch would replay the whole latest-per-key log twice
+        # per commit — O(V^2) over V batches; the cached object's
+        # _head_store fast path makes each commit one delta diff
+        log = state.get("log")
+        if log is None:
+            log = state["log"] = open_log(spark, log_path)
         prev = (
-            log.read_version(log.head)
-            if log.head
-            else GraphStore.empty(spark)
+            log._head_store
+            if log._head_store is not None
+            else (
+                log.read_version(log.head)
+                if log.head
+                else GraphStore.empty(spark)
+            )
         )
         new_nodes = batch.select(
             F.concat(F.lit("eventnode_"), F.col("event_id")).alias("key"),
@@ -622,7 +641,11 @@ def hist_sketch_upsert(
     fresh = histogram_bins(batch, "value")
     if _path_exists(spark, out_path):
         stored = spark.read.parquet(out_path)
-        applied = stored.agg(F.max("last_batch")).first()[0]
+        applied = (
+            stored.agg(F.max("last_batch")).first()[0]
+            if "last_batch" in stored.columns
+            else None  # pre-guard store — migrate, don't crash
+        )
         if applied is not None and applied >= batch_id:
             return
         fresh = (

@@ -190,3 +190,23 @@ class TestKCore:
         assert at_budget == one_more
         assert all(d >= KCORE_K for _, d in at_budget)
         assert len(at_budget) > 0
+
+
+class TestSccIsolatedVertex:
+    def test_vertex_isolated_by_extraction_still_assigned(self, spark):
+        """Round-5 review counterexample: n2's every edge touches an
+        SCC extracted in round 1, so the old node-set-from-edges
+        rebuild dropped it; it must come back as singleton SCC n2."""
+        from biodiversity_graph_db_spark.graph.algorithms import scc
+
+        edges = [
+            ("n1", "n5"), ("n5", "n1"),
+            ("n0", "n3"), ("n3", "n0"),
+            ("n1", "n2"), ("n2", "n0"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = sorted((r.key, r.scc_id) for r in scc(df).collect())
+        assert got == [
+            ("n0", "n0"), ("n1", "n1"), ("n2", "n2"),
+            ("n3", "n0"), ("n5", "n1"),
+        ]

@@ -550,3 +550,27 @@ class TestIvfIncrementalMaintenance:
             assert len(got) > 0
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestBloomDuplicateCandidates:
+    def test_duplicate_fact_rows_never_false_negative(self, spark):
+        """Round-5 review: m duplicate candidate rows used to produce
+        K*m matched probe rows and fail the all-K test — a FALSE
+        NEGATIVE on the exact fact-side-foreign-key shape the filter
+        advertises.  The probe now dedups values first."""
+        from biodiversity_graph_db_spark.extensions.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        members = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        cands = spark.createDataFrame(
+            [(1,), (1,), (1,), (9,)], "k long"
+        )
+        got = {
+            r.k: r.in_bloom
+            for r in bloom_probe(
+                cands, bloom_build(members, "k"), "k"
+            ).collect()
+        }
+        assert got[1] is True

@@ -611,3 +611,48 @@ class TestVersionedLogConcurrency:
             assert {"taxonnode_a", "taxonnode_b"} <= keys3
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestEdgeOnlyCommit:
+    def test_edge_only_commit_survives_reopen(self, spark, seeded):
+        """Round-5 review: an edge-only commit writes NO nodes_log
+        partition (empty node delta); head discovery and the conflict
+        check must consult both logs or the committed edges vanish on
+        reopen and the next commit collides."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.graph.versioned import (
+            VersionConflictError,
+            VersionedGraphLog,
+            open_log,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="graph_vlog_edgeonly_")
+        try:
+            log = VersionedGraphLog(spark, tmp)
+            log.commit(seeded)  # v1
+            # v2: ONLY a new relation between existing seed nodes
+            g2 = seeded.add_relations(
+                _edges(
+                    spark,
+                    [("taxonnode_life", "taxonnode_life", "IsA")],
+                )
+            )
+            assert log.commit(g2) == 2
+
+            re = open_log(spark, tmp)
+            assert re.head == 2
+            assert (
+                re.read_version(2).edges.count()
+                == seeded.edges.count() + 1
+            )
+            # a stale writer at head=1 must conflict on v2
+            stale = VersionedGraphLog(spark, tmp)
+            stale._head = 1
+            import pytest as _pytest
+
+            with _pytest.raises(VersionConflictError):
+                stale.commit(g2)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

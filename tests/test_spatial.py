@@ -263,3 +263,30 @@ class TestSpatialPlans:
             assert len(rows) > 0
         finally:
             spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+class TestAntimeridianWrap:
+    def test_wrap_lon_cell_maps_seam_window_onto_far_side(self, spark):
+        """Round-5 review: haversine is seam-safe but a linear cell
+        range is not — an expansion window crossing ±180° must probe
+        the far side's cells.  wrap_lon_cell(floor(-184.5/10)) must
+        equal floor(179.9/10), and in-range ids must be unchanged."""
+        from biodiversity_graph_db_spark.operators.spatial import (
+            wrap_lon_cell,
+        )
+
+        df = spark.createDataFrame(
+            [(-19,), (-18,), (0,), (17,), (18,), (19,), (53,)], "cx long"
+        )
+        got = {
+            r.cx: r.w
+            for r in df.select(
+                "cx", wrap_lon_cell(F.col("cx")).alias("w")
+            ).collect()
+        }
+        assert got[-19] == 17   # window past -180 lands on +17x cells
+        assert got[18] == -18   # window past +180 lands on -18x cells
+        assert got[19] == -17
+        assert got[53] == 17    # arbitrary overshoot still wraps
+        for in_range in (-18, 0, 17):
+            assert got[in_range] == in_range
