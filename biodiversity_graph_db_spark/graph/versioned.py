@@ -139,6 +139,23 @@ class VersionedGraphLog:
     def _log_paths(self) -> tuple[str, str]:
         return f"{self.path}/nodes_log", f"{self.path}/edges_log"
 
+    def head_store(self) -> GraphStore:
+        """The current head state as a live GraphStore — materialized
+        (localCheckpoint) and cached on first use, so repeat callers
+        and ``commit``'s old side pay ONE log replay per reopen, not
+        one per use.  The single owner of the fast-path policy (the
+        streaming ingest and commit both resolve through here)."""
+        if self._head == 0:
+            return GraphStore.empty(self.spark)
+        if self._head_store is None:
+            store = self.read_version(self._head)
+            self._head_store = GraphStore(
+                self.spark,
+                store.nodes.localCheckpoint(),
+                store.edges.localCheckpoint(),
+            )
+        return self._head_store
+
     def commit(self, store: GraphStore) -> int:
         """Append the delta between the current head state and ``store``
         as the next version; returns the new version number.  The first
@@ -170,15 +187,9 @@ class VersionedGraphLog:
             store.nodes.localCheckpoint(),
             store.edges.localCheckpoint(),
         )
-        if self._head == 0:
-            old = GraphStore.empty(self.spark)
-        elif self._head_store is not None:
-            # diff against the previous commit's input directly — no log
-            # replay on the hot path; the replay only happens when a log
-            # is reopened in a fresh session
-            old = self._head_store
-        else:
-            old = self.read_version(self._head)
+        # old side via head_store(): the previous commit's input when
+        # cached, else ONE materialized log replay (reopened sessions)
+        old = self.head_store()
         node_delta = table_delta(old.nodes, store.nodes, ["key"])
         edge_delta = table_delta(old.edges, store.edges, list(EDGE_KEY))
         save_version(node_delta, nodes_log, version, ["key"])

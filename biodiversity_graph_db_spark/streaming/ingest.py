@@ -561,21 +561,17 @@ def merge_events_into_versioned_graph(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         # open the log ONCE per query (not per batch): a fresh open_log
-        # every batch would replay the whole latest-per-key log twice
-        # per commit — O(V^2) over V batches; the cached object's
-        # _head_store fast path makes each commit one delta diff
+        # every batch would replay the whole latest-per-key log per
+        # commit — O(V^2) over V batches; head_store() (the log's own
+        # fast path) makes each commit one delta diff, including the
+        # resume batch.  On ANY failure the cached log is dropped so
+        # the retry reopens from the real on-disk head — a concurrent
+        # writer advancing the log must not wedge the stream in a
+        # VersionConflictError loop.
         log = state.get("log")
         if log is None:
             log = state["log"] = open_log(spark, log_path)
-        prev = (
-            log._head_store
-            if log._head_store is not None
-            else (
-                log.read_version(log.head)
-                if log.head
-                else GraphStore.empty(spark)
-            )
-        )
+        prev = log.head_store()
         new_nodes = batch.select(
             F.concat(F.lit("eventnode_"), F.col("event_id")).alias("key"),
             F.lit("EventNode").alias("node_type"),
@@ -588,7 +584,11 @@ def merge_events_into_versioned_graph(
             prev.nodes.unionByName(prev._conform(fresh)),
             prev.edges,
         )
-        log.commit(merged)
+        try:
+            log.commit(merged)
+        except Exception:
+            state.pop("log", None)  # reopen from disk on the retry
+            raise
 
     return (
         events.writeStream.foreachBatch(upsert)
