@@ -132,3 +132,21 @@ def register_graph_views(
             "viz_edges",
         )
     ]
+
+
+def export_table(df, path: str, fmt: str = "csv") -> None:
+    """Write an analysis-ready table for external consumers (the
+    reference's users hand occurrence/EBV datasets to R/Python
+    workflows): ``csv`` (with header), ``jsonl`` (splittable JSON
+    lines, the S7 convention), or ``parquet``.  Distributed write —
+    consumers that need a single file coalesce(1) themselves, trading
+    away the parallel write."""
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w.option("header", True).csv(path)
+    elif fmt == "jsonl":
+        w.json(path)
+    elif fmt == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unknown export format: {fmt}")

@@ -538,3 +538,55 @@ def j2g_evidence_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_key", "timeline_key", "hyperedge_key")
     )
+
+
+# --- EX1: flat occurrence export ------------------------------------------
+
+def _j2g_oracle_sql() -> str:
+    from biodiversity_graph_db_spark.registry import ORACLE
+
+    return ORACLE["J2G_evidence_extract"]
+
+
+@query(
+    "EX1_occurrence_export",
+    oracle=f"""
+    SELECT hyperedge_key AS occurrence_id,
+           taxon AS scientific_name,
+           context AS locality,
+           earliest AS earliest_age_bp,
+           latest AS latest_age_bp,
+           proxy AS proxy_type,
+           method AS identification_method,
+           outcome AS outcome_measure,
+           source_key AS reference_key,
+           timeline_key
+    FROM ({_j2g_oracle_sql()})
+    ORDER BY occurrence_id, reference_key
+    """,
+)
+def ex1_occurrence_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPORT surface: the J2G evidence extract re-projected as a
+    flat occurrence table in standard column terms (occurrence id,
+    scientific name, locality, age extent BP, proxy/method/outcome) —
+    the dataset shape the reference's downstream EBV workflows consume,
+    ready for ``export_table`` (graph/views.py) to write as
+    CSV/JSONL/parquet.  Pure projection over the verified extract, so
+    the oracle is the J2G oracle re-aliased — the export path adds no
+    new semantics to get wrong."""
+    return (
+        j2g_evidence_extract(spark, sf_dir)
+        .select(
+            F.col("hyperedge_key").alias("occurrence_id"),
+            F.col("taxon").alias("scientific_name"),
+            F.col("context").alias("locality"),
+            F.col("earliest").alias("earliest_age_bp"),
+            F.col("latest").alias("latest_age_bp"),
+            F.col("proxy").alias("proxy_type"),
+            F.col("method").alias("identification_method"),
+            F.col("outcome").alias("outcome_measure"),
+            F.col("source_key").alias("reference_key"),
+            "timeline_key",
+        )
+        .orderBy("occurrence_id", "reference_key")
+    )

@@ -62,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "G12_scc",
     "W7_resample_ffill",
     "T25_grouped_quantiles",
+    "EX1_occurrence_export",
     # (2) queries over code CHANGED this round (token_kgrams short-doc
     # guard feeds T6/T8/T21) — regression evidence
     "T6_winnow_fingerprints",
@@ -105,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "W1_next_in_sequence",
     "W2_temporal_extent",
     "J2G_evidence_extract",
-    "P1_typed_date_dispatch",
     "F1_point_lookup",
     # ---- past the window: the round-4-graded set (fresh r4 evidence,
     # re-verified every run by the local gate replica; ordering below

@@ -64,3 +64,32 @@ def test_timeline_extent_view(spark):
     }
     assert rows["individualtimelinenode_tl1"] == (12000, 500)
     assert rows["individualtimelinenode_tl2"] == (8000, 0)
+
+
+class TestExport:
+    def test_export_round_trips_all_formats(self, spark, sf_dir, tmp_path):
+        """EX1 written as csv/jsonl/parquet reads back with identical
+        rows (csv via the same schema, all-string-safe columns)."""
+        from biodiversity_graph_db_spark.graph.views import export_table
+        from biodiversity_graph_db_spark.registry import (
+            QUERIES,
+            load_all,
+        )
+
+        load_all()
+        df = QUERIES["EX1_occurrence_export"](spark, sf_dir)
+        want = sorted(tuple(r) for r in df.collect())
+        assert want, "export must be non-empty"
+        for fmt in ("csv", "jsonl", "parquet"):
+            p = str(tmp_path / fmt)
+            export_table(df, p, fmt)
+            if fmt == "csv":
+                back = spark.read.schema(df.schema).option(
+                    "header", True
+                ).csv(p)
+            elif fmt == "jsonl":
+                back = spark.read.schema(df.schema).json(p)
+            else:
+                back = spark.read.parquet(p)
+            got = sorted(tuple(r) for r in back.collect())
+            assert got == want, fmt
