@@ -478,12 +478,54 @@ def asof_enrich(
     )
 
 
-def cm_sketch_upsert(batch: DataFrame, batch_id: int, out_path: str) -> None:
+def _replayed(
+    stored: DataFrame, batch_id: int, app_id: str | None
+) -> bool:
+    """Is this (app_id, batch_id) a post-crash REPLAY of work already
+    merged into the sketch store?  The guard is the Delta
+    txnAppId/txnVersion pattern (round-5 ADVICE #2): batch ids only
+    mean "already applied" within ONE checkpoint lineage — a NEW
+    streaming query restarts ids at 0, and a bare ``batch_id <=
+    last_batch`` check would silently drop all its real batches.  So
+    skip only when the stored lineage matches the caller's.  Stores
+    written before either column existed (or callers passing
+    ``app_id=None``, e.g. direct unit use) fall back to the batch-id
+    check alone, preserving their old single-lineage contract."""
+    applied = (
+        stored.agg(F.max("last_batch")).first()[0]
+        if "last_batch" in stored.columns
+        else None
+    )
+    if applied is None or applied < batch_id:
+        return False
+    stored_app = (
+        stored.agg(F.max("last_app")).first()[0]
+        if "last_app" in stored.columns
+        else None
+    )
+    return stored_app is None or app_id is None or stored_app == app_id
+
+
+def _stamp(df: DataFrame, batch_id: int, app_id: str | None) -> DataFrame:
+    return df.withColumn(
+        "last_batch", F.lit(batch_id).cast("long")
+    ).withColumn("last_app", F.lit(app_id).cast("string"))
+
+
+def cm_sketch_upsert(
+    batch: DataFrame,
+    batch_id: int,
+    out_path: str,
+    app_id: str | None = None,
+) -> None:
     """One micro-batch's count-min merge — module-level so the replay
-    path is directly testable.  Skips any ``batch_id`` at or below the
-    store's recorded ``last_batch``: that batch's counts are already in
+    path is directly testable.  Skips a ``batch_id`` at or below the
+    store's recorded ``last_batch`` only when the recorded stream
+    lineage (``last_app``) matches: that batch's counts are already in
     the parquet store, and re-adding them (crash between the store
-    overwrite and the streaming checkpoint commit) would double-count."""
+    overwrite and the streaming checkpoint commit) would double-count;
+    a DIFFERENT lineage restarting at batch 0 is new work, not a
+    replay (``_replayed``)."""
     from biodiversity_graph_db_spark.extensions.sketches import cm_counters
     from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
 
@@ -491,23 +533,16 @@ def cm_sketch_upsert(batch: DataFrame, batch_id: int, out_path: str) -> None:
     fresh = cm_counters(batch, "user_id")
     if _path_exists(spark, out_path):
         stored = spark.read.parquet(out_path)
-        # stores written before the replay guard existed have no
-        # last_batch column — treat as "no batch recorded" and migrate
-        # on this write rather than crashing the stream
-        applied = (
-            stored.agg(F.max("last_batch")).first()[0]
-            if "last_batch" in stored.columns
-            else None
-        )
-        if applied is not None and applied >= batch_id:
+        if _replayed(stored, batch_id, app_id):
             return  # replayed batch — its counts are already in
         fresh = (
-            fresh.unionByName(stored.drop("last_batch"))
+            fresh.unionByName(stored.drop("last_batch", "last_app"))
             .groupBy("j", "pos")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-    fresh = fresh.withColumn("last_batch", F.lit(batch_id).cast("long"))
-    fresh.localCheckpoint().write.mode("overwrite").parquet(out_path)
+    _stamp(fresh, batch_id, app_id).localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(out_path)
 
 
 def run_cm_sketch(events: DataFrame, out_path: str, checkpoint: str):
@@ -521,12 +556,14 @@ def run_cm_sketch(events: DataFrame, out_path: str, checkpoint: str):
     Replay safety: unlike KMV (distinct-union, naturally idempotent) and
     the exact-dedup merge (anti-join), CM counters DOUBLE-count a
     replayed batch.  The store therefore carries the last-applied
-    ``batch_id`` on every row; a foreachBatch invocation whose batch_id
-    is ≤ the stored one is a post-crash replay of work already
-    committed to the parquet store and is skipped (crash-replay test:
-    tests/test_streaming.py)."""
+    ``batch_id`` AND the stream's checkpoint identity on every row; a
+    foreachBatch invocation whose (lineage, batch_id) is ≤ the stored
+    one is a post-crash replay of work already committed to the parquet
+    store and is skipped, while a NEW query (fresh checkpoint, ids
+    restarting at 0) pointed at the same store keeps merging
+    (crash-replay + new-lineage tests: tests/test_streaming.py)."""
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        cm_sketch_upsert(batch, batch_id, out_path)
+        cm_sketch_upsert(batch, batch_id, out_path, app_id=checkpoint)
 
     return (
         events.writeStream.foreachBatch(upsert)
@@ -536,7 +573,11 @@ def run_cm_sketch(events: DataFrame, out_path: str, checkpoint: str):
 
 
 def merge_events_into_versioned_graph(
-    events: DataFrame, log_path: str, checkpoint: str
+    events: DataFrame,
+    log_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+    retain: int = 2,
 ):
     """Streaming ingest INTO THE VERSIONED GRAPH (SD4 online): every
     micro-batch commits one version to the graph's delta log, so the
@@ -549,12 +590,25 @@ def merge_events_into_versioned_graph(
     merge_events_into_graph shape), so a REPLAYED batch contributes an
     EMPTY delta — the replay commits a contentless version and every
     ``read_version`` answer is unchanged (tested).  Per-commit cost is
-    one hash-diff against the head ∝ graph size; a production
-    deployment caches the head store between batches (the
-    ``_head_store`` fast path) and periodically compacts old versions
-    (plans/layout.compact_partitioned)."""
+    one hash-diff against the head ∝ graph size; the head store is
+    cached between batches (the ``_head_store`` fast path).
+
+    ONLINE COMPACTION (round-6): with ``compact_every=k``, every k-th
+    committed version triggers ``compact_graph_log`` up to
+    ``head - retain`` — the stream trims its own history as it runs
+    instead of relying on an offline maintenance job, so a long-lived
+    ingest replays a bounded number of deltas per head resolution.
+    Safe in-stream because foreachBatch serializes the compaction with
+    this stream's commits (the single-compactor contract), and the
+    compaction swap itself is crash-safe (finish_compaction self-heals
+    on the next open).  Reads ≥ the retention horizon are unchanged —
+    stream-with-periodic-compaction == plain-stream head equality is
+    tested (tests/test_streaming.py)."""
     from biodiversity_graph_db_spark.graph.store import GraphStore
-    from biodiversity_graph_db_spark.graph.versioned import open_log
+    from biodiversity_graph_db_spark.graph.versioned import (
+        compact_graph_log,
+        open_log,
+    )
 
     state: dict = {}  # the opened log, cached across micro-batches
 
@@ -586,6 +640,12 @@ def merge_events_into_versioned_graph(
         )
         try:
             log.commit(merged)
+            if (
+                compact_every
+                and log.head > retain
+                and log.head % compact_every == 0
+            ):
+                compact_graph_log(log, log.head - retain)
         except Exception:
             state.pop("log", None)  # reopen from disk on the retry
             raise
@@ -626,12 +686,15 @@ def run_bloom_sketch(events: DataFrame, out_path: str, checkpoint: str):
 
 
 def hist_sketch_upsert(
-    batch: DataFrame, batch_id: int, out_path: str
+    batch: DataFrame,
+    batch_id: int,
+    out_path: str,
+    app_id: str | None = None,
 ) -> None:
     """One micro-batch's histogram merge — bin counts ADD (the
     count-min failure mode), so the store carries the last-applied
-    batch_id and replays are skipped, exactly the cm_sketch_upsert
-    contract."""
+    (lineage, batch_id) and same-lineage replays are skipped, exactly
+    the cm_sketch_upsert contract (``_replayed``)."""
     from biodiversity_graph_db_spark.extensions.sketches import (
         histogram_bins,
     )
@@ -641,20 +704,16 @@ def hist_sketch_upsert(
     fresh = histogram_bins(batch, "value")
     if _path_exists(spark, out_path):
         stored = spark.read.parquet(out_path)
-        applied = (
-            stored.agg(F.max("last_batch")).first()[0]
-            if "last_batch" in stored.columns
-            else None  # pre-guard store — migrate, don't crash
-        )
-        if applied is not None and applied >= batch_id:
+        if _replayed(stored, batch_id, app_id):
             return
         fresh = (
-            fresh.unionByName(stored.drop("last_batch"))
+            fresh.unionByName(stored.drop("last_batch", "last_app"))
             .groupBy("bin")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-    fresh = fresh.withColumn("last_batch", F.lit(batch_id).cast("long"))
-    fresh.localCheckpoint().write.mode("overwrite").parquet(out_path)
+    _stamp(fresh, batch_id, app_id).localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(out_path)
 
 
 def run_hist_sketch(events: DataFrame, out_path: str, checkpoint: str):
@@ -663,7 +722,7 @@ def run_hist_sketch(events: DataFrame, out_path: str, checkpoint: str):
     the store with ``histogram_quantiles``."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        hist_sketch_upsert(batch, batch_id, out_path)
+        hist_sketch_upsert(batch, batch_id, out_path, app_id=checkpoint)
 
     return (
         events.writeStream.foreachBatch(upsert)
