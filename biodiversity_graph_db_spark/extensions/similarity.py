@@ -916,3 +916,128 @@ def append_ivf_index(
     ivf_assign(new_emb, cent_ids, cmat, cnorm, n_probe).write.mode(
         "append"
     ).partitionBy("cent_id").parquet(f"{path}/assigned")
+
+
+def ivf_index_recall(
+    spark: SparkSession,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> float:
+    """Mean recall@k of the PERSISTED index against exact brute force
+    over the index's own corpus — V5's measurement retargeted at a
+    stored index, so drift under ``append_ivf_index`` ingest is
+    observable.  Cost: exact top-k over the corpus for |queries| query
+    vectors (run it on a small probe set, the standard ANN-ops
+    practice), plus one indexed query."""
+    corpus = (
+        spark.read.parquet(f"{path}/assigned")
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    exact = brute_force_topk(queries_df, corpus, k=k).select(
+        "q_id", "c_id"
+    )
+    approx = ivf_topk_indexed(
+        spark, path, queries_df, n_probe=n_probe, k=k
+    ).select("q_id", "c_id", F.lit(1).alias("hit"))
+    row = (
+        exact.join(approx, ["q_id", "c_id"], "left")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("r"))
+        .first()
+    )
+    return float(row.r) if row.r is not None else 0.0
+
+
+def recluster_ivf_index(
+    spark: SparkSession,
+    path: str,
+    n_centroids: int | None = None,
+    n_probe: int = 1,
+) -> None:
+    """RE-TRAIN the index (the maintenance loop V6's append path
+    opens): pick fresh centroids from a deterministic pseudo-random
+    sample SPANNING the whole current corpus — old and appended
+    regions alike — and rewrite ``assigned`` under them.  This is the
+    FAISS-style periodic re-train that restores recall after sustained
+    ingest from a drifted distribution (tested: append a shifted
+    cluster, recall sags, re-cluster recovers it).
+
+    Sampling: ``ORDER BY xxhash64(vec_id) LIMIT n`` — a seeded uniform
+    draw that plans as TakeOrderedAndProject (no full sort, no extra
+    shuffle) and stays reproducible across runs.  The original
+    ``write_ivf_index`` first-n-by-id choice is kept for fresh builds
+    (the V3/V4/V5 oracles pin it); re-cluster is exactly where
+    distribution-spanning sampling matters.
+
+    The rebuild writes to ``{path}__rebuild`` then swaps directories —
+    same single-maintainer contract as log compaction (don't run
+    concurrently with queries/appends on the same index; a metastore
+    layer is what upgrades the swap to a transaction)."""
+    import math
+
+    corpus = (
+        spark.read.parquet(f"{path}/assigned")
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    if n_centroids is None:
+        n_centroids = max(8, math.ceil(4 * math.sqrt(corpus.count() / 2.0)))
+    import numpy as np
+
+    rows = (
+        with_norm(corpus)
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(n_centroids)
+        .select("vec_id", "embedding", "norm_sq")
+        .collect()
+    )
+    cent_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    cmat = np.array([r.embedding for r in rows], dtype=np.float64)
+    cnorm = np.array([r.norm_sq for r in rows], dtype=np.float64)
+    tmp = f"{path}__rebuild"
+    spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in cmat[i]], int(cnorm[i]))
+            for i, cid in enumerate(cent_ids)
+        ],
+        "cent_id long, cent_emb array<float>, cent_norm long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
+    ivf_assign(corpus, cent_ids, cmat, cnorm, n_probe).write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(f"{tmp}/assigned")
+    # swap the rebuilt index into place
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    for sub in ("centroids", "assigned"):
+        dst = hpath(f"{path}/{sub}")
+        fs.delete(dst, True)
+        if not fs.rename(hpath(f"{tmp}/{sub}"), dst):
+            raise RuntimeError(f"index swap rename failed for {sub}")
+    fs.delete(hpath(tmp), True)
+
+
+def recluster_if_drifted(
+    spark: SparkSession,
+    path: str,
+    queries_df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 5,
+    n_probe: int = 2,
+    n_centroids: int | None = None,
+    store_n_probe: int = 1,
+) -> bool:
+    """The V5-governed maintenance trigger the round-5 review asked
+    for: measure recall@k on a probe set; if it sagged below
+    ``threshold``, re-train (``store_n_probe`` = the index's storage
+    replication: 1 for a topk index, >1 for a near-dup layout).
+    Returns whether a re-cluster ran."""
+    if ivf_index_recall(spark, path, queries_df, k=k, n_probe=n_probe) >= threshold:
+        return False
+    recluster_ivf_index(
+        spark, path, n_centroids=n_centroids, n_probe=store_n_probe
+    )
+    return True

@@ -866,3 +866,52 @@ def test_scc_matches_tarjan_model(spark, edge_list):
     got = {(r.key, r.scc_id) for r in scc(df, max_rounds=12).collect()}
     want = set(comp.items())
     assert got == want, (sorted(got), sorted(want), edges)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=40
+    )
+)
+def test_portable_hash_signed_keys_parity_and_range(spark, keys):
+    """Round-6 hardening: the portable hash family must land in
+    [0, M) / [0, width) for SIGNED keys too, and stay bit-identical to
+    its DuckDB SQL twin (the oracle side of T20/T22/T23)."""
+    import duckdb
+
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        _HASH_SQL,
+        _MOD,
+        _bloom_pos_sql,
+        _cm_pos_sql,
+        bloom_pos,
+        cm_pos,
+        portable_hash,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = (
+        df.select(
+            "k",
+            portable_hash(F.col("k")).alias("h"),
+            cm_pos(F.col("k"), 1).alias("c"),
+            bloom_pos(F.col("k"), 2).alias("b"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": keys})
+    want = duckdb.sql(
+        f"""SELECT k, {_HASH_SQL.format(x='k')} AS h,
+                   {_cm_pos_sql('k', 1)} AS c,
+                   {_bloom_pos_sql('k', 2)} AS b
+            FROM pdf ORDER BY k"""
+    ).fetchall()
+    assert [(r.k, r.h, r.c, r.b) for r in got] == [
+        tuple(w) for w in want
+    ]
+    for r in got:
+        assert 0 <= r.h < _MOD and 0 <= r.c < 64 and 0 <= r.b < 65536
