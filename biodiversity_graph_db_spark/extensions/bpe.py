@@ -330,7 +330,10 @@ def t19b_bpe_encode_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_encode_docs_kernel(
-    spark: SparkSession, sf_dir: str, merges: list[tuple[str, str]]
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list[tuple[str, str]],
+    doc_limit: int | None = 100,
 ) -> DataFrame:
     """Arrow-kernel encode: broadcast merge ranks, greedy lowest-rank
     pair merge per word (the standard BPE inference algorithm;
@@ -409,7 +412,12 @@ def bpe_encode_docs_kernel(
                 }
             )
 
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    d = table(spark, sf_dir, "documents")
+    if doc_limit is not None:
+        # oracle form: the registered T19b query encodes doc_id < 100
+        # (the unrolled SQL twin's tractability bound); doc_limit=None
+        # is the production / scale-measurement path over the full corpus
+        d = d.where(F.col("doc_id") < doc_limit)
     words = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
     ).where(F.col("w") != "")

@@ -53,13 +53,16 @@ _LI_GRAPH_SQL = f"""
 """
 
 
-def li_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def li_graph(
+    spark: SparkSession, sf_dir: str, bound: int = _LI_BOUND
+) -> DataFrame:
     """The order/part/supplier co-occurrence graph: each lineitem row
     links its order, part and supplier pairwise (a tripartite graph with
-    a triangle per lineitem row)."""
+    a triangle per lineitem row).  ``bound`` defaults to the oracle's
+    fixed slice; scale experiments raise it to grow the graph with SF."""
     li = (
         table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") <= _LI_BOUND)
+        .where(F.col("l_orderkey") <= bound)
         .select(
             F.concat(F.lit("o_"), F.col("l_orderkey")).alias("o"),
             F.concat(F.lit("p_"), F.col("l_partkey")).alias("p"),

@@ -47,29 +47,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a previous round and (b) still covered every run by the local oracle-
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-5 WINDOW (first 50 = the driver's grading window) ----
-    # (1) fixed/new this round — first driver grade needed: MM3's
-    # flattened output (the round-4 red), the BPE kernel encode path,
-    # graph time travel, distance-2 fuzzy match, geodesic radius join
-    "MM3_media_embedding",
-    "T19b_bpe_encode_kernel",
-    "SD4_graph_time_travel",
-    "E4b_fuzzy_name_match_d2",
-    "GEO4b_radius_sites_geodesic",
+    # ---- ROUND-6 WINDOW (first 50 = the driver's grading window) ----
+    # (1) queries whose CODE or ORACLE changed this round — first driver
+    # grade of the new form needed: EX1's Darwin-Core-complete schema,
+    # the pmod-hardened portable-hash family (both engines' SQL
+    # changed), the versioned-log CAS/commit-marker protocol under
+    # SD3/SD4/SD5, the doc_limit-parametrized BPE kernel, and the
+    # bound-parametrized li_graph under G11
+    "EX1_occurrence_export",
+    "T20_kmv_distinct",
+    "T22_countmin_heavy",
     "T23_bloom_membership",
     "T24_histogram_quantiles",
+    "T25_grouped_quantiles",
+    "SD3_time_travel_read",
+    "SD4_graph_time_travel",
     "SD5_compacted_time_travel",
+    "T19b_bpe_encode_kernel",
+    "G11_kcore",
+    # (2) similarity.py grew the re-cluster path this round — regrade
+    # the IVF family beside it
+    "V3_ivf_topk",
+    "V4_ivf_neardup",
+    "V5_ivf_recall",
+    # (3) the 24 queries whose latest driver evidence is round 3
+    # (VERDICT r5 "What's missing" #3) — after this round no query's
+    # driver evidence is older than r4
+    "A2_group_by_type",
+    "F3_typed_predicate_scan",
+    "F5_pretty_name_lookup",
+    "F6_derived_column_match",
+    "F7_nodes_of_type",
+    "F8_substring_search",
+    "F9_nearest_year_select",
+    "M2_pivot_row_view",
+    "M3_shape_check",
+    "M4_transpose",
+    "O1_index_sort",
+    "O3_display_truncation",
+    "P1_typed_date_dispatch",
+    "T4_lang_profile",
+    "T7_repetition_signals",
+    "T9_pii_detect",
+    "T10_vocab_topk",
+    "T11_hash_split",
+    "T12_length_quantiles",
+    "U5_edge_dedup",
+    "U6_set_difference",
+    "X5_old_date_normalization",
+    "X7_author_display",
+    "X13_validation_suite",
+    # (4) keepers: r4-evidence representatives across the remaining
+    # operator families, freshened to r6 (12 slots)
+    "T18_bpe_merges",
+    "T19_bpe_encode",
+    "SD2_incremental_stats",
+    "J9_asof_join",
+    "G10_ebv_richness",
+    "GEO6_area_overlap",
+    "E4_fuzzy_name_match",
+    "C2_radiocarbon_calibrate",
+    "PR1_profile_events",
+    "T13_rarity_score",
+    "GEO3_points_in_areas",
+    "M1_unpivot_wide_matrix",
+    # ---- past the window: every remaining query is r4/r5-driver-green
+    # and re-verified each run by the local gate replica
+    # (tests/test_oracle_parity.py).  Round-5 window first (all r5
+    # green), then the rest of the r4 set, then the r3-green singles.
+    "MM3_media_embedding",
+    "E4b_fuzzy_name_match_d2",
+    "GEO4b_radius_sites_geodesic",
     "G12_scc",
     "W7_resample_ffill",
-    "T25_grouped_quantiles",
-    "EX1_occurrence_export",
-    # (2) queries over code CHANGED this round (token_kgrams short-doc
-    # guard feeds T6/T8/T21) — regression evidence
     "T6_winnow_fingerprints",
     "T8_contamination_overlap",
     "T21_boilerplate_frac",
-    # (3) the 11 queries whose latest driver evidence is round 2
-    # (VERDICT r4 item 4) — rotate in for current-round evidence
     "A5_array_sections_complete",
     "F10_conditional_route",
     "G5_triangle_count",
@@ -81,8 +134,6 @@ PRIORITY: tuple[str, ...] = (
     "W3_moving_smooth",
     "W5_tumbling_window",
     "W6_sliding_window",
-    # (4) round-3-graded queries rotated back for freshness (31 slots);
-    # after this round no query's driver evidence is older than r4
     "Q1_pricing_summary",
     "W4_sessionize",
     "C1_age_depth_interpolate",
@@ -91,8 +142,6 @@ PRIORITY: tuple[str, ...] = (
     "D1_neardup_clusters",
     "D2_semantic_dedup",
     "D3_quality_canonical",
-    "V3_ivf_topk",
-    "V4_ivf_neardup",
     "MM2_frame_sample",
     "ED2_database_access_date",
     "ED3_calibration_curves",
@@ -107,44 +156,15 @@ PRIORITY: tuple[str, ...] = (
     "W2_temporal_extent",
     "J2G_evidence_extract",
     "F1_point_lookup",
-    # ---- past the window: the round-4-graded set (fresh r4 evidence,
-    # re-verified every run by the local gate replica; ordering below
-    # preserved from the r4 window for stable cross-round diffs) ----
-    "T18_bpe_merges",
-    "T19_bpe_encode",
-    "T20_kmv_distinct",
-    "SD2_incremental_stats",
-    "J9_asof_join",
-    "G10_ebv_richness",
-    "GEO6_area_overlap",
-    "SD3_time_travel_read",
-    "V5_ivf_recall",
-    "E4_fuzzy_name_match",
-    "G11_kcore",
-    "C2_radiocarbon_calibrate",
-    "PR1_profile_events",
-    "T22_countmin_heavy",
-    "SD1_snapshot_diff",
     "GEO5_density_grid",
-    "T13_rarity_score",
+    "SD1_snapshot_diff",
     "GEO1_bbox_contexts",
     "GEO2_polygon_contains",
-    "GEO3_points_in_areas",
     "GEO4_radius_sites",
     "T14_chunking",
     "T15_packing_stats",
     "T16_mix_sampling",
     "T17_corpus_cube",
-    # queries whose latest driver evidence is round 2 (V1/V2 left to the
-    # local gate this window: their scale-path twins V3/V4 verify the same
-    # kernels; W5/W6 + MM1 benched/stable; A5 r2-green (A3/A4/A6 keep
-    # the family in-window); W3 r2-green window single
-    # (W1/W2/O2 cover the family in-window); S4 r2-green (F1 point read
-    # in spirit stays via relational singles in local gate); G5 shares G11's graph and
-    # mint (k-core green validates the same substrate); F10 r2-green relational
-    # single; J1 subsumed by in-window
-    # J2/J3/J6/J8/J9) — rotate
-    # back in for current-round evidence (VERDICT r3 item 3)
     "A1_gen_statistics",
     "A3_merge_into_index",
     "A4_duplicate_guard",
@@ -162,23 +182,11 @@ PRIORITY: tuple[str, ...] = (
     "J5_signature_check",
     "J6_hyperedge_star",
     "J8_interval_containment",
-    "M1_unpivot_wide_matrix",
     "O2_topk_per_group",
     "T1_token_stats",
     "T2_quality_scores",
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
-    # (the r3-green keepers Q1/W4/C1/G6/D1/V4/G9 all rotated out across
-    # this round's additions — every one is r3-driver-green, stays in the
-    # bench headline, and re-verifies in the local gate each run)
-    # past the window (all r3-green, local-parity covered every run;
-    # W1/G2/ED2/K1 rotated out this round to make room — all r3-green,
-    # ED2 additionally carries the round-4 write/read bench split):
-    # T4/T9/T10/T11/T12 (T13 in-window covers the token family; all r3),
-    # D2/D3 (D1+V4 in-window run the LSH/IVF dedup pipelines), MM2, ED3,
-    # the r3-green relational/graph singles (F1/F3/F5-F9, O1/O3, U5/U6,
-    # X5/X7/X13, M2-M4, G1/G4, S14, W1_seed, W2, J2G, K2, P1, V3,
-    # T6-T8) — every one graded green in CORRECTNESS_r03
 )
 
 

@@ -1,0 +1,199 @@
+"""Generate a TESTDATA-shaped synthetic dataset at an arbitrary scale
+factor, for scale experiments ABOVE the driver-provided sf0.1 (the
+driver's /root/testdata is read-only and tops out at sf0.1; round-5
+judge item 3 asks for one-order-up evidence).
+
+Matches /root/testdata's schemas and distribution SHAPES — measured from
+sf0.1 (TESTDATA.md; see SCALE.md §15) — not its exact rows: dense keys,
+uniform FK fan-out, TPC-H-ish value ranges, the documents table's ~5%
+near-dup + exact-dup structure, unit-norm embeddings with weak label
+clusters, exponential event values over a 30-day window.  Deterministic
+(numpy PCG64 seed per table), vectorized, writes one parquet per table.
+
+Scaling ratios should be computed WITHIN this generator family (generate
+both sf0.1 and sf1 here) so generator-vs-driver shape differences cancel.
+
+Usage: python scripts/gen_sf.py SF OUTDIR   (e.g. 1 /root/repo/.scratch/gen_sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+
+SEGMENTS = ["AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE", "BUILDING"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPES = ["LARGE", "ECONOMY", "SMALL", "STANDARD", "PROMO", "MEDIUM"]
+PADJ = ["large", "hot", "blue", "green", "small", "red", "dim", "cold"]
+PNOUN = ["ring", "bolt", "case", "disk", "tube", "cap", "rod", "plate"]
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+LANGS = ["en", "en", "en", "zh", "de", "fr", "es"]  # ~43% en like sf0.1
+
+
+def _write(outdir: str, name: str, cols: dict) -> None:
+    pq.write_table(pa.table(cols), os.path.join(outdir, f"{name}.parquet"))
+
+
+def _days(rng, lo_iso: str, n: int, span_days: int) -> np.ndarray:
+    base = np.datetime64(lo_iso)
+    return base + rng.integers(0, span_days, n).astype("timedelta64[D]")
+
+
+def generate(sf: float, outdir: str) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_ev = int(1_000_000 * sf)
+    n_doc = int(50_000 * sf)
+    n_emb = int(20_000 * sf)
+    n_user = int(15_000 * sf)
+
+    _write(outdir, "region", {
+        "r_regionkey": np.arange(5, dtype=np.int32),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    })
+    _write(outdir, "nation", {
+        "n_nationkey": np.arange(25, dtype=np.int32),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": (np.arange(25) % 5).astype(np.int32),
+    })
+
+    rng = np.random.default_rng(101)
+    k = np.arange(n_cust)
+    _write(outdir, "customer", {
+        "c_custkey": k,
+        "c_name": [f"Customer#{i:09d}" for i in k],
+        "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
+        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+        "c_mktsegment": [SEGMENTS[i] for i in rng.integers(0, 5, n_cust)],
+    })
+
+    rng = np.random.default_rng(102)
+    _write(outdir, "supplier", {
+        "s_suppkey": np.arange(n_supp),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int32),
+        "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
+    })
+
+    rng = np.random.default_rng(103)
+    pk = np.arange(n_part)
+    _write(outdir, "part", {
+        "p_partkey": pk,
+        "p_name": [
+            f"{PADJ[a]} {PNOUN[b]}"
+            for a, b in zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
+        ],
+        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
+        "p_type": [PTYPES[i] for i in rng.integers(0, 6, n_part)],
+        "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+        "p_retailprice": np.round(900.0 + 0.1 * (pk % 20000), 2),
+    })
+
+    rng = np.random.default_rng(104)
+    ok = np.arange(n_ord)
+    odate = _days(rng, "1995-01-01", n_ord, 2404)  # up to 2001-08-01
+    _write(outdir, "orders", {
+        "o_orderkey": ok,
+        "o_custkey": rng.integers(0, n_cust, n_ord),
+        "o_orderstatus": np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)],
+        "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+        "o_orderdate": odate.astype("datetime64[us]"),
+        "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
+    })
+
+    rng = np.random.default_rng(105)
+    lines = rng.integers(1, 8, n_ord)
+    l_ok = np.repeat(ok, lines)
+    n_li = len(l_ok)
+    l_ln = (np.arange(n_li) - np.repeat(np.cumsum(lines) - lines, lines) + 1)
+    qty = rng.integers(1, 51, n_li).astype(np.float64)
+    ship = (np.repeat(odate, lines)
+            + rng.integers(1, 96, n_li).astype("timedelta64[D]"))
+    _write(outdir, "lineitem", {
+        "l_orderkey": l_ok,
+        "l_partkey": rng.integers(0, n_part, n_li),
+        "l_suppkey": rng.integers(0, n_supp, n_li),
+        "l_linenumber": l_ln.astype(np.int32),
+        "l_quantity": qty,
+        "l_extendedprice": np.round(qty * rng.uniform(900, 2100, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+        "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
+        "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, n_li)],
+        "l_shipdate": ship.astype("datetime64[us]"),
+    })
+
+    rng = np.random.default_rng(106)
+    secs = np.sort(rng.uniform(0, 30 * 86400, n_ev))
+    _write(outdir, "events", {
+        "event_id": np.arange(n_ev),
+        "ts": (np.datetime64("2024-01-01")
+               + (secs * 1e6).astype("timedelta64[us]")),
+        "user_id": rng.integers(0, n_user, n_ev),
+        "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
+        "value": np.round(rng.exponential(50.0, n_ev), 2),
+        "props": [f'{{"k": {v}}}' for v in rng.integers(0, 100, n_ev)],
+    })
+
+    # documents: ~5% near-dups of an earlier doc (3 words swapped for
+    # 'dup'), a handful of exact dups — the sf0.1 dedup structure
+    rng = np.random.default_rng(107)
+    texts: list[str] = []
+    for i in range(n_doc):
+        r = rng.random()
+        if i > 10 and r < 0.05:
+            base = texts[int(rng.integers(0, i))].split(" ")
+            if r < 0.002:
+                texts.append(" ".join(base))  # exact dup
+                continue
+            for _ in range(3):
+                base[int(rng.integers(0, len(base)))] = "dup"
+            texts.append(" ".join(base))
+        else:
+            nw = int(rng.integers(10, 101))
+            texts.append(" ".join(
+                VOCAB[j] for j in rng.integers(0, len(VOCAB), nw)
+            ))
+    _write(outdir, "documents", {
+        "doc_id": np.arange(n_doc),
+        "text": texts,
+        "lang": [LANGS[i] for i in rng.integers(0, len(LANGS), n_doc)],
+        "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+
+    rng = np.random.default_rng(108)
+    labels = rng.integers(0, 10, n_emb).astype(np.int32)
+    cents = rng.normal(0, 1, (10, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = rng.normal(0, 1, (n_emb, 64)) + 0.55 * cents[labels]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    _write(outdir, "embeddings", {
+        "vec_id": np.arange(n_emb),
+        "embedding": pa.array(
+            [v for v in vecs.astype(np.float32)],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": labels,
+    })
+
+
+if __name__ == "__main__":
+    sf = float(sys.argv[1])
+    outdir = sys.argv[2]
+    generate(sf, outdir)
+    print(f"generated sf={sf} at {outdir}")

