@@ -51,6 +51,10 @@ HEADLINE = [
     "W5_tumbling_window",
     "W6_sliding_window",
     "W7_resample_ffill",
+    # round 6 additions: linear-interp resample and the contamination
+    # purge (T8's enforcement pass)
+    "W8_resample_lerp",
+    "D5_contamination_purge",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

@@ -1318,3 +1318,128 @@ def t21_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- D5: contamination purge (enforcement of T8's detection) --------------
+
+PURGE_FRAC = 0.05  # drop a train doc when >=5% of its 5-grams hit bench
+
+
+def purge_contaminated(
+    docs: DataFrame,
+    k: int = CONTAM_K,
+    threshold: float = PURGE_FRAC,
+) -> DataFrame:
+    """The decontamination ENFORCEMENT pass: T8 measures benchmark
+    overlap, this drops the train documents that exceed it (the step a
+    pretraining pipeline actually ships — detection without removal is
+    just a report).  Returns the surviving train corpus with the
+    measured ``contaminated_frac`` attached.
+
+    Same scale shape as T8: the benchmark n-gram set is fixed-size, so
+    it is distinct'd and broadcast; the corpus streams through a
+    map-side join, per-doc counts are map-side-combinable, and the
+    filter is a plain predicate — no extra shuffle beyond T8's."""
+    grams = F.array_distinct(token_kgrams(norm_tokens(F.col("text")), k))
+    g = docs.withColumn("grams", grams)
+    is_bench = F.col("doc_id") % 10 == 7
+    bench = F.broadcast(
+        g.where(is_bench)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = g.where(~is_bench)
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("gram"))
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    frac = F.when(
+        F.size("grams") > 0,
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        / F.size("grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        train.join(hits, "doc_id", "left")
+        .withColumn("contaminated_frac", frac)
+        .where(F.col("contaminated_frac") < F.lit(threshold))
+        .drop("grams", "n_contaminated")
+    )
+
+
+@query(
+    "D5_contamination_purge",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, n_chars,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, n_chars,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(toks) - {CONTAM_K - 1}, 0)),
+               i -> md5(array_to_string(toks[i:i+{CONTAM_K - 1}], ' '))
+             )) AS grams
+      FROM docs
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE doc_id % 10 = 7),
+    train AS (SELECT * FROM g WHERE doc_id % 10 <> 7),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM train) tg
+      JOIN bench USING (gram) GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT t.source, t.n_chars
+      FROM train t LEFT JOIN hits h USING (doc_id)
+      WHERE (CASE WHEN len(t.grams) > 0
+                  THEN COALESCE(h.n_contaminated, 0)
+                       / CAST(len(t.grams) AS DOUBLE)
+                  ELSE 0.0 END) < {PURGE_FRAC}
+    ),
+    train_n AS (SELECT source, COUNT(*) AS n_train FROM train GROUP BY source)
+    SELECT tn.source,
+           CAST(tn.n_train AS BIGINT) AS n_train,
+           CAST(COUNT(k.source) AS BIGINT) AS n_kept,
+           CAST(tn.n_train - COUNT(k.source) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(k.n_chars), 0) AS BIGINT) AS chars_kept
+    FROM train_n tn LEFT JOIN kept k ON k.source = tn.source
+    GROUP BY tn.source, tn.n_train
+    ORDER BY tn.source
+    """,
+)
+def d5_contamination_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of the decontamination purge: how many
+    train documents each source loses at the {PURGE_FRAC} threshold and
+    how many characters survive — the audit table a data-governance
+    review wants next to the purge itself (the kept corpus is
+    ``purge_contaminated``; this query proves the same pipeline's
+    numbers against the oracle)."""
+    d = table(spark, sf_dir, "documents")
+    kept = purge_contaminated(d).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+    train_n = (
+        d.where(~(F.col("doc_id") % 10 == 7))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    return (
+        train_n.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_train").cast("long").alias("n_train"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_train") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce(F.col("chars_kept"), F.lit(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

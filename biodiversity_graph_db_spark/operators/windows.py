@@ -373,3 +373,144 @@ def w7_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour_ts")
     )
+
+
+@query(
+    "W8_resample_lerp",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 20
+    ),
+    ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    ),
+    hv AS (SELECT user_id, h, value FROM ranked WHERE rn = 1),
+    bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.h, hv.value,
+             CASE WHEN hv.value IS NOT NULL THEN g.h END AS vh
+      FROM grid g
+      LEFT JOIN hv ON hv.user_id = g.user_id AND hv.h = g.h
+    ),
+    anchored AS (
+      SELECT user_id, h,
+             LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(vh IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             FIRST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(vh IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM joined
+    )
+    SELECT user_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           FLOOR((CASE WHEN epoch(nh) = epoch(ph) THEN pv
+                  ELSE pv + (nv - pv) *
+                       ((epoch(h) - epoch(ph))
+                        / CAST(epoch(nh) - epoch(ph) AS DOUBLE)) END)
+                 * 10000) / 10000.0 AS val_lerp
+    FROM anchored
+    ORDER BY user_id, hour_ts
+    """,
+)
+def w8_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESAMPLE + LINEAR INTERPOLATION: W7's hourly grid, but empty
+    hours take the time-weighted blend of the nearest known samples on
+    either side instead of carrying the previous value — the gap-fill a
+    numeric series (sensor values, paleo proxies between dated depths)
+    wants when step-functions distort downstream smoothing.  C1's
+    age-depth interpolation is the same lerp against an as-of pair;
+    this is its windowed, whole-series form.
+
+    Every grid endpoint is anchored (h0/h1 are the hours of each
+    user's min/max event, which by construction hold a sample), so
+    both neighbors always exist and the lerp is total.
+
+    Scale shape identical to W7: task-local grid fan-out, then two
+    per-user windows (prev-anchor and next-anchor scans) over bounded
+    partitions — users shard across executors, no global sort."""
+    from biodiversity_graph_db_spark.operators._util import dquant
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    h = F.date_trunc("hour", F.col("ts"))
+    w_rank = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hv = (
+        ev.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    joined = grid.join(hv, ["user_id", "h"], "left").withColumn(
+        "vh", F.when(F.col("value").isNotNull(), F.col("h"))
+    )
+    pv = F.last("value", ignorenulls=True).over(w_prev)
+    ph = F.last("vh", ignorenulls=True).over(w_prev)
+    nv = F.first("value", ignorenulls=True).over(w_next)
+    nh = F.first("vh", ignorenulls=True).over(w_next)
+    anchored = joined.select(
+        "user_id",
+        "h",
+        pv.alias("pv"),
+        F.unix_timestamp(ph).alias("ep"),
+        nv.alias("nv"),
+        F.unix_timestamp(nh).alias("en"),
+    )
+    lerp = F.when(F.col("en") == F.col("ep"), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            (F.unix_timestamp(F.col("h")) - F.col("ep"))
+            / (F.col("en") - F.col("ep")).cast("double")
+        )
+    )
+    return anchored.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        dquant(lerp).alias("val_lerp"),
+    ).orderBy("user_id", "hour_ts")

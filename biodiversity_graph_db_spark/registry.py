@@ -48,6 +48,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
     # ---- ROUND-6 WINDOW (first 50 = the driver's grading window) ----
+    # (0) NEW this round — first driver grade needed: linear-interp
+    # resample and the contamination purge (T8's enforcement)
+    "W8_resample_lerp",
+    "D5_contamination_purge",
     # (1) queries whose CODE or ORACLE changed this round — first driver
     # grade of the new form needed: EX1's Darwin-Core-complete schema,
     # the pmod-hardened portable-hash family (both engines' SQL
@@ -106,15 +110,17 @@ PRIORITY: tuple[str, ...] = (
     "G10_ebv_richness",
     "GEO6_area_overlap",
     "E4_fuzzy_name_match",
-    "C2_radiocarbon_calibrate",
     "PR1_profile_events",
     "T13_rarity_score",
     "GEO3_points_in_areas",
-    "M1_unpivot_wide_matrix",
+    # (M1/C2 keepers displaced by the two new round-6 queries — both
+    # r4-green and local-gate covered)
     # ---- past the window: every remaining query is r4/r5-driver-green
     # and re-verified each run by the local gate replica
     # (tests/test_oracle_parity.py).  Round-5 window first (all r5
     # green), then the rest of the r4 set, then the r3-green singles.
+    "C2_radiocarbon_calibrate",
+    "M1_unpivot_wide_matrix",
     "MM3_media_embedding",
     "E4b_fuzzy_name_match_d2",
     "GEO4b_radius_sites_geodesic",

@@ -56,9 +56,10 @@ def main() -> None:
     from biodiversity_graph_db_spark.extensions.simhash import (
         simhash_neardups,
     )
+    from pyspark.sql import functions as F
+
     from biodiversity_graph_db_spark.graph.algorithms import (
         label_propagation,
-        undirect,
     )
     from biodiversity_graph_db_spark.operators.graph_analytics import (
         kcore_peel,
@@ -150,7 +151,15 @@ def main() -> None:
     for bound in (600, 6000):
         edges = li_graph(spark, BIG, bound=bound).localCheckpoint()
         n_edges = edges.count()
-        und = undirect(edges).localCheckpoint()
+        # kcore_peel's canonical undirected form (a < b, the G11 mint)
+        und = (
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .dropDuplicates()
+            .localCheckpoint()
+        )
         k = {
             "n_edges": n_edges,
             "G9_lpa": timed(
