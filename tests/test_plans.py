@@ -734,3 +734,23 @@ class TestZOrderLayout:
         # z-ordered files cover a small fraction of the globe; random
         # files each cover essentially all of it
         assert z_area < p_area * 0.2, (z_area, p_area)
+
+
+class TestRound6Plans:
+    def test_w8_lerp_partitions_by_user_no_global_window(self, spark, sf_dir):
+        """Both anchor scans must run over user-partitioned windows —
+        an Exchange SinglePartition would mean an unbounded global sort
+        (the T13 class of bug) instead of per-user bounded partitions."""
+        plan = _plan(spark, sf_dir, "W8_resample_lerp")
+        before_sort = plan.split("Sort [user_id")[0]
+        assert "Exchange SinglePartition" not in before_sort, plan
+        assert "Window" in plan
+
+    def test_d5_purge_bench_side_is_broadcast(self, spark, sf_dir):
+        """The benchmark n-gram set is fixed-size and must broadcast;
+        a shuffled join would move every corpus n-gram — the exact cost
+        the broadcast exists to avoid."""
+        plan = _plan(spark, sf_dir, "D5_contamination_purge")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
