@@ -1325,6 +1325,51 @@ def t21_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 PURGE_FRAC = 0.05  # drop a train doc when >=5% of its 5-grams hit bench
 
 
+def bench_gram_set(bench_docs: DataFrame, k: int = CONTAM_K) -> DataFrame:
+    """The distinct benchmark n-gram table — built ONCE from the held-out
+    benchmark corpus (fixed-size by nature), then broadcast against every
+    train document in batch (D5) or per micro-batch (streaming
+    decontamination).  One column: ``gram``."""
+    grams = F.array_distinct(token_kgrams(norm_tokens(F.col("text")), k))
+    return (
+        bench_docs.select(F.explode(grams).alias("gram")).distinct()
+    )
+
+
+def purge_against(
+    train: DataFrame,
+    bench_grams: DataFrame,
+    k: int = CONTAM_K,
+    threshold: float = PURGE_FRAC,
+) -> DataFrame:
+    """Drop every train document whose distinct-k-gram overlap with the
+    given benchmark gram set reaches ``threshold``; survivors carry the
+    measured ``contaminated_frac``.  Stateless given the (broadcast)
+    gram table, so batch and streaming micro-batches share this exact
+    code path."""
+    g = train.withColumn(
+        "grams",
+        F.array_distinct(token_kgrams(norm_tokens(F.col("text")), k)),
+    )
+    hits = (
+        g.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    frac = F.when(
+        F.size("grams") > 0,
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        / F.size("grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        g.join(hits, "doc_id", "left")
+        .withColumn("contaminated_frac", frac)
+        .where(F.col("contaminated_frac") < F.lit(threshold))
+        .drop("grams", "n_contaminated")
+    )
+
+
 def purge_contaminated(
     docs: DataFrame,
     k: int = CONTAM_K,
@@ -1340,31 +1385,12 @@ def purge_contaminated(
     it is distinct'd and broadcast; the corpus streams through a
     map-side join, per-doc counts are map-side-combinable, and the
     filter is a plain predicate — no extra shuffle beyond T8's."""
-    grams = F.array_distinct(token_kgrams(norm_tokens(F.col("text")), k))
-    g = docs.withColumn("grams", grams)
     is_bench = F.col("doc_id") % 10 == 7
-    bench = F.broadcast(
-        g.where(is_bench)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
-    )
-    train = g.where(~is_bench)
-    hits = (
-        train.select("doc_id", F.explode("grams").alias("gram"))
-        .join(bench, "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    frac = F.when(
-        F.size("grams") > 0,
-        F.coalesce(F.col("n_contaminated"), F.lit(0))
-        / F.size("grams").cast("double"),
-    ).otherwise(F.lit(0.0))
-    return (
-        train.join(hits, "doc_id", "left")
-        .withColumn("contaminated_frac", frac)
-        .where(F.col("contaminated_frac") < F.lit(threshold))
-        .drop("grams", "n_contaminated")
+    return purge_against(
+        docs.where(~is_bench),
+        bench_gram_set(docs.where(is_bench), k),
+        k,
+        threshold,
     )
 
 

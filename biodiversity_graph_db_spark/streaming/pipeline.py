@@ -96,15 +96,41 @@ def run_pretraining_ingest(
     out_path: str,
     checkpoint: str,
     min_quality: float = 0.5,
+    bench_grams_path: str | None = None,
+    contam_threshold: float | None = None,
 ):
     """foreachBatch driver: stateless prep + cross-batch exact dedup
     (keep the first arrival of each fingerprint), append partitioned by
     split.  Idempotent under replay: a re-run batch's survivors are
-    anti-joined away by the rows it already wrote."""
+    anti-joined away by the rows it already wrote.
+
+    ``bench_grams_path`` (a parquet written by
+    ``textstats.bench_gram_set`` — the benchmark suite's distinct
+    k-grams, fixed-size by nature) switches on STREAMING
+    DECONTAMINATION: each micro-batch drops documents whose overlap
+    with the benchmark reaches the threshold, through the exact
+    ``purge_against`` code path the batch D5 oracle verifies.  The gram
+    table is broadcast per batch; the stage is stateless, so replay
+    idempotence is untouched."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         prepared = prepare_documents(batch, min_quality)
+        if bench_grams_path is not None:
+            from biodiversity_graph_db_spark.extensions.textstats import (
+                PURGE_FRAC,
+                purge_against,
+            )
+
+            prepared = purge_against(
+                prepared,
+                spark.read.parquet(bench_grams_path),
+                threshold=(
+                    PURGE_FRAC
+                    if contam_threshold is None
+                    else contam_threshold
+                ),
+            ).drop("contaminated_frac")
         # within-batch dedup first (deterministic keeper = min doc_id) …
         from pyspark.sql import Window
 

@@ -1092,3 +1092,69 @@ class TestStreamWithOnlineCompaction:
             ).exists()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingDecontamination:
+    def test_stream_purge_matches_batch_d5_semantics(self, spark, sf_dir):
+        """Streaming decontamination (round 6): the micro-batch purge
+        against a pre-built benchmark gram table must converge to the
+        batch purge of the same corpus — same survivors, contaminated
+        documents absent, and the benchmark documents themselves (100%
+        self-overlap) never reach the sink."""
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions.textstats import (
+            bench_gram_set,
+            purge_against,
+        )
+        from biodiversity_graph_db_spark.streaming import pipeline
+        from biodiversity_graph_db_spark.tables import table
+
+        tmp = tempfile.mkdtemp(prefix="stream_decontam_")
+        try:
+            docs = table(spark, sf_dir, "documents")
+            bench_docs = docs.where(F.col("doc_id") % 10 == 7)
+            bench_gram_set(bench_docs).write.parquet(f"{tmp}/bench")
+
+            (
+                docs.repartitionByRange(4, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/docs")
+            )
+            _force_monotone_arrival(f"{tmp}/docs")
+            q = pipeline.run_pretraining_ingest(
+                pipeline.read_documents_stream(spark, f"{tmp}/docs"),
+                f"{tmp}/out",
+                f"{tmp}/ckpt",
+                bench_grams_path=f"{tmp}/bench",
+            ).start()
+            q.awaitTermination(300)
+            got = spark.read.parquet(f"{tmp}/out")
+
+            purged = purge_against(
+                pipeline.prepare_documents(spark.read.parquet(f"{tmp}/docs")),
+                spark.read.parquet(f"{tmp}/bench"),
+            ).drop("contaminated_frac")
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("fingerprint").orderBy("doc_id")
+            want = (
+                purged.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .drop("rk")
+            )
+            assert got.count() == want.count()
+            assert (
+                got.select("doc_id")
+                .exceptAll(want.select("doc_id"))
+                .isEmpty()
+            )
+            # benchmark docs are fully self-contaminated — none survive
+            assert got.where(F.col("doc_id") % 10 == 7).count() == 0
+            # and the purge actually dropped something beyond the bench
+            # docs at this SF (the corpus has near-dup structure)
+            n_all = spark.read.parquet(f"{tmp}/docs").count()
+            assert got.count() < n_all
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
