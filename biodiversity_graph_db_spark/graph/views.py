@@ -150,3 +150,82 @@ def export_table(df, path: str, fmt: str = "csv") -> None:
         w.parquet(path)
     else:
         raise ValueError(f"unknown export format: {fmt}")
+
+
+# --- Darwin Core Archive export -------------------------------------------
+
+#: EX1 column → Darwin Core / ChronometricAge term URI.  Only mapped
+#: columns enter the archive core; the id column (occurrence_id) is
+#: both the <id> and the occurrenceID field, per GBIF convention.
+DWC_TERM_URIS = {
+    "occurrence_id": "http://rs.tdwg.org/dwc/terms/occurrenceID",
+    "scientific_name": "http://rs.tdwg.org/dwc/terms/scientificName",
+    "locality": "http://rs.tdwg.org/dwc/terms/locality",
+    "decimalLatitude": "http://rs.tdwg.org/dwc/terms/decimalLatitude",
+    "decimalLongitude": "http://rs.tdwg.org/dwc/terms/decimalLongitude",
+    "geodeticDatum": "http://rs.tdwg.org/dwc/terms/geodeticDatum",
+    "basisOfRecord": "http://rs.tdwg.org/dwc/terms/basisOfRecord",
+    "occurrenceStatus": "http://rs.tdwg.org/dwc/terms/occurrenceStatus",
+    "maximumChronometricAge":
+        "http://rs.tdwg.org/chrono/terms/maximumChronometricAge",
+    "minimumChronometricAge":
+        "http://rs.tdwg.org/chrono/terms/minimumChronometricAge",
+    "chronometricAgeUnit":
+        "http://rs.tdwg.org/chrono/terms/chronometricAgeUnit",
+}
+
+_DWC_CORE_ROWTYPE = "http://rs.tdwg.org/dwc/terms/Occurrence"
+
+
+def export_dwc_archive(df, path: str) -> None:
+    """Write a Darwin Core Archive (the GBIF ingest format): the
+    occurrence core as tab-delimited part files under ``{path}/core/``
+    plus a ``meta.xml`` descriptor mapping each column position to its
+    DwC/ChronometricAge term URI, with every part file listed as a
+    ``<location>`` (the DwC-A text spec allows multiple locations, so
+    the data write stays DISTRIBUTED — no coalesce(1) funnel; consumers
+    zip the directory).  Columns without a term mapping are dropped;
+    ``occurrence_id`` is both the ``<id>`` column and the occurrenceID
+    field, per GBIF convention."""
+    import os
+    import xml.sax.saxutils as sx
+
+    cols = [c for c in df.columns if c in DWC_TERM_URIS]
+    if "occurrence_id" not in cols:
+        raise ValueError("DwC archive needs an occurrence_id column")
+    cols = ["occurrence_id"] + [c for c in cols if c != "occurrence_id"]
+    core_dir = f"{path}/core"
+    (
+        df.select(*cols)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", False)
+        .option("emptyValue", "")
+        .csv(core_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(core_dir)
+        if f.startswith("part-") and f.endswith(".csv")
+    )
+    locations = "\n      ".join(
+        f"<location>core/{sx.escape(p)}</location>" for p in parts
+    )
+    fields = "\n    ".join(
+        f'<field index="{i}" term="{DWC_TERM_URIS[c]}"/>'
+        for i, c in enumerate(cols)
+    )
+    meta = f"""<?xml version="1.0" encoding="UTF-8"?>
+<archive xmlns="http://rs.tdwg.org/dwc/text/">
+  <core encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n"
+        fieldsEnclosedBy="" ignoreHeaderLines="0"
+        rowType="{_DWC_CORE_ROWTYPE}">
+    <files>
+      {locations}
+    </files>
+    <id index="0"/>
+    {fields}
+  </core>
+</archive>
+"""
+    with open(os.path.join(path, "meta.xml"), "w", encoding="utf-8") as f:
+        f.write(meta)
