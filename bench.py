@@ -90,7 +90,8 @@ HEADLINE = [
     "T25_grouped_quantiles",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
-    # SD4_graph_time_travel is oracle-graded but not a bench headline:
+    # SD4_graph_time_travel / SD6_version_range_diff are oracle-graded
+    # but not bench headlines:
     # like J2G, its one-shot time is ~15 tiny mutation/commit/probe jobs
     # (fixed driver latency; 3 versioned log writes + integrity probes),
     # not data throughput — SD3 tracks the versioned-read cost.

@@ -386,30 +386,10 @@ def sd3_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_as_of(spark, path, 2, ["key"]).orderBy("key")
 
 
-@query(
-    "SD4_graph_time_travel",
-    oracle="""
-    SELECT 'customernode_' || c_custkey AS key,
-           c_name || CASE WHEN c_custkey % 7 = 0
-                          THEN ' (revised)' ELSE '' END AS pretty_name
-    FROM customer
-    WHERE c_custkey % 13 <> 0
-    ORDER BY key
-    """,
-)
-def sd4_graph_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel on the EVIDENCE GRAPH itself (VERDICT r4 item 5):
-    GraphStore mutations routed through the versioned delta log
-    (graph/versioned.py) — the in-engine form of the reference's
-    git-history-over-atom-files (Storage.fs:239-275 copy-on-write).
-
-    Mutation sequence: v1 = customer nodes; v2 = rename every 7th
-    (replace_node_data) and remove every 13th (remove_nodes); v3 =
-    remove HALF the graph (a later state that must NOT leak).  The
-    query reads AS OF v2 through the log; the oracle recomputes v2's
-    state from the mint arithmetic — a match proves the mutation
-    routing, per-commit delta extraction (full-outer hash diff),
-    tombstones, and version pruning end to end."""
+def _build_sd4_log(spark: SparkSession, sf_dir: str):
+    """The SD4/SD6 mutation scenario, committed through the versioned
+    log: v1 = customer nodes; v2 = rename every 7th (replace_node_data)
+    and remove every 13th (remove_nodes); v3 = remove every 2nd."""
     from biodiversity_graph_db_spark.graph.store import GraphStore
     from biodiversity_graph_db_spark.graph.versioned import VersionedGraphLog
 
@@ -442,10 +422,73 @@ def sd4_graph_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g3 = g2.remove_nodes(later_removed)
     log.commit(g3)
+    return log
 
+
+@query(
+    "SD4_graph_time_travel",
+    oracle="""
+    SELECT 'customernode_' || c_custkey AS key,
+           c_name || CASE WHEN c_custkey % 7 = 0
+                          THEN ' (revised)' ELSE '' END AS pretty_name
+    FROM customer
+    WHERE c_custkey % 13 <> 0
+    ORDER BY key
+    """,
+)
+def sd4_graph_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the EVIDENCE GRAPH itself (VERDICT r4 item 5):
+    GraphStore mutations routed through the versioned delta log
+    (graph/versioned.py) — the in-engine form of the reference's
+    git-history-over-atom-files (Storage.fs:239-275 copy-on-write).
+
+    The query reads AS OF v2 through the log (v3 removed half the graph
+    — a later state that must NOT leak); the oracle recomputes v2's
+    state from the mint arithmetic — a match proves the mutation
+    routing, per-commit delta extraction (full-outer hash diff),
+    tombstones, and version pruning end to end."""
+    log = _build_sd4_log(spark, sf_dir)
     return (
         log.read_version(2)
         .nodes.select("key", "pretty_name")
+        .orderBy("key")
+    )
+
+
+@query(
+    "SD6_version_range_diff",
+    oracle="""
+    SELECT 'customernode_' || c_custkey AS key,
+           CASE WHEN c_custkey % 13 = 0 OR c_custkey % 2 = 0
+                THEN 'removed' ELSE 'changed' END AS change,
+           c_name AS old_val,
+           CASE WHEN c_custkey % 13 = 0 OR c_custkey % 2 = 0 THEN NULL
+                ELSE c_name || ' (revised)' END AS new_val
+    FROM customer
+    WHERE c_custkey % 13 = 0 OR c_custkey % 2 = 0 OR c_custkey % 7 = 0
+    ORDER BY key
+    """,
+)
+def sd6_version_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-RANGE diff over the graph history — "what changed
+    between v1 and v3" as a first-class read (the audit/code-review
+    question the reference answers with ``git diff`` over its atom
+    files, Storage.fs:239-275): every key classified added / removed /
+    changed with its old and new display value, unchanged keys absent.
+
+    Composition of verified parts: two partition-pruned as-of reads
+    (SD4's plan) through ONE full-outer presence diff (SD1's
+    ``snapshot_diff``) — so the oracle is pure mint arithmetic over the
+    same mutation scenario: removed = every 13th (v2) plus every 2nd
+    (v3), changed = surviving 7ths renamed at v2, added = none."""
+    log = _build_sd4_log(spark, sf_dir)
+    return (
+        snapshot_diff(
+            log.read_version(1).nodes,
+            log.read_version(3).nodes,
+            ["key"],
+            "pretty_name",
+        )
         .orderBy("key")
     )
 

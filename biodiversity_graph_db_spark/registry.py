@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "SD3_time_travel_read",
     "SD4_graph_time_travel",
     "SD5_compacted_time_travel",
+    "SD6_version_range_diff",
     "T19b_bpe_encode_kernel",
     "G11_kcore",
     # (2) similarity.py grew the re-cluster path this round — regrade
@@ -110,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "G10_ebv_richness",
     "GEO6_area_overlap",
     "E4_fuzzy_name_match",
-    "PR1_profile_events",
     "T13_rarity_score",
     "GEO3_points_in_areas",
     # (M1/C2 keepers displaced by the two new round-6 queries — both
@@ -121,6 +121,7 @@ PRIORITY: tuple[str, ...] = (
     # green), then the rest of the r4 set, then the r3-green singles.
     "C2_radiocarbon_calibrate",
     "M1_unpivot_wide_matrix",
+    "PR1_profile_events",
     "MM3_media_embedding",
     "E4b_fuzzy_name_match_d2",
     "GEO4b_radius_sites_geodesic",
