@@ -797,3 +797,82 @@ def e4b_fuzzy_name_match_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dname"),
     )
     return fuzzy_match_names_d2(dirty, clean).orderBy("id", "key")
+
+
+# --------------------------------------------------------------------------
+# D6 — per-domain document cap (source-level curation)
+# --------------------------------------------------------------------------
+
+DOMAIN_CAP = 10  # keep at most this many documents per source
+
+
+def cap_per_domain(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Per-source document cap: keep the ``cap`` highest-quality
+    documents from every source, quality ties broken by lowest doc_id
+    (the standard pretraining curation step that stops one giant crawl
+    domain from dominating the mix — the domain-level complement of
+    T16's corpus-level mix sampling).
+
+    ONE shuffle, on ``source``: a per-source ROW_NUMBER over
+    (quality DESC, doc_id) then a rank predicate.  At 100 TB the
+    shuffle key is the domain — skewed by construction (a handful of
+    giant domains) — so the scale posture is AQE skew-split on the
+    window exchange; the window itself holds only rank state (no
+    buffering of the full partition as T12's percentile would).
+    Quality is T2's composite score: rational arithmetic only
+    (least/multiply/divide), so the rank order is bit-reproducible in
+    the DuckDB oracle — no transcendental in the sort key."""
+    from biodiversity_graph_db_spark.extensions.textstats import (
+        quality_score,
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qv").desc(), F.col("doc_id"))
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            quality_score(F.col("text"), F.col("n_chars")).alias("qv"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= cap)
+        .select("source", "doc_id", "rk")
+    )
+
+
+@query(
+    "D6_domain_cap",
+    oracle=f"""
+    WITH q AS (
+      SELECT source, doc_id,
+             0.4 * least(1.0, n_chars / 400.0)
+           + 0.4 * (len(list_distinct(
+                        string_split_regex(trim(lower(text)), '\\s+')))
+                    / CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS DOUBLE))
+           + 0.2 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE)) AS qv
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY qv DESC, doc_id) AS INT)
+               AS rk
+      FROM q
+    )
+    SELECT source, doc_id, rk
+    FROM ranked WHERE rk <= {DOMAIN_CAP}
+    ORDER BY source, rk
+    """,
+)
+def d6_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap curation over the corpus: at most DOMAIN_CAP docs per
+    source, best-quality-first.  The oracle replays the identical
+    window policy; a value match proves both the quality arithmetic
+    and the tie-break order."""
+    d = table(spark, sf_dir, "documents")
+    return cap_per_domain(d).orderBy("source", "rk")

@@ -1041,3 +1041,155 @@ def recluster_if_drifted(
         spark, path, n_centroids=n_centroids, n_probe=store_n_probe
     )
     return True
+
+
+# --------------------------------------------------------------------------
+# V7 — int8 scalar-quantized cosine search (memory-compressed ANN)
+# --------------------------------------------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8 range
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: q_i =
+    floor(v_i · 127 / max|v| + 0.5) ∈ [-127, 127], plus the quantized
+    self-norm Σq² — the 4×-memory-compression trick every large ANN
+    deployment uses (FAISS SQ8): a 100 TB float32 corpus becomes 25 TB,
+    and the candidate-scan dot products become integer SIMD.
+
+    Pure column expressions (array_max/transform/aggregate over the
+    vector column — no Python boundary), all-rational arithmetic
+    (multiply, divide, floor), so the DuckDB oracle reproduces every
+    quantized code bit-for-bit.  Zero vectors get scale NULL → dropped
+    (a zero vector has no cosine to anything)."""
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(maxabs > 0, maxabs / F.lit(float(QUANT_LEVELS)))
+    qcodes = F.transform(
+        v,
+        lambda x: F.floor(
+            x.cast("double") / F.col("q_scale") + F.lit(0.5)
+        ).cast("long"),
+    )
+    qnorm = F.aggregate(
+        F.col("qcodes"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return (
+        emb.withColumn("q_scale", scale)
+        .where(F.col("q_scale").isNotNull())
+        .withColumn("qcodes", qcodes)
+        .withColumn("q_norm", qnorm)
+    )
+
+
+def quantized_topk(
+    queries_df: DataFrame, candidates: DataFrame, k: int = 5
+) -> DataFrame:
+    """brute_force_topk over the int8 codes: integer dot products
+    (BIGINT — exact, order-independent), cosine read-out
+    dot_q / sqrt(q_norm_a · q_norm_b).  The per-vector scales cancel
+    out of the cosine (symmetric quantization), so they never enter
+    the score — only quantization rounding separates this from V1,
+    and the recall-vs-V1 test pins that gap."""
+    q = F.broadcast(
+        quantize_int8(queries_df).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("qcodes").alias("q_codes"),
+            F.col("q_norm").alias("qn"),
+        )
+    )
+    c = quantize_int8(candidates).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qcodes").alias("c_codes"),
+        F.col("q_norm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("c_codes"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = (
+        c.join(q, F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "qcos",
+            dot / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("c_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "rank",
+            "c_id",
+            (F.floor(F.col("qcos") * 1e6) / 1e6).alias("qcos"),
+        )
+    )
+
+
+_QUANT_SQL = f"""
+    scales AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / {QUANT_LEVELS}.0
+               AS q_scale
+      FROM embeddings
+    ),
+    qcodes AS (
+      SELECT e.vec_id,
+             CAST(FLOOR(CAST(t.v AS DOUBLE) / s.q_scale + 0.5) AS BIGINT)
+               AS qc,
+             t.i
+      FROM embeddings e
+      JOIN scales s ON s.vec_id = e.vec_id AND s.q_scale > 0
+      CROSS JOIN LATERAL (
+        SELECT unnest(e.embedding) AS v,
+               generate_subscripts(e.embedding, 1) AS i
+      ) t
+    ),
+    qnorms AS (
+      SELECT vec_id, SUM(qc * qc) AS q_norm FROM qcodes GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "V7_quantized_topk",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    qd AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id, SUM(a.qc * b.qc) AS dot
+      FROM qcodes a
+      JOIN qcodes b ON b.i = a.i AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+      GROUP BY 1, 2
+    ),
+    qcos AS (
+      SELECT d.q_id, d.c_id,
+             d.dot / sqrt(CAST(nq.q_norm AS DOUBLE)
+                          * CAST(nc.q_norm AS DOUBLE)) AS qcv
+      FROM qd d
+      JOIN qnorms nq ON nq.vec_id = d.q_id
+      JOIN qnorms nc ON nc.vec_id = d.c_id
+    )
+    SELECT q_id, rank, c_id, FLOOR(qcv * 1e6) / 1e6 AS qcos FROM (
+      SELECT q_id, c_id, qcv,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY qcv DESC, c_id) AS INT)
+               AS rank
+      FROM qcos
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def v7_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-5 for the first 10 query vectors — the
+    compressed-corpus twin of V1.  The oracle requantizes from the raw
+    floats with the identical floor arithmetic, so a value match proves
+    codes, norms and ranking end to end; recall vs V1's exact ranking
+    is pinned separately in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return quantized_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    ).orderBy("q_id", "rank")

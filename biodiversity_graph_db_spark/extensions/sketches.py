@@ -483,21 +483,30 @@ def histogram_quantiles(
     cum = bins.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
         F.broadcast(n)
     )
-    parts = []
-    for q in quantiles:
-        target = F.ceil(F.lit(q) * F.col("n"))
-        parts.append(
-            cum.where(F.col("cum") >= target)
-            .agg(F.min("bin").alias("bin"))
-            .select(
-                F.lit(q).alias("q"),
-                ((F.col("bin") + 1) * F.lit(width)).alias("est"),
-            )
+    # ONE aggregate pass answers every quantile (min(when(...)) per q),
+    # then a stack() unpivot to (q, est) — replaces the former
+    # one-agg-per-quantile read-out (round-5 VERDICT advisory #3).
+    row = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.col("bin"),
+                )
+            ).alias(f"_b{i}")
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({q!r} AS DOUBLE), _b{i}" for i, q in enumerate(quantiles)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(quantiles)}, {stack_args}) AS (q, bin)"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ).select(
+        "q", ((F.col("bin") + 1) * F.lit(width)).alias("est")
+    )
 
 
 def _hq_oracle() -> str:

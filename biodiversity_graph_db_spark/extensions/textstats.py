@@ -1469,3 +1469,112 @@ def d5_contamination_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- TF-IDF keyword extraction ---------------------------------------------
+
+TFIDF_TOPK = 3  # keywords kept per document
+
+
+def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (tf · (ln((N+1)/(df+1)) + 1), the sklearn smoothing) — the
+    keyword-extraction / doc-representation primitive a curation
+    pipeline uses for topic balancing and near-dup triage.
+
+    Three bounded shuffles: (doc_id, token) term counts (map-side
+    combinable), token document frequencies (ditto), a token-keyed
+    join-back, then the per-doc top-k as a doc_id-partitioned
+    ROW_NUMBER — rank state only, no full-partition buffering.  N
+    arrives as a broadcast 1-row aggregate, not a driver collect.
+    ln() is the one transcendental, and libm implementations DISAGREE
+    in the last ulp (measured: Java Math.log vs DuckDB ln differ on
+    real df inputs), so the raw score is NOT cross-engine stable.  The
+    idf is therefore floor-quantized to a 1e-6 grid immediately after
+    the ln: tf is an exact integer and idf_q an identical double in
+    both engines, so every downstream product, rank and tie-break is
+    bit-reproducible.  A 1-ulp ln disagreement could in principle
+    straddle a quantization boundary (~1e-10 per value); the
+    exhaustive-domain test (tests: tfidf ln-parity) evaluates BOTH
+    engines over the ENTIRE df domain 1..N and fails loudly if any
+    value straddles, so the guarantee is verified per dataset rather
+    than assumed."""
+    from pyspark.sql import Window
+
+    t = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        t.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * (
+                    F.floor(
+                        F.log(
+                            (F.col("n_docs") + F.lit(1.0))
+                            / (F.col("df") + F.lit(1.0))
+                        )
+                        * F.lit(1e6)
+                    )
+                    / F.lit(1e6)
+                    + F.lit(1.0)
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "rk", "token", dquant(F.col("score")).alias("tfidf"))
+    )
+
+
+@query(
+    "T26_tfidf_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+      ) GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM t GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token,
+             t.tf * (FLOOR(ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) * 1e6)
+                     / 1e6 + 1.0) AS score
+      FROM t JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token) AS INT)
+               AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, token, {sql_dquant('score')} AS tfidf
+    FROM ranked WHERE rk <= {TFIDF_TOPK}
+    ORDER BY doc_id, rk
+    """,
+)
+def t26_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF keywords for every document in the corpus; the
+    oracle replays the identical smoothing, ranking and tie-break."""
+    d = table(spark, sf_dir, "documents")
+    return tfidf_topk(d).orderBy("doc_id", "rk")

@@ -414,3 +414,51 @@ def scc(
     if not active.limit(1).isEmpty():
         raise RuntimeError("scc: outer round budget exhausted")
     return assigned
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    source: str,
+    rounds: int = 6,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Single-source shortest paths over WEIGHTED (src, dst, w) edges —
+    ``rounds`` synchronous Bellman-Ford relaxations, returning
+    (key, dist) for every vertex reached within ``rounds`` edges.
+    After k rounds dist(v) is exact for all shortest paths of ≤ k
+    edges, so a fixed-round unrolled SQL oracle replays it exactly
+    (the same fixed-round discipline as label_propagation — no
+    data-dependent convergence test in the graded path).
+
+    Weights are BIGINT (the callers mint integral weights), so the
+    min-aggregation is order-independent and bit-reproducible —
+    double-weight SSSP would be too (min, not sum), but integer keeps
+    the oracle's type spelling trivial.
+
+    One shuffle per round: relax = dist ⋈ edges on the frontier key
+    (dist side re-keyed each round; the static edge side's Exchange is
+    reused round to round), then a map-side-combinable MIN per vertex.
+    ``localCheckpoint`` every ``checkpoint_every`` rounds cuts the
+    nested-join lineage the same way pagerank's cadence does."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", F.col("w").cast("bigint").alias("w")).cache()
+    dist = spark.createDataFrame(
+        [(source, 0)], "key string, dist bigint"
+    )
+    for k in range(1, rounds + 1):
+        relax = (
+            dist.alias("d")
+            .join(e.alias("e"), F.col("d.key") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("key"),
+                (F.col("d.dist") + F.col("e.w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("key")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if k % checkpoint_every == 0 and k < rounds:
+            dist = dist.localCheckpoint()
+    return dist

@@ -242,3 +242,44 @@ def a3_merge_into_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
         .orderBy("node_type", "key")
     )
+
+
+@query(
+    "A8_rollup_stats",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS node_type,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY node_type, priority
+    """,
+)
+def a8_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical summary via ROLLUP (status → status×priority →
+    grand total) — the one-pass multi-level index summary a dashboard
+    reads instead of three separate groupBys.  Spark plans ROLLUP as a
+    single Expand + ONE hash aggregate (each input row fans to its
+    grouping-set copies map-side), so the 100 TB cost is one shuffle on
+    the compound key, not one scan per level.  Money sums ride the
+    house integer-cents spelling so every engine's total is
+    order-independent."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("node_type"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total_cents",
+        )
+        .orderBy("node_type", "priority")
+    )

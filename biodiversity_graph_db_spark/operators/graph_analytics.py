@@ -469,3 +469,102 @@ def g12_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     return algorithms.scc(edges).orderBy("key")
+
+
+# --- G13: weighted single-source shortest paths -----------------------------
+
+#: Weighted o/p/s graph: the same tripartite edge set as li_graph, each
+#: undirected pair weighted by the MIN l_quantity over the lineitem rows
+#: that mint it (integral in TPC-H, so BIGINT weights both engines agree
+#: on exactly).
+_WLI_GRAPH_SQL = f"""
+    wli AS (
+      SELECT 'o_' || l_orderkey AS o, 'p_' || l_partkey AS p,
+             's_' || l_suppkey AS s, CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem WHERE l_orderkey <= {_LI_BOUND}
+    ),
+    wraw AS (
+      SELECT o AS x, p AS y, w FROM wli
+      UNION ALL SELECT o, s, w FROM wli
+      UNION ALL SELECT p, s, w FROM wli
+    ),
+    wund AS (
+      SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b, MIN(w) AS w
+      FROM wraw WHERE x <> y GROUP BY 1, 2
+    ),
+    wdir AS (
+      SELECT a AS src, b AS dst, w FROM wund
+      UNION ALL SELECT b, a, w FROM wund
+    )
+"""
+
+
+def wli_graph(
+    spark: SparkSession, sf_dir: str, bound: int = _LI_BOUND
+) -> DataFrame:
+    """The weighted, already-undirected (both directions emitted)
+    o/p/s co-occurrence graph mirroring ``_WLI_GRAPH_SQL``."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= bound)
+        .select(
+            F.concat(F.lit("o_"), F.col("l_orderkey")).alias("o"),
+            F.concat(F.lit("p_"), F.col("l_partkey")).alias("p"),
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+    )
+    raw = (
+        li.select(F.col("o").alias("x"), F.col("p").alias("y"), "w")
+        .unionByName(li.select(F.col("o").alias("x"), F.col("s").alias("y"), "w"))
+        .unionByName(li.select(F.col("p").alias("x"), F.col("s").alias("y"), "w"))
+    )
+    und = (
+        raw.where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    return und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+
+
+def _sssp_oracle(rounds: int = 6) -> str:
+    its = []
+    for k in range(rounds):
+        its.append(f"""d{k + 1} AS (
+      SELECT key, MIN(dist) AS dist FROM (
+        SELECT key, dist FROM d{k}
+        UNION ALL
+        SELECT e.dst AS key, d.dist + e.w AS dist
+        FROM wdir e JOIN d{k} d ON e.src = d.key
+      ) GROUP BY key
+    )""")
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH {_WLI_GRAPH_SQL},
+    d0 AS (SELECT 'o_1' AS key, CAST(0 AS BIGINT) AS dist),
+    {its_sql}
+    SELECT key, dist FROM d{rounds}
+    ORDER BY dist, key
+    """
+
+
+@query("G13_weighted_sssp", oracle=_sssp_oracle())
+def g13_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distances from order o_1 over the
+    min-quantity-weighted o/p/s graph, 6 Bellman-Ford rounds — the
+    weighted complement of G7's hop-count BFS (e.g. "cheapest supply
+    chain" instead of "fewest hops").  The oracle unrolls the same 6
+    relaxations as chained min-aggregations."""
+    from biodiversity_graph_db_spark.graph import algorithms
+
+    return (
+        algorithms.weighted_sssp(wli_graph(spark, sf_dir), "o_1", rounds=6)
+        .orderBy("dist", "key")
+    )

@@ -52,6 +52,11 @@ PRIORITY: tuple[str, ...] = (
     # resample and the contamination purge (T8's enforcement)
     "W8_resample_lerp",
     "D5_contamination_purge",
+    "D6_domain_cap",
+    "T26_tfidf_topk",
+    "G13_weighted_sssp",
+    "V7_quantized_topk",
+    "A8_rollup_stats",
     # (1) queries whose CODE or ORACLE changed this round — first driver
     # grade of the new form needed: EX1's Darwin-Core-complete schema,
     # the pmod-hardened portable-hash family (both engines' SQL
@@ -103,16 +108,13 @@ PRIORITY: tuple[str, ...] = (
     "X7_author_display",
     "X13_validation_suite",
     # (4) keepers: r4-evidence representatives across the remaining
-    # operator families, freshened to r6 (12 slots)
+    # operator families, freshened to r6 (4 slots — GEO6 / E4 / T13 /
+    # GEO3 / J9, all r4-green and local-gate covered, displaced by the
+    # five second-wave round-6 queries D6/T26/G13/V7/A8)
     "T18_bpe_merges",
     "T19_bpe_encode",
     "SD2_incremental_stats",
-    "J9_asof_join",
     "G10_ebv_richness",
-    "GEO6_area_overlap",
-    "E4_fuzzy_name_match",
-    "T13_rarity_score",
-    "GEO3_points_in_areas",
     # (M1/C2 keepers displaced by the two new round-6 queries — both
     # r4-green and local-gate covered)
     # ---- past the window: every remaining query is r4/r5-driver-green

@@ -650,3 +650,137 @@ class TestIvfRecluster:
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestRound6SecondWave:
+    """D6 domain cap, T26 tf-idf, G13 weighted SSSP, V7 int8
+    quantization, A8 rollup — unit contracts beyond the oracle gate."""
+
+    def test_d6_cap_respected_and_quality_ordered(self, spark, sf_dir):
+        from biodiversity_graph_db_spark.extensions.dedup import (
+            DOMAIN_CAP,
+            cap_per_domain,
+        )
+        from biodiversity_graph_db_spark.tables import table
+
+        out = cap_per_domain(table(spark, sf_dir, "documents")).collect()
+        per_src = {}
+        for r in out:
+            per_src.setdefault(r.source, []).append(r.rk)
+        for src, rks in per_src.items():
+            assert len(rks) <= DOMAIN_CAP, src
+            assert sorted(rks) == list(range(1, len(rks) + 1)), src
+
+    def test_t26_quantized_idf_parity_over_df_domain(self, spark, sf_dir):
+        """The one transcendental in T26: ln((N+1)/(df+1)).  RAW ln is
+        NOT cross-engine stable (Java Math.log and DuckDB ln measurably
+        differ in the last ulp on this very domain), which is why T26
+        floor-quantizes the idf to a 1e-6 grid.  This evaluates the
+        QUANTIZED idf in both engines over the ENTIRE df domain (1..N)
+        and requires bit equality — failing loudly if any 1-ulp
+        disagreement straddles a quantization boundary (the residual
+        risk the docstring documents)."""
+        import duckdb
+        import struct
+
+        n = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        q = "FLOOR(ln(({n} + 1.0) / ({x} + 1.0)) * 1e6) / 1e6"
+        spark_vals = [
+            r.v
+            for r in spark.range(1, n + 1)
+            .selectExpr(q.format(n=n, x="id") + " AS v")
+            .collect()
+        ]
+        duck_vals = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                f"SELECT {q.format(n=n, x='x')} "
+                f"FROM range(1, {n + 1}) t(x) ORDER BY x"
+            )
+            .fetchall()
+        ]
+        for s, d in zip(spark_vals, duck_vals, strict=True):
+            assert struct.pack("<d", s) == struct.pack("<d", d), (s, d)
+
+    def test_g13_matches_reference_bellman_ford(self, spark):
+        """weighted_sssp vs a driver-side reference Bellman-Ford on a
+        small adversarial graph (a short heavy edge vs a long light
+        path, plus an unreachable island)."""
+        from biodiversity_graph_db_spark.graph.algorithms import (
+            weighted_sssp,
+        )
+
+        edges = [
+            ("a", "b", 10),
+            ("a", "c", 1),
+            ("c", "d", 1),
+            ("d", "b", 1),  # a->c->d->b = 3 beats a->b = 10
+            ("b", "e", 2),
+            ("x", "y", 1),  # unreachable from a
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        got = {
+            r.key: r.dist
+            for r in weighted_sssp(df, "a", rounds=6).collect()
+        }
+        # reference relaxation
+        ref = {"a": 0}
+        for _ in range(6):
+            for s, d, w in edges:
+                if s in ref and ref[s] + w < ref.get(d, 1 << 60):
+                    ref[d] = ref[s] + w
+        assert got == ref
+        assert "x" not in got and "y" not in got
+
+    def test_v7_codes_bounded_and_recall_vs_exact(self, spark, sf_dir):
+        from biodiversity_graph_db_spark.extensions.similarity import (
+            QUANT_LEVELS,
+            brute_force_topk,
+            quantize_int8,
+            quantized_topk,
+        )
+        from biodiversity_graph_db_spark.tables import table
+        import pyspark.sql.functions as F
+
+        emb = table(spark, sf_dir, "embeddings")
+        q = quantize_int8(emb)
+        mx = q.select(
+            F.max(F.array_max("qcodes")).alias("hi"),
+            F.min(F.array_min("qcodes")).alias("lo"),
+        ).first()
+        assert mx.hi <= QUANT_LEVELS and mx.lo >= -QUANT_LEVELS
+        # every non-zero vector hits ±127 exactly once by construction
+        # (the max-|v| component quantizes to full scale)
+        queries_df = emb.where(F.col("vec_id") < 10)
+        exact = {
+            (r.q_id, r.c_id)
+            for r in brute_force_topk(queries_df, emb, k=5).collect()
+        }
+        approx = {
+            (r.q_id, r.c_id)
+            for r in quantized_topk(queries_df, emb, k=5).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"int8 recall too low: {recall}"
+
+    def test_a8_rollup_levels_consistent(self, spark, sf_dir):
+        from biodiversity_graph_db_spark.registry import QUERIES
+        from biodiversity_graph_db_spark import registry
+
+        registry.load_all()
+        rows = QUERIES["A8_rollup_stats"](spark, sf_dir).collect()
+        grand = [r for r in rows if r.node_type == "ALL"]
+        assert len(grand) == 1 and grand[0].priority == "ALL"
+        leaf_n = sum(
+            r.n for r in rows if r.node_type != "ALL" and r.priority != "ALL"
+        )
+        mid_n = sum(
+            r.n for r in rows if r.node_type != "ALL" and r.priority == "ALL"
+        )
+        assert leaf_n == mid_n == grand[0].n
