@@ -569,19 +569,36 @@ def t8_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % 10 == 7
     bench = F.broadcast(
         g.where(is_bench)
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("grams").alias("gram"))
+        .where(F.col("gram").isNotNull())
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    # Single evaluation of the expensive md5-gram map, guarded two ways:
+    # the gram expression appears in exactly ONE generator (CollapseProject
+    # would inline a second use — e.g. size(grams) beside explode(grams) —
+    # and double the map stage), and that generator is explode_OUTER
+    # (plain explode makes InferFiltersFromGenerate re-evaluate the
+    # expression twice more inside an inferred size/notnull filter —
+    # measured 3x the map stage at sf0.1).  Both the per-doc gram total
+    # and the hit count come from one left-join-marked, map-side-
+    # combinable aggregate over the exploded stream; count("gram")
+    # ignores the null row explode_outer emits for gram-less docs.
     train = g.where(~is_bench)
     hits = (
-        train.select("doc_id", F.explode("grams").alias("gram"))
-        .join(bench, "gram")
+        train.select("doc_id", F.explode_outer("grams").alias("gram"))
+        .join(bench, "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
+        .where(F.col("n_contaminated") > 0)
     )
-    tot = train.select("doc_id", F.size("grams").alias("n_grams"))
     return (
-        tot.join(hits, "doc_id")
+        hits
         .select(
             "doc_id",
             "n_grams",
@@ -1331,8 +1348,17 @@ def bench_gram_set(bench_docs: DataFrame, k: int = CONTAM_K) -> DataFrame:
     train document in batch (D5) or per micro-batch (streaming
     decontamination).  One column: ``gram``."""
     grams = F.array_distinct(token_kgrams(norm_tokens(F.col("text")), k))
+    # explode_OUTER, then drop the null rows it emits for empty arrays:
+    # plain explode makes InferFiltersFromGenerate push `size(e) > 0 AND
+    # e IS NOT NULL` below the Generate, and with a computed generator
+    # input that re-evaluates the whole md5-gram expression TWICE more
+    # per row (measured 3x the map stage at sf0.1).  The post-generate
+    # filter touches only the generated column — same rows out, one
+    # evaluation.
     return (
-        bench_docs.select(F.explode(grams).alias("gram")).distinct()
+        bench_docs.select(F.explode_outer(grams).alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .distinct()
     )
 
 
@@ -1346,27 +1372,44 @@ def purge_against(
     given benchmark gram set reaches ``threshold``; survivors carry the
     measured ``contaminated_frac``.  Stateless given the (broadcast)
     gram table, so batch and streaming micro-batches share this exact
-    code path."""
-    g = train.withColumn(
-        "grams",
-        F.array_distinct(token_kgrams(norm_tokens(F.col("text")), k)),
-    )
-    hits = (
-        g.select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(bench_grams), "gram")
+    code path.
+
+    ``bench_grams`` must be gram-distinct (``bench_gram_set`` is) — the
+    hit mark is counted once per (doc, gram) pair.
+
+    Scale shape: the md5-k-gram expression — the dominant map cost of
+    the whole decontamination pass — is evaluated exactly ONCE: a single
+    explode_outer stream is marked against the broadcast gram set and
+    one map-side-combinable aggregate yields BOTH the per-doc gram total
+    and the hit count.  The original document columns rejoin on doc_id
+    afterwards, which re-scans the (cheap) train source but never
+    re-hashes a gram."""
+    grams = F.array_distinct(token_kgrams(norm_tokens(F.col("text")), k))
+    stats = (
+        train.select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .join(
+            F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+            "gram",
+            "left",
+        )
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(
+            F.count("gram").alias("__n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                "__n_contaminated"
+            ),
+        )
     )
     frac = F.when(
-        F.size("grams") > 0,
-        F.coalesce(F.col("n_contaminated"), F.lit(0))
-        / F.size("grams").cast("double"),
+        F.col("__n_grams") > 0,
+        F.col("__n_contaminated") / F.col("__n_grams").cast("double"),
     ).otherwise(F.lit(0.0))
     return (
-        g.join(hits, "doc_id", "left")
+        train.join(stats, "doc_id")
         .withColumn("contaminated_frac", frac)
         .where(F.col("contaminated_frac") < F.lit(threshold))
-        .drop("grams", "n_contaminated")
+        .drop("__n_grams", "__n_contaminated")
     )
 
 

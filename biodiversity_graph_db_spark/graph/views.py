@@ -186,8 +186,12 @@ def export_dwc_archive(df, path: str) -> None:
     the data write stays DISTRIBUTED — no coalesce(1) funnel; consumers
     zip the directory).  Columns without a term mapping are dropped;
     ``occurrence_id`` is both the ``<id>`` column and the occurrenceID
-    field, per GBIF convention."""
-    import os
+    field, per GBIF convention.
+
+    All metadata I/O goes through the JVM Hadoop FS API (the
+    versioned-log pattern), so the export target can be any supported
+    scheme — local, ``file:``, ``hdfs://``, object stores — not just a
+    POSIX path."""
     import xml.sax.saxutils as sx
 
     cols = [c for c in df.columns if c in DWC_TERM_URIS]
@@ -203,9 +207,15 @@ def export_dwc_archive(df, path: str) -> None:
         .option("emptyValue", "")
         .csv(core_dir)
     )
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(core_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     parts = sorted(
-        f for f in os.listdir(core_dir)
-        if f.startswith("part-") and f.endswith(".csv")
+        name
+        for st in fs.listStatus(hpath(core_dir))
+        for name in [st.getPath().getName()]
+        if name.startswith("part-") and name.endswith(".csv")
     )
     locations = "\n      ".join(
         f"<location>core/{sx.escape(p)}</location>" for p in parts
@@ -227,5 +237,8 @@ def export_dwc_archive(df, path: str) -> None:
   </core>
 </archive>
 """
-    with open(os.path.join(path, "meta.xml"), "w", encoding="utf-8") as f:
-        f.write(meta)
+    stream = fs.create(hpath(f"{path}/meta.xml"), True)
+    try:
+        stream.write(bytearray(meta, "utf-8"))
+    finally:
+        stream.close()

@@ -47,157 +47,151 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a previous round and (b) still covered every run by the local oracle-
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-6 WINDOW (first 50 = the driver's grading window) ----
-    # (0) NEW this round — first driver grade needed: linear-interp
-    # resample and the contamination purge (T8's enforcement)
-    "W8_resample_lerp",
-    "D5_contamination_purge",
-    "D6_domain_cap",
-    "T26_tfidf_topk",
-    "G13_weighted_sssp",
-    "V7_quantized_topk",
-    "A8_rollup_stats",
-    # (1) queries whose CODE or ORACLE changed this round — first driver
-    # grade of the new form needed: EX1's Darwin-Core-complete schema,
-    # the pmod-hardened portable-hash family (both engines' SQL
-    # changed), the versioned-log CAS/commit-marker protocol under
-    # SD3/SD4/SD5, the doc_limit-parametrized BPE kernel, and the
-    # bound-parametrized li_graph under G11
-    "EX1_occurrence_export",
-    "T20_kmv_distinct",
-    "T22_countmin_heavy",
-    "T23_bloom_membership",
-    "T24_histogram_quantiles",
-    "T25_grouped_quantiles",
-    "SD3_time_travel_read",
-    "SD4_graph_time_travel",
-    "SD5_compacted_time_travel",
-    "SD6_version_range_diff",
-    "T19b_bpe_encode_kernel",
-    "G11_kcore",
-    # (2) similarity.py grew the re-cluster path this round — regrade
-    # the IVF family beside it
-    "V3_ivf_topk",
-    "V4_ivf_neardup",
-    "V5_ivf_recall",
-    # (3) the 24 queries whose latest driver evidence is round 3
-    # (VERDICT r5 "What's missing" #3) — after this round no query's
-    # driver evidence is older than r4
-    "A2_group_by_type",
-    "F3_typed_predicate_scan",
-    "F5_pretty_name_lookup",
-    "F6_derived_column_match",
-    "F7_nodes_of_type",
-    "F8_substring_search",
-    "F9_nearest_year_select",
-    "M2_pivot_row_view",
-    "M3_shape_check",
-    "M4_transpose",
-    "O1_index_sort",
-    "O3_display_truncation",
-    "P1_typed_date_dispatch",
-    "T4_lang_profile",
-    "T7_repetition_signals",
-    "T9_pii_detect",
-    "T10_vocab_topk",
-    "T11_hash_split",
-    "T12_length_quantiles",
-    "U5_edge_dedup",
-    "U6_set_difference",
-    "X5_old_date_normalization",
-    "X7_author_display",
-    "X13_validation_suite",
-    # (4) keepers: r4-evidence representatives across the remaining
-    # operator families, freshened to r6 (4 slots — GEO6 / E4 / T13 /
-    # GEO3 / J9, all r4-green and local-gate covered, displaced by the
-    # five second-wave round-6 queries D6/T26/G13/V7/A8)
-    "T18_bpe_merges",
-    "T19_bpe_encode",
-    "SD2_incremental_stats",
-    "G10_ebv_richness",
-    # (M1/C2 keepers displaced by the two new round-6 queries — both
-    # r4-green and local-gate covered)
-    # ---- past the window: every remaining query is r4/r5-driver-green
-    # and re-verified each run by the local gate replica
-    # (tests/test_oracle_parity.py).  Round-5 window first (all r5
-    # green), then the rest of the r4 set, then the r3-green singles.
-    "C2_radiocarbon_calibrate",
-    "M1_unpivot_wide_matrix",
-    "PR1_profile_events",
-    "MM3_media_embedding",
-    "E4b_fuzzy_name_match_d2",
-    "GEO4b_radius_sites_geodesic",
-    "G12_scc",
-    "W7_resample_ffill",
-    "T6_winnow_fingerprints",
+    # ---- ROUND-7 WINDOW (first 50 = the driver's grading window) ----
+    # (0) queries whose PLAN changed this round and need a fresh
+    # driver grade: the single-pass decontamination family (one
+    # exploded gram stream feeding totals AND hit counts; generator-
+    # inferred filters excluded session-wide)
     "T8_contamination_overlap",
-    "T21_boilerplate_frac",
-    "A5_array_sections_complete",
-    "F10_conditional_route",
-    "G5_triangle_count",
-    "J1_one_hop_traversal",
-    "MM1_media_decode_metadata",
-    "S4_batch_key_lookup",
-    "V1_cosine_topk",
-    "V2_embedding_neardup",
-    "W3_moving_smooth",
-    "W5_tumbling_window",
-    "W6_sliding_window",
-    "Q1_pricing_summary",
-    "W4_sessionize",
-    "C1_age_depth_interpolate",
-    "G6_pagerank",
-    "G9_label_propagation",
-    "D1_neardup_clusters",
-    "D2_semantic_dedup",
-    "D3_quality_canonical",
-    "MM2_frame_sample",
-    "ED2_database_access_date",
-    "ED3_calibration_curves",
-    "K1_source_keys",
-    "K2_population_keys",
-    "G1_star_one_hop",
-    "G2_hierarchy_closure",
-    "G4_holocene_contains",
-    "S14_seed_statistics",
-    "W1_seed_next_chain",
-    "W1_next_in_sequence",
-    "W2_temporal_extent",
-    "J2G_evidence_extract",
-    "F1_point_lookup",
-    "GEO5_density_grid",
-    "SD1_snapshot_diff",
-    "GEO1_bbox_contexts",
-    "GEO2_polygon_contains",
-    "GEO4_radius_sites",
-    "T14_chunking",
-    "T15_packing_stats",
-    "T16_mix_sampling",
-    "T17_corpus_cube",
+    "D5_contamination_purge",
+    # (1) the 39 queries whose latest driver evidence is round 4
+    # (VERDICT r6 item 7) — after this round no query's driver
+    # evidence is older than r5
     "A1_gen_statistics",
     "A3_merge_into_index",
     "A4_duplicate_guard",
     "A6_next_id",
+    "C2_radiocarbon_calibrate",
     "E1_ngram_jaccard_topk",
     "E2_minhash_lsh_neardup",
     "E3_simhash_neardup",
+    "E4_fuzzy_name_match",
     "ED1_edge_date_range",
     "G3_connected_components",
     "G7_shortest_paths",
     "G8_motif_find",
+    "GEO1_bbox_contexts",
+    "GEO2_polygon_contains",
+    "GEO3_points_in_areas",
+    "GEO4_radius_sites",
+    "GEO5_density_grid",
+    "GEO6_area_overlap",
     "J2_multihop_extract",
     "J3_reverse_membership",
     "J4_fk_violation_check",
     "J5_signature_check",
     "J6_hyperedge_star",
     "J8_interval_containment",
+    "J9_asof_join",
+    "M1_unpivot_wide_matrix",
     "O2_topk_per_group",
+    "PR1_profile_events",
+    "SD1_snapshot_diff",
+    "T13_rarity_score",
+    "T14_chunking",
+    "T15_packing_stats",
+    "T16_mix_sampling",
+    "T17_corpus_cube",
     "T1_token_stats",
     "T2_quality_scores",
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
+    # (2) fills: oldest-r5 representatives, gram/dedup-family first
+    # (T21/T6/E3-adjacent plans also changed under the excluded rule)
+    "V1_cosine_topk",
+    "T21_boilerplate_frac",
+    "T6_winnow_fingerprints",
+    "E4b_fuzzy_name_match_d2",
+    "D1_neardup_clusters",
+    "D2_semantic_dedup",
+    "D3_quality_canonical",
+    "W7_resample_ffill",
+    "G9_label_propagation",
+    # ---- past the window: every remaining query is r5/r6-driver-
+    # green and re-verified each run by the local gate replica
+    # (tests/test_oracle_parity.py).  Remaining r5 evidence first,
+    # then the r6-graded set.
+    "A5_array_sections_complete",
+    "C1_age_depth_interpolate",
+    "ED2_database_access_date",
+    "ED3_calibration_curves",
+    "F10_conditional_route",
+    "F1_point_lookup",
+    "G12_scc",
+    "G1_star_one_hop",
+    "G2_hierarchy_closure",
+    "G4_holocene_contains",
+    "G5_triangle_count",
+    "G6_pagerank",
+    "GEO4b_radius_sites_geodesic",
+    "J1_one_hop_traversal",
+    "J2G_evidence_extract",
+    "K1_source_keys",
+    "K2_population_keys",
+    "MM1_media_decode_metadata",
+    "MM2_frame_sample",
+    "MM3_media_embedding",
+    "Q1_pricing_summary",
+    "S14_seed_statistics",
+    "S4_batch_key_lookup",
+    "V2_embedding_neardup",
+    "W1_next_in_sequence",
+    "W1_seed_next_chain",
+    "W2_temporal_extent",
+    "W3_moving_smooth",
+    "W4_sessionize",
+    "W5_tumbling_window",
+    "W6_sliding_window",
+    "A2_group_by_type",
+    "A8_rollup_stats",
+    "D6_domain_cap",
+    "EX1_occurrence_export",
+    "F3_typed_predicate_scan",
+    "F5_pretty_name_lookup",
+    "F6_derived_column_match",
+    "F7_nodes_of_type",
+    "F8_substring_search",
+    "F9_nearest_year_select",
+    "G10_ebv_richness",
+    "G11_kcore",
+    "G13_weighted_sssp",
+    "M2_pivot_row_view",
+    "M3_shape_check",
+    "M4_transpose",
+    "O1_index_sort",
+    "O3_display_truncation",
+    "P1_typed_date_dispatch",
+    "SD2_incremental_stats",
+    "SD3_time_travel_read",
+    "SD4_graph_time_travel",
+    "SD5_compacted_time_travel",
+    "SD6_version_range_diff",
+    "T10_vocab_topk",
+    "T11_hash_split",
+    "T12_length_quantiles",
+    "T18_bpe_merges",
+    "T19_bpe_encode",
+    "T19b_bpe_encode_kernel",
+    "T20_kmv_distinct",
+    "T22_countmin_heavy",
+    "T23_bloom_membership",
+    "T24_histogram_quantiles",
+    "T25_grouped_quantiles",
+    "T26_tfidf_topk",
+    "T4_lang_profile",
+    "T7_repetition_signals",
+    "T9_pii_detect",
+    "U5_edge_dedup",
+    "U6_set_difference",
+    "V3_ivf_topk",
+    "V4_ivf_neardup",
+    "V5_ivf_recall",
+    "V7_quantized_topk",
+    "W8_resample_lerp",
+    "X13_validation_suite",
+    "X5_old_date_normalization",
+    "X7_author_display",
 )
-
 
 def _reorder() -> None:
     ordered = [n for n in PRIORITY if n in QUERIES] + [

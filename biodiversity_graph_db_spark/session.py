@@ -43,5 +43,20 @@ def get_spark(app_name: str = "biodiversity-graph-db-spark") -> SparkSession:
         .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # InferFiltersFromGenerate rewrites explode(e) into
+        # Filter(size(e) > 0 AND isnotnull(e)) + explode(e).  When e is a
+        # COMPUTED expression — this engine's n-gram/shingle/tokenize
+        # pipelines, where e is an md5-per-gram transform over the whole
+        # corpus — the inferred filter re-evaluates e twice more per row,
+        # tripling the dominant map stage (measured 3.0x on the T8
+        # contamination pass at sf0.1).  The rule only pays off when the
+        # filter can prune BELOW the generate against a cheap stored
+        # column, which never outweighs a 3x hot-path tax here; inner
+        # explode drops empty/null rows itself, so excluding the rule is
+        # semantics-neutral.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     return builder.getOrCreate()

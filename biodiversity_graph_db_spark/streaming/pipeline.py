@@ -57,6 +57,40 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def refresh_bench_grams(bench_docs: DataFrame, path: str) -> None:
+    """Rewrite the benchmark gram table a running decontamination
+    stream purges against — the REFRESH path for when the benchmark
+    suite itself versions (new eval sets ship; their grams must start
+    being purged without re-deploying the stream).
+
+    Contract: ``run_pretraining_ingest`` re-reads ``bench_grams_path``
+    at the top of EVERY micro-batch (the gram set is fixed-size, so
+    this is one broadcast-sized parquet read per batch), so a swap
+    takes effect on the next batch with NO stream restart.  The swap
+    itself is the IVF index's directory-swap: the new gram set is fully
+    written to ``{path}__refresh`` first, then moved into place via
+    delete + atomic rename, so a concurrent batch reads either the old
+    complete set or the new complete set.  Single-maintainer, like
+    every directory-swap in this engine (a metastore/Delta layer is
+    what upgrades it to a real transaction).  Replay idempotence is
+    untouched: decontamination is stateless per batch, and the sink's
+    fingerprint anti-join — not the gram set — is what dedups a
+    replayed batch."""
+    from biodiversity_graph_db_spark.extensions.textstats import (
+        bench_gram_set,
+    )
+
+    spark = bench_docs.sparkSession
+    tmp = f"{path}__refresh"
+    bench_gram_set(bench_docs).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(path), True)
+    if not fs.rename(hpath(tmp), hpath(path)):
+        raise RuntimeError(f"bench gram swap rename failed for {path}")
+
+
 def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)

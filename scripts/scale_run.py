@@ -64,6 +64,10 @@ def main() -> None:
     from biodiversity_graph_db_spark.operators.graph_analytics import (
         kcore_peel,
         li_graph,
+        wli_graph,
+    )
+    from biodiversity_graph_db_spark.graph.algorithms import (
+        weighted_sssp,
     )
     from biodiversity_graph_db_spark.operators.spatial import (
         geo1_bbox_stored,
@@ -112,6 +116,34 @@ def main() -> None:
             ).count(),
             runs,
         )
+        # round-6/7 additions (VERDICT r6 item 6): the post-fix
+        # single-pass decontamination, the full-corpus TF-IDF pass,
+        # W8's interpolated resample, and V7's quantized search — all
+        # registered queries already run corpus-wide
+        res["D5_contamination_purge"] = timed(
+            lambda: registry.QUERIES["D5_contamination_purge"](
+                spark, sf_dir
+            ).collect(),
+            runs,
+        )
+        res["T26_tfidf_full"] = timed(
+            lambda: registry.QUERIES["T26_tfidf_topk"](
+                spark, sf_dir
+            ).count(),
+            runs,
+        )
+        res["W8_resample_lerp"] = timed(
+            lambda: registry.QUERIES["W8_resample_lerp"](
+                spark, sf_dir
+            ).count(),
+            runs,
+        )
+        res["V7_quantized_topk"] = timed(
+            lambda: registry.QUERIES["V7_quantized_topk"](
+                spark, sf_dir
+            ).collect(),
+            runs,
+        )
 
         tmp = tempfile.mkdtemp(prefix="scale_")
         try:
@@ -141,6 +173,23 @@ def main() -> None:
                 ).count(),
                 runs,
             )
+            # SD6 split (the ED2 discipline): the log build is the
+            # write path; the range diff itself is two pruned as-of
+            # reads through one full-outer presence diff
+            from biodiversity_graph_db_spark.operators import snapshot
+
+            t0 = time.perf_counter()
+            sd_log = snapshot._build_sd4_log(spark, sf_dir)
+            res["SD6_log_write"] = round(time.perf_counter() - t0, 3)
+            res["SD6_range_diff_read"] = timed(
+                lambda: snapshot.snapshot_diff(
+                    sd_log.read_version(1).nodes,
+                    sd_log.read_version(3).nodes,
+                    ["key"],
+                    "pretty_name",
+                ).count(),
+                runs,
+            )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         out["ops"][tag] = res
@@ -160,12 +209,20 @@ def main() -> None:
             .dropDuplicates()
             .localCheckpoint()
         )
+        wedges = wli_graph(spark, BIG, bound=bound).localCheckpoint()
         k = {
             "n_edges": n_edges,
+            "n_wedges": wedges.count(),
             "G9_lpa": timed(
                 lambda: label_propagation(edges, max_iter=5).count(), runs
             ),
             "G11_kcore": timed(lambda: kcore_peel(und).count(), runs),
+            "G13_sssp": timed(
+                lambda: weighted_sssp(
+                    wedges, "o_1", rounds=6
+                ).count(),
+                runs,
+            ),
         }
         kern[f"bound_{bound}"] = k
         gc.collect()
@@ -182,6 +239,7 @@ def main() -> None:
     out["kernel_time_ratio"] = {
         "G9_lpa": round(b1["G9_lpa"] / b0["G9_lpa"], 2),
         "G11_kcore": round(b1["G11_kcore"] / b0["G11_kcore"], 2),
+        "G13_sssp": round(b1["G13_sssp"] / b0["G13_sssp"], 2),
     }
     print(json.dumps(out))
     spark.stop()
