@@ -55,6 +55,11 @@ HEADLINE = [
     # purge (T8's enforcement pass)
     "W8_resample_lerp",
     "D5_contamination_purge",
+    # round 7 additions: T8 (previously unbenched — its single-pass
+    # rewrite is this round's headline fix, so its cost is now tracked)
+    # and BM25 ranked retrieval
+    "T8_contamination_overlap",
+    "T27_bm25_topk",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

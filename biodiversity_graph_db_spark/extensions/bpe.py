@@ -321,7 +321,13 @@ def t19b_bpe_encode_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-batch word cache), independent of K, so the model-size scaling
     is solved while the data scaling stays embarrassingly parallel.
     Same oracle as T19; equality with the expression path at K=4 is
-    unit-tested (tests/test_extensions.py)."""
+    unit-tested (tests/test_extensions.py).  The kernel is CANONICAL
+    greedy BPE; the replace-based expression path diverges from it on
+    same-symbol runs >= 5 (replace's scan-resume strands singles —
+    pinned in tests/test_properties.py), so sharing one oracle is valid
+    only while the corpus vocabulary is run-free, a precondition
+    verified per dataset by
+    tests/test_extensions.py::TestBpeCorpusPrecondition."""
     merges = [
         (r.left_sym, r.right_sym)
         for r in bpe_train(spark, sf_dir).orderBy("step").collect()

@@ -7,6 +7,8 @@ narrow transforms over the documents table.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1621,3 +1623,164 @@ def t26_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical smoothing, ranking and tie-break."""
     d = table(spark, sf_dir, "documents")
     return tfidf_topk(d).orderBy("doc_id", "rk")
+
+
+# --- BM25 ranked retrieval -------------------------------------------------
+# The lexical-retrieval scorer (Robertson/Sparck Jones, the Okapi BM25
+# used by every search/RAG stack) — the query-time complement of T26's
+# document-side TF-IDF.  The reference has no retrieval layer at all
+# (its "search" is the F8 substring scan over pretty names); a
+# training-data platform needs ranked retrieval for eval-set mining and
+# RAG corpus serving.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "merge", "vector")  # fixed probe query
+BM25_TOPK = 20
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents for a term query under BM25.
+
+    Scale shape: ONE token explode over the corpus feeds both the
+    per-doc lengths and the (doc, term) frequencies (the term filter is
+    a cheap IN over the exploded stream, not a second tokenize); avgdl
+    and N arrive as a broadcast 1-row aggregate; per-term scores join
+    doc-keyed; the final top-k is a TakeOrderedAndProject, never a full
+    sort.  At 100 TB this is two map-side-combinable aggregates over
+    the token stream plus bounded joins — the same family as T26.
+
+    Cross-engine determinism: the one transcendental (ln in the idf) is
+    floor-quantized to a 1e-6 grid (the T26 discipline); every other op
+    is IEEE correctly-rounded arithmetic evaluated in the same
+    parenthesization on both engines, and the per-term score is floored
+    to a SCALED BIGINT before the per-doc sum, so summation order can
+    never move a rank."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            (
+                F.sum("dl").cast("double") / F.count(F.lit(1))
+            ).alias("avgdl"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    tf = (
+        toks.where(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = (
+        F.floor(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * F.lit(1e6)
+        )
+        / F.lit(1e6)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select(
+            "doc_id",
+            F.floor(
+                idf_q
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("s_i"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("s_i").alias("score_scaled"))
+    # top-k via orderBy+limit — plans as TakeOrderedAndProject (per-
+    # partition partial top-k), never a global sort or a one-partition
+    # ranking window; the row_number then runs over the k survivors
+    # only (bounded state)
+    topk = agg.orderBy(F.col("score_scaled").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score_scaled").desc(), F.col("doc_id"))
+    return topk.select(
+        F.row_number().over(w).alias("rk"),
+        "doc_id",
+        (F.col("score_scaled") / F.lit(1e6)).alias("score"),
+    )
+
+
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
+
+
+@query(
+    "T27_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     COUNT(*) AS n_docs
+              FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+           WHERE token IN {_BM25_TERMS_SQL} GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(
+               (FLOOR(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                      * 1e6) / 1e6)
+               * ((t.tf * {BM25_K1 + 1.0})
+                  / (t.tf + {BM25_K1}
+                     * ({1.0 - BM25_B} + {BM25_B} * (l.dl / s.avgdl))))
+               * 1e6) AS BIGINT) AS s_i
+      FROM tf t
+      JOIN dfreq d USING (token)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    agg AS (SELECT doc_id, CAST(SUM(s_i) AS BIGINT) AS score_scaled
+            FROM scored GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, score_scaled,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id)
+                  AS INT) AS rk
+      FROM agg
+    )
+    SELECT rk, doc_id, score_scaled / 1e6 AS score
+    FROM ranked WHERE rk <= {BM25_TOPK}
+    ORDER BY rk
+    """,
+)
+def t27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} for the fixed probe query {BM25_QUERY} over
+    the documents corpus; the oracle replays the identical quantized
+    idf, length normalization, scaled-integer per-term scores, and
+    (score, doc_id) tie-break."""
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(d).orderBy("rk")

@@ -54,6 +54,8 @@ PRIORITY: tuple[str, ...] = (
     # inferred filters excluded session-wide)
     "T8_contamination_overlap",
     "D5_contamination_purge",
+    # (0b) NEW this round — first driver grade needed
+    "T27_bm25_topk",
     # (1) the 39 queries whose latest driver evidence is round 4
     # (VERDICT r6 item 7) — after this round no query's driver
     # evidence is older than r5
@@ -106,11 +108,11 @@ PRIORITY: tuple[str, ...] = (
     "D2_semantic_dedup",
     "D3_quality_canonical",
     "W7_resample_ffill",
-    "G9_label_propagation",
     # ---- past the window: every remaining query is r5/r6-driver-
     # green and re-verified each run by the local gate replica
     # (tests/test_oracle_parity.py).  Remaining r5 evidence first,
     # then the r6-graded set.
+    "G9_label_propagation",
     "A5_array_sections_complete",
     "C1_age_depth_interpolate",
     "ED2_database_access_date",

@@ -784,3 +784,26 @@ class TestRound6SecondWave:
             r.n for r in rows if r.node_type != "ALL" and r.priority == "ALL"
         )
         assert leaf_n == mid_n == grand[0].n
+
+
+class TestBpeCorpusPrecondition:
+    def test_corpus_words_have_no_long_same_symbol_runs(self, spark, sf_dir):
+        """T19 and T19b share one oracle, which is valid only while no
+        corpus word contains a same-symbol run >= 5 — the documented
+        divergence domain of the replace-based expression path vs the
+        canonical greedy kernel (tests/test_properties.py pins the b^6
+        counterexample).  Verify the precondition on the graded corpus
+        instead of assuming it."""
+        from biodiversity_graph_db_spark.extensions.textstats import tokens
+        from biodiversity_graph_db_spark.tables import table
+
+        d = table(spark, sf_dir, "documents")
+        offending = (
+            d.select(
+                F.explode(tokens(F.lower(F.col("text")))).alias("w")
+            )
+            .where(F.col("w").rlike(r"(.)\1{4,}"))
+            .limit(1)
+            .collect()
+        )
+        assert offending == [], offending

@@ -754,3 +754,17 @@ class TestRound6Plans:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBm25Plan:
+    def test_t27_topk_is_take_ordered(self, spark, sf_dir):
+        """BM25's final top-k must plan as TakeOrderedAndProject (the
+        ranking window runs over the k survivors only) and its corpus
+        statistics must arrive as broadcasts — no one-partition global
+        ranking funnel, no Python eval."""
+        plan = _plan(spark, sf_dir, "T27_bm25_topk")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+        # two map-side-combinable agg families (dl and tf) at least
+        assert plan.count("HashAggregate") >= 4
