@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biodiversity_graph_db_spark.extensions.textstats import tokens
+from biodiversity_graph_db_spark.operators._util import spread
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -424,6 +425,7 @@ def bpe_encode_docs_kernel(
         # (the unrolled SQL twin's tractability bound); doc_limit=None
         # is the production / scale-measurement path over the full corpus
         d = d.where(F.col("doc_id") < doc_limit)
+    d = spread(d)  # after the filter: pushdown preserved
     words = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
     ).where(F.col("w") != "")

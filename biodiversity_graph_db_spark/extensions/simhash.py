@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biodiversity_graph_db_spark.extensions.dedup import word_ngram_shingles
+from biodiversity_graph_db_spark.operators._util import spread
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import fan_out, table
 
@@ -96,7 +97,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The ±1 vote for bit i sums to ``2·Σbit_i − n``, so sig bit i =
     (vote ≥ 0) = (2·Σbit_i ≥ n) — only the bit *counts* are aggregated.
     """
-    ex = docs.select(
+    ex = spread(docs).select(
         "doc_id",
         F.explode(word_ngram_shingles(F.col(text_col))).alias("tok"),
     ).withColumn("hx", F.md5("tok"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biodiversity_graph_db_spark.operators._util import spread
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -60,7 +61,10 @@ def brute_force_topk(
             F.col("norm_sq").alias("q_norm"),
         )
     )
-    c = with_norm(candidates).select(
+    # spread: the candidate scan is the compute-heavy side (one
+    # F.aggregate dot product per (query, candidate) pair); a single-
+    # split local file would serialize it on one core
+    c = with_norm(spread(candidates)).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm_sq").alias("c_norm"),
@@ -209,7 +213,12 @@ def ivf_assign(emb: DataFrame, cent_ids, cmat, cnorm, n_probe: int) -> DataFrame
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(assign, out_schema)
+    # spread: the Arrow kernel is pure compute; a single-split local
+    # scan would serialize every batch on one core
+    return (
+        spread(emb.select("vec_id", "embedding"))
+        .mapInPandas(assign, out_schema)
+    )
 
 
 def ivf_neardup(
@@ -1098,7 +1107,7 @@ def quantized_topk(
             F.col("q_norm").alias("qn"),
         )
     )
-    c = quantize_int8(candidates).select(
+    c = quantize_int8(spread(candidates)).select(
         F.col("vec_id").alias("c_id"),
         F.col("qcodes").alias("c_codes"),
         F.col("q_norm").alias("cn"),

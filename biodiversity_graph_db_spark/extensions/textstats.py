@@ -12,7 +12,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biodiversity_graph_db_spark.operators._util import dquant, sql_dquant
+from biodiversity_graph_db_spark.operators._util import (
+    dquant,
+    spread,
+    sql_dquant,
+)
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -565,7 +569,7 @@ def t8_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (benchmarks are fixed-size; the corpus is 100 TB), so it is distinct'd
     and BROADCAST — the corpus side streams through a map-side hash join,
     no shuffle of corpus n-grams.  Counts per doc are map-side-combinable."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     grams = F.array_distinct(token_kgrams(norm_tokens(F.col("text")), CONTAM_K))
     g = d.select("doc_id", grams.alias("grams"))
     is_bench = F.col("doc_id") % 10 == 7
@@ -1358,7 +1362,8 @@ def bench_gram_set(bench_docs: DataFrame, k: int = CONTAM_K) -> DataFrame:
     # filter touches only the generated column — same rows out, one
     # evaluation.
     return (
-        bench_docs.select(F.explode_outer(grams).alias("gram"))
+        spread(bench_docs)
+        .select(F.explode_outer(grams).alias("gram"))
         .where(F.col("gram").isNotNull())
         .distinct()
     )
@@ -1388,7 +1393,7 @@ def purge_against(
     re-hashes a gram."""
     grams = F.array_distinct(token_kgrams(norm_tokens(F.col("text")), k))
     stats = (
-        train.select("doc_id", grams.alias("grams"))
+        spread(train).select("doc_id", grams.alias("grams"))
         .select("doc_id", F.explode_outer("grams").alias("gram"))
         .join(
             F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
@@ -1547,7 +1552,8 @@ def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
     from pyspark.sql import Window
 
     t = (
-        docs.select(
+        spread(docs)
+        .select(
             "doc_id",
             F.explode(tokens(F.lower(F.col("text")))).alias("token"),
         )
@@ -1664,7 +1670,7 @@ def bm25_topk(
     never move a rank."""
     from pyspark.sql import Window
 
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))

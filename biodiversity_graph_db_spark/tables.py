@@ -92,19 +92,18 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Spread a small scan across the cluster before a compute-heavy map.
+    """Back-compat alias for ``operators._util.spread`` (round 7
+    consolidated the two copies of this guard into one).
 
-    The local test files arrive as one parquet row group → one partition,
-    which serializes expensive per-row work (hashing, shingling, vector
-    math).  A round-robin repartition to the default parallelism costs
-    one tiny shuffle and unlocks every core.  On a real cluster reading
-    100 TB the scan already has thousands of partitions and AQE coalesces
-    the extra shuffle away, so this is a no-op-shaped safeguard, not a
-    scale crutch.
+    Earlier rounds repartitioned UNconditionally, arguing the
+    ``getNumPartitions`` probe's driver-side plan conversion outweighed
+    a tiny shuffle.  That trade reverses at scale: the probe costs one
+    Catalyst analysis pass per QUERY CONSTRUCTION (milliseconds, off
+    the data path), while an unconditional repartition in front of the
+    gram/shingle maps would shuffle the ENTIRE corpus text at the
+    100 TB design point.  ``spread`` repartitions only when the source
+    actually under-splits — the local small-file case, where the data
+    is tiny by construction."""
+    from biodiversity_graph_db_spark.operators._util import spread
 
-    Repartition unconditionally: probing ``df.rdd.getNumPartitions()``
-    to decide would force an RDD conversion of the logical plan (a full
-    analysis pass on the driver) on every call — costlier than the tiny
-    shuffle it tries to avoid.
-    """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    return spread(df)
