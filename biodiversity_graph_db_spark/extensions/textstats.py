@@ -1790,3 +1790,94 @@ def t27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score, doc_id) tie-break."""
     d = table(spark, sf_dir, "documents")
     return bm25_topk(d).orderBy("rk")
+
+
+# --- cross-split leakage audit ---------------------------------------------
+# The "is my test set in my training set" check (exact-dup leakage
+# across T11's hash splits) — the audit every pretraining pipeline runs
+# before an eval number is trusted.  Pure composition of verified
+# parts: T3's fingerprint x T11's split assignment, two combinable
+# aggregations.
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """Per split-combination counts of fingerprints that appear in MORE
+    than one split: (split_set, n_fingerprints, n_docs).
+
+    Scale shape: one fingerprint+split map over the corpus, one
+    fingerprint-keyed aggregate (map-side combinable; collect_set is
+    bounded — at most 3 split names per key), one 7-bucket-max rollup.
+    Output is bounded by the split-set lattice regardless of corpus
+    size."""
+    d = spread(docs).select(
+        fingerprint(F.col("text")).alias("fp"),
+        split_name(F.col("doc_id")).alias("split"),
+    )
+    per_fp = d.groupBy("fp").agg(
+        F.size(F.collect_set("split")).alias("n_splits"),
+        F.concat_ws(
+            "+", F.array_sort(F.collect_set("split"))
+        ).alias("split_set"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        per_fp.where(F.col("n_splits") >= 2)
+        .groupBy("split_set")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("split_set")
+    )
+
+
+@query(
+    "D7_split_leakage",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 50 = 3
+    ),
+    d AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CASE WHEN CAST(('0x' || substr(md5('doc_' || doc_id), 1, 8))
+                        AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('doc_' || doc_id), 1, 8))
+                        AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    ),
+    per_fp AS (
+      SELECT fp,
+             COUNT(DISTINCT split) AS n_splits,
+             array_to_string(list_sort(list_distinct(list(split))), '+')
+               AS split_set,
+             COUNT(*) AS n_docs
+      FROM d GROUP BY fp
+    )
+    SELECT split_set,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM per_fp WHERE n_splits >= 2
+    GROUP BY split_set
+    ORDER BY split_set
+    """,
+)
+def d7_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate leakage across the train/val/test hash splits —
+    which split combinations share identical documents, and how many.
+    The synthetic corpus carries exact duplicates only at sf >= 0.1, so
+    deterministic duplicates are minted first (every 50th doc re-keyed
+    to doc_id + 1e6 with identical text — the T9/ED2 mint-then-operate
+    discipline): the re-keyed copy hashes into an independent split, so
+    leakage is non-empty at every SF and the oracle replays the same
+    mint, fingerprint and split arithmetic.  Natural corpus dups (sf0.1)
+    land in the same accounting."""
+    d = table(spark, sf_dir, "documents")
+    minted = d.where(F.col("doc_id") % 50 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        *[c for c in d.columns if c != "doc_id"],
+    )
+    return split_leakage(d.unionByName(minted.select(d.columns)))

@@ -56,6 +56,7 @@ PRIORITY: tuple[str, ...] = (
     "D5_contamination_purge",
     # (0b) NEW this round — first driver grade needed
     "T27_bm25_topk",
+    "D7_split_leakage",
     # (1) the 39 queries whose latest driver evidence is round 4
     # (VERDICT r6 item 7) — after this round no query's driver
     # evidence is older than r5
@@ -107,11 +108,11 @@ PRIORITY: tuple[str, ...] = (
     "D1_neardup_clusters",
     "D2_semantic_dedup",
     "D3_quality_canonical",
-    "W7_resample_ffill",
     # ---- past the window: every remaining query is r5/r6-driver-
     # green and re-verified each run by the local gate replica
     # (tests/test_oracle_parity.py).  Remaining r5 evidence first,
     # then the r6-graded set.
+    "W7_resample_ffill",
     "G9_label_propagation",
     "A5_array_sections_complete",
     "C1_age_depth_interpolate",
