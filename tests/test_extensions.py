@@ -807,3 +807,39 @@ class TestBpeCorpusPrecondition:
             .collect()
         )
         assert offending == [], offending
+
+
+class TestLmPerplexity:
+    def test_garbage_scores_higher_than_natural(self, spark):
+        """A doc of uniform-random-looking chars must have a higher
+        per-bigram NLL than repetitive natural text under the
+        corpus-trained bigram LM; bigram counts must equal len-1."""
+        from biodiversity_graph_db_spark.extensions import textstats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat the cat sat on the mat"),
+                (2, "the dog sat on the log the dog sat on the log"),
+                (3, "qzxj vkwp zzqx jjvk qpzw xkjq wvzp kqxz jzwq pxvk"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in textstats.lm_perplexity(docs).collect()
+        }
+        assert rows[1].n_bigrams == len(
+            "the cat sat on the mat the cat sat on the mat"
+        ) - 1
+        assert rows[3].nll_q6 > rows[1].nll_q6
+        assert rows[3].nll_q6 > rows[2].nll_q6
+
+    def test_short_docs_drop_out(self, spark):
+        from biodiversity_graph_db_spark.extensions import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "  x  "), (3, "ab")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id for r in textstats.lm_perplexity(docs).collect()}
+        assert got == {3}

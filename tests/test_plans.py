@@ -768,3 +768,22 @@ class TestBm25Plan:
         assert "BatchEvalPython" not in plan
         # two map-side-combinable agg families (dl and tf) at least
         assert plan.count("HashAggregate") >= 4
+
+
+class TestLmPerplexityPlan:
+    def test_t28_lm_is_broadcast_scored_single_explode(self, spark, sf_dir):
+        """The trained bigram LM is alphabet-bounded and must join back
+        to the (doc, bigram) counts as a BROADCAST — a shuffled join
+        would move the corpus-proportional side twice; the bigram
+        stream must come from ONE explode (one Generate), and nothing
+        may fall to Python eval."""
+        plan = _plan(spark, sf_dir, "T28_lm_perplexity")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        # the (doc,bg) count is localCheckpoint-ed (it feeds the LM
+        # rollups AND the scoring join): the final plan must score off
+        # the materialized cut, never re-run the explode — more than
+        # one Generate means the D5/T8 re-evaluation bug is back
+        assert plan.count("Generate") <= 1, plan
+        assert "ExistingRDD" in plan
