@@ -61,6 +61,7 @@ HEADLINE = [
     "T8_contamination_overlap",
     "T27_bm25_topk",
     "T28_lm_perplexity",
+    "G14_hits",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

@@ -462,3 +462,73 @@ def weighted_sssp(
         if k % checkpoint_every == 0 and k < rounds:
             dist = dist.localCheckpoint()
     return dist
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) over directed (src, dst)
+    edges, returning ``(key, hub_micro, auth_micro)``.
+
+    Max-normalized fixed-point variant: scores live in BIGINT
+    micro-units; each half-step sums the counterpart scores along edges
+    (BIGINT sum — order-independent) and rescales so the max score is
+    exactly ``RANK_UNIT`` via integer division ``raw * UNIT div max`` —
+    bit-identical across engines, so the unrolled SQL oracle reproduces
+    every score (the textbook L2 normalization is a sqrt and can't be
+    made cross-engine exact).  Bound: ``max_degree * RANK_UNIT * UNIT``
+    must fit a BIGINT, i.e. degree < ~9e6 — beyond that, pre-divide the
+    raw sums (not needed at any tested scale).
+
+    Scale shape (the pagerank discipline, algorithms.py:51): the edge
+    relation is cached and hash-partitioned once; each half-step is ONE
+    shuffle keyed by vertex plus a 1-row global max that returns as a
+    broadcast — no driver-side loop over data, no collect.  Analysis
+    cost dominates execution for small iteration counts (see pagerank's
+    checkpoint note); here each half-step's raw-sum table is
+    localCheckpoint-ed because it feeds two consumers (max + rescale) —
+    without the cut the plan tree doubles per half-step."""
+    e = _pairs(edges).cache()
+    if partitions is None:
+        default = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        partitions = max(1, min(default, e.count() // 50_000 + 1))
+    e = e.repartition(partitions, "src").cache()
+    nodes = (
+        e.select(F.col("src").alias("key"))
+        .unionByName(e.select(F.col("dst").alias("key")))
+        .dropDuplicates()
+        .repartition(partitions, "key")
+        .cache()
+    )
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        # localCheckpoint is load-bearing: ``raw`` feeds BOTH the global
+        # max and the rescale — left unmaterialized, each half-step
+        # doubles the plan tree (2^(2*iterations) analysis blowup).
+        raw = raw.localCheckpoint()
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "key",
+            F.expr(f"(raw * {RANK_UNIT}) div mx").cast("long").alias("score"),
+        )
+
+    def _gather(scores: DataFrame, edge_key: str, group_key: str) -> DataFrame:
+        m = (
+            e.join(scores, F.col(edge_key) == scores.key)
+            .groupBy(F.col(group_key).alias("key"))
+            .agg(F.sum("score").alias("m"))
+        )
+        return nodes.join(m, "key", "left").select(
+            "key", F.coalesce("m", F.lit(0)).cast("long").alias("raw")
+        )
+
+    h = nodes.withColumn("score", F.lit(int(RANK_UNIT)))
+    a = None
+    for _ in range(iterations):
+        a = _norm(_gather(h, "src", "dst"))
+        h = _norm(_gather(a, "dst", "src"))
+    return h.select("key", F.col("score").alias("hub_micro")).join(
+        a.select("key", F.col("score").alias("auth_micro")), "key"
+    )

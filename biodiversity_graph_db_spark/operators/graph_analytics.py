@@ -568,3 +568,62 @@ def g13_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         algorithms.weighted_sssp(wli_graph(spark, sf_dir), "o_1", rounds=6)
         .orderBy("dist", "key")
     )
+
+
+def _hits_oracle(iterations: int = 5) -> str:
+    unit = algorithms.RANK_UNIT
+    its = ["h0 AS (SELECT key, CAST(1000000 AS BIGINT) AS score FROM nodes)"]
+    for k in range(1, iterations + 1):
+        # every CTE is referenced exactly ONCE downstream (the global
+        # max is a window over the same scan, not a second reference):
+        # DuckDB inlines CTEs, so a twice-referenced per-iteration CTE
+        # doubles the plan per half-step — 2^(2k) base-table scans blew
+        # the open-file limit before this was linearized
+        its.append(f"""ar{k} AS (
+      SELECT n.key, COALESCE(s.m, 0) AS raw
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS key, CAST(SUM(h.score) AS BIGINT) AS m
+        FROM dedges e JOIN h{k - 1} h ON h.key = e.src GROUP BY e.dst
+      ) s ON s.key = n.key
+    ),
+    a{k} AS (
+      SELECT key,
+             CAST((raw * {unit}) // (MAX(raw) OVER ()) AS BIGINT) AS score
+      FROM ar{k}
+    ),
+    hr{k} AS (
+      SELECT n.key, COALESCE(s.m, 0) AS raw
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS key, CAST(SUM(a.score) AS BIGINT) AS m
+        FROM dedges e JOIN a{k} a ON a.key = e.dst GROUP BY e.src
+      ) s ON s.key = n.key
+    ),
+    h{k} AS (
+      SELECT key,
+             CAST((raw * {unit}) // (MAX(raw) OVER ()) AS BIGINT) AS score
+      FROM hr{k}
+    )""")
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH {_LI_GRAPH_SQL},
+    dedges AS (SELECT DISTINCT x AS src, y AS dst FROM raw),
+    nodes AS (
+      SELECT DISTINCT key FROM (
+        SELECT src AS key FROM dedges UNION SELECT dst FROM dedges)
+    ),
+    {its_sql}
+    SELECT h.key, h.score AS hub_micro, a.score AS auth_micro
+    FROM h{iterations} h JOIN a{iterations} a USING (key)
+    ORDER BY key
+    """
+
+
+@query("G14_hits", oracle=_hits_oracle())
+def g14_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration max-normalized HITS on the directed o→p/o→s/p→s
+    graph in BIGINT micro-units (bit-identical across engines — see
+    algorithms.hits); orders are the hubs, parts/suppliers the
+    authorities."""
+    return algorithms.hits(li_graph(spark, sf_dir), iterations=5).orderBy(
+        "key"
+    )

@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "T27_bm25_topk",
     "D7_split_leakage",
     "T28_lm_perplexity",
+    "G14_hits",
     # (1) the 39 queries whose latest driver evidence is round 4
     # (VERDICT r6 item 7) — after this round no query's driver
     # evidence is older than r5

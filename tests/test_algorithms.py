@@ -210,3 +210,21 @@ class TestSccIsolatedVertex:
             ("n0", "n0"), ("n1", "n1"), ("n2", "n2"),
             ("n3", "n0"), ("n5", "n1"),
         ]
+
+
+class TestHits:
+    def test_hub_authority_structure(self, spark):
+        """a→c, b→c, c→d: a/b are the pure hubs (tie at the max), c the
+        top authority (exactly RANK_UNIT after max-normalization), d a
+        pure sink with zero hub score."""
+        from biodiversity_graph_db_spark.graph import algorithms
+
+        edges = spark.createDataFrame(
+            [("a", "c"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        rows = {r.key: r for r in algorithms.hits(edges, iterations=3).collect()}
+        unit = algorithms.RANK_UNIT
+        assert rows["c"].auth_micro == unit
+        assert rows["a"].hub_micro == rows["b"].hub_micro == unit
+        assert rows["d"].hub_micro == 0
+        assert rows["a"].auth_micro == 0
