@@ -62,6 +62,10 @@ HEADLINE = [
     "T27_bm25_topk",
     "T28_lm_perplexity",
     "G14_hits",
+    # round 7 second wave: partition scoring, passage scrub, MMR
+    "G15_modularity",
+    "D8_boilerplate_scrub",
+    "V8_mmr_rerank",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from biodiversity_graph_db_spark.operators._util import spread
+from biodiversity_graph_db_spark.operators._util import dquant, spread
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -1202,3 +1202,258 @@ def v7_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(
         emb.where(F.col("vec_id") < 10), emb, k=5
     ).orderBy("q_id", "rank")
+
+
+# --- V8: MMR diversified re-rank ------------------------------------------
+
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_PENALTY = 0.3  # redundancy weight — HARDCODED, not 1-MMR_LAMBDA:
+# 1-0.7 in float is 0.30000000000000004, and the oracle's literal 0.3 is
+# not that number; both engines must parse the SAME decimal literals.
+MMR_POOL = 20
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries_df: DataFrame,
+    pool: int = MMR_POOL,
+    k: int = 5,
+    lam: float = MMR_LAMBDA,
+    pen: float = MMR_PENALTY,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    per query, take the brute-force top-``pool`` cosine candidates, then
+    greedily select ``k`` of them maximizing
+    ``lam * sim(q, c) - pen * max_{s in selected} sim(c, s)`` — the
+    diversification pass ANN serving runs so the answer set isn't five
+    copies of the same near-duplicate.  Rank 1 is the plain cosine
+    winner, scored ``lam * sim(q, c)`` (empty selected set → zero
+    penalty).  Returns (q_id, rank, c_id, mmr_q) with the score floored
+    at 4 dp.
+
+    Scale shape: candidate pooling IS brute_force_topk's plan (broadcast
+    queries, one candidate-stream pass, per-query top-pool window); the
+    pool is a bounded ``pool × |Q|`` table, so the pairwise-sim table
+    (``pool² × |Q|``) and the k selection rounds (one anti-join + one
+    keyed max-aggregate each) are bounded work that never touches the
+    corpus again — localCheckpoint after each round keeps the iterative
+    lineage flat, the G9/G13 discipline.  Everything is the exact
+    floor-scaled dot-product arithmetic, so a SQL oracle replays the
+    selection decision-for-decision."""
+    q = F.broadcast(
+        with_norm(queries_df).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    c = with_norm(spread(emb)).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    scored = c.join(q, F.col("q_id") != F.col("c_id")).select(
+        "q_id",
+        "c_id",
+        "c_emb",
+        "c_norm",
+        cosine(
+            F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+        ).alias("simq"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("simq").desc(), F.col("c_id"))
+    cand = (
+        scored.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") <= pool)
+        .localCheckpoint()
+    )
+    a = cand.select(
+        "q_id",
+        F.col("c_id").alias("a_id"),
+        F.col("c_emb").alias("a_emb"),
+        F.col("c_norm").alias("a_norm"),
+    )
+    b = cand.select(
+        "q_id",
+        F.col("c_id").alias("b_id"),
+        F.col("c_emb").alias("b_emb"),
+        F.col("c_norm").alias("b_norm"),
+    )
+    psim = (
+        a.join(b, "q_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "q_id",
+            "a_id",
+            "b_id",
+            cosine(
+                F.col("a_emb"), F.col("b_emb"), F.col("a_norm"), F.col("b_norm")
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    lamc, penc = F.lit(lam), F.lit(pen)
+    selected = cand.where(F.col("crk") == 1).select(
+        "q_id",
+        F.lit(1).alias("rank"),
+        "c_id",
+        (lamc * F.col("simq")).alias("score"),
+    )
+    for r in range(2, k + 1):
+        rem = cand.join(
+            selected.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        ).select("q_id", "c_id", "simq")
+        maxsel = (
+            psim.join(
+                selected.select("q_id", F.col("c_id").alias("b_id")),
+                ["q_id", "b_id"],
+            )
+            .groupBy("q_id", F.col("a_id").alias("c_id"))
+            .agg(F.max("sim").alias("max_sel"))
+        )
+        pick = (
+            rem.join(maxsel, ["q_id", "c_id"])
+            .select(
+                "q_id",
+                "c_id",
+                (lamc * F.col("simq") - penc * F.col("max_sel")).alias("score"),
+            )
+            .groupBy("q_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("neg"),
+                        F.col("c_id").alias("cid"),
+                        F.col("score").alias("s"),
+                    )
+                ).alias("top")
+            )
+            .select(
+                "q_id",
+                F.lit(r).alias("rank"),
+                F.col("top.cid").alias("c_id"),
+                F.col("top.s").alias("score"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "q_id", "rank", "c_id", dquant("score").alias("mmr_q")
+    )
+
+
+def _mmr_oracle(k: int = 5, pool: int = MMR_POOL, n_queries: int = 3) -> str:
+    """Unrolled MMR selection: each round r takes the union of prior
+    picks, computes every remaining candidate's max-sim-to-selected
+    penalty, and picks the (score DESC, c_id) winner — decision-for-
+    decision the Spark side's min(struct(-score, c_id)).  ``cand`` and
+    ``psim`` are MATERIALIZED: DuckDB inlines multiply-referenced CTEs,
+    and the round chain references them ~2^k times."""
+    lam, pen = repr(MMR_LAMBDA), repr(MMR_PENALTY)
+    rounds = []
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT q_id, rank, c_id, score FROM sel{i}" for i in range(1, r)
+        )
+        rounds.append(f"""selu{r - 1} AS MATERIALIZED ({prev}),
+    pen{r} AS (
+      SELECT p.q_id, p.a_id AS c_id, MAX(p.sim) AS max_sel
+      FROM psim p JOIN selu{r - 1} s ON s.q_id = p.q_id AND s.c_id = p.b_id
+      GROUP BY p.q_id, p.a_id
+    ),
+    sc{r} AS (
+      SELECT ca.q_id, ca.c_id,
+             {lam} * ca.simq - {pen} * pn.max_sel AS score
+      FROM cand ca
+      JOIN pen{r} pn ON pn.q_id = ca.q_id AND pn.c_id = ca.c_id
+      LEFT JOIN selu{r - 1} s ON s.q_id = ca.q_id AND s.c_id = ca.c_id
+      WHERE s.c_id IS NULL
+    ),
+    sel{r} AS (
+      SELECT q_id, {r} AS rank, c_id, score FROM (
+        SELECT q_id, c_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, c_id) AS rn
+        FROM sc{r}
+      ) WHERE rn = 1
+    )""")
+    rounds_sql = ",\n    ".join(rounds)
+    final = " UNION ALL ".join(
+        f"SELECT q_id, rank, c_id, score FROM sel{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH norms AS ({_NORM_SQL}),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+    terms AS (
+      SELECT q_id, c_id, unnest(qe) AS qa, unnest(ce) AS cb
+      FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    dots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM terms GROUP BY q_id, c_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT q_id, c_id, simq FROM (
+        SELECT d.q_id, d.c_id,
+               d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                            * CAST(nc.norm_sq AS DOUBLE)) AS simq,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.q_id
+                 ORDER BY d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                                       * CAST(nc.norm_sq AS DOUBLE)) DESC,
+                          d.c_id) AS crk
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.q_id
+        JOIN norms nc ON nc.vec_id = d.c_id
+      ) WHERE crk <= {pool}
+    ),
+    pterms AS (
+      SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+             unnest(ea.embedding) AS xa, unnest(eb.embedding) AS xb
+      FROM cand a
+      JOIN cand b ON b.q_id = a.q_id AND b.c_id <> a.c_id
+      JOIN embeddings ea ON ea.vec_id = a.c_id
+      JOIN embeddings eb ON eb.vec_id = b.c_id
+    ),
+    pdots AS (
+      SELECT q_id, a_id, b_id,
+             SUM(CAST(FLOOR(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM pterms GROUP BY q_id, a_id, b_id
+    ),
+    psim AS MATERIALIZED (
+      SELECT d.q_id, d.a_id, d.b_id,
+             d.dot / sqrt(CAST(na.norm_sq AS DOUBLE)
+                          * CAST(nb.norm_sq AS DOUBLE)) AS sim
+      FROM pdots d
+      JOIN norms na ON na.vec_id = d.a_id
+      JOIN norms nb ON nb.vec_id = d.b_id
+    ),
+    sel1 AS (
+      SELECT q_id, 1 AS rank, c_id, {lam} * simq AS score FROM (
+        SELECT q_id, c_id, simq,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY simq DESC, c_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    {rounds_sql}
+    SELECT q_id, CAST(rank AS INT) AS rank, c_id,
+           FLOOR(score * 10000) / 10000.0 AS mmr_q
+    FROM ({final})
+    ORDER BY q_id, rank
+    """
+
+
+@query("V8_mmr_rerank", oracle=_mmr_oracle())
+def v8_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 over a 20-candidate cosine pool for the
+    first 3 query vectors (lambda 0.7) — the serving-side
+    diversification pass on top of V1's ranking."""
+    emb = table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, emb.where(F.col("vec_id") < 3), k=5).orderBy(
+        "q_id", "rank"
+    )

@@ -2033,3 +2033,124 @@ def t28_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     division."""
     d = table(spark, sf_dir, "documents")
     return lm_perplexity(d).orderBy("doc_id")
+
+
+# --- D8: boilerplate scrub (enforcement of T21's detection) ---------------
+
+SCRUB_K = 10  # tokens per non-overlapping passage chunk (T14 precedent)
+SCRUB_MIN_DOCS = 3  # chunk is boilerplate when >= this many docs share it
+
+
+def passage_chunks(text: Column, k: int = SCRUB_K) -> Column:
+    """Non-overlapping k-token passage chunks of the normalized token
+    stream, as (h: md5-of-chunk, len: tokens-in-chunk) structs — the
+    passage unit CCNet-style paragraph dedup hashes (the corpus here has
+    no newline structure, so fixed-width chunks stand in for paragraphs,
+    exactly as T14's chunking does).  The final partial chunk is kept
+    with its true length."""
+    toks = norm_tokens(text)
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(k))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.md5(F.concat_ws(" ", F.slice(toks, i * k + 1, k))).alias("h"),
+            F.least(F.lit(k), n - i * k).cast("long").alias("len"),
+        ),
+    )
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    k: int = SCRUB_K,
+    min_docs: int = SCRUB_MIN_DOCS,
+) -> DataFrame:
+    """The boilerplate REMOVAL pass: T21 measures each document's
+    corpus-common shingle fraction, this actually drops the repeated
+    passages (headers, licence blocks, navigation chrome) and reports
+    what survived — per doc: chunk counts before/after and token counts
+    before/after (CCNet's paragraph-dedup step, the enforcement twin of
+    T21 the same way D5 enforces T8's detection).
+
+    Scale shape: one explode of the chunk structs — the md5 map is the
+    dominant cost and runs ONCE: ``flat`` feeds BOTH the document-
+    frequency count and the per-doc rollup, so it is localCheckpoint-ed
+    (the T28 discipline; uncut, Spark re-evaluates the chunk-hash map in
+    each subtree — the D5/T8 bug this round eliminated).  The
+    materialized cut is (doc_id, hash, len) — ~half the text's bytes.
+    Chunk document-frequency is a map-side-combinable two-phase
+    count-distinct on the chunk hash; the common set joins back on the
+    same hash key (no broadcast assumption — the boilerplate set size is
+    corpus-dependent; AQE broadcasts when it fits), and the per-doc
+    rollup is one keyed aggregation.  Every shuffle is on a hash key."""
+    flat = (
+        spread(docs)
+        .select("doc_id", F.explode_outer(passage_chunks(F.col("text"), k)).alias("c"))
+        .where(F.col("c").isNotNull())
+        .select("doc_id", F.col("c.h").alias("h"), F.col("c.len").alias("len"))
+        .localCheckpoint()
+    )
+    common = (
+        flat.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .where(F.col("dfreq") >= min_docs)
+        .select("h", F.lit(1).alias("is_common"))
+    )
+    return (
+        flat.join(common, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("is_common", F.lit(0))).cast("long").alias("n_dropped"),
+            F.sum("len").cast("long").alias("tokens_before"),
+            F.sum(
+                F.when(F.col("is_common").isNull(), F.col("len")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("tokens_after"),
+        )
+    )
+
+
+@query(
+    "D8_boilerplate_scrub",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, u.h AS h, u.len AS len FROM (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, CAST(ceil(len(toks) / {SCRUB_K}.0) AS BIGINT)),
+          i -> struct_pack(
+            h := md5(array_to_string(
+                   toks[(i-1)*{SCRUB_K}+1 : i*{SCRUB_K}], ' ')),
+            len := LEAST({SCRUB_K}, len(toks) - (i-1)*{SCRUB_K})))) AS u
+        FROM docs
+      )
+    ), common AS (
+      SELECT h, 1 AS is_common FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS dfreq FROM flat GROUP BY h
+      ) WHERE dfreq >= {SCRUB_MIN_DOCS}
+    )
+    SELECT f.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN c.is_common IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(f.len) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN c.is_common IS NULL THEN f.len ELSE 0 END)
+                AS BIGINT) AS tokens_after
+    FROM flat f LEFT JOIN common c ON c.h = f.h
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def d8_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level boilerplate scrub over the documents corpus: drop
+    every {SCRUB_K}-token chunk that {SCRUB_MIN_DOCS}+ documents share,
+    report per-doc chunk/token counts before and after."""
+    return boilerplate_scrub(table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )

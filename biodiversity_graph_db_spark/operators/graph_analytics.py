@@ -207,11 +207,13 @@ def g7_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle(iterations: int = 5) -> str:
-    """Unrolled synchronous LPA, mirroring algorithms.label_propagation:
-    each round every vertex adopts its neighbours' most frequent label,
-    ties broken by smallest label (ROW_NUMBER ORDER BY n DESC, label —
-    the SQL spelling of the Spark side's min(struct(-n, label)))."""
+def _lpa_ctes(iterations: int = 5) -> str:
+    """The shared unrolled-LPA CTE chain (und2/labels0/.../labels{n}),
+    mirroring algorithms.label_propagation: each round every vertex
+    adopts its neighbours' most frequent label, ties broken by smallest
+    label (ROW_NUMBER ORDER BY n DESC, label — the SQL spelling of the
+    Spark side's min(struct(-n, label))).  Used by both the G9 oracle
+    and G15's modularity scoring of the same partition."""
     its = []
     for k in range(iterations):
         its.append(f"""votes{k} AS (
@@ -233,13 +235,19 @@ def _lpa_oracle(iterations: int = 5) -> str:
     )""")
     its_sql = ",\n    ".join(its)
     return f"""
-    WITH {_LI_GRAPH_SQL},
     und2 AS (
       SELECT a AS src, b AS dst FROM und
       UNION ALL SELECT b, a FROM und
     ),
     labels0 AS (SELECT DISTINCT src AS key, src AS label FROM und2),
     {its_sql}
+    """
+
+
+def _lpa_oracle(iterations: int = 5) -> str:
+    return f"""
+    WITH {_LI_GRAPH_SQL},
+    {_lpa_ctes(iterations)}
     SELECT key, label FROM labels{iterations}
     ORDER BY key
     """
@@ -627,3 +635,52 @@ def g14_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return algorithms.hits(li_graph(spark, sf_dir), iterations=5).orderBy(
         "key"
     )
+
+
+def _modularity_oracle(iterations: int = 5) -> str:
+    return f"""
+    WITH {_LI_GRAPH_SQL},
+    {_lpa_ctes(iterations)}
+    ,
+    mrow AS (SELECT COUNT(*) AS m FROM und),
+    deg AS (
+      SELECT key, COUNT(*) AS deg FROM (
+        SELECT a AS key FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY key
+    ),
+    comm AS (
+      SELECT l.label AS community, COUNT(*) AS n_nodes,
+             CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+      FROM labels{iterations} l JOIN deg d ON d.key = l.key
+      GROUP BY l.label
+    ),
+    intra AS (
+      SELECT la.label AS community, COUNT(*) AS intra_edges
+      FROM und e
+      JOIN labels{iterations} la ON la.key = e.a
+      JOIN labels{iterations} lb ON lb.key = e.b
+      WHERE la.label = lb.label
+      GROUP BY la.label
+    )
+    SELECT c.community, c.n_nodes,
+           CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           c.degree_sum,
+           CAST(4 * m.m * COALESCE(i.intra_edges, 0)
+                - c.degree_sum * c.degree_sum AS BIGINT) AS contrib_q
+    FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN mrow m
+    ORDER BY community
+    """
+
+
+@query("G15_modularity", oracle=_modularity_oracle())
+def g15_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the G9 LPA partition, per community, in
+    exact scaled-integer arithmetic (``contrib_q = 4*m*e_c - d_c^2``;
+    ``Q = sum(contrib_q) / (4*m^2)``) — the partition-quality score
+    that closes the community-detection loop (GraphX ships LPA but no
+    scoring; cf. Newman 2004).  The oracle replays the identical 5
+    LPA rounds, then scores the same partition in SQL."""
+    g = li_graph(spark, sf_dir)
+    return algorithms.modularity(
+        g, algorithms.label_propagation(g, max_iter=5)
+    ).orderBy("community")

@@ -59,6 +59,9 @@ PRIORITY: tuple[str, ...] = (
     "D7_split_leakage",
     "T28_lm_perplexity",
     "G14_hits",
+    "G15_modularity",
+    "D8_boilerplate_scrub",
+    "V8_mmr_rerank",
     # (1) the 39 queries whose latest driver evidence is round 4
     # (VERDICT r6 item 7) — after this round no query's driver
     # evidence is older than r5

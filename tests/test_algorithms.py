@@ -228,3 +228,47 @@ class TestHits:
         assert rows["a"].hub_micro == rows["b"].hub_micro == unit
         assert rows["d"].hub_micro == 0
         assert rows["a"].auth_micro == 0
+
+
+class TestModularity:
+    def test_two_triangles_bridge(self, spark):
+        """Two triangles joined by one bridge edge, partitioned as the
+        two triangles: m=7, each community has e_c=3, d_c=7, so
+        contrib_q = 4*7*3 - 49 = 35 and Q = 70/196 = 5/14."""
+        from biodiversity_graph_db_spark.graph import algorithms
+
+        tri = [("a", "b"), ("b", "c"), ("a", "c"),
+               ("x", "y"), ("y", "z"), ("x", "z"),
+               ("c", "x")]
+        edges = spark.createDataFrame(tri, "src string, dst string")
+        labels = spark.createDataFrame(
+            [("a", "t1"), ("b", "t1"), ("c", "t1"),
+             ("x", "t2"), ("y", "t2"), ("z", "t2")],
+            "key string, label string",
+        )
+        rows = {r.community: r for r in
+                algorithms.modularity(edges, labels).collect()}
+        for comm in ("t1", "t2"):
+            assert rows[comm].n_nodes == 3
+            assert rows[comm].intra_edges == 3
+            assert rows[comm].degree_sum == 7
+            assert rows[comm].contrib_q == 35
+        m = 7
+        q = sum(r.contrib_q for r in rows.values()) / (4 * m * m)
+        assert abs(q - 5 / 14) < 1e-12
+
+    def test_singleton_partition_nonpositive(self, spark):
+        """Every vertex its own community: no intra edges anywhere, so
+        every contribution is -d_c^2 < 0 (the classic Q lower range)."""
+        from biodiversity_graph_db_spark.graph import algorithms
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        labels = spark.createDataFrame(
+            [("a", "a"), ("b", "b"), ("c", "c")], "key string, label string"
+        )
+        rows = algorithms.modularity(edges, labels).collect()
+        assert len(rows) == 3
+        assert all(r.intra_edges == 0 for r in rows)
+        assert all(r.contrib_q == -r.degree_sum ** 2 for r in rows)

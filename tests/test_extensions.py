@@ -843,3 +843,67 @@ class TestLmPerplexity:
         )
         got = {r.doc_id for r in textstats.lm_perplexity(docs).collect()}
         assert got == {3}
+
+
+class TestBoilerplateScrub:
+    def test_shared_chunk_dropped_unique_kept(self, spark):
+        """Three docs open with the same 10-token licence header
+        (boilerplate at SCRUB_MIN_DOCS=3) then diverge; a fourth doc is
+        fully unique.  The shared first chunk is dropped from all three
+        carriers, every unique chunk survives, and token accounting is
+        exact — including doc d's short partial chunk."""
+        from biodiversity_graph_db_spark.extensions.textstats import (
+            boilerplate_scrub,
+        )
+
+        header = " ".join(f"h{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [
+                (1, header + " " + " ".join(f"a{i}" for i in range(10))),
+                (2, header + " " + " ".join(f"b{i}" for i in range(10))),
+                (3, header + " " + " ".join(f"c{i}" for i in range(10))),
+                (4, " ".join(f"d{i}" for i in range(15))),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in boilerplate_scrub(docs).collect()}
+        for d in (1, 2, 3):
+            assert rows[d].n_chunks == 2
+            assert rows[d].n_dropped == 1
+            assert rows[d].tokens_before == 20
+            assert rows[d].tokens_after == 10
+        assert rows[4].n_chunks == 2
+        assert rows[4].n_dropped == 0
+        assert rows[4].tokens_before == 15
+        assert rows[4].tokens_after == 15
+
+
+class TestMmrRerank:
+    def test_redundant_candidate_demoted(self, spark):
+        """q points at e1; e2 is a near-copy of e1 (plain top-2 would
+        return both), e3 is moderately relevant but orthogonal to e1.
+        MMR's redundancy penalty must pick e3 at rank 2:
+        score(e2) ~ 0.7*0.80 - 0.3*1.0 ~ 0.26
+        < score(e3) ~ 0.7*0.77 - 0.3*0.25 ~ 0.47."""
+        from biodiversity_graph_db_spark.extensions.similarity import (
+            mmr_rerank,
+        )
+
+        rows = [
+            (0, [1.0, 1.0, 0.0]),          # the query, between e1 and e3
+            (1, [1.0, 0.15, 0.0]),         # top hit
+            (2, [1.0, 0.149, 0.0]),        # near-copy of e1, just behind
+            (3, [0.1, 1.0, 0.0]),          # nearly as relevant, diverse
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = (
+            mmr_rerank(emb, emb.where("vec_id = 0"), pool=3, k=3)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r.c_id for r in got] == [1, 3, 2]
+        assert [r.rank for r in got] == [1, 2, 3]
+        # scores are monotone non-increasing down the ranking
+        assert got[0].mmr_q >= got[1].mmr_q >= got[2].mmr_q

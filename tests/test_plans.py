@@ -787,3 +787,42 @@ class TestLmPerplexityPlan:
         # one Generate means the D5/T8 re-evaluation bug is back
         assert plan.count("Generate") <= 1, plan
         assert "ExistingRDD" in plan
+
+
+class TestRound7SecondWavePlans:
+    def test_g15_modularity_no_cartesian_one_broadcast_m(self, spark, sf_dir):
+        """The intra-edge marking is two vertex-keyed label joins and m
+        arrives as a broadcast 1-row literal — no cartesian anywhere
+        (the label side is a vertex table, the m side is one row)."""
+        plan = _plan(spark, sf_dir, "G15_modularity")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+        # per-community rollups are two-phase (map-side partial)
+        assert plan.count("HashAggregate") >= 2
+
+    def test_d8_scrub_single_chunk_pass(self, spark, sf_dir):
+        """The md5 chunk map is the dominant cost and must run ONCE:
+        the exploded chunk table is localCheckpoint-ed (it feeds both
+        the document-frequency count and the per-doc rollup), so the
+        final plan scores off the materialized cut — at most one
+        Generate anywhere, ExistingRDD present (the D5/T8 single-pass
+        discipline); the common set joins back on the chunk hash —
+        never a cartesian, never Python."""
+        plan = _plan(spark, sf_dir, "D8_boilerplate_scrub")
+        assert "ExistingRDD" in plan
+        assert "Generate" not in plan.split("ExistingRDD")[0], plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 4  # distinct-df + doc rollup
+
+    def test_v8_mmr_rounds_run_off_checkpointed_pool(self, spark, sf_dir):
+        """The candidate pool and its pairwise-sim table are bounded and
+        localCheckpoint-ed; the five selection rounds must plan off the
+        materialized cuts (ExistingRDD) — with no corpus re-scan (no
+        parquet FileScan in the final plan) and no Python eval."""
+        plan = _plan(spark, sf_dir, "V8_mmr_rerank")
+        assert "ExistingRDD" in plan
+        assert "embeddings.parquet" not in plan, plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
