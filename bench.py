@@ -66,6 +66,11 @@ HEADLINE = [
     "G15_modularity",
     "D8_boilerplate_scrub",
     "V8_mmr_rerank",
+    # round 7 third wave: centrality, skew profiling, SpMM, time rollup
+    "G16_harmonic_landmarks",
+    "PR2_key_skew",
+    "M5_sparse_matmul",
+    "W9_multires_rollup",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

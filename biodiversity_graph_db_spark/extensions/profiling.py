@@ -19,7 +19,7 @@ identical strings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biodiversity_graph_db_spark.registry import query
@@ -119,3 +119,96 @@ def profile_events(df: DataFrame) -> DataFrame:
 def pr1_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of the events table — see module docstring."""
     return profile_events(table(spark, sf_dir, "events"))
+
+
+# --- PR2: join-key skew profile -------------------------------------------
+
+SHARE_UNIT = 1_000_000  # per-key share in parts-per-million
+SKEW_UNIT = 10_000  # skew factor at 4 fractional digits
+
+
+def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Join-key skew profile: per-key counts -> the ``top`` heaviest
+    keys, each annotated with its row share, its skew factor vs the
+    uniform expectation, and the SALT BUCKET COUNT a skew-mitigating
+    repartition of that key would need — the look-before-you-join pass
+    that decides, at 100 TB, whether a shuffle join needs salting or
+    AQE skew splitting before the job is submitted (a single hot key
+    that owns 5% of a 100 TB fact table is a 5 TB straggler task).
+
+    All-integer arithmetic (shares in ppm, skew at 4dp via DIV,
+    ceiling as ``(a + b - 1) DIV b``) so a SQL oracle reproduces every
+    row exactly.  Returns (rank, key, cnt, share_ppm, n_keys, n_rows,
+    skew_x10000, salt_buckets).
+
+    Scale shape: ONE combinable count shuffle on the key (the same
+    shuffle the join under study would do, at count-row cost); the
+    global totals are a 1-row aggregate broadcast back; the top-k is
+    TakeOrderedAndProject (per-partition heaps, never a global sort),
+    and the rank window runs over the ``top`` surviving rows only.
+    """
+    c = F.col
+    counts = (
+        df.groupBy(c(key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    topk = counts.orderBy(c("cnt").desc(), "key").limit(top)
+    w = Window.orderBy(c("cnt").desc(), "key")
+    return (
+        topk.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            c("cnt").cast("long").alias("cnt"),
+            F.expr(f"cnt * {SHARE_UNIT} DIV n_rows")
+            .cast("long")
+            .alias("share_ppm"),
+            c("n_keys").cast("long").alias("n_keys"),
+            c("n_rows").cast("long").alias("n_rows"),
+            F.expr(f"cnt * n_keys * {SKEW_UNIT} DIV n_rows")
+            .cast("long")
+            .alias("skew_x10000"),
+            F.expr("(cnt * n_keys + n_rows - 1) DIV n_rows")
+            .cast("long")
+            .alias("salt_buckets"),
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "PR2_key_skew",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_suppkey AS key, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM c
+    ),
+    topk AS (
+      SELECT key, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+      FROM c ORDER BY cnt DESC, key LIMIT 10
+    )
+    SELECT topk.rank, topk.key, CAST(topk.cnt AS BIGINT) AS cnt,
+           CAST(topk.cnt * {SHARE_UNIT} // t.n_rows AS BIGINT) AS share_ppm,
+           t.n_keys, t.n_rows,
+           CAST(topk.cnt * t.n_keys * {SKEW_UNIT} // t.n_rows AS BIGINT)
+             AS skew_x10000,
+           CAST((topk.cnt * t.n_keys + t.n_rows - 1) // t.n_rows AS BIGINT)
+             AS salt_buckets
+    FROM topk, t ORDER BY rank
+    """,
+)
+def pr2_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of lineitem's supplier FK — the fact-table join key
+    every supplier-side join shuffles on; see key_skew_profile."""
+    return key_skew_profile(table(spark, sf_dir, "lineitem"), "l_suppkey")

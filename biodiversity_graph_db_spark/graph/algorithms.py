@@ -608,3 +608,40 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .alias("contrib_q"),
         )
     )
+
+
+HARMONIC_UNIT = 1_000_000  # harmonic-centrality fixed-point micro-units
+
+
+def harmonic_centrality(
+    edges: DataFrame, landmarks: list[str], max_hops: int = 4
+) -> DataFrame:
+    """Landmark-approximated harmonic centrality (Boldi & Vigna 2014,
+    "Axioms for centrality"): for each vertex, ``sum over reachable
+    landmarks of 1/dist`` — the disconnected-graph-safe cousin of
+    closeness (unreachable landmarks contribute 0, no infinity).
+
+    Exact fixed-point form: each term is ``HARMONIC_UNIT DIV dist``
+    (integer floor division), summed as BIGINT — bit-identical in any
+    engine, so a SQL oracle replaying the same unrolled BFS reproduces
+    every score.  Returns (key, harmonic_micro, n_reached) for vertices
+    that reach at least one landmark at dist >= 1.
+
+    Scale shape: the BFS is ``shortest_paths``'s multi-source frontier —
+    all landmarks advance together, max_hops keyed shuffles total, state
+    bounded by |V| x |landmarks| (landmarks is a small fixed set by
+    contract: the whole point of the landmark approximation is that the
+    exact all-pairs form is quadratic and this is not).  The final
+    rollup is one combinable aggregate on the vertex key.
+    """
+    d = shortest_paths(edges, landmarks, max_hops=max_hops)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.expr(f"{HARMONIC_UNIT} DIV dist").cast("long")
+            ).alias("harmonic_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+        )
+    )

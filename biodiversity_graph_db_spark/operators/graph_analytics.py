@@ -684,3 +684,50 @@ def g15_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return algorithms.modularity(
         g, algorithms.label_propagation(g, max_iter=5)
     ).orderBy("community")
+
+
+_G16_LANDMARKS = ("o_1", "o_2", "o_3", "o_4")
+
+
+def _harmonic_oracle(max_hops: int = 4) -> str:
+    unit = algorithms.HARMONIC_UNIT
+    lms = ", ".join(f"('{lm}')" for lm in _G16_LANDMARKS)
+    its = []
+    for k in range(max_hops):
+        its.append(f"""v{k + 1} AS (
+      SELECT key, landmark, MIN(dist) AS dist FROM (
+        SELECT key, landmark, dist FROM v{k}
+        UNION ALL
+        SELECT e.dst AS key, v.landmark, v.dist + 1 AS dist
+        FROM und2 e JOIN v{k} v ON e.src = v.key
+      ) GROUP BY key, landmark
+    )""")
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH {_LI_GRAPH_SQL},
+    und2 AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    v0 AS (SELECT key, key AS landmark, 0 AS dist
+           FROM (VALUES {lms}) t(key)),
+    {its_sql}
+    SELECT key,
+           CAST(SUM({unit} // dist) AS BIGINT) AS harmonic_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM v{max_hops} WHERE dist > 0
+    GROUP BY key ORDER BY key
+    """
+
+
+@query("G16_harmonic_landmarks", oracle=_harmonic_oracle())
+def g16_harmonic_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic centrality (Boldi & Vigna 2014)
+    from the 4 fixed order landmarks over the undirected o/p/s graph,
+    4 hops — the "how central is every entity" score G7's raw distance
+    table feeds; exact ``UNIT DIV dist`` fixed-point terms so the
+    unrolled-BFS oracle reproduces every score bit-for-bit."""
+    und = algorithms.undirect(li_graph(spark, sf_dir))
+    return algorithms.harmonic_centrality(
+        und, list(_G16_LANDMARKS), max_hops=4
+    ).orderBy("key")

@@ -153,3 +153,70 @@ def m4_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+# --- M5: sparse matrix multiply -------------------------------------------
+
+
+def spmm(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sparse matrix product C = A x B in COO (long) form: ``a`` is
+    (i, k, v), ``b`` is (k, j, v); returns (i, j, val) with
+    ``val = sum_k a.v * b.v``.  This IS the Spark-first spelling of
+    SpMM — a join on the contraction index followed by a combinable
+    aggregate on the output cell — the same shape GraphX uses for its
+    message rounds and IVF uses for centroid scoring.
+
+    Scale shape: one equi-join shuffle on k (broadcast when one operand
+    is a bounded dimension — AQE decides from measured sizes), then one
+    map-side-combinable sum on (i, j).  No densification anywhere:
+    cost is |A| + |B| + |nonzero products|, never n^2."""
+    ai, ak, av = a.columns[:3]
+    bk, bj, bv = b.columns[:3]
+    return (
+        a.select(F.col(ai).alias("i"), F.col(ak).alias("k"), F.col(av).alias("av"))
+        .join(
+            b.select(
+                F.col(bk).alias("k"), F.col(bj).alias("j"), F.col(bv).alias("bv")
+            ),
+            "k",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("av") * F.col("bv")).cast("long").alias("val"))
+    )
+
+
+@query(
+    "M5_sparse_matmul",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey AS i, l_suppkey AS k,
+             CAST(FLOOR(l_quantity * 10000) AS BIGINT) AS v
+      FROM lineitem WHERE l_orderkey <= 600
+    ),
+    b AS (
+      SELECT s_suppkey AS k, s_nationkey AS j, CAST(1 AS BIGINT) AS v
+      FROM supplier
+    )
+    SELECT a.i, b.j, CAST(SUM(a.v * b.v) AS BIGINT) AS val
+    FROM a JOIN b ON a.k = b.k
+    GROUP BY a.i, b.j ORDER BY i, j
+    """,
+)
+def m5_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpMM demo on the star schema: A = order x supplier quantity
+    matrix (scaled-int values), B = supplier x nation indicator; C
+    gives per-order quantity mass by nation — a one-join one-agg
+    contraction, the building block the reference's DataTable2D math
+    (Datasets.fs:23-28) lifts to at scale."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 600)
+    a = li.select(
+        F.col("l_orderkey").alias("i"),
+        F.col("l_suppkey").alias("k"),
+        F.floor(F.col("l_quantity") * 10000).cast("long").alias("v"),
+    )
+    b = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").alias("j"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    return spmm(a, b).orderBy("i", "j")

@@ -514,3 +514,61 @@ def w8_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
         dquant(lerp).alias("val_lerp"),
     ).orderBy("user_id", "hour_ts")
+
+
+@query(
+    "W9_multires_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket_hour,
+             value
+      FROM events
+    )
+    SELECT COALESCE(bucket_day, 'ALL') AS bucket_day,
+           COALESCE(bucket_hour, 'ALL') AS bucket_hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+             AS value_x10000
+    FROM b GROUP BY ROLLUP (bucket_day, bucket_hour)
+    ORDER BY bucket_day, bucket_hour
+    """,
+)
+def w9_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup — the hypertable continuous
+    aggregate (TimescaleDB's signature op): hourly, daily and
+    grand-total event summaries materialized in ONE pass via
+    ROLLUP(day, hour).  Spark plans this as a single Expand + one hash
+    aggregate — each row fans to its 3 grouping-set copies map-side and
+    partial-aggregates before the one shuffle — strictly cheaper than
+    the three stacked groupBys a naive continuous-aggregate refresh
+    would run, and the refresh unit a streaming maintainer would emit
+    per watermark close.  Buckets render as strings and the value sum
+    rides the scaled-int spelling so every engine agrees bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "bucket_day"
+        ),
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_hour"),
+        "value",
+    )
+    return (
+        b.rollup("bucket_day", "bucket_hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("value_x10000"),
+        )
+        .select(
+            F.coalesce("bucket_day", F.lit("ALL")).alias("bucket_day"),
+            F.coalesce("bucket_hour", F.lit("ALL")).alias("bucket_hour"),
+            "n",
+            "value_x10000",
+        )
+        .orderBy("bucket_day", "bucket_hour")
+    )

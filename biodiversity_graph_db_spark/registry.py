@@ -62,6 +62,10 @@ PRIORITY: tuple[str, ...] = (
     "G15_modularity",
     "D8_boilerplate_scrub",
     "V8_mmr_rerank",
+    "G16_harmonic_landmarks",
+    "PR2_key_skew",
+    "M5_sparse_matmul",
+    "W9_multires_rollup",
     # (1) the 39 queries whose latest driver evidence is round 4
     # (VERDICT r6 item 7) — after this round no query's driver
     # evidence is older than r5
@@ -102,6 +106,11 @@ PRIORITY: tuple[str, ...] = (
     "T17_corpus_cube",
     "T1_token_stats",
     "T2_quality_scores",
+    # T3/T5 are the two r4-evidence queries the third-wave additions
+    # (G16/PR2/M5/W9, positions 10-13) push past the 50-slot window:
+    # new queries' FIRST driver grade outranks refreshing green r4
+    # evidence that the local parity gate re-verifies every run.
+    # They lead the r8 rotation.
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
     # (2) fills: oldest-r5 representatives, gram/dedup-family first

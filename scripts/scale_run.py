@@ -144,6 +144,39 @@ def main() -> None:
             ).collect(),
             runs,
         )
+        # round-7 wave-2/3 additions: every corpus-wide registered
+        # query runs as-is; M5's pinned slice is widened to the full
+        # fact table via the generic spmm helper
+        for q in (
+            "T27_bm25_topk",
+            "T28_lm_perplexity",
+            "D7_split_leakage",
+            "D8_boilerplate_scrub",
+            "V8_mmr_rerank",
+            "PR2_key_skew",
+            "W9_multires_rollup",
+        ):
+            res[q] = timed(
+                lambda q=q: registry.QUERIES[q](spark, sf_dir).collect(),
+                runs,
+            )
+        from biodiversity_graph_db_spark.operators.matrix import spmm
+
+        def _spmm_full():
+            li = table(spark, sf_dir, "lineitem")
+            a = li.select(
+                F.col("l_orderkey").alias("i"),
+                F.col("l_suppkey").alias("k"),
+                F.floor(F.col("l_quantity") * 10000).cast("long").alias("v"),
+            )
+            b = table(spark, sf_dir, "supplier").select(
+                F.col("s_suppkey").alias("k"),
+                F.col("s_nationkey").alias("j"),
+                F.lit(1).cast("long").alias("v"),
+            )
+            return spmm(a, b).count()
+
+        res["M5_spmm_full"] = timed(_spmm_full, runs)
 
         tmp = tempfile.mkdtemp(prefix="scale_")
         try:
@@ -210,6 +243,14 @@ def main() -> None:
             .localCheckpoint()
         )
         wedges = wli_graph(spark, BIG, bound=bound).localCheckpoint()
+        from biodiversity_graph_db_spark.graph.algorithms import (
+            harmonic_centrality,
+            hits,
+            modularity,
+            undirect,
+        )
+
+        und2 = undirect(edges).localCheckpoint()
         k = {
             "n_edges": n_edges,
             "n_wedges": wedges.count(),
@@ -220,6 +261,22 @@ def main() -> None:
             "G13_sssp": timed(
                 lambda: weighted_sssp(
                     wedges, "o_1", rounds=6
+                ).count(),
+                runs,
+            ),
+            # round-7 additions on the same minted graph
+            "G14_hits": timed(
+                lambda: hits(edges, iterations=5).count(), runs
+            ),
+            "G15_modularity": timed(
+                lambda: modularity(
+                    edges, label_propagation(edges, max_iter=5)
+                ).count(),
+                runs,
+            ),
+            "G16_harmonic": timed(
+                lambda: harmonic_centrality(
+                    und2, ["o_1", "o_2", "o_3", "o_4"], max_hops=4
                 ).count(),
                 runs,
             ),
@@ -237,9 +294,9 @@ def main() -> None:
     b0, b1 = kern["bound_600"], kern["bound_6000"]
     out["kernel_edge_ratio"] = round(b1["n_edges"] / b0["n_edges"], 2)
     out["kernel_time_ratio"] = {
-        "G9_lpa": round(b1["G9_lpa"] / b0["G9_lpa"], 2),
-        "G11_kcore": round(b1["G11_kcore"] / b0["G11_kcore"], 2),
-        "G13_sssp": round(b1["G13_sssp"] / b0["G13_sssp"], 2),
+        op: round(b1[op] / b0[op], 2)
+        for op in b0
+        if op not in ("n_edges", "n_wedges") and b0[op] > 0
     }
     print(json.dumps(out))
     spark.stop()

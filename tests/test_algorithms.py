@@ -272,3 +272,50 @@ class TestModularity:
         assert len(rows) == 3
         assert all(r.intra_edges == 0 for r in rows)
         assert all(r.contrib_q == -r.degree_sum ** 2 for r in rows)
+
+
+class TestHarmonicCentrality:
+    def test_path_graph_exact_terms(self, spark):
+        """a-b-c path, landmark a: b gets UNIT/1, c gets UNIT/2 —
+        each term is the exact integer floor division."""
+        from biodiversity_graph_db_spark.graph import algorithms
+
+        und = algorithms.undirect(
+            spark.createDataFrame(
+                [("a", "b"), ("b", "c")], "src string, dst string"
+            )
+        )
+        rows = {
+            r.key: r
+            for r in algorithms.harmonic_centrality(
+                und, ["a"], max_hops=4
+            ).collect()
+        }
+        u = algorithms.HARMONIC_UNIT
+        assert rows["b"].harmonic_micro == u
+        assert rows["c"].harmonic_micro == u // 2
+        assert "a" not in rows  # dist-0 self row excluded
+
+    def test_multi_landmark_sums_and_unreachable_is_absent(self, spark):
+        """Landmarks {a, c} on a-b-c plus an isolated edge x-y: b sums
+        two dist-1 terms; x/y reach no landmark and are absent (the
+        harmonic convention: unreachable contributes nothing, no
+        infinity)."""
+        from biodiversity_graph_db_spark.graph import algorithms
+
+        und = algorithms.undirect(
+            spark.createDataFrame(
+                [("a", "b"), ("b", "c"), ("x", "y")],
+                "src string, dst string",
+            )
+        )
+        rows = {
+            r.key: r
+            for r in algorithms.harmonic_centrality(
+                und, ["a", "c"], max_hops=4
+            ).collect()
+        }
+        u = algorithms.HARMONIC_UNIT
+        assert rows["b"].harmonic_micro == 2 * u and rows["b"].n_reached == 2
+        assert rows["a"].harmonic_micro == u // 2  # reaches c at dist 2
+        assert "x" not in rows and "y" not in rows

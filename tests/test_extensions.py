@@ -907,3 +907,41 @@ class TestMmrRerank:
         assert [r.rank for r in got] == [1, 2, 3]
         # scores are monotone non-increasing down the ranking
         assert got[0].mmr_q >= got[1].mmr_q >= got[2].mmr_q
+
+
+class TestKeySkewProfile:
+    def test_known_skew_exact_integer_metrics(self, spark):
+        """6/2/2 split over 3 keys: shares in exact ppm, skew as the
+        max/avg ratio at 4dp, salt_buckets the integer ceiling of the
+        per-key overload factor."""
+        from biodiversity_graph_db_spark.extensions.profiling import (
+            key_skew_profile,
+        )
+
+        df = spark.createDataFrame(
+            [("x",)] * 6 + [("y",)] * 2 + [("z",)] * 2, "k string"
+        )
+        rows = key_skew_profile(df, "k", top=2).collect()
+        assert [r.rank for r in rows] == [1, 2]
+        top = rows[0]
+        assert (top.key, top.cnt, top.n_keys, top.n_rows) == ("x", 6, 3, 10)
+        assert top.share_ppm == 600_000
+        assert top.skew_x10000 == 18_000  # 6 vs uniform 10/3 -> 1.8x
+        assert top.salt_buckets == 2  # ceil(18/10)
+        assert rows[1].key == "y"  # cnt tie broken by key order
+
+
+class TestSpmm:
+    def test_known_product(self, spark):
+        """[[1,2],[0,3]] x [[4,0],[5,6]] = [[14,12],[15,18]] in COO —
+        zero cells simply absent on both sides."""
+        from biodiversity_graph_db_spark.operators.matrix import spmm
+
+        a = spark.createDataFrame(
+            [(0, 0, 1), (0, 1, 2), (1, 1, 3)], "i long, k long, v long"
+        )
+        b = spark.createDataFrame(
+            [(0, 0, 4), (1, 0, 5), (1, 1, 6)], "k long, j long, v long"
+        )
+        cells = {(r.i, r.j): r.val for r in spmm(a, b).collect()}
+        assert cells == {(0, 0): 14, (0, 1): 12, (1, 0): 15, (1, 1): 18}

@@ -826,3 +826,52 @@ class TestRound7SecondWavePlans:
         assert "embeddings.parquet" not in plan, plan
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound7ThirdWavePlans:
+    def test_pr2_topk_is_take_ordered_not_global_sort(self, spark, sf_dir):
+        """The heavy-hitter pick must be TakeOrderedAndProject
+        (per-partition heaps) — never a global sort of the full key
+        set; the count is two-phase; the totals side is a broadcast
+        1-row cross join, the only nested-loop allowed."""
+        plan = _plan(spark, sf_dir, "PR2_key_skew")
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_m5_spmm_broadcasts_dimension_two_phase_agg(self, spark, sf_dir):
+        """The contraction join must broadcast the bounded supplier
+        operand (never shuffle the fact side for a dimension-sized
+        right) and the cell sum must partial-aggregate map-side."""
+        plan = _plan(spark, sf_dir, "M5_sparse_matmul")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan
+
+    def test_w9_rollup_is_single_expand_one_pass(self, spark, sf_dir):
+        """The three resolutions (hour, day, total) must come from ONE
+        Expand + one two-phase aggregate over one scan — the whole
+        point of the continuous-aggregate spelling; three stacked
+        groupBys would show three scans."""
+        plan = _plan(spark, sf_dir, "W9_multires_rollup")
+        import re
+
+        # formatted mode prints each node twice (tree line + detail
+        # header) — count the numbered detail headers only
+        assert len(re.findall(r"^\(\d+\) Expand", plan, re.MULTILINE)) == 1
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan
+
+    def test_g16_harmonic_no_cartesian_combinable_rollup(self, spark, sf_dir):
+        """The landmark BFS is keyed equi-joins off checkpointed
+        frontiers and the final harmonic sum is a combinable aggregate
+        — no cartesian, no Python, two-phase rollup."""
+        plan = _plan(spark, sf_dir, "G16_harmonic_landmarks")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "ExistingRDD" in plan  # runs off the checkpointed visited set
