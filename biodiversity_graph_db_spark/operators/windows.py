@@ -516,6 +516,40 @@ def w8_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "hour_ts")
 
 
+def multires_cells(ev: DataFrame) -> DataFrame:
+    """The W9 continuous-aggregate cells for an events DataFrame:
+    (bucket_day, bucket_hour, n, value_x10000) at hourly, daily and
+    grand-total resolution via ROLLUP(day, hour) — one Expand + one
+    two-phase hash aggregate over one scan.  Every cell is ADDITIVE
+    (count + scaled-int sum), so partial rollups over disjoint slices
+    merge by grouped sum — the property the streaming maintainer
+    (streaming/ingest.py run_multires_rollup) relies on."""
+    b = ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "bucket_day"
+        ),
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_hour"),
+        "value",
+    )
+    return (
+        b.rollup("bucket_day", "bucket_hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("value_x10000"),
+        )
+        .select(
+            F.coalesce("bucket_day", F.lit("ALL")).alias("bucket_day"),
+            F.coalesce("bucket_hour", F.lit("ALL")).alias("bucket_hour"),
+            "n",
+            "value_x10000",
+        )
+    )
+
+
 @query(
     "W9_multires_rollup",
     oracle="""
@@ -543,32 +577,10 @@ def w9_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — each row fans to its 3 grouping-set copies map-side and
     partial-aggregates before the one shuffle — strictly cheaper than
     the three stacked groupBys a naive continuous-aggregate refresh
-    would run, and the refresh unit a streaming maintainer would emit
-    per watermark close.  Buckets render as strings and the value sum
-    rides the scaled-int spelling so every engine agrees bit-for-bit."""
-    ev = table(spark, sf_dir, "events")
-    b = ev.select(
-        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
-            "bucket_day"
-        ),
-        F.date_format(
-            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
-        ).alias("bucket_hour"),
-        "value",
-    )
-    return (
-        b.rollup("bucket_day", "bucket_hour")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
-            .cast("bigint")
-            .alias("value_x10000"),
-        )
-        .select(
-            F.coalesce("bucket_day", F.lit("ALL")).alias("bucket_day"),
-            F.coalesce("bucket_hour", F.lit("ALL")).alias("bucket_hour"),
-            "n",
-            "value_x10000",
-        )
-        .orderBy("bucket_day", "bucket_hour")
+    would run, and the refresh unit the streaming maintainer
+    (run_multires_rollup) emits per micro-batch.  Buckets render as
+    strings and the value sum rides the scaled-int spelling so every
+    engine agrees bit-for-bit."""
+    return multires_cells(table(spark, sf_dir, "events")).orderBy(
+        "bucket_day", "bucket_hour"
     )

@@ -729,3 +729,58 @@ def run_hist_sketch(events: DataFrame, out_path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def multires_rollup_upsert(
+    batch: DataFrame,
+    batch_id: int,
+    out_path: str,
+    app_id: str | None = None,
+) -> None:
+    """One micro-batch's continuous-aggregate merge (the W9 hypertable
+    rollup kept current): the batch's ROLLUP(day, hour) cells are
+    additive (count + scaled-int sum), so they fold into the stored
+    cells by grouped sum — state stays |buckets| rows no matter how
+    much history has streamed through.  Same lineage-bound replay
+    guard as the count-min store: rollup cells double-count a replayed
+    batch, so a (lineage, batch_id) at or below the stored stamp is
+    skipped; a NEW stream lineage restarting at 0 keeps merging."""
+    from biodiversity_graph_db_spark.operators.windows import multires_cells
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    spark = batch.sparkSession
+    fresh = multires_cells(batch)
+    if _path_exists(spark, out_path):
+        stored = spark.read.parquet(out_path)
+        if _replayed(stored, batch_id, app_id):
+            return  # replayed batch — its cells are already in
+        fresh = (
+            fresh.unionByName(stored.drop("last_batch", "last_app"))
+            .groupBy("bucket_day", "bucket_hour")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("value_x10000").cast("long").alias("value_x10000"),
+            )
+        )
+    _stamp(fresh, batch_id, app_id).localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(out_path)
+
+
+def run_multires_rollup(events: DataFrame, out_path: str, checkpoint: str):
+    """Streaming continuous-aggregate maintenance — the refresh loop
+    that makes W9 a TimescaleDB-style hypertable rollup instead of a
+    batch report: each micro-batch folds its hourly/daily/total cells
+    into the store by grouped sum.  Equivalence oracle: the batch
+    ``multires_cells`` over the same data (tested bit-for-bit);
+    replay safety mirrors the count-min store (cells add, so the
+    store carries (lineage, batch_id) and skips replays)."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        multires_rollup_upsert(batch, batch_id, out_path, app_id=checkpoint)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

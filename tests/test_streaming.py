@@ -1267,3 +1267,60 @@ class TestStreamingDecontamination:
             assert spark.read.parquet(f"{tmp}/out").count() == 4
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingMultiresRollup:
+    def test_stream_rollup_equals_batch_and_guards_replay(
+        self, spark, events_dir
+    ):
+        """W9 under streaming maintenance: the continuous-aggregate
+        store must finish bit-identical to the batch ROLLUP(day, hour)
+        cells over the same events, a same-lineage replayed batch must
+        be a no-op, and a NEW lineage restarting at batch 0 must keep
+        merging (the CM lineage contract)."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.operators.windows import (
+            multires_cells,
+        )
+        from biodiversity_graph_db_spark.streaming import ingest
+
+        tmp = tempfile.mkdtemp(prefix="w9_stream_")
+        try:
+            out = f"{tmp}/rollup"
+            q = ingest.run_multires_rollup(
+                ingest.read_events_stream(spark, events_dir),
+                out,
+                f"{tmp}/ckpt",
+            ).start()
+            q.awaitTermination(120)
+
+            ev = spark.read.parquet(events_dir)
+            key = lambda r: (r.bucket_day, r.bucket_hour, r.n, r.value_x10000)
+            got = {key(r) for r in spark.read.parquet(out).collect()}
+            want = {key(r) for r in multires_cells(ev).collect()}
+            assert got == want and got
+
+            # same-lineage replay: no-op
+            last = (
+                spark.read.parquet(out).agg(F.max("last_batch")).first()[0]
+            )
+            ingest.multires_rollup_upsert(
+                ev, last, out, app_id=f"{tmp}/ckpt"
+            )
+            assert {
+                key(r) for r in spark.read.parquet(out).collect()
+            } == got
+
+            # new lineage at batch 0 with new data: merges (cells add)
+            ingest.multires_rollup_upsert(ev, 0, out, app_id="ckpt_B")
+            doubled = {
+                key(r)
+                for r in multires_cells(ev.unionByName(ev)).collect()
+            }
+            assert {
+                key(r) for r in spark.read.parquet(out).collect()
+            } == doubled
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
