@@ -71,6 +71,14 @@ HEADLINE = [
     "PR2_key_skew",
     "M5_sparse_matmul",
     "W9_multires_rollup",
+    # round 7 fourth wave: clustering coeff, exact median, decay score,
+    # PSI drift, LSH banding eval, bloom-runtime-filter join
+    "G17_clustering_coeff",
+    "A9_exact_median",
+    "W10_decay_score",
+    "PR3_psi_drift",
+    "D9_lsh_eval",
+    "J10_bloom_semijoin",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

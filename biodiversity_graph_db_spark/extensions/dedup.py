@@ -876,3 +876,136 @@ def d6_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the tie-break order."""
     d = table(spark, sf_dir, "documents")
     return cap_per_domain(d).orderBy("source", "rk")
+
+
+@query(
+    "D9_lsh_eval",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sh
+      FROM documents WHERE doc_id < 200
+    ), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    hs AS (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS h),
+    mh AS (
+      SELECT doc_id, h,
+             MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS sig
+      FROM ex CROSS JOIN hs GROUP BY doc_id, h
+    ),
+    bands AS (
+      SELECT doc_id, h // {BAND_SIZE} AS band,
+             md5(string_agg(sig, '|' ORDER BY h)) AS band_key
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    tpairs AS (
+      SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM ex ea
+      JOIN ex eb ON ea.shingle = eb.shingle AND ea.doc_id < eb.doc_id
+      GROUP BY ea.doc_id, eb.doc_id
+    ),
+    jacc AS (
+      SELECT t.doc_a, t.doc_b,
+             t.n_inter / CAST(sa.n + sb.n - t.n_inter AS DOUBLE) AS j
+      FROM tpairs t
+      JOIN sizes sa ON sa.doc_id = t.doc_a
+      JOIN sizes sb ON sb.doc_id = t.doc_b
+    ),
+    truth AS (SELECT doc_a, doc_b FROM jacc WHERE j >= 0.7),
+    hits AS (
+      SELECT c.doc_a, c.doc_b FROM cand c JOIN truth t
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM cand)  AS n_candidates,
+           (SELECT COUNT(*) FROM hits)  AS n_hits,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           {sql_dquant('(SELECT COUNT(*) FROM hits)'
+                       ' / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)')}
+             AS precision_at_07,
+           {sql_dquant('(SELECT COUNT(*) FROM hits)'
+                       ' / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)')}
+             AS recall_at_07
+    """,
+)
+def d9_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding evaluation — the measurement loop for the E2/D1
+    near-dup path: candidate precision and recall of the (16 hashes x
+    4 bands) scheme against exact-Jaccard>=0.7 ground truth.  A dedup
+    pipeline that never measures its banding is tuning blind; this is
+    the query that justifies (or indicts) the band geometry before a
+    100 TB run commits to it.
+
+    Scale shape: candidates come from the production band-bucket join
+    (never all-pairs); ground truth needs the TRUE pair set, which no
+    sub-quadratic pass can produce, so it runs on the bounded audit
+    slice (doc_id < 200 — the same fixed sample the E2/D1 family
+    scopes to) via the inverted-index join on shared shingles (only
+    pairs with intersection >= 1 materialize, and J >= 0.7 implies a
+    shared shingle, so the index join misses no true pair).  At 100 TB
+    the audit slice stays fixed-size while the measured banding scheme
+    is the one the full corpus runs."""
+    d = fan_out(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 200), spark
+    )
+    shingled = d.select(
+        "doc_id", unigram_shingles(F.col("text")).alias("shingles")
+    ).localCheckpoint()
+    cand = band_bucket_join(minhash_bands(shingled)).localCheckpoint()
+
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
+    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    tpairs = (
+        ex.alias("ea")
+        .join(
+            ex.alias("eb"),
+            (F.col("ea.shingle") == F.col("eb.shingle"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .groupBy(
+            F.col("ea.doc_id").alias("doc_a"),
+            F.col("eb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jacc = (
+        tpairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("j"),
+        )
+    )
+    truth = jacc.where(F.col("j") >= 0.7).localCheckpoint()
+    hits = cand.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+    from biodiversity_graph_db_spark.operators._util import dquant
+
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    return (
+        nc.crossJoin(nh)
+        .crossJoin(nt)
+        .select(
+            "n_candidates",
+            "n_hits",
+            "n_truth",
+            dquant(
+                F.col("n_hits") / F.col("n_candidates").cast("double")
+            ).alias("precision_at_07"),
+            dquant(F.col("n_hits") / F.col("n_truth").cast("double")).alias(
+                "recall_at_07"
+            ),
+        )
+    )

@@ -212,3 +212,92 @@ def pr2_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew profile of lineitem's supplier FK — the fact-table join key
     every supplier-side join shuffles on; see key_skew_profile."""
     return key_skew_profile(table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+_PSI_BUCKETS = 6  # fixed-width 100-char bins over the 44..577 domain
+
+
+@query(
+    "PR3_psi_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, LEAST(n_chars // 100, {_PSI_BUCKETS - 1}) AS bucket
+      FROM documents
+    ),
+    g AS (SELECT bucket, COUNT(*) AS gc FROM d GROUP BY bucket),
+    gn AS (SELECT SUM(gc) AS gt FROM g),
+    s AS (SELECT source, bucket, COUNT(*) AS sc FROM d GROUP BY source, bucket),
+    sn AS (SELECT source, SUM(sc) AS st FROM s GROUP BY source),
+    full_grid AS (
+      SELECT sn.source, g.bucket, g.gc, gn.gt, sn.st,
+             COALESCE(s.sc, 0) AS sc
+      FROM sn CROSS JOIN g CROSS JOIN gn
+      LEFT JOIN s ON s.source = sn.source AND s.bucket = g.bucket
+    ),
+    terms AS (
+      SELECT source, bucket,
+             CAST(FLOOR(((sc + 1.0) / (st + {_PSI_BUCKETS})
+                        - (gc + 1.0) / (gt + {_PSI_BUCKETS})) * 1e8)
+                  AS BIGINT)
+             * CAST(FLOOR(ln(
+                   ((sc + 1.0) * (gt + {_PSI_BUCKETS}))
+                   / ((st + {_PSI_BUCKETS}) * (gc + 1.0))
+                 ) * 1e6) AS BIGINT) AS term_q
+      FROM full_grid
+    )
+    SELECT source,
+           CAST(SUM(term_q) AS BIGINT) AS psi_x1e14,
+           CAST(SUM(term_q) AS BIGINT) / 1e14 AS psi
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def pr3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per document source against the
+    whole-corpus reference — the distribution-drift score a training
+    pipeline runs when a new crawl / vendor drop lands: PSI over the
+    length histogram flags a source whose documents are
+    distributionally unlike the corpus (truncation, boilerplate,
+    format change) before they enter the mix.  PSI(source) =
+    SUM_b (p_b - q_b) * ln(p_b / q_b), add-one smoothed.
+
+    Scale shape: two map-side-combinable counts over ONE scan family
+    (per-(source,bucket) and per-bucket), the bucket reference table is
+    BUCKETS rows and the per-source grid |sources| x BUCKETS — both
+    bounded dimensions joined without touching the corpus again.  The
+    one transcendental (ln) takes an exact-integer rational and is
+    floor-quantized to the 1e-6 grid (the T26 idiom), the share
+    difference to 1e-8; each term is then an exact BIGINT product, so
+    the per-source sum is order-independent and DuckDB reproduces the
+    hash bit-for-bit."""
+    b = F.least(F.floor(F.col("n_chars") / 100), F.lit(_PSI_BUCKETS - 1))
+    d = table(spark, sf_dir, "documents").select(
+        "source", b.cast("bigint").alias("bucket")
+    )
+    g = d.groupBy("bucket").agg(F.count("*").alias("gc"))
+    gn = g.agg(F.sum("gc").alias("gt"))
+    s = d.groupBy("source", "bucket").agg(F.count("*").alias("sc"))
+    sn = s.groupBy("source").agg(F.sum("sc").alias("st"))
+    grid = (
+        sn.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(gn))
+        .join(s, ["source", "bucket"], "left")
+        .withColumn("sc", F.coalesce(F.col("sc"), F.lit(0)))
+    )
+    nb = F.lit(float(_PSI_BUCKETS))
+    p = (F.col("sc") + 1.0) / (F.col("st") + nb)
+    q = (F.col("gc") + 1.0) / (F.col("gt") + nb)
+    ratio = ((F.col("sc") + 1.0) * (F.col("gt") + nb)) / (
+        (F.col("st") + nb) * (F.col("gc") + 1.0)
+    )
+    term = F.floor((p - q) * 1e8).cast("bigint") * F.floor(
+        F.log(ratio) * 1e6
+    ).cast("bigint")
+    return (
+        grid.select("source", term.alias("term_q"))
+        .groupBy("source")
+        .agg(
+            F.sum("term_q").cast("long").alias("psi_x1e14"),
+            (F.sum("term_q").cast("long") / F.lit(1e14)).alias("psi"),
+        )
+        .orderBy("source")
+    )

@@ -645,3 +645,37 @@ def harmonic_centrality(
             F.count(F.lit(1)).cast("long").alias("n_reached"),
         )
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient (Watts & Strogatz 1998):
+    lcc(v) = 2*T(v) / (deg(v) * (deg(v)-1)) over the undirected simple
+    graph — the neighborhood-density score that separates hub-and-spoke
+    vertices (lcc→0) from clique members (lcc→1).
+
+    Cost is the triangle enumeration (``triangle_count``'s oriented
+    wedge join) plus ONE combinable degree count on the symmetric edge
+    set — no new join shape; vertices with deg < 2 are excluded (the
+    coefficient is undefined there).  The division is a single IEEE
+    double op on two exact integers, so floor-quantized output is
+    bit-identical cross-engine."""
+    und = undirect(edges)
+    deg = und.groupBy(F.col("src").alias("key")).agg(
+        F.count("*").alias("deg")
+    )
+    tri = triangle_count(edges)
+    lcc = (F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0))) / (
+        F.col("deg") * (F.col("deg") - F.lit(1))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, "key", "left")
+        .select(
+            "key",
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.col("deg").cast("long").alias("deg"),
+            (F.floor(lcc * 10000) / F.lit(10000.0)).alias("lcc"),
+        )
+    )

@@ -283,3 +283,84 @@ def a8_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type", "priority")
     )
+
+
+@query(
+    "A9_exact_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, l_linestatus, cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag, l_linestatus ORDER BY cents
+             ) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY l_returnflag, l_linestatus
+             ) AS n
+      FROM c
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(MAX(n) AS BIGINT) AS n,
+           AVG(cents) AS median_cents
+    FROM r
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def a9_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median price — the deterministic complement to
+    the T24/T25 histogram-sketch quantiles (a sketch answers "roughly
+    where is p50" in one pass; billing/audit paths need the exact
+    order statistic).
+
+    Scale shape — the VALUE-HISTOGRAM spelling, not a per-group sort of
+    the raw rows: one map-side-combinable count by (group, cents)
+    collapses the 100 TB row set to its distinct values per group
+    (bounded by value cardinality), the rank window then runs over that
+    collapsed table only, and the two middle positions are located by
+    cumulative-count containment, not row_number over raw rows.  The
+    oracle uses the plain row-window spelling — same order statistic by
+    definition.  AVG over the at-most-two middle cents values is exact
+    in IEEE double, so the hash matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    g = ["l_returnflag", "l_linestatus"]
+    c = table(spark, sf_dir, "lineitem").select(
+        *g, F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    vh = c.groupBy(*g, "cents").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(*g).orderBy("cents")
+    vh = (
+        vh.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(*g)))
+        .withColumn("lo", F.col("cum") - F.col("cnt") + 1)
+    )
+    # middle positions (1-indexed): m1 = (n+1) div 2, m2 = (n+2) div 2
+    m1 = F.floor((F.col("n") + 1) / 2)
+    m2 = F.floor((F.col("n") + 2) / 2)
+    hit1 = (m1 >= F.col("lo")) & (m1 <= F.col("cum"))
+    hit2 = (m2 >= F.col("lo")) & (m2 <= F.col("cum"))
+    picked = vh.where(hit1 | hit2).select(
+        *g,
+        "n",
+        "cents",
+        # weight the value by how many middle positions land on it so a
+        # single distinct value covering both positions counts twice
+        (hit1.cast("int") + hit2.cast("int")).alias("w"),
+    )
+    return (
+        picked.groupBy(*g)
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            (
+                F.sum(F.col("cents") * F.col("w"))
+                / F.sum("w").cast("double")
+            ).alias("median_cents"),
+        )
+        .orderBy(*g)
+    )

@@ -731,3 +731,54 @@ def g16_harmonic_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return algorithms.harmonic_centrality(
         und, list(_G16_LANDMARKS), max_hops=4
     ).orderBy("key")
+
+
+@query(
+    "G17_clustering_coeff",
+    oracle=f"""
+    WITH {_LI_GRAPH_SQL},
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pv AS (
+      SELECT key, COUNT(*) AS triangles
+      FROM (
+        SELECT a AS key FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY key
+    ),
+    deg AS (
+      SELECT key, COUNT(*) AS deg FROM (
+        SELECT a AS key, b FROM und UNION ALL SELECT b, a FROM und
+      ) GROUP BY key
+    )
+    SELECT d.key,
+           CAST(COALESCE(pv.triangles, 0) AS BIGINT) AS triangles,
+           CAST(d.deg AS BIGINT) AS deg,
+           FLOOR(2.0 * COALESCE(pv.triangles, 0)
+                 / (d.deg * (d.deg - 1)) * 10000) / 10000.0 AS lcc
+    FROM deg d LEFT JOIN pv USING (key)
+    WHERE d.deg >= 2
+    ORDER BY key
+    """,
+)
+def g17_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the o/p/s co-occurrence graph —
+    completes the GraphX neighborhood-analytics set (G5 counts each
+    vertex's triangles; G17 normalizes them by the wedge count, the
+    Watts-Strogatz small-world score).  Reference parity: the reference
+    has no graph-analytic layer at all (Graph.fs is storage + traversal);
+    this is part of the §2.12 "GraphX for analytical queries" mandate.
+
+    Scale shape: the wedge join is the G5 oriented self-join (the
+    standard fan-out bound); the degree count is one map-side-combinable
+    aggregate on the symmetric edge set; the final join is vertex-keyed.
+    The lcc division runs on two exact BIGINTs, so the floor-quantized
+    double is bit-identical in DuckDB."""
+    return algorithms.clustering_coefficient(li_graph(spark, sf_dir)).orderBy(
+        "key"
+    )

@@ -397,3 +397,76 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id")
     )
+
+
+@query(
+    "J10_bloom_semijoin",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def j10_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-runtime-filter join — the semi-join reduction every
+    distributed engine applies before shuffling a fact table against a
+    selective dimension: the qualifying order keys' Bloom filter (T23's
+    sparse set-bit sketch, bounded at 64Ki rows regardless of input
+    size) is broadcast and probed map-side, so only lineitem rows that
+    MIGHT join ever enter the shuffle; the exact join afterwards
+    removes the false positives, making the result provably identical
+    to the plain join (no false negatives — the Bloom guarantee,
+    invariant-tested in test_extensions).
+
+    The probe is K chained LEFT-SEMI joins against the broadcast
+    set-bit table (a row survives iff every one of its K positions is
+    set) — each is a map-side BroadcastHashJoin that preserves rows and
+    never shuffles the fact side; a distinct-then-join-back probe would
+    broadcast the fact table's key set, unbounded at 100 TB.
+
+    Spark's own `spark.sql.optimizer.runtimeFilter.bloomFilter` does
+    this transparently when statistics justify it; spelling it as an
+    operator makes the reduction available where the optimizer can't
+    see the selectivity (a filter the dimension acquires at runtime, a
+    key list from another system) and keeps the sketch cross-engine
+    verifiable.  At 100 TB the win is the shuffle: ~1.5% of orders
+    qualify here, so ~98% of the fact rows drop before the exchange."""
+    from biodiversity_graph_db_spark.extensions.sketches import (
+        BLOOM_K,
+        bloom_build,
+        bloom_pos,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    qual = o.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 400000)
+    ).select("o_orderkey", "o_orderpriority")
+    bloom = bloom_build(
+        qual.select(F.col("o_orderkey").alias("k")), "k"
+    ).localCheckpoint()  # bounded (<= BLOOM_WIDTH rows); feeds K probes
+    pruned = li
+    for j in range(BLOOM_K):
+        pruned = pruned.join(
+            F.broadcast(bloom),
+            bloom_pos(F.col("l_orderkey"), j) == F.col("pos"),
+            "left_semi",
+        )
+    return (
+        pruned.join(qual, pruned.l_orderkey == qual.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("priority")
+    )

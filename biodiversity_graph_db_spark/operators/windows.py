@@ -584,3 +584,64 @@ def w9_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multires_cells(table(spark, sf_dir, "events")).orderBy(
         "bucket_day", "bucket_hour"
     )
+
+
+@query(
+    "W10_decay_score",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(FLOOR(value * 10000) AS BIGINT) AS sv
+      FROM events
+    ),
+    mx AS (SELECT MAX(d) AS mxd FROM e),
+    t AS (
+      SELECT user_id,
+             sv // (CAST(1 AS BIGINT) << LEAST(date_diff('day', d, mxd), 62))
+               AS term
+      FROM e CROSS JOIN mx
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(term) AS BIGINT) AS decayed_x10000,
+           CAST(SUM(term) AS BIGINT) / 10000.0 AS decay_score
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w10_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score — the
+    recency-weighted activity metric every feature store / ranking
+    pipeline keeps per entity: an event's contribution halves for each
+    day of age relative to the corpus' newest day.
+
+    Scale shape: the reference day is a 1-row global aggregate
+    broadcast back (BroadcastNestedLoopJoin on one row — constant
+    cost), then ONE map-side-combinable per-user sum; no window, no
+    per-user sort.  The half-life arithmetic is integer throughout —
+    ``floor(value*10^4) DIV 2^age`` — truncating and floor division
+    agree on the non-negative domain, so DuckDB reproduces every term
+    bit-for-bit; a float ``pow(0.5, age)`` would be order-dependent
+    under summation and is exactly what this spelling avoids."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("sv"),
+    )
+    mx = ev.agg(F.max("d").alias("mxd"))
+    t = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "sv DIV (CAST(1 AS BIGINT) << LEAST(datediff(mxd, d), 62))"
+        ).alias("term"),
+    )
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("term").cast("long").alias("decayed_x10000"),
+            (F.sum("term").cast("long") / F.lit(10000.0)).alias(
+                "decay_score"
+            ),
+        )
+        .orderBy("user_id")
+    )

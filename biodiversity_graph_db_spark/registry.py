@@ -66,6 +66,13 @@ PRIORITY: tuple[str, ...] = (
     "PR2_key_skew",
     "M5_sparse_matmul",
     "W9_multires_rollup",
+    # (0c) round-7 fourth wave — first driver grade needed
+    "G17_clustering_coeff",
+    "A9_exact_median",
+    "W10_decay_score",
+    "PR3_psi_drift",
+    "D9_lsh_eval",
+    "J10_bloom_semijoin",
     # (1) the 39 queries whose latest driver evidence is round 4
     # (VERDICT r6 item 7) — after this round no query's driver
     # evidence is older than r5
@@ -100,17 +107,17 @@ PRIORITY: tuple[str, ...] = (
     "PR1_profile_events",
     "SD1_snapshot_diff",
     "T13_rarity_score",
+    # T14-T17/T1/T2/T3/T5 are the eight r4-evidence queries the third-
+    # and fourth-wave additions (G16/PR2/M5/W9 + G17/A9/W10/PR3/D9/J10)
+    # push past the 50-slot window: new queries' FIRST driver grade
+    # outranks refreshing green r4 evidence that the local parity gate
+    # re-verifies every run.  They lead the r8 rotation.
     "T14_chunking",
     "T15_packing_stats",
     "T16_mix_sampling",
     "T17_corpus_cube",
     "T1_token_stats",
     "T2_quality_scores",
-    # T3/T5 are the two r4-evidence queries the third-wave additions
-    # (G16/PR2/M5/W9, positions 10-13) push past the 50-slot window:
-    # new queries' FIRST driver grade outranks refreshing green r4
-    # evidence that the local parity gate re-verifies every run.
-    # They lead the r8 rotation.
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
     # (2) fills: oldest-r5 representatives, gram/dedup-family first

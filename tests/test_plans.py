@@ -875,3 +875,72 @@ class TestRound7ThirdWavePlans:
         assert "BatchEvalPython" not in plan
         assert plan.count("HashAggregate") >= 2
         assert "ExistingRDD" in plan  # runs off the checkpointed visited set
+
+
+class TestRound7FourthWavePlans:
+    def test_g17_reuses_g5_wedge_join_no_cartesian(self, spark, sf_dir):
+        """The coefficient must come from the G5 oriented wedge join
+        plus ONE combinable degree count — equi-joins throughout, no
+        cartesian, no Python, two-phase aggregates."""
+        plan = _plan(spark, sf_dir, "G17_clustering_coeff")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 2
+
+    def test_a9_median_windows_collapsed_values_not_raw_rows(
+        self, spark, sf_dir
+    ):
+        """The rank window must run AFTER the (group, cents) collapse —
+        the plan orders the window below a two-phase count aggregate, so
+        the sort touches distinct values only, never the raw row set."""
+        import re
+
+        plan = _plan(spark, sf_dir, "A9_exact_median")
+        assert "Window" in plan
+        assert plan.count("HashAggregate") >= 2
+        # exactly one parquet scan feeds everything
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_w10_decay_no_window_one_combinable_sum(self, spark, sf_dir):
+        """The decay score is a plain per-user combinable sum with a
+        broadcast 1-row reference day — no window, no per-user sort;
+        the only nested loop allowed is the 1-row broadcast."""
+        plan = _plan(spark, sf_dir, "W10_decay_score")
+        assert "Window" not in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_pr3_psi_grid_is_broadcast_bounded(self, spark, sf_dir):
+        """The bucket reference and the 1-row total must broadcast back
+        onto the bounded per-source grid — no shuffle of anything
+        corpus-sized after the two combinable counts."""
+        plan = _plan(spark, sf_dir, "PR3_psi_drift")
+        assert "BroadcastNestedLoopJoin" in plan  # the bounded grid build
+        assert "CartesianProduct" not in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan
+
+    def test_j10_bloom_probe_is_mapside_semi_joins(self, spark, sf_dir):
+        """The Bloom probe must be K broadcast LEFT-SEMI joins (map-side,
+        row-preserving) on the fact side — the fact table's key set must
+        never be distinct'd and broadcast back (unbounded at scale), and
+        the fact side must not shuffle before the pruning joins."""
+        plan = _plan(spark, sf_dir, "J10_bloom_semijoin")
+        from biodiversity_graph_db_spark.extensions.sketches import BLOOM_K
+
+        assert plan.count("BroadcastHashJoin") >= BLOOM_K + 1
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_d9_truth_stage_is_inverted_index_join(self, spark, sf_dir):
+        """Ground truth must come from the shingle inverted-index join
+        (equi-join on the shingle), never a cartesian of the audit
+        slice; candidates come off the checkpointed band table."""
+        plan = _plan(spark, sf_dir, "D9_lsh_eval")
+        assert "CartesianProduct" not in plan
+        assert "ExistingRDD" in plan  # checkpointed shingle/band tables
+        assert "BatchEvalPython" not in plan
