@@ -740,6 +740,34 @@ def write_ivf_index(
     ivf_assign(emb, cent_ids, cmat, cnorm, n_probe).write.mode(
         "overwrite"
     ).partitionBy("cent_id").parquet(f"{path}/assigned")
+    # a fresh build starts with no streaming deltas; any left from a
+    # previous index at this path are keyed by the old centroids
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/assigned_delta")
+    hp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hp, True)
+
+
+def _read_assigned(spark: SparkSession, path: str) -> DataFrame:
+    """The index's assigned table = the compacted base plus any
+    streaming delta datasets (``assigned_delta/app=X/batch=N/cent_id=M``
+    — one idempotent directory per micro-batch, see
+    streaming/ingest.py ``ivf_append_upsert``).  ``cent_id`` stays a
+    partition directory in both layouts, so the probed-cluster filter
+    prunes files in the deltas exactly as in the base."""
+    from py4j.protocol import Py4JJavaError
+
+    base = spark.read.parquet(f"{path}/assigned")
+    delta_dir = f"{path}/assigned_delta"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(delta_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return base
+    try:
+        delta = spark.read.parquet(delta_dir).select(*base.columns)
+    except Py4JJavaError:  # dir exists but holds no dataset yet
+        return base
+    return base.unionByName(delta)
 
 
 def ivf_topk_indexed(
@@ -777,7 +805,7 @@ def ivf_topk_indexed(
         {r.cent_id for r in q_assigned.select("cent_id").distinct().collect()}
     )
     c_assigned = (
-        spark.read.parquet(f"{path}/assigned")
+        _read_assigned(spark, path)
         .where(F.col("cent_id").isin(probed))
         .select(
             F.col("vec_id").alias("c_id"),
@@ -941,7 +969,7 @@ def ivf_index_recall(
     vectors (run it on a small probe set, the standard ANN-ops
     practice), plus one indexed query."""
     corpus = (
-        spark.read.parquet(f"{path}/assigned")
+        _read_assigned(spark, path)
         .select("vec_id", "embedding")
         .dropDuplicates(["vec_id"])
     )
@@ -987,7 +1015,7 @@ def recluster_ivf_index(
     import math
 
     corpus = (
-        spark.read.parquet(f"{path}/assigned")
+        _read_assigned(spark, path)
         .select("vec_id", "embedding")
         .dropDuplicates(["vec_id"])
     )
@@ -1026,6 +1054,10 @@ def recluster_ivf_index(
         fs.delete(dst, True)
         if not fs.rename(hpath(f"{tmp}/{sub}"), dst):
             raise RuntimeError(f"index swap rename failed for {sub}")
+    # the rebuilt base subsumes every streaming delta (the corpus above
+    # read base + deltas); stale deltas are keyed by the OLD centroids
+    # and must not survive the swap
+    fs.delete(hpath(f"{path}/assigned_delta"), True)
     fs.delete(hpath(tmp), True)
 
 
@@ -1457,3 +1489,28 @@ def v8_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(emb, emb.where(F.col("vec_id") < 3), k=5).orderBy(
         "q_id", "rank"
     )
+
+
+def compact_ivf_deltas(spark: SparkSession, path: str) -> None:
+    """Fold the streaming delta datasets into the base ``assigned``
+    table — the IVF twin of the versioned log's in-band compaction:
+    queries answer identically before and after (tested), but the read
+    path goes back to ONE dataset listing instead of base + one
+    directory per micro-batch (directory-listing cost is the real
+    degradation mode of per-batch deltas at scale).
+
+    Write-to-tmp + directory swap, same single-maintainer contract as
+    ``recluster_ivf_index`` (don't run concurrently with appends)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath(f"{path}/assigned_delta")):
+        return
+    merged = _read_assigned(spark, path).localCheckpoint()
+    tmp = f"{path}/assigned__compact_tmp"
+    merged.write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+    dst = hpath(f"{path}/assigned")
+    fs.delete(dst, True)
+    if not fs.rename(hpath(tmp), dst):
+        raise RuntimeError("ivf delta compaction swap failed")
+    fs.delete(hpath(f"{path}/assigned_delta"), True)

@@ -784,3 +784,59 @@ def run_multires_rollup(events: DataFrame, out_path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def ivf_append_upsert(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    app_id: str | None = None,
+) -> None:
+    """One micro-batch of IVF index maintenance: assign the batch's
+    vectors against the STORED centroids (the V6 incremental contract —
+    per-vector assignment depends only on (vector, centroids), so
+    stream-built and batch-built indexes answer identically; tested)
+    and write them as the batch's OWN delta dataset
+    ``assigned_delta/app=<lineage>/batch=<id>/cent_id=*``.
+
+    Exactly-once comes from the directory being the transaction: a
+    replayed batch overwrites ITS OWN directory (idempotent by
+    construction — no read-modify-write, no stamp table to race), and a
+    new lineage writes under its own ``app=`` dir and simply merges.
+    ``cent_id`` stays the leaf partition key, so probed-cluster pruning
+    works in deltas exactly as in the base."""
+    import hashlib
+
+    import numpy as np
+
+    from biodiversity_graph_db_spark.extensions.similarity import ivf_assign
+
+    spark = batch.sparkSession
+    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    cent_ids = np.array([r.cent_id for r in cents], dtype=np.int64)
+    cmat = np.array([r.cent_emb for r in cents], dtype=np.float64)
+    cnorm = np.array([r.cent_norm for r in cents], dtype=np.float64)
+    tag = hashlib.md5((app_id or "default").encode()).hexdigest()[:12]
+    out = f"{index_path}/assigned_delta/app={tag}/batch={batch_id}"
+    ivf_assign(batch, cent_ids, cmat, cnorm, n_probe=1).write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(out)
+
+
+def run_ivf_append(emb_stream: DataFrame, index_path: str, checkpoint: str):
+    """Streaming ANN index maintenance — the ingest loop that keeps the
+    persisted IVF index current as new embeddings arrive: each
+    micro-batch lands as an idempotent per-batch delta under the index;
+    ``compact_ivf_deltas`` folds them into the base out-of-band and
+    ``recluster_if_drifted`` (V6b) remains the recall governor.
+    Equivalence oracle: a batch ``append_ivf_index`` of the same rows
+    (tested query-for-query)."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        ivf_append_upsert(batch, batch_id, index_path, app_id=checkpoint)
+
+    return (
+        emb_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

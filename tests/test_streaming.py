@@ -1324,3 +1324,105 @@ class TestStreamingMultiresRollup:
             } == doubled
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingIvfAppend:
+    def test_stream_built_index_matches_batch_append(self, spark, sf_dir):
+        """The streaming IVF maintainer: an index maintained by
+        ``run_ivf_append`` micro-batches must answer every query
+        identically to the batch ``append_ivf_index`` of the same rows
+        (the V6 contract), a replayed micro-batch must be a no-op (the
+        delta directory IS the transaction), and folding the deltas
+        with ``compact_ivf_deltas`` must not change any answer."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions import similarity as sim
+        from biodiversity_graph_db_spark.streaming import ingest
+        from biodiversity_graph_db_spark.tables import table
+
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        base = emb.where(F.col("vec_id") % 2 == 0)
+        newer = emb.where(F.col("vec_id") % 2 == 1)
+        queries = emb.where(F.col("vec_id") < 6)
+
+        tmp = tempfile.mkdtemp(prefix="ivf_stream_")
+        try:
+            # stream source: the newer half as multiple files (one per
+            # trigger, so the maintainer sees several micro-batches)
+            src = f"{tmp}/incoming"
+            newer.repartition(3).write.mode("overwrite").parquet(src)
+
+            sim.write_ivf_index(base, f"{tmp}/stream_idx")
+            sim.write_ivf_index(base, f"{tmp}/batch_idx")
+            sim.append_ivf_index(newer, f"{tmp}/batch_idx")
+
+            stream = (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = ingest.run_ivf_append(
+                stream, f"{tmp}/stream_idx", f"{tmp}/ckpt"
+            ).start()
+            q.awaitTermination(120)
+
+            def answers(path):
+                return {
+                    (r.q_id, r.rank, r.c_id, r.cosine)
+                    for r in sim.ivf_topk_indexed(
+                        spark, path, queries
+                    ).collect()
+                }
+
+            want = answers(f"{tmp}/batch_idx")
+            assert answers(f"{tmp}/stream_idx") == want and want
+
+            # corpus exactly once: every vec_id appears exactly once in
+            # the stream index (n_probe=1 layout)
+            got_ids = (
+                sim._read_assigned(spark, f"{tmp}/stream_idx")
+                .groupBy("vec_id")
+                .count()
+            )
+            assert got_ids.where(F.col("count") > 1).count() == 0
+            assert got_ids.count() == emb.count()
+
+            # replayed micro-batch: overwrites its own delta dir, no dup
+            some = newer.limit(20).localCheckpoint()
+            ingest.ivf_append_upsert(
+                some, 0, f"{tmp}/stream_idx", app_id=f"{tmp}/ckpt"
+            )
+            ingest.ivf_append_upsert(
+                some, 0, f"{tmp}/stream_idx", app_id=f"{tmp}/ckpt"
+            )
+            # batch 0 of this lineage was the real first file; rewriting
+            # it with `some` replaces that delta — so rebuild the check
+            # on distinct-per-dir rather than global count: the same
+            # (app, batch) dir never holds a vector twice
+            per_dir = (
+                spark.read.parquet(f"{tmp}/stream_idx/assigned_delta")
+                .groupBy("app", "batch", "vec_id")
+                .count()
+            )
+            assert per_dir.where(F.col("count") > 1).count() == 0
+
+            # restore the true batch-0 delta, then compaction keeps
+            # every answer and removes the delta dir
+            import glob
+            import os
+
+            first_file = sorted(glob.glob(f"{src}/part-*.parquet"))[0]
+            b0 = spark.read.parquet(first_file)
+            ingest.ivf_append_upsert(
+                b0, 0, f"{tmp}/stream_idx", app_id=f"{tmp}/ckpt"
+            )
+            before = answers(f"{tmp}/stream_idx")
+            assert before == want
+            sim.compact_ivf_deltas(spark, f"{tmp}/stream_idx")
+            assert answers(f"{tmp}/stream_idx") == want
+            assert not os.path.exists(f"{tmp}/stream_idx/assigned_delta")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
