@@ -155,6 +155,13 @@ def main() -> None:
             "V8_mmr_rerank",
             "PR2_key_skew",
             "W9_multires_rollup",
+            # round-7 fourth wave (all corpus-wide except D9, whose
+            # ground-truth stage is slice-bounded by contract)
+            "A9_exact_median",
+            "W10_decay_score",
+            "PR3_psi_drift",
+            "J10_bloom_semijoin",
+            "EX2_shard_manifest",
         ):
             res[q] = timed(
                 lambda q=q: registry.QUERIES[q](spark, sf_dir).collect(),
@@ -244,6 +251,7 @@ def main() -> None:
         )
         wedges = wli_graph(spark, BIG, bound=bound).localCheckpoint()
         from biodiversity_graph_db_spark.graph.algorithms import (
+            clustering_coefficient,
             harmonic_centrality,
             hits,
             modularity,
@@ -279,6 +287,9 @@ def main() -> None:
                     und2, ["o_1", "o_2", "o_3", "o_4"], max_hops=4
                 ).count(),
                 runs,
+            ),
+            "G17_clustering": timed(
+                lambda: clustering_coefficient(edges).count(), runs
             ),
         }
         kern[f"bound_{bound}"] = k
