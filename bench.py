@@ -79,6 +79,11 @@ HEADLINE = [
     "PR3_psi_drift",
     "D9_lsh_eval",
     "J10_bloom_semijoin",
+    "EX2_shard_manifest",
+    "F12_json_extract",
+    "A10_grouped_mode",
+    "G18_link_prediction",
+    "C3_rate_changepoint",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

@@ -364,3 +364,62 @@ def a9_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(*g)
     )
+
+
+@query(
+    "A10_grouped_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+             COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus, qty
+    ),
+    r AS (
+      SELECT l_returnflag, l_linestatus, qty, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag, l_linestatus
+               ORDER BY cnt DESC, qty
+             ) AS rn
+      FROM c
+    )
+    SELECT l_returnflag, l_linestatus,
+           qty AS mode_qty, cnt AS mode_count
+    FROM r WHERE rn = 1
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def a10_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group mode (most frequent quantity, smallest-value
+    tiebreak) — the categorical companion to A9's exact median; the
+    engine's sketch path (T22 count-min heavy hitters) answers the
+    same question approximately, this is the exact spelling audits
+    need.
+
+    Scale shape: the raw rows collapse to (group, value) counts in one
+    map-side-combinable aggregate FIRST; the argmax window ranks only
+    the collapsed distinct-value table (bounded by value cardinality
+    per group, never the row count).  The deterministic tiebreak makes
+    the answer engine-independent."""
+    from pyspark.sql import Window
+
+    g = ["l_returnflag", "l_linestatus"]
+    c = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            *g, F.floor(F.col("l_quantity")).cast("bigint").alias("qty")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(*g).orderBy(F.col("cnt").desc(), F.col("qty"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            *g,
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy(*g)
+    )

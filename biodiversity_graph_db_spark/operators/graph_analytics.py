@@ -782,3 +782,48 @@ def g17_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return algorithms.clustering_coefficient(li_graph(spark, sf_dir)).orderBy(
         "key"
     )
+
+
+@query(
+    "G18_link_prediction",
+    oracle=f"""
+    WITH {_LI_GRAPH_SQL},
+    und2 AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT src AS key, COUNT(*) AS deg FROM und2 GROUP BY src),
+    wedge AS (
+      SELECT l.dst AS a, r.dst AS b
+      FROM und2 l JOIN und2 r ON l.src = r.src
+      WHERE l.dst < r.dst
+    ),
+    cn AS (SELECT a, b, COUNT(*) AS common FROM wedge GROUP BY a, b),
+    cand AS (
+      SELECT cn.a, cn.b, cn.common FROM cn
+      LEFT JOIN und ON und.a = cn.a AND und.b = cn.b
+      WHERE und.a IS NULL
+    ),
+    scored AS (
+      SELECT c.a, c.b, c.common,
+             c.common / CAST(da.deg + db.deg - c.common AS DOUBLE) AS j
+      FROM cand c
+      JOIN deg da ON da.key = c.a
+      JOIN deg db ON db.key = c.b
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common,
+           FLOOR(j * 10000) / 10000.0 AS jaccard
+    FROM scored
+    ORDER BY j DESC, a, b
+    LIMIT 20
+    """,
+)
+def g18_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links on the o/p/s graph by common-neighbor
+    Jaccard — completes the neighborhood-analytics set (G5 counts
+    closed triangles, G17 normalizes them, G18 ranks the OPEN wedges:
+    which entities share suppliers/parts but are not yet linked).
+    Reference parity: no analytic layer exists in the reference; this
+    is the §2.12 GraphX mandate.  See ``algorithms.link_prediction``
+    for the scale shape (wedge join, anti-join, TakeOrdered top-k)."""
+    return algorithms.link_prediction(li_graph(spark, sf_dir))

@@ -400,3 +400,49 @@ def x13_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.index_column_type(F.col("header")).alias("idx_type"),
         V.month_name(F.col("month_n")).alias("month_name"),
     ).orderBy("row_id")
+
+
+@query(
+    "F12_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(props->>'k' AS BIGINT) // 10 AS k_decade,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT)
+             AS n_distinct_k
+    FROM events
+    WHERE json_valid(props)
+    GROUP BY event_type, k_decade
+    ORDER BY event_type, k_decade
+    """,
+)
+def f12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction — the typed read into the
+    events table's JSON ``props`` column (the reference's typed DU
+    payloads arrive as JSON when sourced externally; Sources.fs
+    round-trips node data through JSON the same way).  Extracts the
+    ``k`` property, buckets it, and aggregates per (event_type,
+    bucket).
+
+    Scale shape: ``get_json_object`` is a JVM-side codegen'd expression
+    (no Python, no UDF) evaluated once per row in the scan pipeline —
+    the JSON never materializes as a parsed struct column; the rollup
+    is an ordinary two-phase aggregate.  At 100 TB prefer `from_json`
+    with a pinned schema when MANY properties are read (one parse,
+    many fields); for one property the path expression is cheaper."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.where(k.isNotNull())
+        .select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type", F.expr("k DIV 10").alias("k_decade")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+        .orderBy("event_type", "k_decade")
+    )

@@ -674,3 +674,80 @@ def c2_radiocarbon_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_id")
     )
+
+
+@query(
+    "C3_rate_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY day
+    ),
+    c AS (
+      SELECT day, n,
+             SUM(n) OVER (ORDER BY day) AS cum,
+             ROW_NUMBER() OVER (ORDER BY day) AS rk,
+             SUM(n) OVER () AS total,
+             COUNT(*) OVER () AS n_days
+      FROM d
+    ),
+    s AS (
+      SELECT day, n, cum,
+             ABS(n_days * cum - total * rk) AS cusum_scaled
+      FROM c
+    )
+    SELECT day, n, CAST(cum AS BIGINT) AS cum,
+           CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           cusum_scaled = MAX(cusum_scaled) OVER () AS is_changepoint
+    FROM s
+    ORDER BY day
+    """,
+)
+def c3_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate changepoint detection — the monitoring pass that
+    finds WHERE a time series' level shifted: the CUSUM statistic
+    |S_d| = |Σ_{i≤d}(x_i − mean)| peaks at the shift day (Page 1954).
+    Spelled all-integer — S_d·D = D·cum_d − total·d — so both engines
+    agree bit-for-bit with no floating mean.
+
+    Scale shape: the corpus collapses to per-day counts in ONE
+    map-side-combinable aggregate first; every window after that runs
+    over the bounded day table (|days|, not |events| — a year is 365
+    rows no matter the corpus size).  The single-partition windows are
+    therefore safe BY the collapse, the same argument as A9; a
+    per-entity changepoint variant would partition them by entity."""
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wday = Window.orderBy("day")
+    wall = Window.partitionBy()
+    c = d.select(
+        "day",
+        "n",
+        F.sum("n").over(wday).alias("cum"),
+        F.row_number().over(wday).alias("rk"),
+        F.sum("n").over(wall).alias("total"),
+        F.count("*").over(wall).alias("n_days"),
+    )
+    s = c.withColumn(
+        "cusum_scaled",
+        F.abs(
+            F.col("n_days") * F.col("cum") - F.col("total") * F.col("rk")
+        ),
+    )
+    return s.select(
+        "day",
+        "n",
+        F.col("cum").cast("long").alias("cum"),
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        (
+            F.col("cusum_scaled") == F.max("cusum_scaled").over(wall)
+        ).alias("is_changepoint"),
+    ).orderBy("day")

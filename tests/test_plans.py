@@ -944,3 +944,46 @@ class TestRound7FourthWavePlans:
         assert "CartesianProduct" not in plan
         assert "ExistingRDD" in plan  # checkpointed shingle/band tables
         assert "BatchEvalPython" not in plan
+
+    def test_f12_json_is_jvm_expression_two_phase(self, spark, sf_dir):
+        """The JSON path extraction must stay a codegen'd JVM
+        expression in the scan pipeline — no Python eval, no parsed
+        struct materialization — with a two-phase rollup."""
+        plan = _plan(spark, sf_dir, "F12_json_extract")
+        assert "BatchEvalPython" not in plan
+        assert "get_json_object" in plan
+        assert plan.count("HashAggregate") >= 2
+
+    def test_a10_mode_window_after_collapse(self, spark, sf_dir):
+        """The argmax window must rank the collapsed (group, value)
+        count table, not raw rows — same discipline as A9."""
+        import re
+
+        plan = _plan(spark, sf_dir, "A10_grouped_mode")
+        assert "Window" in plan
+        assert plan.count("HashAggregate") >= 2
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_g18_topk_is_take_ordered_no_cartesian(self, spark, sf_dir):
+        """The candidate generation must be the wedge equi-join (never
+        all-pairs) and the top-k must plan as TakeOrderedAndProject —
+        a global sort of the wedge-pair table would be the scale bug."""
+        plan = _plan(spark, sf_dir, "G18_link_prediction")
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_c3_windows_run_over_collapsed_days(self, spark, sf_dir):
+        """Every window must run AFTER the per-day collapse — one
+        parquet scan, a combinable count, windows over the bounded day
+        table only."""
+        import re
+
+        plan = _plan(spark, sf_dir, "C3_rate_changepoint")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert plan.count("HashAggregate") >= 2
+        assert "Window" in plan
+        assert "BatchEvalPython" not in plan
