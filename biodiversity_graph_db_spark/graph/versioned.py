@@ -521,4 +521,76 @@ def compact_graph_log(log: VersionedGraphLog, upto: int) -> None:
         for st in fs.listStatus(staging_root):
             if st.getPath().getName() not in live_txns:
                 fs.delete(st.getPath(), True)
+    # record the compaction horizon (for log_history's base flag) —
+    # written last: a crash before this point leaves the flag stale,
+    # which is cosmetic (history labeling), never a correctness input
+    out = fs.create(hpath(f"{log.path}/_compact_horizon"), True)
+    out.write(bytearray(str(upto).encode("utf-8")))
+    out.close()
     log._head_store = None  # resolved layout changed; re-read on demand
+
+
+def log_history(log: VersionedGraphLog) -> DataFrame:
+    """``DESCRIBE HISTORY`` for the versioned graph log (the Delta-lake
+    ops surface the reference's git-history storage gets from ``git
+    log``): one row per committed version with the delta's upsert /
+    tombstone row counts per table and whether the row is the
+    compaction base (history below it was folded into it; the horizon
+    is recorded by ``compact_graph_log`` in ``_compact_horizon``).
+
+    Scale shape: two map-side-combinable counts grouped by the version
+    PARTITION column (no data columns read — the scans prune to
+    ``deleted`` + partition value), a version-keyed outer join, and a
+    bounded marker listing; output is |versions| rows regardless of
+    graph size."""
+    spark = log.spark
+    nodes_log, edges_log = log._log_paths()
+
+    def _counts(path: str, schema, prefix: str) -> DataFrame:
+        df = spark.read.schema(_log_schema(schema)).parquet(path)
+        return df.groupBy("version").agg(
+            F.count("*").alias(f"{prefix}_rows"),
+            F.sum(F.col("deleted").cast("int"))
+            .cast("long")
+            .alias(f"{prefix}_tombstones"),
+        )
+
+    n = _counts(nodes_log, NODES_SCHEMA, "node")
+    e = _counts(edges_log, EDGES_SCHEMA, "edge")
+    hpath, fs = _hfs(spark, log.path)
+    markers = _list_markers(fs, hpath, log.path)
+    versions = {
+        int(v)
+        for v in _list_versions(fs, hpath, nodes_log)
+        | _list_versions(fs, hpath, edges_log)
+        | markers
+    }
+    horizon = None
+    if fs.exists(hpath(f"{log.path}/_compact_horizon")):
+        raw = _read_marker_txn(
+            spark, fs, hpath, f"{log.path}/_compact_horizon"
+        )
+        horizon = int(raw) if raw else None
+    base = spark.createDataFrame(
+        [(v, v == horizon) for v in sorted(versions)],
+        "version long, is_compacted_base boolean",
+    )
+    out = (
+        base.join(n, "version", "left")
+        .join(e, "version", "left")
+        .select(
+            "version",
+            "is_compacted_base",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in (
+                    "node_rows",
+                    "node_tombstones",
+                    "edge_rows",
+                    "edge_tombstones",
+                )
+            ],
+        )
+        .orderBy("version")
+    )
+    return out

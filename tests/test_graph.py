@@ -1051,3 +1051,59 @@ class TestCompactionCrashRecovery:
             assert got == want
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestLogHistory:
+    def test_history_counts_and_compaction_base_flag(self, spark, seeded):
+        """``log_history`` must list every committed version with exact
+        per-table upsert/tombstone delta counts, and after compaction
+        the folded base must surface as ``is_compacted_base`` (marker
+        pruned) while later versions keep their rows."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.graph.versioned import (
+            VersionedGraphLog,
+            compact_graph_log,
+            log_history,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="log_history_")
+        try:
+            log = VersionedGraphLog(spark, tmp)
+            g1 = seeded
+            log.commit(g1)
+            g2 = g1.add_nodes(
+                _nodes(
+                    spark,
+                    [("taxonnode_family_testaceae", "TaxonNode", "Testaceae")],
+                )
+            )
+            log.commit(g2)
+            g3 = g2.remove_nodes(
+                spark.createDataFrame(
+                    [("taxonnode_family_testaceae",)], "key string"
+                )
+            )
+            log.commit(g3)
+
+            h = {r.version: r for r in log_history(log).collect()}
+            assert sorted(h) == [1, 2, 3]
+            assert not any(r.is_compacted_base for r in h.values())
+            assert h[1].node_rows == g1.nodes.count()
+            assert h[1].node_tombstones == 0
+            assert h[2].node_rows == 1 and h[2].node_tombstones == 0
+            # v3 removed one node: exactly one tombstone row
+            assert h[3].node_rows == 1 and h[3].node_tombstones == 1
+
+            compact_graph_log(log, upto=2)
+            h2 = {r.version: r for r in log_history(log).collect()}
+            assert sorted(h2) == [2, 3]
+            assert h2[2].is_compacted_base
+            assert not h2[3].is_compacted_base
+            # the base is the RESOLVED v2 state (no tombstones survive)
+            assert h2[2].node_rows == g2.nodes.count()
+            assert h2[2].node_tombstones == 0
+            assert h2[3].node_tombstones == 1
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
