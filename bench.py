@@ -84,6 +84,8 @@ HEADLINE = [
     "A10_grouped_mode",
     "G18_link_prediction",
     "C3_rate_changepoint",
+    "U8_scd2_history",
+    "A11_salted_distinct",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

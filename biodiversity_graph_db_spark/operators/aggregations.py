@@ -423,3 +423,58 @@ def a10_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(*g)
     )
+
+
+_SALT_BUCKETS = 16
+
+
+@query(
+    "A11_salted_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def a11_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) under explicit SALTING — the mitigation
+    PR2's skew profile recommends, implemented: a hot group's distinct
+    state is split across `_SALT_BUCKETS` reducers by salting the
+    group key with a hash OF THE COUNTED VALUE, then the per-salt
+    partial distincts are summed.  Correct because the same user always
+    lands in the same salt bucket, so the per-salt distinct sets are
+    DISJOINT and their sum is the exact distinct count — the textbook
+    two-level exact-distinct that survives a group holding half the
+    corpus (where the naive plan funnels that group's whole value set
+    through one reducer).
+
+    At this SF Spark's own partial aggregation handles the size; the
+    operator exists because at 100 TB a skewed COUNT(DISTINCT) is the
+    canonical straggler, and AQE's skew handling does not split
+    aggregate groups — only explicit salting does.  The oracle is the
+    plain single-level spelling (same answer by the disjointness
+    argument)."""
+    ev = table(spark, sf_dir, "events")
+    salted = (
+        ev.groupBy(
+            "event_type",
+            F.pmod(F.xxhash64("user_id"), F.lit(_SALT_BUCKETS)).alias(
+                "_salt"
+            ),
+        )
+        .agg(
+            F.count("*").alias("pn"),
+            F.countDistinct("user_id").alias("pd"),
+        )
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("pd").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -634,3 +634,120 @@ def sd5_compacted_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     save_version(v3, path, 3, ["key"])
     compact_versions(spark, path, 2, ["key"])
     return read_as_of(spark, path, 2, ["key"]).orderBy("key")
+
+
+def scd2_merge(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    attr_col: str,
+    old_version: int,
+    new_version: int,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 merge of two snapshot versions:
+    every key's attribute history as validity-versioned rows —
+    unchanged keys keep their open row, changed keys CLOSE the old row
+    (``valid_to = new_version``) and open a new one, deleted keys close
+    without a successor, added keys open at ``new_version``.  The
+    warehouse-side complement of the versioned log: the log stores
+    deltas and resolves on read; SCD2 materializes the resolved history
+    as a queryable dimension (what BI joins against "as of" a version).
+
+    Shape: ONE key-partitioned full-outer join classifies every key,
+    then each key emits its 1-2 history rows through a single
+    ``explode`` of a CASE-built struct array — no second pass, no
+    window, combinable all the way; at 100 TB this is exactly the
+    nightly dimension-merge shape (fact-side as-of joins then hit the
+    closed ranges)."""
+    o = old.select(*key_cols, F.col(attr_col).alias("_old"))
+    n = new.select(*key_cols, F.col(attr_col).alias("_new"))
+    j = o.join(n, list(key_cols), "full_outer")
+    row = lambda val, vf, vt, cur: F.struct(  # noqa: E731
+        val.alias(attr_col),
+        F.lit(vf).cast("long").alias("valid_from"),
+        (F.lit(vt) if vt is None else F.lit(vt)).cast("long").alias(
+            "valid_to"
+        ),
+        F.lit(cur).alias("is_current"),
+    )
+    hist = (
+        F.when(
+            F.col("_new").isNull(),  # deleted
+            F.array(row(F.col("_old"), old_version, new_version, False)),
+        )
+        .when(
+            F.col("_old").isNull(),  # added
+            F.array(row(F.col("_new"), new_version, None, True)),
+        )
+        .when(
+            F.col("_old") == F.col("_new"),  # unchanged
+            F.array(row(F.col("_old"), old_version, None, True)),
+        )
+        .otherwise(  # changed: close old, open new
+            F.array(
+                row(F.col("_old"), old_version, new_version, False),
+                row(F.col("_new"), new_version, None, True),
+            )
+        )
+    )
+    ex = j.select(*key_cols, F.explode(hist).alias("h"))
+    return ex.select(
+        *key_cols,
+        F.col(f"h.{attr_col}").alias(attr_col),
+        F.col("h.valid_from").alias("valid_from"),
+        F.col("h.valid_to").alias("valid_to"),
+        F.col("h.is_current").alias("is_current"),
+    )
+
+
+@query(
+    "U8_scd2_history",
+    oracle="""
+    WITH v1 AS (
+      SELECT 'c_' || c_custkey AS key, c_name AS name, c_custkey AS ck
+      FROM customer
+    )
+    SELECT key, name,
+           CAST(1 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to,
+           TRUE AS is_current
+    FROM v1 WHERE ck % 13 <> 0 AND ck % 7 <> 0
+    UNION ALL
+    SELECT key, name, CAST(1 AS BIGINT), CAST(2 AS BIGINT), FALSE
+    FROM v1 WHERE ck % 13 = 0 OR ck % 7 = 0
+    UNION ALL
+    SELECT key, name || ' (revised)', CAST(2 AS BIGINT),
+           CAST(NULL AS BIGINT), TRUE
+    FROM v1 WHERE ck % 13 <> 0 AND ck % 7 = 0
+    ORDER BY key, valid_from
+    """,
+)
+def u8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over the customer dimension under the house mutation mint
+    (every 13th deleted, every surviving 7th renamed — the SD4/SD6
+    scenario): the materialized validity-versioned history the
+    warehouse keeps where the graph side keeps the delta log.  The
+    oracle recomputes the history arms as pure mint arithmetic."""
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.concat(F.lit("c_"), F.col("c_custkey")).alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_custkey").alias("ck"),
+    )
+    v2 = (
+        v1.where(F.col("ck") % 13 != 0)
+        .withColumn(
+            "name",
+            F.when(
+                F.col("ck") % 7 == 0, F.concat(F.col("name"), F.lit(" (revised)"))
+            ).otherwise(F.col("name")),
+        )
+    )
+    return scd2_merge(
+        v1.select("key", "name"),
+        v2.select("key", "name"),
+        ["key"],
+        "name",
+        old_version=1,
+        new_version=2,
+    ).orderBy("key", "valid_from")

@@ -987,3 +987,24 @@ class TestRound7FourthWavePlans:
         assert plan.count("HashAggregate") >= 2
         assert "Window" in plan
         assert "BatchEvalPython" not in plan
+
+    def test_u8_scd2_single_join_single_explode(self, spark, sf_dir):
+        """The history must come from ONE full-outer key join and ONE
+        Generate — no second pass over either snapshot, no window."""
+        import re
+
+        plan = _plan(spark, sf_dir, "U8_scd2_history")
+        assert len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE)) == 1
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_a11_salted_distinct_two_level(self, spark, sf_dir):
+        """The distinct state must be split by the salt before the
+        final rollup — the plan aggregates on (event_type, _salt) below
+        the (event_type) rollup; no Expand-based single-level
+        count-distinct funnel on the hot group."""
+        plan = _plan(spark, sf_dir, "A11_salted_distinct")
+        assert "xxhash64" in plan  # the salt key (aliases are inlined)
+        assert plan.count("HashAggregate") >= 4
+        assert "BatchEvalPython" not in plan

@@ -130,3 +130,65 @@ class TestCrossRef:
         df = spark.createDataFrame([("Salix herbacea",)], "latin_name string")
         with pytest.raises(NotImplementedError):
             enrichment.gpp_backbone_lookup(df)
+
+
+class TestEvolvingParquet:
+    def test_added_missing_and_conflicting_columns(self, spark):
+        """S15: newer batches' added columns null-fill older rows; a
+        contract column no batch has yet arrives as typed nulls; a type
+        conflict with the contract raises instead of coercing."""
+        import shutil
+        import tempfile
+
+        import pytest
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from biodiversity_graph_db_spark.sources.evolving import (
+            read_evolving_parquet,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="evolving_")
+        try:
+            spark.createDataFrame(
+                [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+            ).write.parquet(f"{tmp}/data/b1")
+            spark.createDataFrame(
+                [(3, "gamma", "en")],
+                "doc_id long, text string, lang string",
+            ).write.parquet(f"{tmp}/data/b2")
+
+            contract = StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("text", StringType()),
+                    StructField("lang", StringType()),
+                    StructField("source", StringType()),  # nobody writes it yet
+                ]
+            )
+            got = read_evolving_parquet(
+                spark, f"{tmp}/data/*", contract
+            ).orderBy("doc_id")
+            rows = got.collect()
+            assert [r.doc_id for r in rows] == [1, 2, 3]
+            assert [r.lang for r in rows] == [None, None, "en"]
+            assert all(r.source is None for r in rows)
+            assert got.columns == ["doc_id", "text", "lang", "source"]
+
+            # no contract: union schema as-is
+            free = read_evolving_parquet(spark, f"{tmp}/data/*")
+            assert set(free.columns) == {"doc_id", "text", "lang"}
+
+            # type conflict with the contract: refuse
+            bad = StructType(
+                [StructField("doc_id", StringType())]
+            )
+            with pytest.raises(TypeError, match="refusing to coerce"):
+                read_evolving_parquet(spark, f"{tmp}/data/*", bad)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
