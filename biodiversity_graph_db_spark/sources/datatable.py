@@ -83,3 +83,42 @@ def wide_view(long: DataFrame) -> DataFrame:
         .sum("value")
         .orderBy("index_value")
     )
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """S16 — CSV ingest with a malformed-row QUARANTINE: returns
+    ``(good, quarantined)``.  Arriving vendor CSVs at scale always
+    contain some rows that do not parse against the contract schema
+    (extra delimiters, non-numeric cells, truncated lines); failing the
+    whole 100 TB load for them is wrong, silently dropping them is
+    worse.  PERMISSIVE mode keeps every row — a parse failure lands its
+    RAW LINE in ``_corrupt_record`` with every typed column null — so
+    one scan splits the input into the typed good rows and a
+    quarantine table (raw line preserved for replay after the producer
+    is fixed).  This is the CSV twin of the permissive JSON scan the
+    graph store already uses (store.py) and the standard
+    badRecords-path pattern, kept engine-portable.
+
+    The corrupt column must be part of the declared schema per Spark's
+    contract; callers pass the CONTRACT schema only and the marker is
+    managed here."""
+    full = f"{schema}, _corrupt_record string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", True)
+        .csv(path)
+        # Spark's permissive CSV parser requires the corrupt column to
+        # be materialized before it can be filtered on
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    quarantined = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantined

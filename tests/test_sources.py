@@ -192,3 +192,32 @@ class TestEvolvingParquet:
                 read_evolving_parquet(spark, f"{tmp}/data/*", bad)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestCsvQuarantine:
+    def test_good_rows_pass_bad_rows_quarantined(self, spark):
+        """S16: one scan splits a dirty CSV into typed good rows and a
+        quarantine of raw lines; nothing is lost, nothing fails."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.sources.datatable import (
+            read_csv_quarantine,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="csv_q_")
+        try:
+            with open(f"{tmp}/in.csv", "w") as f:
+                f.write("id,name,score\n")
+                f.write("1,alpha,0.5\n")
+                f.write("2,beta,not_a_number\n")
+                f.write("3,gamma,1.25\n")
+            good, bad = read_csv_quarantine(
+                spark, f"{tmp}/in.csv", "id long, name string, score double"
+            )
+            g = {(r.id, r.name, r.score) for r in good.collect()}
+            assert g == {(1, "alpha", 0.5), (3, "gamma", 1.25)}
+            b = [r.raw_line for r in bad.collect()]
+            assert b == ["2,beta,not_a_number"]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
