@@ -840,3 +840,62 @@ def run_ivf_append(emb_stream: DataFrame, index_path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def attributed_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the attribution query (every
+    purchase joined to the same user's clicks in the preceding
+    ``window_seconds``) as a watermarked two-stream join, the
+    Structured Streaming capability the rest of this module's
+    single-stream operators don't exercise.
+
+    Both sides carry event-time watermarks and the join condition
+    bounds purchase_ts − click_ts to [0, window], so the state store
+    can EXPIRE a click once the purchase-side watermark passes
+    click_ts + window — state is O(events inside one window per user),
+    never stream-length; this is exactly the condition Spark requires
+    to run a stream-stream inner join without unbounded buffering.
+    Batch twin (tested bit-for-bit): the same interval equi-join on the
+    static frames."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_timestamp("purchase_ts").alias("purchase_s"),
+        F.unix_timestamp("click_ts").alias("click_s"),
+        F.floor(F.col("purchase_value") * 10000)
+        .cast("long")
+        .alias("value_x10000"),
+    )

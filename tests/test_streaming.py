@@ -1426,3 +1426,58 @@ class TestStreamingIvfAppend:
             assert not os.path.exists(f"{tmp}/stream_idx/assigned_delta")
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamStreamJoin:
+    def test_attribution_join_matches_batch(self, spark, events_dir):
+        """The watermarked stream-stream interval join must produce
+        exactly the batch interval join's rows over the same data —
+        every purchase attributed to the same user's clicks within the
+        preceding 10 minutes."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import ingest
+
+        tmp = tempfile.mkdtemp(prefix="ss_join_")
+        try:
+            ev = spark.read.parquet(events_dir)
+            clicks_b = ev.where(F.col("event_type") == "click")
+            purch_b = ev.where(F.col("event_type") == "purchase")
+
+            cs = ingest.read_events_stream(spark, events_dir).where(
+                F.col("event_type") == "click"
+            )
+            ps = ingest.read_events_stream(spark, events_dir).where(
+                F.col("event_type") == "purchase"
+            )
+            q = (
+                ingest.attributed_purchases(cs, ps)
+                .writeStream.format("memory")
+                .queryName("attrib")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+            key = lambda r: (
+                r.user_id,
+                r.purchase_id,
+                r.click_id,
+                r.purchase_s,
+                r.click_s,
+                r.value_x10000,
+            )
+            got = {
+                key(r) for r in spark.sql("SELECT * FROM attrib").collect()
+            }
+            want = {
+                key(r)
+                for r in ingest.attributed_purchases(
+                    clicks_b, purch_b
+                ).collect()
+            }
+            assert got == want and want
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
