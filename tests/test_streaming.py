@@ -1354,6 +1354,11 @@ class TestStreamingIvfAppend:
             # trigger, so the maintainer sees several micro-batches)
             src = f"{tmp}/incoming"
             newer.repartition(3).write.mode("overwrite").parquet(src)
+            # pin ascending mtimes so FileStreamSource's batch order is
+            # part-file NAME order — the replay/restore step below
+            # re-creates batch 0 from the first file by name, which is
+            # only batch 0 if arrival order was deterministic
+            _force_monotone_arrival(src)
 
             sim.write_ivf_index(base, f"{tmp}/stream_idx")
             sim.write_ivf_index(base, f"{tmp}/batch_idx")
