@@ -86,6 +86,8 @@ HEADLINE = [
     "C3_rate_changepoint",
     "U8_scd2_history",
     "A11_salted_distinct",
+    "T31_temperature_mix",
+    "G19_personalized_pagerank",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

@@ -2154,3 +2154,128 @@ def d8_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_scrub(table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+# --- temperature-rebalanced mixture (T31) ----------------------------------
+
+
+def temp_bucket(doc_id: Column) -> Column:
+    """Deterministic 0..999999 sampling bucket for the temperature
+    mixture — salted independently of both the split ('split_') and the
+    fixed mixture ('mix_') buckets, same md5 idiom."""
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("temp_"), doc_id.cast("string"))), 1, 8
+    )
+    return F.conv(hex8, 16, 10).cast("long") % 1000000
+
+
+@query(
+    "T31_temperature_mix",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(('0x' || substr(md5('temp_' || doc_id), 1, 8)) AS BIGINT)
+               % 1000000 AS bucket
+      FROM documents
+      WHERE doc_id % (1 + CAST(substr(source, 4) AS INT) % 4) = 0
+    ),
+    sz AS (SELECT source, COUNT(*) AS n_in FROM d GROUP BY source),
+    tot AS (SELECT SUM(n_in) AS n FROM sz),
+    boost AS (
+      SELECT source, n_in,
+             sqrt(CAST(n.n AS DOUBLE) / n_in) AS b,
+             MAX(sqrt(CAST(n.n AS DOUBLE) / n_in)) OVER () AS bmax
+      FROM sz CROSS JOIN tot n
+    ),
+    rate AS (
+      SELECT source, n_in,
+             CAST(FLOOR(b / bmax * 1000000) AS BIGINT) AS rate_x1e6
+      FROM boost
+    )
+    SELECT r.source,
+           CAST(r.n_in AS BIGINT) AS n_in,
+           r.rate_x1e6,
+           CAST(SUM(CASE WHEN d.bucket < r.rate_x1e6 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.bucket < r.rate_x1e6 THEN d.n_tokens
+                    ELSE 0 END) AS BIGINT) AS n_tokens_kept
+    FROM rate r JOIN d ON d.source = r.source
+    GROUP BY r.source, r.n_in, r.rate_x1e6
+    ORDER BY r.source
+    """,
+)
+def t31_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced data mixture (τ = 0.5, the multilingual-
+    pretraining upsampling rule): each source's keep-rate is
+    proportional to share^(τ−1) = 1/sqrt(share), normalized so the
+    smallest source keeps 100% — small sources are upweighted RELATIVE
+    to large ones without replication, the standard downsample-only
+    spelling.  T16 is the fixed-weights mixture; T31 derives the
+    weights from the measured source sizes (a deterministic per-source
+    thinning mints unequal sizes first — the test corpus is uniform by
+    construction).
+
+    Determinism: the one irrational (sqrt) is IEEE correctly-rounded
+    identically in both engines, its argument is an exact integer
+    ratio, and the keep threshold floor-quantizes to the 1e-6 grid
+    before any comparison; the keep decision is then pure integer
+    (md5-bucket < rate) — reprocessing-stable, partition-independent.
+
+    Scale shape: one combinable size count, a |sources|-row boost table
+    broadcast back, the keep decision evaluated in the scan, one
+    combinable audit rollup — the corpus is touched twice (size pass,
+    keep pass), never shuffled on doc rows."""
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .where(F.col("doc_id") % (1 + src_num % 4) == 0)
+        .select(
+            "source",
+            "doc_id",
+            token_count(F.trim(F.col("text"))).alias("n_tokens"),
+            temp_bucket(F.col("doc_id")).alias("bucket"),
+        )
+    )
+    sz = d.groupBy("source").agg(F.count("*").alias("n_in"))
+    tot = sz.agg(F.sum("n_in").alias("n"))
+    boost = sz.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_in",
+        F.sqrt(F.col("n").cast("double") / F.col("n_in")).alias("b"),
+    )
+    from pyspark.sql import Window
+
+    rate = boost.select(
+        "source",
+        "n_in",
+        F.floor(
+            F.col("b") / F.max("b").over(Window.partitionBy()) * 1000000
+        )
+        .cast("long")
+        .alias("rate_x1e6"),
+    )
+    return (
+        d.join(F.broadcast(rate), "source")
+        .groupBy("source", "n_in", "rate_x1e6")
+        .agg(
+            F.sum((F.col("bucket") < F.col("rate_x1e6")).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("bucket") < F.col("rate_x1e6"), F.col("n_tokens")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+        .select(
+            "source",
+            F.col("n_in").cast("long").alias("n_in"),
+            "rate_x1e6",
+            "n_kept",
+            "n_tokens_kept",
+        )
+        .orderBy("source")
+    )

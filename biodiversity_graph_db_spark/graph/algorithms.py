@@ -738,3 +738,63 @@ def link_prediction(edges: DataFrame, k: int = 20) -> DataFrame:
             (F.floor(F.col("j") * 10000) / F.lit(10000.0)).alias("jaccard"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[str],
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank from a source set (the random walk
+    restarts at the SOURCES, not uniformly) — the similarity /
+    recommendation primitive: ``ppr_micro(v)`` is v's stationary mass
+    under walks that always teleport home, i.e. v's relevance TO the
+    sources.  Same fixed-point BIGINT discipline as ``pagerank`` (IEEE
+    floor-quantized per-edge contributions, order-independent integer
+    sums) so an unrolled SQL oracle reproduces every value.
+
+    One keyed shuffle per iteration; the teleport vector is a column
+    expression on the bounded source list (broadcast by construction),
+    never a driver-side map.  Vertices never reached report 0 and are
+    filtered — output is the reachable set only."""
+    e = _pairs(edges).cache()
+    nodes = (
+        e.select(F.col("src").alias("key"))
+        .unionByName(e.select(F.col("dst").alias("key")))
+        .dropDuplicates()
+        .cache()
+    )
+    s = len(sources)
+    d_pct = int(round(damping * 100))
+    base_amt = int((RANK_UNIT * (100 - d_pct)) // (100 * s))
+    init_amt = int(RANK_UNIT // s)
+    is_src = F.col("key").isin(list(sources))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    out = e.join(deg, "src").cache()
+    ranks = nodes.withColumn(
+        "ppr_micro",
+        F.when(is_src, F.lit(init_amt)).otherwise(F.lit(0)).cast("long"),
+    )
+    for i in range(iterations):
+        contrib = (
+            out.join(ranks, out.src == ranks.key)
+            .select(
+                F.col("dst").alias("key"),
+                F.floor(
+                    (F.col("ppr_micro") * d_pct) / (100 * F.col("deg"))
+                ).alias("c"),
+            )
+            .groupBy("key")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, "key", "left").select(
+            "key",
+            (
+                F.when(is_src, F.lit(base_amt)).otherwise(F.lit(0))
+                + F.coalesce("in_mass", F.lit(0))
+            )
+            .cast("long")
+            .alias("ppr_micro"),
+        )
+    return ranks.where(F.col("ppr_micro") > 0)

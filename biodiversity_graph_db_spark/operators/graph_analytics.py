@@ -827,3 +827,71 @@ def g18_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the §2.12 GraphX mandate.  See ``algorithms.link_prediction``
     for the scale shape (wedge join, anti-join, TakeOrdered top-k)."""
     return algorithms.link_prediction(li_graph(spark, sf_dir))
+
+
+_G19_SOURCES = ("o_1", "o_2")
+
+
+def _ppr_oracle(iterations: int = 5) -> str:
+    from biodiversity_graph_db_spark.graph.algorithms import RANK_UNIT
+
+    d_pct, s = 85, len(_G19_SOURCES)
+    base_amt = (RANK_UNIT * (100 - d_pct)) // (100 * s)
+    init_amt = RANK_UNIT // s
+    srcs = ", ".join(f"'{x}'" for x in _G19_SOURCES)
+    its = []
+    for k in range(iterations):
+        its.append(f"""it{k + 1} AS (
+      SELECT n.key,
+             CAST(CASE WHEN n.key IN ({srcs}) THEN {base_amt}
+                       ELSE 0 END + COALESCE(c.m, 0) AS BIGINT)
+               AS ppr_micro
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS key,
+               SUM(CAST(FLOOR((r.ppr_micro * {d_pct}) / (100 * d.deg))
+                        AS BIGINT)) AS m
+        FROM und2 e
+        JOIN deg d ON d.src = e.src
+        JOIN it{k} r ON r.key = e.src
+        GROUP BY e.dst
+      ) c ON c.key = n.key
+    )""")
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH {_LI_GRAPH_SQL},
+    und2 AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    nodes AS (SELECT DISTINCT src AS key FROM und2),
+    deg AS (SELECT src, COUNT(*) AS deg FROM und2 GROUP BY src),
+    it0 AS (
+      SELECT key,
+             CAST(CASE WHEN key IN ({srcs}) THEN {init_amt} ELSE 0 END
+                  AS BIGINT) AS ppr_micro
+      FROM nodes
+    ),
+    {its_sql}
+    SELECT key, ppr_micro FROM it{iterations}
+    WHERE ppr_micro > 0
+    ORDER BY key
+    """
+
+
+@query("G19_personalized_pagerank", oracle=_ppr_oracle())
+def g19_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from two source orders over the undirected
+    o/p/s graph, 5 iterations — the "what is most relevant to THESE
+    entities" primitive (recommendation / related-evidence ranking);
+    G6 ranks globally, G19 ranks relative to a query set.  Exact
+    fixed-point arithmetic end to end; the oracle unrolls the same 5
+    rounds."""
+    und = algorithms.undirect(li_graph(spark, sf_dir))
+    return (
+        algorithms.personalized_pagerank(
+            und, list(_G19_SOURCES), iterations=5
+        )
+        .select("key", "ppr_micro")
+        .orderBy("key")
+    )

@@ -1008,3 +1008,23 @@ class TestRound7FourthWavePlans:
         assert "xxhash64" in plan  # the salt key (aliases are inlined)
         assert plan.count("HashAggregate") >= 4
         assert "BatchEvalPython" not in plan
+
+    def test_t31_keep_decision_in_scan_bounded_rate_broadcast(
+        self, spark, sf_dir
+    ):
+        """The rate table is |sources| rows broadcast back; the keep
+        decision is a scan-side integer comparison — no doc-row shuffle
+        beyond the two combinable rollups, no Python."""
+        plan = _plan(spark, sf_dir, "T31_temperature_mix")
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_g19_ppr_keyed_joins_no_cartesian(self, spark, sf_dir):
+        """Each PPR round is one keyed join + combinable mass sum; the
+        teleport vector is a column expression, never a driver map."""
+        plan = _plan(spark, sf_dir, "G19_personalized_pagerank")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 2
