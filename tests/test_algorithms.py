@@ -319,3 +319,80 @@ class TestHarmonicCentrality:
         assert rows["b"].harmonic_micro == 2 * u and rows["b"].n_reached == 2
         assert rows["a"].harmonic_micro == u // 2  # reaches c at dist 2
         assert "x" not in rows and "y" not in rows
+
+
+class TestClusteringCoefficient:
+    def test_known_kite_graph(self, spark):
+        """Triangle a-b-c plus pendant d off a: a,b,c have deg>=2; b and
+        c close their only wedge (lcc=1); a has 3 wedges, 1 closed
+        (lcc=1/3); d (deg 1) is excluded."""
+        from biodiversity_graph_db_spark.graph.algorithms import (
+            clustering_coefficient,
+        )
+
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])
+        got = {r.key: (r.triangles, r.deg, r.lcc) for r in
+               clustering_coefficient(e).collect()}
+        assert got == {
+            "a": (1, 3, 0.3333),
+            "b": (1, 2, 1.0),
+            "c": (1, 2, 1.0),
+        }
+
+
+class TestLinkPrediction:
+    def test_open_wedge_ranked(self, spark):
+        """Path a-b-c plus a-d: (a,c)?? no — c and d share neighbor
+        a... candidates are the distance-2 non-adjacent pairs with
+        their common-neighbor Jaccard."""
+        from biodiversity_graph_db_spark.graph.algorithms import (
+            link_prediction,
+        )
+
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "d")])
+        got = {(r.a, r.b): (r.common, r.jaccard) for r in
+               link_prediction(e).collect()}
+        # a-c share b (deg a=2, deg c=1): J = 1/(2+1-1) = 0.5
+        # b-d share a (deg b=2, deg d=1): J = 1/(2+1-1) = 0.5
+        # c-d share nothing (distance 3): absent
+        assert got == {("a", "c"): (1, 0.5), ("b", "d"): (1, 0.5)}
+
+    def test_existing_edges_excluded(self, spark):
+        from biodiversity_graph_db_spark.graph.algorithms import (
+            link_prediction,
+        )
+
+        # triangle: every distance-2 pair is already adjacent
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+        assert link_prediction(e).count() == 0
+
+
+class TestPersonalizedPagerank:
+    def test_mass_concentrates_near_sources(self, spark):
+        """On a path s-x-y-z with source s: x (s's sole neighbor)
+        receives ALL of s's outflow so legitimately tops s (solving the
+        stationary system: π=(.302,.358,.238,.101)); beyond x, mass is
+        strictly decreasing with distance and everything s-side beats
+        the far end."""
+        from biodiversity_graph_db_spark.graph.algorithms import (
+            personalized_pagerank,
+            undirect,
+        )
+
+        e = undirect(
+            _edges(spark, [("s", "x"), ("x", "y"), ("y", "z")])
+        )
+        got = {r.key: r.ppr_micro for r in
+               personalized_pagerank(e, ["s"], iterations=8).collect()}
+        assert got["x"] > got["s"] > got["y"] > got["z"] > 0
+
+    def test_unreachable_gets_zero(self, spark):
+        from biodiversity_graph_db_spark.graph.algorithms import (
+            personalized_pagerank,
+            undirect,
+        )
+
+        e = undirect(_edges(spark, [("s", "x"), ("p", "q")]))
+        got = {r.key for r in
+               personalized_pagerank(e, ["s"], iterations=4).collect()}
+        assert got == {"s", "x"}  # the p/q component reports nothing
