@@ -777,12 +777,20 @@ def personalized_pagerank(
         F.when(is_src, F.lit(init_amt)).otherwise(F.lit(0)).cast("long"),
     )
     for i in range(iterations):
+        # rename before the join: ranks shares lineage with out (both
+        # derive from e), and the bare `out.src == ranks.key` predicate
+        # can MISBIND under self-join ambiguity resolution — observed
+        # as rank values attributed to the wrong vertex on a 4-node
+        # path (each vertex wearing its neighbor's mass)
+        r = ranks.select(
+            F.col("key").alias("_r_key"), F.col("ppr_micro").alias("_r_m")
+        )
         contrib = (
-            out.join(ranks, out.src == ranks.key)
+            out.join(r, F.col("src") == F.col("_r_key"))
             .select(
                 F.col("dst").alias("key"),
                 F.floor(
-                    (F.col("ppr_micro") * d_pct) / (100 * F.col("deg"))
+                    (F.col("_r_m") * d_pct) / (100 * F.col("deg"))
                 ).alias("c"),
             )
             .groupBy("key")
