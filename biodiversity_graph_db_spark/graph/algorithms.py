@@ -103,12 +103,20 @@ def pagerank(
     out.count()  # materialize the static join side once
     ranks = nodes.withColumn("rank_micro", F.lit(int(RANK_UNIT // n)))
     for i in range(iterations):
+        # rename before the join: ranks shares lineage with out (both
+        # derive from e), and a bare `out.src == ranks.key` predicate
+        # can MISBIND under self-join ambiguity resolution (observed in
+        # the personalized variant: vertices wearing their neighbor's
+        # mass) — the renamed columns are unambiguous by construction
+        r = ranks.select(
+            F.col("key").alias("_r_key"), F.col("rank_micro").alias("_r_m")
+        )
         contrib = (
-            out.join(ranks, out.src == ranks.key)
+            out.join(r, F.col("src") == F.col("_r_key"))
             .select(
                 F.col("dst").alias("key"),
                 F.floor(
-                    (F.col("rank_micro") * d_pct) / (100 * F.col("deg"))
+                    (F.col("_r_m") * d_pct) / (100 * F.col("deg"))
                 ).alias("c"),
             )
             .groupBy("key")
