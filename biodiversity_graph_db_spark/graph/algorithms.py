@@ -219,8 +219,14 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
         "label", F.col("key")
     )
     for i in range(max_iter):
+        # ambiguity-safe rename (the pagerank-loop fix): labels shares
+        # lineage with und in round 1, and `und.dst == labels.key` can
+        # misbind under self-join resolution
+        lab_r = labels.select(
+            F.col("key").alias("_l_key"), F.col("label").alias("label")
+        )
         votes = (
-            und.join(labels, und.dst == labels.key)
+            und.join(lab_r, F.col("dst") == F.col("_l_key"))
             .groupBy(F.col("src").alias("k"), "label")
             .agg(F.count("*").alias("n"))
         )
@@ -523,8 +529,13 @@ def hits(
         )
 
     def _gather(scores: DataFrame, edge_key: str, group_key: str) -> DataFrame:
+        # ambiguity-safe rename (the pagerank-loop fix): the first
+        # half-step's scores derive from e's own vertex set
+        s_r = scores.select(
+            F.col("key").alias("_s_key"), F.col("score").alias("score")
+        )
         m = (
-            e.join(scores, F.col(edge_key) == scores.key)
+            e.join(s_r, F.col(edge_key) == F.col("_s_key"))
             .groupBy(F.col(group_key).alias("key"))
             .agg(F.sum("score").alias("m"))
         )
