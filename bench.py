@@ -88,6 +88,8 @@ HEADLINE = [
     "A11_salted_distinct",
     "T31_temperature_mix",
     "G19_personalized_pagerank",
+    "V9_filtered_topk",
+    "D10_semdedup_eval",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from biodiversity_graph_db_spark.operators._util import dquant, spread
+from biodiversity_graph_db_spark.operators._util import dquant, spread, sql_dquant
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -1514,3 +1514,219 @@ def compact_ivf_deltas(spark: SparkSession, path: str) -> None:
     if not fs.rename(hpath(tmp), dst):
         raise RuntimeError("ivf delta compaction swap failed")
     fs.delete(hpath(f"{path}/assigned_delta"), True)
+
+
+@query(
+    "V9_filtered_topk",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+          WHERE label % 2 = 0),
+    terms AS (
+      SELECT q_id, c_id, unnest(qe) AS qa, unnest(ce) AS cb
+      FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    dots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM terms GROUP BY q_id, c_id
+    ),
+    cos AS (
+      SELECT d.q_id, d.c_id,
+             d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                          * CAST(nc.norm_sq AS DOUBLE)) AS cosv
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms nc ON nc.vec_id = d.c_id
+    )
+    SELECT q_id, rank, c_id, FLOOR(cosv * 1e6) / 1e6 AS cosine FROM (
+      SELECT q_id, c_id, cosv,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosv DESC, c_id) AS rank
+      FROM cos
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def v9_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search — top-5 cosine among candidates
+    satisfying a label predicate (the "filtered ANN" capability every
+    vector store ships: search only docs matching a tenant / language /
+    recency filter).  PRE-filtering is the correct semantics (filter
+    then top-k) — post-filtering a fixed-k pool silently under-returns
+    when the predicate is selective, the classic filtered-ANN bug.
+
+    Scale shape: the predicate lands in the parquet scan as a pushed
+    filter (plan-tested), so only qualifying vectors ever reach the dot
+    product; with the IVF index the same predicate applies inside the
+    probed ``cent_id`` partitions — pruning composes with filtering."""
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("label") % 2 == 0),
+        k=5,
+    ).orderBy("q_id", "rank")
+
+
+@query(
+    "D10_semdedup_eval",
+    oracle=f"""
+    WITH sl AS (SELECT * FROM embeddings WHERE vec_id < 200),
+    norms AS (
+      SELECT vec_id,
+             SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS norm_sq
+      FROM (SELECT vec_id, unnest(embedding) AS v FROM sl)
+      GROUP BY vec_id
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_emb
+      FROM sl ORDER BY vec_id
+      LIMIT (SELECT GREATEST(8, CAST(CEIL(4 * sqrt(count(*) / 2.0))
+                                     AS BIGINT)) FROM sl)
+    ),
+    aterms AS (
+      SELECT e.vec_id AS c_id, c.cent_id,
+             unnest(e.embedding) AS xa, unnest(c.cent_emb) AS xb
+      FROM sl e CROSS JOIN cents c
+    ),
+    adots AS (
+      SELECT c_id, cent_id,
+             SUM(CAST(FLOOR(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM aterms GROUP BY c_id, cent_id
+    ),
+    acos AS (
+      SELECT d.c_id, d.cent_id,
+             d.dot / sqrt(CAST(nv.norm_sq AS DOUBLE)
+                          * CAST(nc.norm_sq AS DOUBLE)) AS cosv
+      FROM adots d
+      JOIN norms nv ON nv.vec_id = d.c_id
+      JOIN norms nc ON nc.vec_id = d.cent_id
+    ),
+    aranked AS (
+      SELECT c_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY c_id
+                                ORDER BY cosv DESC, cent_id) AS crk
+      FROM acos
+    ),
+    a4 AS (SELECT c_id, cent_id FROM aranked WHERE crk <= 4),
+    cand AS (
+      SELECT DISTINCT a.c_id AS va, b.c_id AS vb
+      FROM a4 a JOIN a4 b USING (cent_id)
+      WHERE a.c_id < b.c_id
+    ),
+    tterms AS (
+      SELECT ea.vec_id AS va, eb.vec_id AS vb,
+             unnest(ea.embedding) AS xa, unnest(eb.embedding) AS xb
+      FROM sl ea JOIN sl eb ON ea.vec_id < eb.vec_id
+    ),
+    tdots AS (
+      SELECT va, vb,
+             SUM(CAST(FLOOR(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM tterms GROUP BY va, vb
+    ),
+    truth AS (
+      SELECT d.va, d.vb
+      FROM tdots d
+      JOIN norms na ON na.vec_id = d.va
+      JOIN norms nb ON nb.vec_id = d.vb
+      WHERE d.dot / sqrt(CAST(na.norm_sq AS DOUBLE)
+                         * CAST(nb.norm_sq AS DOUBLE)) >= 0.35
+    ),
+    hits AS (
+      SELECT c.va, c.vb FROM cand c
+      JOIN truth t ON t.va = c.va AND t.vb = c.vb
+    )
+    SELECT (SELECT COUNT(*) FROM cand)  AS n_candidates,
+           (SELECT COUNT(*) FROM hits)  AS n_hits,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           {sql_dquant('(SELECT COUNT(*) FROM hits)'
+                       ' / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)')}
+             AS precision_at_035,
+           {sql_dquant('(SELECT COUNT(*) FROM hits)'
+                       ' / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)')}
+             AS recall_at_035
+    """,
+)
+def d10_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup evaluation — D9's measurement loop retargeted at
+    the EMBEDDING near-dup path: candidate precision/recall of the
+    IVF-bucketed pair generation (V4/D2's production scheme: k* =
+    4·√(N/2) centroids, n_probe=4) against exact all-pairs
+    cosine ≥ 0.35 ground truth.  The number that decides whether the
+    bucketing geometry is safe to run over 100 TB of embeddings —
+    SemDeDup without a measured recall is a silent under-dedup.
+
+    Scale shape: candidates come from the production cluster-id
+    equi-join; ground truth needs the true pair set, so it runs on the
+    bounded audit slice (vec_id < 200, the house audit-slice contract)
+    via a broadcast pairwise pass — fixed-size regardless of corpus."""
+    from biodiversity_graph_db_spark.operators._util import dquant
+
+    import math
+
+    emb = table(spark, sf_dir, "embeddings")
+    sl = emb.where(F.col("vec_id") < 200).localCheckpoint()
+    n = sl.count()
+    k = max(8, math.ceil(4 * math.sqrt(n / 2.0)))
+    cent_ids, cmat, cnorm = _collect_centroids(sl, k)
+    a = (
+        ivf_assign(sl, cent_ids, cmat, cnorm, n_probe=4)
+        .select("vec_id", "cent_id")
+        .localCheckpoint()
+    )
+    cand = (
+        a.alias("l")
+        .join(a.alias("r"), "cent_id")
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("va"), F.col("r.vec_id").alias("vb")
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    nn = with_norm(sl).select("vec_id", "embedding", "norm_sq")
+    truth = (
+        nn.alias("a")
+        .join(
+            F.broadcast(nn.alias("b")),
+            F.col("a.vec_id") < F.col("b.vec_id"),
+        )
+        .where(
+            cosine(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                F.col("a.norm_sq"),
+                F.col("b.norm_sq"),
+            )
+            >= 0.35
+        )
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .localCheckpoint()
+    )
+    hits = cand.join(truth, ["va", "vb"])
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    return (
+        nc.crossJoin(nh)
+        .crossJoin(nt)
+        .select(
+            "n_candidates",
+            "n_hits",
+            "n_truth",
+            dquant(
+                F.col("n_hits") / F.col("n_candidates").cast("double")
+            ).alias("precision_at_035"),
+            dquant(F.col("n_hits") / F.col("n_truth").cast("double")).alias(
+                "recall_at_035"
+            ),
+        )
+    )

@@ -1028,3 +1028,22 @@ class TestRound7FourthWavePlans:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("HashAggregate") >= 2
+
+    def test_v9_label_filter_pushed_to_scan(self, spark, sf_dir):
+        """The metadata predicate must reach the parquet scan as a
+        pushed filter — only qualifying vectors ever cost a dot
+        product (pre-filter semantics, never post-filter)."""
+        plan = _plan(spark, sf_dir, "V9_filtered_topk")
+        assert "PushedFilters" in plan and "label" in plan.split(
+            "PushedFilters"
+        )[1][:200]
+        assert "BatchEvalPython" not in plan
+
+    def test_d10_candidates_equi_join_truth_bounded(self, spark, sf_dir):
+        """Candidates come from the cluster-id equi-join off the
+        checkpointed assignment; the all-pairs truth stage exists ONLY
+        on the bounded audit slice (broadcast inequality join is the
+        one nested loop allowed)."""
+        plan = _plan(spark, sf_dir, "D10_semdedup_eval")
+        assert "ExistingRDD" in plan
+        assert "CartesianProduct" not in plan
