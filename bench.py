@@ -90,6 +90,8 @@ HEADLINE = [
     "G19_personalized_pagerank",
     "V9_filtered_topk",
     "D10_semdedup_eval",
+    "O5_keyset_page",
+    "T32_curation_audit",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

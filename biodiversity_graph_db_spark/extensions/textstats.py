@@ -2279,3 +2279,159 @@ def t31_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- curation-decision audit (T32) -----------------------------------------
+
+_QV_SQL = """0.4 * least(1.0, n_chars / 400.0)
+           + 0.4 * (len(list_distinct(
+                        string_split_regex(trim(lower(text)), '\\s+')))
+                    / CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS DOUBLE))
+           + 0.2 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE))"""
+
+
+@query(
+    "T32_curation_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             doc_id % 10 = 7 AS is_bench,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             {_QV_SQL} AS qv,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(
+                 len(string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' '))
+                 - {CONTAM_K - 1}, 0)),
+               i -> md5(array_to_string(
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ')
+                 [i:i+{CONTAM_K - 1}], ' '))
+             )) AS grams
+      FROM documents
+    ),
+    bench_grams AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM base WHERE is_bench
+    ),
+    tr AS (SELECT * FROM base WHERE NOT is_bench),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS nh
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) t
+      JOIN bench_grams b USING (gram)
+      GROUP BY t.doc_id
+    ),
+    s1 AS (
+      SELECT tr.*, len(tr.grams) AS ng, COALESCE(h.nh, 0) AS nh
+      FROM tr LEFT JOIN hits h USING (doc_id)
+    ),
+    surv1 AS (SELECT * FROM s1 WHERE NOT (ng > 0 AND 20 * nh >= ng)),
+    keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM surv1 GROUP BY fp),
+    s2 AS (SELECT s.*, k.keeper FROM surv1 s JOIN keepers k USING (fp)),
+    surv2 AS (SELECT * FROM s2 WHERE doc_id = keeper AND qv >= 0.5),
+    capped AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY qv DESC, doc_id) AS rk
+      FROM surv2
+    )
+    SELECT doc_id, verdict FROM (
+      SELECT doc_id, 'bench_split' AS verdict FROM base WHERE is_bench
+      UNION ALL
+      SELECT doc_id, 'contaminated' FROM s1 WHERE ng > 0 AND 20 * nh >= ng
+      UNION ALL
+      SELECT doc_id, 'exact_dup' FROM s2 WHERE doc_id <> keeper
+      UNION ALL
+      SELECT doc_id, 'low_quality' FROM s2
+      WHERE doc_id = keeper AND qv < 0.5
+      UNION ALL
+      SELECT doc_id, CASE WHEN rk <= {10} THEN 'kept'
+                          ELSE 'over_domain_cap' END
+      FROM capped
+    ) ORDER BY doc_id
+    """,
+)
+def t32_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation-decision audit — "WHY is this document in
+    (or out of) the training mix": every doc_id gets the verdict of the
+    FIRST pipeline stage that claimed it, replaying the house rules in
+    pipeline order — benchmark split (doc_id%10==7), decontamination
+    (T8/D5: ≥5% of distinct 5-grams hit the bench set — spelled as the
+    exact integer test 20·hits ≥ grams, no division), exact dedup (T3
+    fingerprint, min-doc_id keeper), quality gate (T2 composite < 0.5,
+    the streaming pipeline's threshold), domain cap (D6: top-10 per
+    source by quality).  The explainability surface a data-governance
+    review asks for — and the audit twin of the enforcement ops, which
+    each report only their own stage.
+
+    Scale shape: every per-doc feature (fingerprint, quality, gram
+    set) is computed in ONE pass and localCheckpoint-ed (the gram
+    array feeds the bench set, the hit counts AND size() — uncut, the
+    md5-gram map would re-run per subtree); each stage is then a
+    combinable aggregate or bounded window over the shrinking survivor
+    set; verdicts union back without touching the corpus again."""
+    d = spread(table(spark, sf_dir, "documents"))
+    grams = F.array_distinct(token_kgrams(norm_tokens(F.col("text")), CONTAM_K))
+    base = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 10 == 7).alias("is_bench"),
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("qv"),
+        grams.alias("grams"),
+    ).localCheckpoint()
+    bench_grams = (
+        base.where("is_bench")
+        .select(F.explode_outer("grams").alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = base.where(~F.col("is_bench"))
+    hits = (
+        tr.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nh"))
+    )
+    s1 = (
+        tr.withColumn("ng", F.size("grams"))
+        .join(hits, "doc_id", "left")
+        .withColumn("nh", F.coalesce(F.col("nh"), F.lit(0)))
+        .localCheckpoint()
+    )
+    contaminated = (F.col("ng") > 0) & (20 * F.col("nh") >= F.col("ng"))
+    surv1 = s1.where(~contaminated)
+    keepers = surv1.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    s2 = surv1.join(keepers, "fp").localCheckpoint()
+    surv2 = s2.where(
+        (F.col("doc_id") == F.col("keeper")) & (F.col("qv") >= 0.5)
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("qv").desc(), "doc_id")
+    )
+    capped = surv2.select("doc_id", rk.alias("rk"))
+    v = F.lit
+    arms = [
+        base.where("is_bench").select("doc_id", v("bench_split").alias("verdict")),
+        s1.where(contaminated).select("doc_id", v("contaminated").alias("verdict")),
+        s2.where(F.col("doc_id") != F.col("keeper")).select(
+            "doc_id", v("exact_dup").alias("verdict")
+        ),
+        s2.where(
+            (F.col("doc_id") == F.col("keeper")) & (F.col("qv") < 0.5)
+        ).select("doc_id", v("low_quality").alias("verdict")),
+        capped.select(
+            "doc_id",
+            F.when(F.col("rk") <= 10, "kept")
+            .otherwise("over_domain_cap")
+            .alias("verdict"),
+        ),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("doc_id")

@@ -778,10 +778,19 @@ def personalized_pagerank(
     never a driver-side map.  Vertices never reached report 0 and are
     filtered — output is the reachable set only."""
     e = _pairs(edges).cache()
+    # the G6 partition discipline: size the loop's partitioning to the
+    # graph (the session default over-fans small graphs — mostly-empty
+    # tasks dominate per-round cost), hash both loop sides on the join
+    # key once, and materialize the static degree-annotated edge side
+    # so every round reuses its Exchange instead of re-shuffling
+    default = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    partitions = max(1, min(default, e.count() // 50_000 + 1))
+    e = e.repartition(partitions, "src")
     nodes = (
         e.select(F.col("src").alias("key"))
         .unionByName(e.select(F.col("dst").alias("key")))
         .dropDuplicates()
+        .repartition(partitions, "key")
         .cache()
     )
     s = len(sources)
@@ -790,7 +799,8 @@ def personalized_pagerank(
     init_amt = int(RANK_UNIT // s)
     is_src = F.col("key").isin(list(sources))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    out = e.join(deg, "src").cache()
+    out = e.join(deg, "src").repartition(partitions, "src").cache()
+    out.count()  # materialize the static join side once
     ranks = nodes.withColumn(
         "ppr_micro",
         F.when(is_src, F.lit(init_amt)).otherwise(F.lit(0)).cast("long"),

@@ -446,3 +446,40 @@ def f12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_decade")
     )
+
+
+@query(
+    "O5_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey > 5000
+    ORDER BY o_orderkey
+    LIMIT 25
+    """,
+)
+def o5_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — page N+1 of an ordered listing
+    fetched as ``key > last_seen ORDER BY key LIMIT page`` (the
+    reference UI pages its node lists, Storage.fs:165 truncation; this
+    is the scalable spelling).  OFFSET pagination re-scans and re-sorts
+    every preceding page — O(pages²) total at 100 TB; the keyset
+    predicate instead lands in the parquet scan as a pushed
+    ``GreaterThan`` (plan-tested), min/max row-group stats skip
+    everything before the cursor, and the limit plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") > 5000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderkey")
+        .limit(25)
+    )

@@ -84,6 +84,8 @@ PRIORITY: tuple[str, ...] = (
     "G19_personalized_pagerank",
     "V9_filtered_topk",
     "D10_semdedup_eval",
+    "O5_keyset_page",
+    "T32_curation_audit",
     # (1) the 39 queries whose latest driver evidence is round 4
     # (VERDICT r6 item 7) — after this round no query's driver
     # evidence is older than r5
@@ -114,12 +116,12 @@ PRIORITY: tuple[str, ...] = (
     "J8_interval_containment",
     "J9_asof_join",
     "M1_unpivot_wide_matrix",
-    # J3/J4/J5/J6/J8/J9/M1/O2/PR1/SD1/T13-T17/T1/T2/T3/T5 are the twenty r4-evidence
+    # J2/GEO6/J3/J4/J5/J6/J8/J9/M1/O2/PR1/SD1/T13-T17/T1/T2/T3/T5 are the 22 r4-evidence
     # queries the third- and fourth-wave additions (G16/PR2/M5/W9 +
     # G17/A9/W10/PR3/D9/J10/EX2/F12/A10/G18/C3) push past the 50-slot
     # window: new queries' FIRST driver grade outranks refreshing green
     # r4 evidence that the local parity gate re-verifies every run.
-    # They lead the r8 rotation (J3-J9/M1 sit just past the cut).
+    # They lead the r8 rotation (J2-J9/GEO6/M1 sit just past the cut).
     "O2_topk_per_group",
     "PR1_profile_events",
     "SD1_snapshot_diff",

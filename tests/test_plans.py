@@ -1047,3 +1047,21 @@ class TestRound7FourthWavePlans:
         plan = _plan(spark, sf_dir, "D10_semdedup_eval")
         assert "ExistingRDD" in plan
         assert "CartesianProduct" not in plan
+
+    def test_o5_cursor_pushed_and_topk(self, spark, sf_dir):
+        """The cursor predicate must reach the scan (row-group stats
+        skip everything before it) and the page must plan as
+        TakeOrderedAndProject, never a global sort."""
+        plan = _plan(spark, sf_dir, "O5_keyset_page")
+        assert "GreaterThan(o_orderkey,5000)" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_t32_audit_single_feature_pass(self, spark, sf_dir):
+        """All verdict arms must run off the ONE checkpointed feature
+        pass — exactly one Generate family off ExistingRDD, no repeat
+        of the md5-gram map per arm, no Python, no cartesian."""
+        plan = _plan(spark, sf_dir, "T32_curation_audit")
+        assert "ExistingRDD" in plan
+        assert "documents.parquet" not in plan, "corpus re-scanned"
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
