@@ -92,6 +92,8 @@ HEADLINE = [
     "D10_semdedup_eval",
     "O5_keyset_page",
     "T32_curation_audit",
+    "W12_ohlc_bars",
+    "W13_funnel_conversion",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

@@ -645,3 +645,165 @@ def w10_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "W12_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             event_id, ts,
+             CAST(FLOOR(value * 10000) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT day, v,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM e
+    )
+    SELECT day,
+           COUNT(*) AS n,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN v END) AS BIGINT)
+             AS open_x10000,
+           CAST(MAX(v) AS BIGINT) AS high_x10000,
+           CAST(MIN(v) AS BIGINT) AS low_x10000,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN v END) AS BIGINT)
+             AS close_x10000
+    FROM r GROUP BY day ORDER BY day
+    """,
+)
+def w12_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event value series — the downsampling
+    aggregate every time-series store ships (open/high/low/close per
+    bucket).  Open/close are ORDER statistics, not plain aggregates, so
+    they need a deterministic first/last rule: (ts, event_id) totally
+    orders each day, and the first/last row's value is selected via a
+    rank-1 conditional aggregate — never ``first()`` (which is
+    partition-order-dependent in Spark and irreproducible by design).
+
+    Scale shape: two rank windows partitioned by day (bounded
+    partitions) feeding ONE combinable group-by; values ride the
+    scaled-int spelling so min/max/select agree bit-for-bit."""
+    e = table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    from pyspark.sql import Window
+
+    w_open = Window.partitionBy("day").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "day",
+        "v",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return (
+        r.groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.when(F.col("rn_open") == 1, F.col("v")))
+            .cast("long")
+            .alias("open_x10000"),
+            F.max("v").cast("long").alias("high_x10000"),
+            F.min("v").cast("long").alias("low_x10000"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("v")))
+            .cast("long")
+            .alias("close_x10000"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "W13_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+           FLOOR((SELECT COUNT(*) FROM c)
+                 / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) * 10000)
+             / 10000.0 AS click_rate,
+           FLOOR((SELECT COUNT(*) FROM p)
+                 / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) * 10000)
+             / 10000.0 AS purchase_rate
+    """,
+)
+def w13_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, strictly
+    increasing event times per user) — the product-analytics flagship
+    (MATCH_RECOGNIZE / funnel engines): how many users completed each
+    ordered step.
+
+    Spelled as a chain of per-user conditional MIN aggregates — step
+    N's earliest qualifying time joins into step N+1's filter — each a
+    map-side-combinable aggregate plus one user-keyed broadcast-able
+    join; no per-user event sorting, no session buffering, no pattern
+    automaton state.  At 100 TB each step's state is one timestamp per
+    surviving user."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_view_click"))
+    np_ = p.agg(F.count("*").alias("n_view_click_purchase"))
+    from biodiversity_graph_db_spark.operators._util import dquant
+
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            dquant(
+                F.col("n_view_click") / F.col("n_view").cast("double")
+            ).alias("click_rate"),
+            dquant(
+                F.col("n_view_click_purchase")
+                / F.col("n_view_click").cast("double")
+            ).alias("purchase_rate"),
+        )
+    )

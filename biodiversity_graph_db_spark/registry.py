@@ -86,6 +86,8 @@ PRIORITY: tuple[str, ...] = (
     "D10_semdedup_eval",
     "O5_keyset_page",
     "T32_curation_audit",
+    "W12_ohlc_bars",
+    "W13_funnel_conversion",
     # (1) the 39 queries whose latest driver evidence is round 4
     # (VERDICT r6 item 7) — after this round no query's driver
     # evidence is older than r5

@@ -1065,3 +1065,21 @@ class TestRound7FourthWavePlans:
         assert "documents.parquet" not in plan, "corpus re-scanned"
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_w12_windows_bounded_one_groupby(self, spark, sf_dir):
+        """Two rank windows partitioned by day feeding one combinable
+        rollup — no first()/last() partition-order dependence, no
+        Python."""
+        plan = _plan(spark, sf_dir, "W12_ohlc_bars")
+        assert "Window" in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan
+
+    def test_w13_funnel_is_agg_join_chain(self, spark, sf_dir):
+        """Each funnel step is a combinable MIN aggregate + a user-keyed
+        join — no per-user sort window, no pattern-automaton Python."""
+        plan = _plan(spark, sf_dir, "W13_funnel_conversion")
+        assert "Window" not in plan
+        assert plan.count("HashAggregate") >= 4
+        assert "CartesianProduct" not in plan  # count cross-joins are 1-row BNLJ
+        assert "BatchEvalPython" not in plan
