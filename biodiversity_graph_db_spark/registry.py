@@ -88,9 +88,12 @@ PRIORITY: tuple[str, ...] = (
     "T32_curation_audit",
     "W12_ohlc_bars",
     "W13_funnel_conversion",
-    # (1) the 39 queries whose latest driver evidence is round 4
-    # (VERDICT r6 item 7) — after this round no query's driver
-    # evidence is older than r5
+    # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
+    # 32 NEW round-7 queries above fill 34 slots, so 16 of the 39
+    # r4-evidence queries fit this round (A1..GEO3 below); the other
+    # 23 lead the r8 rotation — new queries' FIRST driver grade
+    # outranks refreshing green r4 evidence that the local parity gate
+    # (tests/test_oracle_parity.py) re-verifies every run anyway
     "A1_gen_statistics",
     "A3_merge_into_index",
     "A4_duplicate_guard",
@@ -118,12 +121,9 @@ PRIORITY: tuple[str, ...] = (
     "J8_interval_containment",
     "J9_asof_join",
     "M1_unpivot_wide_matrix",
-    # J2/GEO6/J3/J4/J5/J6/J8/J9/M1/O2/PR1/SD1/T13-T17/T1/T2/T3/T5 are the 22 r4-evidence
-    # queries the third- and fourth-wave additions (G16/PR2/M5/W9 +
-    # G17/A9/W10/PR3/D9/J10/EX2/F12/A10/G18/C3) push past the 50-slot
-    # window: new queries' FIRST driver grade outranks refreshing green
-    # r4 evidence that the local parity gate re-verifies every run.
-    # They lead the r8 rotation (J2-J9/GEO6/M1 sit just past the cut).
+    # ---- r8 ROTATION HEAD: the 23 r4-evidence queries past the cut
+    # (GEO4/GEO5/GEO6/J2-J9/M1/O2/PR1/SD1/T13-T17/T1/T2/T3/T5),
+    # ordered so they fill the r8 window first ----
     "O2_topk_per_group",
     "PR1_profile_events",
     "SD1_snapshot_diff",

@@ -162,6 +162,19 @@ def main() -> None:
             "PR3_psi_drift",
             "J10_bloom_semijoin",
             "EX2_shard_manifest",
+            # round-7 fifth wave (G18/D9/D10 audit-slice-bounded by
+            # contract; V9 tracks V1's linear-scan baseline)
+            "F12_json_extract",
+            "A10_grouped_mode",
+            "A11_salted_distinct",
+            "C3_rate_changepoint",
+            "U8_scd2_history",
+            "T31_temperature_mix",
+            "T32_curation_audit",
+            "W12_ohlc_bars",
+            "W13_funnel_conversion",
+            "O5_keyset_page",
+            "V9_filtered_topk",
         ):
             res[q] = timed(
                 lambda q=q: registry.QUERIES[q](spark, sf_dir).collect(),
@@ -254,7 +267,9 @@ def main() -> None:
             clustering_coefficient,
             harmonic_centrality,
             hits,
+            link_prediction,
             modularity,
+            personalized_pagerank,
             undirect,
         )
 
@@ -290,6 +305,15 @@ def main() -> None:
             ),
             "G17_clustering": timed(
                 lambda: clustering_coefficient(edges).count(), runs
+            ),
+            "G18_link_prediction": timed(
+                lambda: link_prediction(edges).count(), runs
+            ),
+            "G19_ppr": timed(
+                lambda: personalized_pagerank(
+                    und2, ["o_1", "o_2"], iterations=5
+                ).count(),
+                runs,
             ),
         }
         kern[f"bound_{bound}"] = k
