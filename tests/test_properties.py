@@ -959,3 +959,139 @@ def test_bpe_run_divergence_is_the_known_one():
             out.append(syms[i])
             i += 1
     assert len(out) == 3  # kernel path: bb bb bb
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(0, 500)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_exact_median_matches_python_model(spark, rows):
+    """A9's value-histogram median equals the textbook order statistic
+    ((lower+upper middle)/2) for every group, any distribution, ties
+    included — and is partitioning-invariant."""
+    import statistics
+
+    df = spark.createDataFrame(
+        [(g, g, float(v)) for g, v in rows],
+        "l_returnflag string, l_linestatus string, l_extendedprice double",
+    )
+    # reuse the registered query's internals via a local rebuild: the
+    # query binds to the lineitem table, so replicate its math here
+    from pyspark.sql import Window
+
+    g = ["l_returnflag", "l_linestatus"]
+    c = df.select(
+        *g, F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    vh = c.groupBy(*g, "cents").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(*g).orderBy("cents")
+    vh = (
+        vh.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(*g)))
+        .withColumn("lo", F.col("cum") - F.col("cnt") + 1)
+    )
+    m1 = F.floor((F.col("n") + 1) / 2)
+    m2 = F.floor((F.col("n") + 2) / 2)
+    hit1 = (m1 >= F.col("lo")) & (m1 <= F.col("cum"))
+    hit2 = (m2 >= F.col("lo")) & (m2 <= F.col("cum"))
+    got = {
+        r.l_returnflag: r.median
+        for r in vh.where(hit1 | hit2)
+        .select(
+            *g,
+            "cents",
+            (hit1.cast("int") + hit2.cast("int")).alias("w"),
+        )
+        .groupBy(*g)
+        .agg(
+            (F.sum(F.col("cents") * F.col("w")) / F.sum("w").cast("double"))
+            .alias("median")
+        )
+        .collect()
+    }
+    for gname in {g2 for g2, _ in rows}:
+        want = statistics.median(
+            sorted(v * 100 for g2, v in rows if g2 == gname)
+        )
+        assert got[gname] == float(want), (gname, got[gname], want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["t1", "t2"]), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_distinct_equals_plain(spark, rows):
+    """A11's two-level salted COUNT(DISTINCT) equals the single-level
+    spelling for any data (disjointness of per-salt value sets)."""
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    from biodiversity_graph_db_spark.operators.aggregations import (
+        _SALT_BUCKETS,
+    )
+
+    salted = (
+        df.groupBy(
+            "event_type",
+            F.pmod(F.xxhash64("user_id"), F.lit(_SALT_BUCKETS)).alias("_s"),
+        )
+        .agg(F.countDistinct("user_id").alias("pd"))
+        .groupBy("event_type")
+        .agg(F.sum("pd").alias("n"))
+    )
+    got = {r.event_type: r.n for r in salted.collect()}
+    want: dict = {}
+    for t, u in rows:
+        want.setdefault(t, set()).add(u)
+    assert got == {t: len(s) for t, s in want.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.integers(0, 20),
+        st.tuples(st.text("ab", max_size=3), st.booleans()),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_invariants(spark, state):
+    """scd2_merge invariants for ANY old/new pair: (a) every key that
+    exists in NEW has exactly one open current row carrying the NEW
+    value; (b) deleted keys have no current row; (c) every closed row
+    has valid_to == new_version; (d) row count = |union keys| +
+    |changed keys|."""
+    from biodiversity_graph_db_spark.operators.snapshot import scd2_merge
+
+    old_rows = [(str(k), v) for k, (v, _) in state.items()]
+    # new side: flip value when the bool says "change", drop every 3rd key
+    new_rows = [
+        (str(k), v + "!" if chg else v)
+        for k, (v, chg) in state.items()
+        if k % 3 != 0
+    ]
+    old = spark.createDataFrame(old_rows, "key string, name string")
+    new = (
+        spark.createDataFrame(new_rows, "key string, name string")
+        if new_rows
+        else old.where("1=0")
+    )
+    hist = scd2_merge(old, new, ["key"], "name", 1, 2).collect()
+    new_map = dict(new_rows)
+    cur = [r for r in hist if r.is_current]
+    assert {r.key for r in cur} == set(new_map)
+    for r in cur:
+        assert r.name == new_map[r.key] and r.valid_to is None
+    for r in hist:
+        if not r.is_current:
+            assert r.valid_to == 2
+    n_changed = sum(
+        1 for k, v in old_rows if k in new_map and new_map[k] != v
+    )
+    assert len(hist) == len(set(dict(old_rows)) | set(new_map)) + n_changed
