@@ -332,3 +332,69 @@ def neardup_batch_twin(prepared: DataFrame) -> DataFrame:
         .distinct()
     )
     return exact_kept.join(conflicted, "doc_id", "left_anti")
+
+
+def shard_export_upsert(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    app_id: str | None = None,
+) -> None:
+    """One micro-batch of streaming training-shard export: the batch's
+    documents are token-budget-packed by the BATCH shard assignment
+    (EX2's ``shard_assign`` — identical math to the batch writer) and
+    land as the batch's OWN delta dataset
+    ``shards_delta/app=<lineage>/batch=<id>/lang=*/shard_id=*`` plus a
+    matching manifest delta.  The directory is the transaction (the
+    IVF-delta contract): a replayed batch overwrites itself, a new
+    lineage merges under its own ``app=`` dir.
+
+    Shards are batch-scoped on purpose: a GLOBAL running token offset
+    across micro-batches would serialize the stream through one
+    cumulative counter; dataloaders consume (app, batch, lang, shard)
+    — same equal-work contract, no cross-batch coupling."""
+    import hashlib
+
+    from biodiversity_graph_db_spark.extensions.export import (
+        shard_assign,
+        shard_manifest,
+    )
+
+    tag = hashlib.md5((app_id or "default").encode()).hexdigest()[:12]
+    dest = f"{out_dir}/shards_delta/app={tag}/batch={batch_id}"
+    assigned = shard_assign(batch).localCheckpoint()
+    (
+        assigned.repartition("lang", "shard_id")
+        .sortWithinPartitions("doc_id")
+        .select("lang", "shard_id", "doc_id", "text", "n_tokens")
+        .write.mode("overwrite")
+        .partitionBy("lang", "shard_id")
+        .json(dest)
+    )
+    shard_manifest(batch).write.mode("overwrite").parquet(
+        f"{out_dir}/manifest_delta/app={tag}/batch={batch_id}"
+    )
+
+
+def run_shard_export(docs_stream: DataFrame, out_dir: str, checkpoint: str):
+    """Streaming training-shard export — the sink side of the streaming
+    pretraining pipeline: cleaned documents leave as token-budgeted
+    JSONL shard deltas with manifests, exactly-once by idempotent
+    per-batch directories.  Equivalence oracle: each batch's shards ==
+    the batch ``shard_assign`` of the same rows (tested)."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        shard_export_upsert(batch, batch_id, out_dir, app_id=checkpoint)
+
+    return (
+        docs_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def read_shard_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The dataloader-facing manifest across every lineage and batch:
+    one partition-discovered read of the manifest deltas (columns
+    app, batch, lang, shard_id, n_docs, n_tokens, n_bytes, ...)."""
+    return spark.read.parquet(f"{out_dir}/manifest_delta")

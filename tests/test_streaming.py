@@ -1486,3 +1486,81 @@ class TestStreamStreamJoin:
             assert got == want and want
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingShardExport:
+    def test_stream_shards_round_trip_and_replay_idempotent(
+        self, spark, sf_dir
+    ):
+        """Streaming shard export: the union of all batch shard deltas
+        must round-trip every streamed document exactly once, each
+        batch's shards must equal the batch shard_assign of the same
+        rows, the manifest union must match, and a replayed batch must
+        overwrite its own delta (no duplicates)."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions.export import (
+            shard_assign,
+        )
+        from biodiversity_graph_db_spark.streaming import pipeline
+        from biodiversity_graph_db_spark.tables import table
+
+        tmp = tempfile.mkdtemp(prefix="shard_stream_")
+        try:
+            docs_dir = f"{tmp}/docs"
+            docs = table(spark, sf_dir, "documents")
+            (
+                docs.repartitionByRange(3, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(docs_dir)
+            )
+            _force_monotone_arrival(docs_dir)
+            q = pipeline.run_shard_export(
+                pipeline.read_documents_stream(spark, docs_dir),
+                f"{tmp}/out",
+                f"{tmp}/ckpt",
+            ).start()
+            q.awaitTermination(180)
+
+            back = spark.read.json(f"{tmp}/out/shards_delta")
+            assert back.count() == docs.count()
+            assert {r.doc_id for r in back.select("doc_id").collect()} == {
+                r.doc_id for r in docs.select("doc_id").collect()
+            }
+
+            # per-batch equivalence: batch 0's shards == shard_assign of
+            # the first file's rows
+            import glob
+
+            first = sorted(glob.glob(f"{docs_dir}/part-*.parquet"))[0]
+            b0 = spark.read.parquet(first)
+            want = {
+                (r.lang, r.shard_id, r.doc_id)
+                for r in shard_assign(b0)
+                .select("lang", "shard_id", "doc_id")
+                .collect()
+            }
+            got = {
+                (r.lang, r.shard_id, r.doc_id)
+                for r in back.where(F.col("batch") == 0)
+                .select("lang", "shard_id", "doc_id")
+                .collect()
+            }
+            assert got == want and got
+
+            # manifest union covers every (batch, lang, shard)
+            man = pipeline.read_shard_manifest(spark, f"{tmp}/out")
+            assert man.agg(F.sum("n_docs")).first()[0] == docs.count()
+
+            # replay: re-running batch 0 leaves the totals unchanged
+            pipeline.shard_export_upsert(
+                b0, 0, f"{tmp}/out", app_id=f"{tmp}/ckpt"
+            )
+            assert (
+                spark.read.json(f"{tmp}/out/shards_delta").count()
+                == docs.count()
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
