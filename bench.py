@@ -94,6 +94,8 @@ HEADLINE = [
     "T32_curation_audit",
     "W12_ohlc_bars",
     "W13_funnel_conversion",
+    "PR4_joinsize_estimate",
+    "W14_zscore_anomalies",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

@@ -659,3 +659,79 @@ def t25_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "q")
     )
+
+
+@query(
+    "PR4_joinsize_estimate",
+    oracle=f"""
+    WITH counters AS (
+      SELECT 0 AS j, {_cm_pos_sql('user_id', 0)} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY pos
+      UNION ALL
+      SELECT 1, {_cm_pos_sql('user_id', 1)} AS pos,
+             CAST(COUNT(*) AS BIGINT)
+      FROM events GROUP BY pos
+      UNION ALL
+      SELECT 2, {_cm_pos_sql('user_id', 2)} AS pos,
+             CAST(COUNT(*) AS BIGINT)
+      FROM events GROUP BY pos
+    ),
+    est AS (
+      SELECT MIN(s) AS est_f2 FROM (
+        SELECT j, CAST(SUM(cnt * cnt) AS BIGINT) AS s
+        FROM counters GROUP BY j
+      )
+    ),
+    tru AS (
+      SELECT CAST(SUM(n * n) AS BIGINT) AS true_f2 FROM (
+        SELECT COUNT(*) AS n FROM events GROUP BY user_id
+      )
+    )
+    SELECT t.true_f2, e.est_f2,
+           CAST(e.est_f2 - t.true_f2 AS BIGINT) AS overcount,
+           FLOOR((e.est_f2 - t.true_f2)
+                 / CAST(t.true_f2 AS DOUBLE) * 10000) / 10000.0
+             AS rel_error
+    FROM tru t CROSS JOIN est e
+    """,
+)
+def pr4_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size (self-join / F2 second frequency moment) estimation
+    from the count-min sketch — the look-before-you-join companion to
+    PR2: ``|R ⋈_k R| = Σ_k cnt(k)²`` is what an optimizer needs before
+    committing a 100 TB shuffle, and the CM inner product
+    ``min_j Σ_pos cnt[j,pos]²`` estimates it from O(depth·width) state
+    without touching the key's full distinct domain (Cormode &
+    Muthukrishnan 2005; never an undercount).  The exact figure is
+    computed beside it at test scale so the estimator's overcount is a
+    GRADED number, not folklore — the T20/T22 measurement discipline.
+
+    Everything is exact BIGINT arithmetic on both engines; the sketch
+    side reuses the streamed-maintained CM counter table shape, so the
+    same estimate is available mid-stream for free."""
+    ev = table(spark, sf_dir, "events")
+    counters = cm_counters(ev, "user_id")
+    est = (
+        counters.groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s"))
+        .agg(F.min("s").cast("long").alias("est_f2"))
+    )
+    tru = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("true_f2"))
+    )
+    return tru.crossJoin(est).select(
+        "true_f2",
+        "est_f2",
+        (F.col("est_f2") - F.col("true_f2")).cast("long").alias("overcount"),
+        (
+            F.floor(
+                (F.col("est_f2") - F.col("true_f2"))
+                / F.col("true_f2").cast("double")
+                * 10000
+            )
+            / 10000.0
+        ).alias("rel_error"),
+    )

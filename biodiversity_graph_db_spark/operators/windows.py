@@ -807,3 +807,75 @@ def w13_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+@query(
+    "W14_zscore_anomalies",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS BIGINT) AS svv
+      FROM e GROUP BY user_id
+    ),
+    j AS (
+      SELECT e.event_id, e.user_id, e.v, s.n, s.sv, s.svv,
+             s.n * e.v - s.sv AS num,
+             s.n * s.svv - s.sv * s.sv AS var_n2
+      FROM e JOIN s USING (user_id)
+      WHERE s.n >= 2 AND s.n * s.svv - s.sv * s.sv > 0
+    )
+    SELECT event_id, user_id, v AS value_x100,
+           CAST(FLOOR(num / sqrt(CAST(var_n2 AS DOUBLE)) * 10000)
+                AS BIGINT) AS z_x10000
+    FROM j
+    WHERE num * num >= 9 * var_n2
+    ORDER BY event_id
+    """,
+)
+def w14_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly detection: events whose value is ≥3 standard
+    deviations from THEIR USER's mean — the monitoring / fraud-flagging
+    staple.  The 3σ test is spelled as a PURE INTEGER comparison:
+    z² = (n·v − Σv)² / (n·Σv² − (Σv)²), so the flag is
+    (n·v − Σv)² ≥ 9·(n·Σv² − (Σv)²) with no division, no sqrt, no
+    float mean — bit-identical in any engine, immune to summation
+    order.  The reported z rides one exact-rounded sqrt + floor.
+
+    Scale shape: one map-side-combinable per-user moment pass (n, Σv,
+    Σv²), one user-keyed join back, the flag evaluated in the scan
+    pipeline; output is anomalies only (bounded by the 3σ tail, ~0.3%
+    of rows), never the full corpus.  Values scale by 10² (not the
+    house 10⁴) so the squared terms stay in BIGINT at three orders
+    above the sf1 design point."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    s = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    num = F.col("n") * F.col("v") - F.col("sv")
+    var_n2 = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    return (
+        e.join(s, "user_id")
+        .where((F.col("n") >= 2) & (var_n2 > 0))
+        .where(num * num >= 9 * var_n2)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("v").alias("value_x100"),
+            F.floor(num / F.sqrt(var_n2.cast("double")) * 10000)
+            .cast("long")
+            .alias("z_x10000"),
+        )
+        .orderBy("event_id")
+    )

@@ -88,6 +88,8 @@ PRIORITY: tuple[str, ...] = (
     "T32_curation_audit",
     "W12_ohlc_bars",
     "W13_funnel_conversion",
+    "PR4_joinsize_estimate",
+    "W14_zscore_anomalies",
     # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
     # 32 NEW round-7 queries above fill 34 slots, so 16 of the 39
     # r4-evidence queries fit this round (A1..GEO3 below); the other

@@ -1083,3 +1083,21 @@ class TestRound7FourthWavePlans:
         assert plan.count("HashAggregate") >= 4
         assert "CartesianProduct" not in plan  # count cross-joins are 1-row BNLJ
         assert "BatchEvalPython" not in plan
+
+    def test_pr4_sketch_estimate_bounded_state(self, spark, sf_dir):
+        """Both the estimate and the exact figure must be combinable
+        aggregates; the final combine is two 1-row frames — the only
+        nested loop allowed."""
+        plan = _plan(spark, sf_dir, "PR4_joinsize_estimate")
+        assert plan.count("HashAggregate") >= 4
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_w14_flag_in_scan_pipeline_no_window(self, spark, sf_dir):
+        """One moment pass + one user-keyed join; the 3-sigma flag is a
+        pure integer predicate in the join's output pipeline — no
+        window, no Python."""
+        plan = _plan(spark, sf_dir, "W14_zscore_anomalies")
+        assert "Window" not in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan
