@@ -91,9 +91,9 @@ PRIORITY: tuple[str, ...] = (
     "PR4_joinsize_estimate",
     "W14_zscore_anomalies",
     # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
-    # 32 NEW round-7 queries above fill 34 slots, so 16 of the 39
-    # r4-evidence queries fit this round (A1..GEO3 below); the other
-    # 23 lead the r8 rotation — new queries' FIRST driver grade
+    # 36 NEW round-7 queries above fill 38 slots, so 12 of the 39
+    # r4-evidence queries fit this round (A1..GEO1 below); the other
+    # 27 lead the r8 rotation — new queries' FIRST driver grade
     # outranks refreshing green r4 evidence that the local parity gate
     # (tests/test_oracle_parity.py) re-verifies every run anyway
     "A1_gen_statistics",
