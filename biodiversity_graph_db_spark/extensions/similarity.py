@@ -756,6 +756,9 @@ def _read_assigned(spark: SparkSession, path: str) -> DataFrame:
     prunes files in the deltas exactly as in the base."""
     from py4j.protocol import Py4JJavaError
 
+    # heal any stranded maintenance first (compaction swap / re-train)
+    finish_ivf_rebuild(spark, path)
+    finish_ivf_compaction(spark, path)
     base = spark.read.parquet(f"{path}/assigned")
     delta_dir = f"{path}/assigned_delta"
     jvm = spark._jvm
@@ -784,6 +787,9 @@ def ivf_topk_indexed(
     in tests/test_plans.py).  Same schema + semantics as ``ivf_topk``."""
     import numpy as np
 
+    # heal stranded maintenance before touching centroids: a half-swapped
+    # re-train would otherwise pair new centroids with old assignments
+    finish_ivf_rebuild(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").collect()
     cent_ids = np.array([r.cent_id for r in cents], dtype=np.int64)
     cmat = np.array([r.cent_emb for r in cents], dtype=np.float64)
@@ -1044,19 +1050,47 @@ def recluster_ivf_index(
     ivf_assign(corpus, cent_ids, cmat, cnorm, n_probe).write.mode(
         "overwrite"
     ).partitionBy("cent_id").parquet(f"{tmp}/assigned")
-    # swap the rebuilt index into place
+    # completeness marker: both datasets are fully written; from here
+    # the swap must roll FORWARD from any crash point (a crash BETWEEN
+    # the two sub-swaps would otherwise leave new centroids beside an
+    # assigned table keyed by the OLD centroids — wrong answers, the
+    # worst failure class) — finish_ivf_rebuild owns the roll-forward
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(conf)
+    fs.create(hpath(f"{tmp}/_COMPLETE"), True).close()
+    finish_ivf_rebuild(spark, path)
+
+
+def finish_ivf_rebuild(spark: SparkSession, path: str) -> None:
+    """Self-heal a stranded index re-train (idempotent; run by every
+    index read and by ``recluster_ivf_index`` itself):
+
+    - ``{path}__rebuild`` without ``_COMPLETE``: the rebuild died
+      mid-write — the live index was never touched; drop the tmp.
+    - with ``_COMPLETE``: both rebuilt datasets are durable — redo the
+      two sub-swaps from wherever they stopped (a tmp sub-dir already
+      renamed away is skipped; its destination must exist), sweep the
+      stale deltas (keyed by the OLD centroids), drop the tmp."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = f"{path}__rebuild"
+    if not fs.exists(hpath(tmp)):
+        return
+    if not fs.exists(hpath(f"{tmp}/_COMPLETE")):
+        fs.delete(hpath(tmp), True)  # rebuild died mid-write
+        return
     for sub in ("centroids", "assigned"):
-        dst = hpath(f"{path}/{sub}")
+        src, dst = hpath(f"{tmp}/{sub}"), hpath(f"{path}/{sub}")
+        if not fs.exists(src):
+            if not fs.exists(dst):
+                raise RuntimeError(f"rebuild lost {sub} on both sides")
+            continue  # this sub's swap already completed
         fs.delete(dst, True)
-        if not fs.rename(hpath(f"{tmp}/{sub}"), dst):
+        if not fs.rename(src, dst) and not fs.exists(dst):
             raise RuntimeError(f"index swap rename failed for {sub}")
-    # the rebuilt base subsumes every streaming delta (the corpus above
-    # read base + deltas); stale deltas are keyed by the OLD centroids
-    # and must not survive the swap
     fs.delete(hpath(f"{path}/assigned_delta"), True)
     fs.delete(hpath(tmp), True)
 
@@ -1491,6 +1525,39 @@ def v8_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def finish_ivf_compaction(spark: SparkSession, path: str) -> None:
+    """Self-heal a stranded IVF delta compaction (idempotent; run by
+    every index read and by ``compact_ivf_deltas`` itself) — the
+    ``finish_compaction`` discipline from the versioned log applied to
+    the index:
+
+    - ``assigned__compact_tmp`` WITHOUT ``_SUCCESS``: the merge write
+      died; the live index was never touched — drop the garbage tmp.
+    - tmp WITH ``_SUCCESS``: the merged table is complete and subsumes
+      the base AND every delta (the merge read base + deltas), so roll
+      FORWARD from any crash point: delete the base (idempotent),
+      rename tmp into place, drop the deltas.  Every step re-runnable.
+
+    Without this, a crash between the swap's delete and rename strands
+    the index with NO ``assigned`` dir (data still safe in tmp, but
+    readers fail); a crash after the rename but before the delta sweep
+    would DOUBLE-count deltas on the next read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = f"{path}/assigned__compact_tmp"
+    if not fs.exists(hpath(tmp)):
+        return
+    if not fs.exists(hpath(f"{tmp}/_SUCCESS")):
+        fs.delete(hpath(tmp), True)  # merge died mid-write; index intact
+        return
+    dst = hpath(f"{path}/assigned")
+    fs.delete(dst, True)
+    if not fs.rename(hpath(tmp), dst) and not fs.exists(dst):
+        raise RuntimeError("ivf compaction recovery rename failed")
+    fs.delete(hpath(f"{path}/assigned_delta"), True)
+
+
 def compact_ivf_deltas(spark: SparkSession, path: str) -> None:
     """Fold the streaming delta datasets into the base ``assigned``
     table — the IVF twin of the versioned log's in-band compaction:
@@ -1499,21 +1566,22 @@ def compact_ivf_deltas(spark: SparkSession, path: str) -> None:
     directory per micro-batch (directory-listing cost is the real
     degradation mode of per-batch deltas at scale).
 
-    Write-to-tmp + directory swap, same single-maintainer contract as
+    CRASH-SAFE via the versioned-log protocol: the merged table is
+    fully written (``_SUCCESS`` present) under ``__compact_tmp`` before
+    the live index is touched, and ``finish_ivf_compaction`` — run
+    here, by every index read, and standalone — completes the swap
+    from ANY crash point.  Single-maintainer contract as
     ``recluster_ivf_index`` (don't run concurrently with appends)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    finish_ivf_compaction(spark, path)  # complete any stranded swap first
     if not fs.exists(hpath(f"{path}/assigned_delta")):
         return
     merged = _read_assigned(spark, path).localCheckpoint()
     tmp = f"{path}/assigned__compact_tmp"
     merged.write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
-    dst = hpath(f"{path}/assigned")
-    fs.delete(dst, True)
-    if not fs.rename(hpath(tmp), dst):
-        raise RuntimeError("ivf delta compaction swap failed")
-    fs.delete(hpath(f"{path}/assigned_delta"), True)
+    finish_ivf_compaction(spark, path)
 
 
 @query(

@@ -945,3 +945,151 @@ class TestSpmm:
         )
         cells = {(r.i, r.j): r.val for r in spmm(a, b).collect()}
         assert cells == {(0, 0): 14, (0, 1): 12, (1, 0): 15, (1, 1): 18}
+
+
+class TestIvfMaintenanceCrashSafety:
+    def _answers(self, spark, sim, path, queries):
+        return {
+            (r.q_id, r.rank, r.c_id, r.cosine)
+            for r in sim.ivf_topk_indexed(spark, path, queries).collect()
+        }
+
+    def test_compaction_recovers_from_any_crash_point(self, spark, sf_dir):
+        """Kill the delta compaction at each crash point (after the tmp
+        write; after the base delete) — the next index READ must heal
+        the swap and answer exactly as an uncrashed compaction."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions import similarity as sim
+        from biodiversity_graph_db_spark.streaming import ingest
+        from biodiversity_graph_db_spark.tables import table
+
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        queries = emb.where(F.col("vec_id") < 6)
+        tmp = tempfile.mkdtemp(prefix="ivf_crash_")
+        try:
+            def build(ix):
+                sim.write_ivf_index(
+                    emb.where(F.col("vec_id") % 2 == 0), ix
+                )
+                ingest.ivf_append_upsert(
+                    emb.where(F.col("vec_id") % 2 == 1), 0, ix, app_id="A"
+                )
+
+            # the uncrashed reference
+            build(f"{tmp}/ref")
+            sim.compact_ivf_deltas(spark, f"{tmp}/ref")
+            want = self._answers(spark, sim, f"{tmp}/ref", queries)
+
+            # crash point 1: tmp fully written, live index untouched
+            ix = f"{tmp}/c1"
+            build(ix)
+            merged = sim._read_assigned(spark, ix).localCheckpoint()
+            merged.write.mode("overwrite").partitionBy("cent_id").parquet(
+                f"{ix}/assigned__compact_tmp"
+            )
+            # (crash here — no swap steps ran)
+            assert self._answers(spark, sim, ix, queries) == want
+            import os
+
+            assert not os.path.exists(f"{ix}/assigned__compact_tmp")
+            assert not os.path.exists(f"{ix}/assigned_delta")
+
+            # crash point 2: base deleted, rename never ran
+            ix = f"{tmp}/c2"
+            build(ix)
+            merged = sim._read_assigned(spark, ix).localCheckpoint()
+            merged.write.mode("overwrite").partitionBy("cent_id").parquet(
+                f"{ix}/assigned__compact_tmp"
+            )
+            fs = hpath(ix).getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hpath(f"{ix}/assigned"), True)
+            assert self._answers(spark, sim, ix, queries) == want
+
+            # crash point 0: tmp write died (no _SUCCESS) — index intact,
+            # garbage dropped
+            ix = f"{tmp}/c0"
+            build(ix)
+            before = self._answers(spark, sim, ix, queries)
+            fs.mkdirs(hpath(f"{ix}/assigned__compact_tmp/cent_id=0"))
+            assert self._answers(spark, sim, ix, queries) == before
+            assert not os.path.exists(f"{ix}/assigned__compact_tmp")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_rebuild_recovers_from_half_swap(self, spark, sf_dir):
+        """Kill the re-train between the two sub-swaps — the state where
+        NEW centroids sit beside OLD assignments (wrong answers, the
+        worst failure class).  The next read must finish the swap and
+        answer exactly as an uncrashed re-train."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions import similarity as sim
+        from biodiversity_graph_db_spark.tables import table
+
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        queries = emb.where(F.col("vec_id") < 6)
+        tmp = tempfile.mkdtemp(prefix="ivf_rebuild_crash_")
+        try:
+            sim.write_ivf_index(emb, f"{tmp}/ref")
+            sim.recluster_ivf_index(spark, f"{tmp}/ref")
+            want = self._answers(spark, sim, f"{tmp}/ref", queries)
+
+            ix = f"{tmp}/crash"
+            sim.write_ivf_index(emb, ix)
+            # replay recluster's writes WITHOUT the swap, then simulate a
+            # crash after only the centroids sub-swap completed
+            sim.recluster_ivf_index(spark, ix)  # clean run to get tmp math
+            # rebuild the tmp state by hand: rerun recluster's internals
+            # via a second recluster whose swap we interrupt — simplest
+            # faithful simulation: move the CURRENT index aside as "old",
+            # re-train into tmp, then perform exactly one sub-swap
+            fs = hpath(ix).getFileSystem(spark._jsc.hadoopConfiguration())
+            corpus = sim._read_assigned(spark, ix).select(
+                "vec_id", "embedding"
+            ).dropDuplicates(["vec_id"])
+            import math
+
+            n = corpus.count()
+            k = max(8, math.ceil(4 * math.sqrt(n / 2.0)))
+            import numpy as np
+
+            rows = (
+                sim.with_norm(corpus)
+                .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+                .limit(k)
+                .collect()
+            )
+            cent_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+            cmat = np.array([r.embedding for r in rows], dtype=np.float64)
+            cnorm = np.array([r.norm_sq for r in rows], dtype=np.float64)
+            rb = f"{ix}__rebuild"
+            spark.createDataFrame(
+                [
+                    (int(c), [float(x) for x in cmat[i]], int(cnorm[i]))
+                    for i, c in enumerate(cent_ids)
+                ],
+                "cent_id long, cent_emb array<float>, cent_norm long",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{rb}/centroids")
+            sim.ivf_assign(corpus, cent_ids, cmat, cnorm, 1).write.mode(
+                "overwrite"
+            ).partitionBy("cent_id").parquet(f"{rb}/assigned")
+            fs.create(hpath(f"{rb}/_COMPLETE"), True).close()
+            # half-swap: centroids only, then "crash"
+            fs.delete(hpath(f"{ix}/centroids"), True)
+            assert fs.rename(hpath(f"{rb}/centroids"), hpath(f"{ix}/centroids"))
+
+            # this recluster was deterministic over the same corpus, so
+            # the healed index must answer exactly like the reference
+            assert self._answers(spark, sim, ix, queries) == want
+            import os
+
+            assert not os.path.exists(rb)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
