@@ -1095,3 +1095,122 @@ def test_scd2_invariants(spark, state):
         1 for k, v in old_rows if k in new_map and new_map[k] != v
     )
     assert len(hist) == len(set(dict(old_rows)) | set(new_map)) + n_changed
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),          # day index
+            st.integers(0, 10_000),     # per-day event order key
+            st.integers(0, 50_000),     # scaled value
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_ohlc_matches_python_model(spark, rows):
+    """W12's rank-1 open/close equal the python first/last-by-(ts, id)
+    model for any per-day distribution (ties on ts broken by id)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (
+            d * 100000 + i,  # unique event_id encoding (day, order)
+            base + datetime.timedelta(days=d, seconds=i),
+            1,
+            "view",
+            v / 100.0,
+            "{}",
+        )
+        for d, i, v in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import Window
+
+    e = df.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    w_open = Window.partitionBy("day").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    got = {
+        r.day: (r.o, r.h, r.l, r.c)
+        for r in e.select(
+            "day",
+            "v",
+            F.row_number().over(w_open).alias("ro"),
+            F.row_number().over(w_close).alias("rc"),
+        )
+        .groupBy("day")
+        .agg(
+            F.max(F.when(F.col("ro") == 1, F.col("v"))).alias("o"),
+            F.max("v").alias("h"),
+            F.min("v").alias("l"),
+            F.max(F.when(F.col("rc") == 1, F.col("v"))).alias("c"),
+        )
+        .collect()
+    }
+    import math
+
+    by_day: dict = {}
+    for d, i, v in rows:
+        # same IEEE pipeline as the query: scale the stored double
+        by_day.setdefault(d, []).append((i, math.floor((v / 100.0) * 10000)))
+    for d, evs in by_day.items():
+        evs.sort()
+        day = (base + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+        vals = [v for _, v in evs]
+        assert got[day] == (vals[0], max(vals), min(vals), vals[-1])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_link_prediction_matches_bruteforce_model(spark, pairs):
+    """G18's wedge-join candidates equal the brute-force python model:
+    every non-adjacent pair with >=1 common neighbor, with exact CN and
+    Jaccard."""
+    from biodiversity_graph_db_spark.graph.algorithms import (
+        link_prediction,
+    )
+
+    edges = {(str(a), str(b)) for a, b in pairs if a != b}
+    assume(edges)
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    got = {
+        (r.a, r.b): (r.common, r.jaccard)
+        for r in link_prediction(df, k=1000).collect()
+    }
+    # python model on the undirected simple graph
+    nbr: dict = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(nbr)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if b in nbr[a]:
+                continue
+            cn = len(nbr[a] & nbr[b])
+            if cn == 0:
+                continue
+            j = cn / (len(nbr[a]) + len(nbr[b]) - cn)
+            want[(a, b)] = (cn, int(j * 10000) / 10000.0)
+    assert got == want
