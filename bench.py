@@ -96,6 +96,7 @@ HEADLINE = [
     "W13_funnel_conversion",
     "PR4_joinsize_estimate",
     "W14_zscore_anomalies",
+    "MM4_media_neardup",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

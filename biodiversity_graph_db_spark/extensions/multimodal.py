@@ -373,3 +373,114 @@ def mm3_media_embedding(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "dim")
     )
+
+
+@query(
+    "MM4_media_neardup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    base AS (
+      SELECT a.doc_id AS media_id,
+             b.text || '#' || a.doc_id AS payload
+      FROM d a JOIN d b ON b.doc_id = a.doc_id - a.doc_id % 3
+    ),
+    fr AS (
+      SELECT media_id,
+             unnest(generate_series(0,
+               CAST(ceil(length(payload) / {FRAME_STRIDE}.0) AS BIGINT) - 1))
+               AS frame_idx,
+             payload
+      FROM base
+    ),
+    fh AS (
+      SELECT DISTINCT media_id,
+             md5(substr(payload, frame_idx * {FRAME_STRIDE} + 1,
+                        {FRAME_BYTES})) AS h
+      FROM fr
+    ),
+    sizes AS (SELECT media_id, COUNT(*) AS n FROM fh GROUP BY media_id),
+    inter AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             COUNT(*) AS n_inter
+      FROM fh a JOIN fh b ON a.h = b.h AND a.media_id < b.media_id
+      GROUP BY media_a, media_b
+    )
+    SELECT i.media_a, i.media_b,
+           CAST(i.n_inter AS BIGINT) AS n_shared_frames,
+           FLOOR(i.n_inter
+                 / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) * 10000)
+             / 10000.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.media_id = i.media_a
+    JOIN sizes sb ON sb.media_id = i.media_b
+    WHERE i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.5
+    ORDER BY media_a, media_b
+    """,
+)
+def mm4_media_neardup(spark, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate detection — the frame-fingerprint
+    dedup a video/image corpus runs where text runs MinHash: sample
+    frames (MM2's REAL Arrow kernel), fingerprint each frame (md5 here;
+    a perceptual hash in production — same schema, same joins), and
+    score media pairs by Jaccard over their distinct frame-hash sets
+    via the inverted-index join on the hash (only pairs sharing a frame
+    ever materialize — never all-pairs).
+
+    The audit slice mints near-dup structure the uniform corpus lacks:
+    groups of three media share a payload body but carry a distinct
+    tail frame (J < 1 within a group, 0 across groups) — so the grade
+    proves fingerprinting, the index join, and the Jaccard arithmetic
+    end to end.  At 100 TB the frame table is the fan-out documented at
+    MM2 and the hash join's bucket sizes are bounded by true duplicate
+    multiplicity (the E2 banding argument, one level down the media
+    stack)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    base = d.alias("a").join(
+        d.alias("b"),
+        F.col("b.doc_id")
+        == F.col("a.doc_id") - F.col("a.doc_id") % 3,
+    )
+    media = base.select(
+        F.col("a.doc_id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.col("b.text"), F.lit("#"), F.col("a.doc_id").cast("string")
+            ),
+            "UTF-8",
+        ).alias("media"),
+    )
+    fh = (
+        sample_frames(media)
+        .select("media_id", F.col("frame_checksum").alias("h"))
+        .distinct()
+        .localCheckpoint()  # feeds sizes AND both sides of the pair join
+    )
+    sizes = fh.groupBy("media_id").agg(F.count("*").alias("n"))
+    inter = (
+        fh.alias("x")
+        .join(
+            fh.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .groupBy(
+            F.col("x.media_id").alias("media_a"),
+            F.col("y.media_id").alias("media_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = F.col("n_inter") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("sa"), F.col("media_a") == F.col("sa.media_id"))
+        .join(sizes.alias("sb"), F.col("media_b") == F.col("sb.media_id"))
+        .where(j >= 0.5)
+        .select(
+            "media_a",
+            "media_b",
+            F.col("n_inter").cast("long").alias("n_shared_frames"),
+            (F.floor(j * 10000) / 10000.0).alias("jaccard"),
+        )
+        .orderBy("media_a", "media_b")
+    )

@@ -90,10 +90,11 @@ PRIORITY: tuple[str, ...] = (
     "W13_funnel_conversion",
     "PR4_joinsize_estimate",
     "W14_zscore_anomalies",
+    "MM4_media_neardup",
     # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
-    # 36 NEW round-7 queries above fill 38 slots, so 12 of the 39
-    # r4-evidence queries fit this round (A1..GEO1 below); the other
-    # 27 lead the r8 rotation — new queries' FIRST driver grade
+    # 37 NEW round-7 queries above fill 39 slots, so 11 of the 39
+    # r4-evidence queries fit this round (A1..G8 below); the other
+    # 28 lead the r8 rotation — new queries' FIRST driver grade
     # outranks refreshing green r4 evidence that the local parity gate
     # (tests/test_oracle_parity.py) re-verifies every run anyway
     "A1_gen_statistics",

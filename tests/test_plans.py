@@ -1104,3 +1104,12 @@ class TestRound7FourthWavePlans:
         assert "Window" not in plan
         assert plan.count("HashAggregate") >= 2
         assert "BatchEvalPython" not in plan
+
+    def test_mm4_inverted_index_join_off_checkpoint(self, spark, sf_dir):
+        """Media pairs must come from the frame-hash equi-join off the
+        ONE checkpointed fingerprint table — never all-pairs; the Arrow
+        frame kernel is the only Python stage."""
+        plan = _plan(spark, sf_dir, "MM4_media_neardup")
+        assert "ExistingRDD" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan  # kernel is ArrowEvalPython upstream of the checkpoint
