@@ -97,6 +97,7 @@ HEADLINE = [
     "PR4_joinsize_estimate",
     "W14_zscore_anomalies",
     "MM4_media_neardup",
+    "ED4_time_weighted_avg",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

@@ -751,3 +751,83 @@ def c3_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cusum_scaled") == F.max("cusum_scaled").over(wall)
         ).alias("is_changepoint"),
     ).orderBy("day")
+
+
+@query(
+    "ED4_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+             CAST(FLOOR(value * 10000) AS BIGINT) AS sv
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, sv, t,
+             LEAD(t) OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) AS t_next
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(sv * (t_next - t)) AS BIGINT) AS num,
+             CAST(SUM(t_next - t) AS BIGINT) AS den
+      FROM seg WHERE t_next IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, num, den,
+           FLOOR(num / CAST(den AS DOUBLE) / 10000.0 * 10000) / 10000.0
+             AS twa
+    FROM agg WHERE den > 0
+    ORDER BY user_id
+    """,
+)
+def ed4_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average value (TimescaleDB's
+    ``time_weight('LOCF')`` — the correct mean over IRREGULARLY sampled
+    series, where the plain AVG over-weights bursts): each reading
+    holds until the next one, so it contributes value × holding
+    duration; the average is Σ v·dt / Σ dt.
+
+    Exact arithmetic end to end: seconds via unix-epoch truncation (the
+    house rule), values floor-scaled, segment products and both sums in
+    BIGINT (order-independent), the final division one deterministic
+    IEEE op.  Equal-timestamp ties contribute dt = 0 and are totally
+    ordered by event_id, so the carry-forward choice is deterministic.
+
+    Scale shape: ONE per-user LEAD window (rank state only) feeding a
+    combinable aggregate — the same one-shuffle discipline as the J9
+    as-of join; output is |users| rows."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("sv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seg = e.withColumn("t_next", F.lead("t").over(w))
+    return (
+        seg.where(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("sv") * (F.col("t_next") - F.col("t")))
+            .cast("long")
+            .alias("num"),
+            F.sum(F.col("t_next") - F.col("t")).cast("long").alias("den"),
+        )
+        .where(F.col("den") > 0)
+        .select(
+            "user_id",
+            "num",
+            "den",
+            (
+                F.floor(
+                    F.col("num") / F.col("den").cast("double") / 10000.0 * 10000
+                )
+                / 10000.0
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )

@@ -91,10 +91,11 @@ PRIORITY: tuple[str, ...] = (
     "PR4_joinsize_estimate",
     "W14_zscore_anomalies",
     "MM4_media_neardup",
+    "ED4_time_weighted_avg",
     # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
-    # 37 NEW round-7 queries above fill 39 slots, so 11 of the 39
-    # r4-evidence queries fit this round (A1..G8 below); the other
-    # 28 lead the r8 rotation — new queries' FIRST driver grade
+    # 38 NEW round-7 queries above fill 40 slots, so 10 of the 39
+    # r4-evidence queries fit this round (A1..G7 below); the other
+    # 29 lead the r8 rotation — new queries' FIRST driver grade
     # outranks refreshing green r4 evidence that the local parity gate
     # (tests/test_oracle_parity.py) re-verifies every run anyway
     "A1_gen_statistics",

@@ -1113,3 +1113,12 @@ class TestRound7FourthWavePlans:
         assert "ExistingRDD" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan  # kernel is ArrowEvalPython upstream of the checkpoint
+
+    def test_ed4_one_lead_window_combinable_agg(self, spark, sf_dir):
+        """One per-user LEAD window (rank state only) feeding a
+        two-phase aggregate — no self-join, no Python."""
+        plan = _plan(spark, sf_dir, "ED4_time_weighted_avg")
+        assert "Window" in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
