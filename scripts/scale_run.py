@@ -175,6 +175,10 @@ def main() -> None:
             "W13_funnel_conversion",
             "O5_keyset_page",
             "V9_filtered_topk",
+            # round-7 sixth wave (MM4 audit-slice-bounded by contract)
+            "PR4_joinsize_estimate",
+            "W14_zscore_anomalies",
+            "ED4_time_weighted_avg",
         ):
             res[q] = timed(
                 lambda q=q: registry.QUERIES[q](spark, sf_dir).collect(),
