@@ -1122,3 +1122,16 @@ class TestRound7FourthWavePlans:
         assert plan.count("HashAggregate") >= 2
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_ex2_manifest_partitioned_window_one_scan(self, spark, sf_dir):
+        """The shard assignment is a per-lang running-offset window over
+        ONE scan feeding a combinable rollup — no global-sort funnel, no
+        second corpus pass, no Python."""
+        import re
+
+        plan = _plan(spark, sf_dir, "EX2_shard_manifest")
+        assert "Window" in plan
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan
