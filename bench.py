@@ -98,6 +98,7 @@ HEADLINE = [
     "W14_zscore_anomalies",
     "MM4_media_neardup",
     "ED4_time_weighted_avg",
+    "A12_grouping_sets_distinct",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

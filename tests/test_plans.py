@@ -1135,3 +1135,14 @@ class TestRound7FourthWavePlans:
         assert len(scans) == 1, plan
         assert plan.count("HashAggregate") >= 2
         assert "BatchEvalPython" not in plan
+
+    def test_a12_grouping_sets_one_scan(self, spark, sf_dir):
+        """Both Expands (grouping sets + count-distinct) must feed off
+        ONE parquet scan — the whole point over three stacked scans."""
+        import re
+
+        plan = _plan(spark, sf_dir, "A12_grouping_sets_distinct")
+        assert len(re.findall(r"^\(\d+\) Expand", plan, re.MULTILINE)) >= 1
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert "BatchEvalPython" not in plan
