@@ -221,3 +221,41 @@ class TestCsvQuarantine:
             assert b == ["2,beta,not_a_number"]
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestOrcRoundTrip:
+    def test_orc_write_read_pushdown(self, spark, sf_dir):
+        """S17: ORC as an interchange format — the engine's tables
+        round-trip through ORC losslessly and range predicates reach
+        the ORC scan as pushed filters (ORC keeps row-group min/max
+        stats like parquet, so the same pruning argument holds at
+        100 TB)."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from biodiversity_graph_db_spark.tables import table
+
+        tmp = tempfile.mkdtemp(prefix="orc_")
+        try:
+            orders = table(spark, sf_dir, "orders")
+            orders.write.mode("overwrite").orc(f"{tmp}/orders")
+            back = spark.read.orc(f"{tmp}/orders")
+            assert back.count() == orders.count()
+            want = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
+            got = {r.o_orderkey for r in back.select("o_orderkey").collect()}
+            assert got == want
+
+            q = back.where(F.col("o_orderkey") > 5000).select(
+                "o_orderkey", "o_totalprice"
+            )
+            plan = q._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "orc" in plan.lower()
+            assert "GreaterThan(o_orderkey,5000)" in plan
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
