@@ -99,6 +99,7 @@ HEADLINE = [
     "MM4_media_neardup",
     "ED4_time_weighted_avg",
     "A12_grouping_sets_distinct",
+    "V10_filtered_indexed",
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above

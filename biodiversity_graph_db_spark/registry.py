@@ -93,10 +93,11 @@ PRIORITY: tuple[str, ...] = (
     "MM4_media_neardup",
     "ED4_time_weighted_avg",
     "A12_grouping_sets_distinct",
+    "V10_filtered_indexed",
     # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
-    # 39 NEW round-7 queries above fill 41 slots, so 9 of the 39
-    # r4-evidence queries fit this round (A1..G3 below); the other
-    # 30 lead the r8 rotation — new queries' FIRST driver grade
+    # 40 NEW round-7 queries above fill 42 slots, so 8 of the 39
+    # r4-evidence queries fit this round (A1..ED1 below); the other
+    # 31 lead the r8 rotation — new queries' FIRST driver grade
     # outranks refreshing green r4 evidence that the local parity gate
     # (tests/test_oracle_parity.py) re-verifies every run anyway
     "A1_gen_statistics",

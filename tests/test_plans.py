@@ -1146,3 +1146,43 @@ class TestRound7FourthWavePlans:
         scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
         assert len(scans) == 1, plan
         assert "BatchEvalPython" not in plan
+
+    def test_v10_filter_pushed_inside_probed_partitions(self, spark, sf_dir):
+        """Filtered INDEXED search: the metadata predicate must land in
+        the assigned table's parquet scan as a pushed filter WHILE the
+        cent_id partition filter prunes directories — the two prunings
+        compose."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from biodiversity_graph_db_spark.extensions import similarity as sim
+        from biodiversity_graph_db_spark.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        tmp = tempfile.mkdtemp(prefix="v10_plan_")
+        try:
+            sim.write_ivf_index(
+                emb.select("vec_id", "embedding", "label"), f"{tmp}/idx"
+            )
+            df = sim.ivf_topk_indexed(
+                spark,
+                f"{tmp}/idx",
+                emb.where(F.col("vec_id") < 4),
+                n_probe=2,
+                k=5,
+                filter_expr=F.col("label") % 2 == 0,
+            )
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "PartitionFilters: [cent_id" in plan.replace(
+                "PartitionFilters: [isnotnull(cent_id", "PartitionFilters: [cent_id"
+            ) or "cent_id" in plan.split("PartitionFilters")[1][:120]
+            pushed = plan.split("PushedFilters")[1][:160]
+            assert "label" in pushed, pushed
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
