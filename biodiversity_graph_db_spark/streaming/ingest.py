@@ -847,6 +847,7 @@ def attributed_purchases(
     purchases: DataFrame,
     window_seconds: int = 600,
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM interval join — the attribution query (every
     purchase joined to the same user's clicks in the preceding
@@ -860,6 +861,12 @@ def attributed_purchases(
     click_ts + window — state is O(events inside one window per user),
     never stream-length; this is exactly the condition Spark requires
     to run a stream-stream inner join without unbounded buffering.
+    When both sides come from the SAME physical stream, derive them
+    from ONE readStream (a self-join): two independent sources progress
+    unevenly and the global watermark can evict one side's state before
+    the other side's matching rows arrive — with synchronized batches
+    and watermark ≥ the join window, no boundary match can be evicted
+    early.
     Batch twin (tested bit-for-bit): the same interval equi-join on the
     static frames."""
     c = (
@@ -879,6 +886,14 @@ def attributed_purchases(
             F.col("value").alias("purchase_value"),
         )
     )
+    # ``how="left_outer"``: purchases with NO qualifying click emit a
+    # null-click row once the CLICK-side watermark passes their join
+    # window (Spark holds the outer row until no future click can
+    # match) — the unattributed-conversion report.  Same state-expiry
+    # bound as the inner join; under availableNow the trailing
+    # purchases whose window the final watermark never closes stay in
+    # state (emitted = a correct prefix; tested against the batch
+    # twin's subset/superset contract).
     joined = p.join(
         c,
         (F.col("p_user") == F.col("c_user"))
@@ -887,7 +902,7 @@ def attributed_purchases(
             F.col("click_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")
         ),
-        "inner",
+        how,
     )
     return joined.select(
         F.col("p_user").alias("user_id"),

@@ -1450,12 +1450,16 @@ class TestStreamStreamJoin:
             clicks_b = ev.where(F.col("event_type") == "click")
             purch_b = ev.where(F.col("event_type") == "purchase")
 
-            cs = ingest.read_events_stream(spark, events_dir).where(
-                F.col("event_type") == "click"
-            )
-            ps = ingest.read_events_stream(spark, events_dir).where(
-                F.col("event_type") == "purchase"
-            )
+            # both sides MUST derive from ONE source: two independent
+            # file sources progress unevenly under availableNow, and the
+            # global watermark can evict one side's join state before
+            # the other side's matching rows arrive (observed: empty
+            # results).  A self-join of one stream advances both sides
+            # through identical micro-batches, and with watermark >=
+            # join window no boundary match can be evicted early.
+            ev_s = ingest.read_events_stream(spark, events_dir)
+            cs = ev_s.where(F.col("event_type") == "click")
+            ps = ev_s.where(F.col("event_type") == "purchase")
             q = (
                 ingest.attributed_purchases(cs, ps)
                 .writeStream.format("memory")
@@ -1562,5 +1566,61 @@ class TestStreamingShardExport:
                 spark.read.json(f"{tmp}/out/shards_delta").count()
                 == docs.count()
             )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamStreamLeftOuter:
+    def test_left_outer_attribution_contract(self, spark, events_dir):
+        """LEFT-OUTER stream-stream: (a) every inner (matched) batch row
+        is emitted exactly as in batch; (b) every emitted null-click
+        row is a TRUE non-match (the batch twin has no qualifying click
+        for that purchase); (c) no purchase appears both matched and
+        null."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import ingest
+
+        tmp = tempfile.mkdtemp(prefix="ss_louter_")
+        try:
+            ev = spark.read.parquet(events_dir)
+            clicks_b = ev.where(F.col("event_type") == "click")
+            purch_b = ev.where(F.col("event_type") == "purchase")
+
+            ev_s = ingest.read_events_stream(spark, events_dir)
+            cs = ev_s.where(F.col("event_type") == "click")
+            ps = ev_s.where(F.col("event_type") == "purchase")
+            q = (
+                ingest.attributed_purchases(cs, ps, how="left_outer")
+                .writeStream.format("memory")
+                .queryName("attrib_lo")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            got = spark.sql("SELECT * FROM attrib_lo").collect()
+
+            batch = ingest.attributed_purchases(
+                clicks_b, purch_b, how="left_outer"
+            ).collect()
+            b_inner = {
+                (r.purchase_id, r.click_id) for r in batch if r.click_id
+            }
+            b_null = {r.purchase_id for r in batch if r.click_id is None}
+
+            g_inner = {
+                (r.purchase_id, r.click_id) for r in got if r.click_id
+            }
+            g_null = {r.purchase_id for r in got if r.click_id is None}
+
+            # (a) matched rows identical to batch (inner results don't
+            # wait on watermarks)
+            assert g_inner == b_inner and g_inner
+            # (b) every emitted null is a true batch non-match
+            assert g_null <= b_null and g_null
+            # (c) exclusivity
+            assert not (g_null & {p for p, _ in g_inner})
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
