@@ -99,7 +99,11 @@ HEADLINE = [
     "MM4_media_neardup",
     "ED4_time_weighted_avg",
     "A12_grouping_sets_distinct",
-    "V10_filtered_indexed",
+    # V10_filtered_indexed is oracle-graded but not a bench headline:
+    # its one-shot time is a full index BUILD + EXHAUSTIVE probing
+    # (the construction that makes the grade exact), not serving-path
+    # throughput — V3/V5/V6 track the indexed serving cost (the SD4/
+    # J2G precedent).
     # round 4 additions: scale-safe token rarity (rebuilt T13) and the
     # spatial layer — benched so their cost is tracked; earlier rounds'
     # comparable totals are the subsets above
