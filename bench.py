@@ -99,6 +99,8 @@ HEADLINE = [
     "MM4_media_neardup",
     "ED4_time_weighted_avg",
     "A12_grouping_sets_distinct",
+    "W15_rolling_actives",
+    "T33_readability",
     # V10_filtered_indexed is oracle-graded but not a bench headline:
     # its one-shot time is a full index BUILD + EXHAUSTIVE probing
     # (the construction that makes the grade exact), not serving-path

@@ -2435,3 +2435,63 @@ def t32_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("doc_id")
+
+
+# --- readability (T33) ------------------------------------------------------
+
+
+@query(
+    "T33_readability",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(lower(text), '[.!?]+')) AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(GREATEST(n_sents, 1) AS BIGINT) AS n_sents,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           {sql_dquant('206.835 - 1.015 * (n_words / CAST(GREATEST(n_sents, 1) AS DOUBLE))'
+                       ' - 84.6 * (n_syll / CAST(GREATEST(n_words, 1) AS DOUBLE))')}
+             AS flesch
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def t33_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (vowel-group syllable proxy —
+    the standard cheap heuristic) — the readability quality feature
+    CCNet-style filters add beside T2's length/diversity and T28's LM
+    surprise: extremely low scores flag run-on machine text, extremely
+    high flag fragment noise.
+
+    Pure codegen'd regexp counts over one scan (no tokenizer, no UDF,
+    no shuffle before the per-doc arithmetic); the score's constants
+    multiply exact integer ratios, one deterministic IEEE expression
+    per row, floor-quantized — bit-identical cross-engine."""
+    txt = F.lower(F.col("text"))
+    n_words = token_count(F.trim(F.col("text")))
+    n_sents = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[.!?]+', 0)")),
+        F.lit(1),
+    )
+    n_syll = F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents.cast("double"))
+        - F.lit(84.6)
+        * (n_syll / F.greatest(n_words, F.lit(1)).cast("double"))
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_sents.cast("long").alias("n_sents"),
+            n_syll.cast("long").alias("n_syll"),
+            dquant(flesch).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )

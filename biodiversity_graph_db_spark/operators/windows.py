@@ -879,3 +879,56 @@ def w14_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "W15_rolling_actives",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(g.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days g
+    JOIN ud u ON u.d BETWEEN g.d - INTERVAL 6 DAY AND g.d
+    GROUP BY g.d
+    ORDER BY day
+    """,
+)
+def w15_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the engagement
+    metric every product dashboard leads with, and the canonical
+    "DISTINCT doesn't slide" problem: a windowed SUM slides, a
+    windowed COUNT(DISTINCT) cannot (the same user in two days must
+    count once), so the correct spelling joins each day to the
+    (user, day) PRESENCE table over its 7-day range.
+
+    Scale shape: the corpus collapses to distinct (user, day) in one
+    combinable pass FIRST (bounded by users × days, not events); the
+    range join's left side is the bounded day dimension, so the fan-out
+    is ≤ 7 presence rows per (user, day) — never an event-level
+    product; the distinct rollup is the standard two-phase plan.  At
+    100 TB the presence table is the thing to materialize daily — this
+    query is exactly its consumer."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct().withColumnRenamed("d", "g")
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("g"))
+            & (F.col("d") >= F.date_sub(F.col("g"), 6)),
+        )
+        .groupBy("g")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .select(F.date_format("g", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )

@@ -94,10 +94,12 @@ PRIORITY: tuple[str, ...] = (
     "ED4_time_weighted_avg",
     "A12_grouping_sets_distinct",
     "V10_filtered_indexed",
+    "W15_rolling_actives",
+    "T33_readability",
     # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
-    # 40 NEW round-7 queries above fill 42 slots, so 8 of the 39
-    # r4-evidence queries fit this round (A1..ED1 below); the other
-    # 31 lead the r8 rotation — new queries' FIRST driver grade
+    # 42 NEW round-7 queries above fill 44 slots, so 6 of the 39
+    # r4-evidence queries fit this round (A1..E2 below); the other
+    # 33 lead the r8 rotation — new queries' FIRST driver grade
     # outranks refreshing green r4 evidence that the local parity gate
     # (tests/test_oracle_parity.py) re-verifies every run anyway
     "A1_gen_statistics",

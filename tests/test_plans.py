@@ -1186,3 +1186,23 @@ class TestRound7FourthWavePlans:
             assert "label" in pushed, pushed
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_w15_presence_collapse_before_range_join(self, spark, sf_dir):
+        """The event table must collapse to distinct (user, day)
+        BEFORE the 7-day range join (never an event-level product) and
+        the day dimension must broadcast."""
+        plan = _plan(spark, sf_dir, "W15_rolling_actives")
+        assert plan.count("HashAggregate") >= 4  # presence distinct + wau distinct
+        assert "BroadcastNestedLoopJoin" in plan  # bounded day-range join
+        assert "BatchEvalPython" not in plan
+
+    def test_t33_pure_expressions_one_scan(self, spark, sf_dir):
+        """Readability is regexp counts in the scan pipeline — one scan,
+        no shuffle before per-doc arithmetic, no Python."""
+        import re
+
+        plan = _plan(spark, sf_dir, "T33_readability")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert "BatchEvalPython" not in plan
+        assert "HashAggregate" not in plan  # per-row math, no rollup stage
