@@ -101,6 +101,7 @@ HEADLINE = [
     "A12_grouping_sets_distinct",
     "W15_rolling_actives",
     "T33_readability",
+    "T34_hapax_profile",
     # V10_filtered_indexed is oracle-graded but not a bench headline:
     # its one-shot time is a full index BUILD + EXHAUSTIVE probing
     # (the construction that makes the grade exact), not serving-path

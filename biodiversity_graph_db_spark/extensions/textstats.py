@@ -2495,3 +2495,67 @@ def t33_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "T34_hapax_profile",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, COUNT(*) AS n
+      FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           {sql_dquant('SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)'
+                       ' / CAST(COUNT(*) AS DOUBLE)')} AS hapax_ratio,
+           {sql_dquant('COUNT(*) / CAST(SUM(n) AS DOUBLE)')}
+             AS type_token_ratio
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def t34_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: type/token ratio and the hapax
+    legomena share (tokens seen exactly once) — the lexical-richness
+    signals corpus linguists and tokenizer teams read before training
+    (a source whose hapax share collapses is template/boilerplate
+    text; one where it explodes is OCR noise or the wrong language).
+
+    One token explode → ONE map-side-combinable (source, token) count
+    → a bounded per-source rollup over the vocabulary table (never the
+    token stream twice); ratios are exact-integer divisions, floor
+    quantized."""
+    tf = (
+        spread(table(spark, sf_dir, "documents"))
+        .select(
+            "source",
+            F.explode(norm_tokens(F.col("text"))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_vocab"),
+            F.sum((F.col("n") == 1).cast("long"))
+            .cast("long")
+            .alias("n_hapax"),
+            dquant(
+                F.sum((F.col("n") == 1).cast("long"))
+                / F.count("*").cast("double")
+            ).alias("hapax_ratio"),
+            dquant(F.count("*") / F.sum("n").cast("double")).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )

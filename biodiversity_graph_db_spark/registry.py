@@ -96,10 +96,11 @@ PRIORITY: tuple[str, ...] = (
     "V10_filtered_indexed",
     "W15_rolling_actives",
     "T33_readability",
+    "T34_hapax_profile",
     # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
-    # 42 NEW round-7 queries above fill 44 slots, so 6 of the 39
-    # r4-evidence queries fit this round (A1..E2 below); the other
-    # 33 lead the r8 rotation — new queries' FIRST driver grade
+    # 43 NEW round-7 queries above fill 45 slots, so 5 of the 39
+    # r4-evidence queries fit this round (A1..E1 below); the other
+    # 34 lead the r8 rotation — new queries' FIRST driver grade
     # outranks refreshing green r4 evidence that the local parity gate
     # (tests/test_oracle_parity.py) re-verifies every run anyway
     "A1_gen_statistics",

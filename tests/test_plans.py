@@ -1206,3 +1206,13 @@ class TestRound7FourthWavePlans:
         assert len(scans) == 1, plan
         assert "BatchEvalPython" not in plan
         assert "HashAggregate" not in plan  # per-row math, no rollup stage
+
+    def test_t34_single_explode_two_rollups(self, spark, sf_dir):
+        """One token explode, one combinable (source, token) count, one
+        bounded per-source rollup — the token stream is read once."""
+        import re
+
+        plan = _plan(spark, sf_dir, "T34_hapax_profile")
+        assert len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE)) == 1
+        assert plan.count("HashAggregate") >= 4
+        assert "BatchEvalPython" not in plan
