@@ -102,6 +102,7 @@ HEADLINE = [
     "W15_rolling_actives",
     "T33_readability",
     "T34_hapax_profile",
+    "F13_embedded_id_audit",
     # V10_filtered_indexed is oracle-graded but not a bench headline:
     # its one-shot time is a full index BUILD + EXHAUSTIVE probing
     # (the construction that makes the grade exact), not serving-path

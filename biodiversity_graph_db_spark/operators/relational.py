@@ -493,3 +493,59 @@ def o5_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(25)
     )
+
+
+@query(
+    "F13_embedded_id_audit",
+    oracle="""
+    WITH x AS (
+      SELECT c_custkey,
+             CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT)
+               AS name_id
+      FROM customer
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN name_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unparseable,
+           CAST(SUM(CASE WHEN name_id IS NOT NULL
+                          AND name_id <> c_custkey THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(SUM(CASE WHEN name_id = c_custkey THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent
+    FROM x
+    """,
+)
+def f13_embedded_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-identifier consistency audit — the denormalization check
+    every warehouse runs where a display string EMBEDS a key
+    (``Customer#000000042`` vs ``c_custkey``): regexp-extract the
+    embedded id, compare it to the key column, and report unparseable /
+    mismatched / consistent counts in one pass.  The F-family twin of
+    J4's FK-violation check, one column inward: the reference's typed
+    keys make this impossible by construction (makeUniqueKey derives
+    the string FROM the key); arriving denormalized data has to be
+    audited instead.
+
+    Pure codegen'd regexp + comparison in the scan pipeline, one
+    combinable rollup; output is one row at any scale."""
+    c = table(spark, sf_dir, "customer")
+    name_id = F.regexp_extract(F.col("c_name"), r"Customer#([0-9]+)", 1)
+    name_id = F.when(name_id == "", None).otherwise(name_id).cast("bigint")
+    x = c.select("c_custkey", name_id.alias("name_id"))
+    return x.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("name_id").isNull().cast("long"))
+        .cast("long")
+        .alias("n_unparseable"),
+        F.sum(
+            (
+                F.col("name_id").isNotNull()
+                & (F.col("name_id") != F.col("c_custkey"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_mismatched"),
+        F.sum((F.col("name_id") == F.col("c_custkey")).cast("long"))
+        .cast("long")
+        .alias("n_consistent"),
+    )

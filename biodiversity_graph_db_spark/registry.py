@@ -97,10 +97,12 @@ PRIORITY: tuple[str, ...] = (
     "W15_rolling_actives",
     "T33_readability",
     "T34_hapax_profile",
+    "F13_embedded_id_audit",
     # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
-    # 43 NEW round-7 queries above fill 45 slots, so 5 of the 39
+    # 44 NEW round-7 queries above fill 46 slots (2 changed-plan +
+    # 42 new), so 6 of the 39
     # r4-evidence queries fit this round (A1..E1 below); the other
-    # 34 lead the r8 rotation — new queries' FIRST driver grade
+    # 33 lead the r8 rotation — new queries' FIRST driver grade
     # outranks refreshing green r4 evidence that the local parity gate
     # (tests/test_oracle_parity.py) re-verifies every run anyway
     "A1_gen_statistics",
