@@ -103,6 +103,8 @@ HEADLINE = [
     "T33_readability",
     "T34_hapax_profile",
     "F13_embedded_id_audit",
+    "G20_degree_profile",
+    "C4_seasonality_profile",
     # V10_filtered_indexed is oracle-graded but not a bench headline:
     # its one-shot time is a full index BUILD + EXHAUSTIVE probing
     # (the construction that makes the grade exact), not serving-path

@@ -895,3 +895,61 @@ def g19_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "ppr_micro")
         .orderBy("key")
     )
+
+
+@query(
+    "G20_degree_profile",
+    oracle=f"""
+    WITH {_LI_GRAPH_SQL},
+    und2 AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT src AS key, COUNT(*) AS d FROM und2 GROUP BY src),
+    b AS (
+      SELECT key, d,
+             CAST(FLOOR(ln(d) / ln(2)) AS BIGINT) AS bucket
+      FROM deg
+    )
+    SELECT bucket,
+           CAST(POW(2, bucket) AS BIGINT) AS bucket_min_degree,
+           COUNT(*) AS n_vertices,
+           CAST(MIN(d) AS BIGINT) AS min_d,
+           CAST(MAX(d) AS BIGINT) AS max_d
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def g20_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree distribution of the o/p/s graph — the PR2-style
+    look-before-you-run profile for GRAPH workloads: every iterative
+    kernel's straggler risk is a hub vertex, and the 2^k-binned degree
+    histogram (the power-law diagnostic) is how that risk is read
+    before a 100 TB traversal is submitted (it prices G6/G9 rounds and
+    decides high-degree-vertex mirroring).
+
+    One combinable degree count, one map-side bucket expression
+    (floor(log2 d) — exact: ln is evaluated on an exact integer and the
+    ratio floor-quantized; a 1-ulp straddle would need d within 1 ulp
+    of a power of two, and the oracle computes the identical
+    expression), one bounded rollup (≤ log2(max degree) buckets)."""
+    und = algorithms.undirect(li_graph(spark, sf_dir))
+    deg = und.groupBy(F.col("src").alias("key")).agg(
+        F.count("*").alias("d")
+    )
+    bucket = F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0)))
+    return (
+        deg.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("bucket"))
+            .cast("long")
+            .alias("bucket_min_degree"),
+            F.count("*").alias("n_vertices"),
+            F.min("d").cast("long").alias("min_d"),
+            F.max("d").cast("long").alias("max_d"),
+        )
+        .select(
+            "bucket", "bucket_min_degree", "n_vertices", "min_d", "max_d"
+        )
+        .orderBy("bucket")
+    )

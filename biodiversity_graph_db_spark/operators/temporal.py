@@ -831,3 +831,58 @@ def ed4_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "C4_seasonality_profile",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY dow, hod
+    ),
+    t AS (SELECT SUM(n) AS total, COUNT(*) AS n_cells FROM h)
+    SELECT h.dow, h.hod, h.n,
+           CAST(FLOOR(h.n * 1000000.0 / t.total) AS BIGINT) AS share_ppm,
+           h.n * t.n_cells >= 2 * t.total AS is_peak
+    FROM h CROSS JOIN t
+    ORDER BY dow, hod
+    """,
+)
+def c4_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile — the (day-of-week × hour-of-day) load
+    matrix with per-cell traffic share and a peak flag (≥ 2× the
+    uniform-cell rate): what capacity planning and anomaly baselining
+    read before C3's changepoint pass asks "did the level shift"
+    (seasonality IS the expected shift; this is its model).
+
+    The corpus collapses to ≤ 7×24 cells in one combinable count; the
+    1-row total broadcasts back; the peak test is the exact integer
+    cross-multiplication ``n·cells ≥ 2·total`` (no division), and the
+    share rides floor-quantized ppm — all bit-identical cross-engine.
+    DOW convention pinned to Sunday=0 in both engines (DuckDB dow ==
+    Spark ``dayofweek``−1)."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    t = h.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_cells")
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.floor(F.col("n") * 1000000.0 / F.col("total"))
+            .cast("long")
+            .alias("share_ppm"),
+            (
+                F.col("n") * F.col("n_cells") >= 2 * F.col("total")
+            ).alias("is_peak"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -98,11 +98,13 @@ PRIORITY: tuple[str, ...] = (
     "T33_readability",
     "T34_hapax_profile",
     "F13_embedded_id_audit",
+    "G20_degree_profile",
+    "C4_seasonality_profile",
     # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
-    # 44 NEW round-7 queries above fill 46 slots (2 changed-plan +
-    # 42 new), so 6 of the 39
-    # r4-evidence queries fit this round (A1..E1 below); the other
-    # 33 lead the r8 rotation — new queries' FIRST driver grade
+    # 46 NEW round-7 queries above fill 48 slots (2 changed-plan +
+    # 44 new), so 4 of the 39
+    # r4-evidence queries fit this round (A1/A3/A4/A6 below); the
+    # other 35 lead the r8 rotation — new queries' FIRST driver grade
     # outranks refreshing green r4 evidence that the local parity gate
     # (tests/test_oracle_parity.py) re-verifies every run anyway
     "A1_gen_statistics",
