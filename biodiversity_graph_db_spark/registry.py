@@ -47,70 +47,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a previous round and (b) still covered every run by the local oracle-
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-7 WINDOW (first 50 = the driver's grading window) ----
-    # (0) queries whose PLAN changed this round and need a fresh
-    # driver grade: the single-pass decontamination family (one
-    # exploded gram stream feeding totals AND hit counts; generator-
-    # inferred filters excluded session-wide)
-    "T8_contamination_overlap",
-    "D5_contamination_purge",
-    # (0b) NEW this round — first driver grade needed
-    "T27_bm25_topk",
-    "D7_split_leakage",
-    "T28_lm_perplexity",
-    "G14_hits",
-    "G15_modularity",
-    "D8_boilerplate_scrub",
-    "V8_mmr_rerank",
-    "G16_harmonic_landmarks",
-    "PR2_key_skew",
-    "M5_sparse_matmul",
-    "W9_multires_rollup",
-    # (0c) round-7 fourth wave — first driver grade needed
-    "G17_clustering_coeff",
-    "A9_exact_median",
-    "W10_decay_score",
-    "PR3_psi_drift",
-    "D9_lsh_eval",
-    "J10_bloom_semijoin",
-    "EX2_shard_manifest",
-    "F12_json_extract",
-    "A10_grouped_mode",
-    "G18_link_prediction",
-    "C3_rate_changepoint",
-    "U8_scd2_history",
-    "A11_salted_distinct",
-    "T31_temperature_mix",
-    "G19_personalized_pagerank",
-    "V9_filtered_topk",
-    "D10_semdedup_eval",
-    "O5_keyset_page",
-    "T32_curation_audit",
-    "W12_ohlc_bars",
-    "W13_funnel_conversion",
-    "PR4_joinsize_estimate",
-    "W14_zscore_anomalies",
-    "MM4_media_neardup",
-    "ED4_time_weighted_avg",
-    "A12_grouping_sets_distinct",
-    "V10_filtered_indexed",
-    "W15_rolling_actives",
-    "T33_readability",
-    "T34_hapax_profile",
-    "F13_embedded_id_audit",
-    "G20_degree_profile",
-    "C4_seasonality_profile",
-    # (1) r4-evidence rotation (VERDICT r6 item 7): 2 changed-plan +
-    # 46 NEW round-7 queries above fill 48 slots (2 changed-plan +
-    # 44 new), so 4 of the 39
-    # r4-evidence queries fit this round (A1/A3/A4/A6 below); the
-    # other 35 lead the r8 rotation — new queries' FIRST driver grade
-    # outranks refreshing green r4 evidence that the local parity gate
-    # (tests/test_oracle_parity.py) re-verifies every run anyway
-    "A1_gen_statistics",
-    "A3_merge_into_index",
-    "A4_duplicate_guard",
-    "A6_next_id",
+    # ---- ROUND-8 WINDOW (first 50 = the driver's grading window) ----
+    # (0) VERDICT r7 item 1: the 35 queries whose newest driver grade
+    # was r4 — three rounds of session-wide plan changes (pmod hashes,
+    # InferFiltersFromGenerate excluded, parallelism guards) shipped
+    # since; rotate them all in before anything new.
     "C2_radiocarbon_calibrate",
     "E1_ngram_jaccard_topk",
     "E2_minhash_lsh_neardup",
@@ -134,9 +75,6 @@ PRIORITY: tuple[str, ...] = (
     "J8_interval_containment",
     "J9_asof_join",
     "M1_unpivot_wide_matrix",
-    # ---- r8 ROTATION HEAD: the 23 r4-evidence queries past the cut
-    # (GEO4/GEO5/GEO6/J2-J9/M1/O2/PR1/SD1/T13-T17/T1/T2/T3/T5),
-    # ordered so they fill the r8 window first ----
     "O2_topk_per_group",
     "PR1_profile_events",
     "SD1_snapshot_diff",
@@ -149,8 +87,10 @@ PRIORITY: tuple[str, ...] = (
     "T2_quality_scores",
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
-    # (2) fills: oldest-r5 representatives, gram/dedup-family first
-    # (T21/T6/E3-adjacent plans also changed under the excluded rule)
+    # (1) NEW round-8 queries — first driver grade needed (inserted
+    # here as they are added; rotation(35) + new + r5 fills = 50)
+    # (2) window fills: oldest remaining evidence (r4-graded A1/A3/A4/
+    # A6 were refreshed r7; these fills are the oldest r5 grades)
     "V1_cosine_topk",
     "T21_boilerplate_frac",
     "T6_winnow_fingerprints",
@@ -158,10 +98,6 @@ PRIORITY: tuple[str, ...] = (
     "D1_neardup_clusters",
     "D2_semantic_dedup",
     "D3_quality_canonical",
-    # ---- past the window: every remaining query is r5/r6-driver-
-    # green and re-verified each run by the local gate replica
-    # (tests/test_oracle_parity.py).  Remaining r5 evidence first,
-    # then the r6-graded set.
     "W7_resample_ffill",
     "G9_label_propagation",
     "A5_array_sections_complete",
@@ -244,6 +180,59 @@ PRIORITY: tuple[str, ...] = (
     "X13_validation_suite",
     "X5_old_date_normalization",
     "X7_author_display",
+    # ---- past the window: every remaining query is r6/r7-driver-
+    # green and re-verified each run by the local gate replica
+    # (tests/test_oracle_parity.py)
+    "T8_contamination_overlap",
+    "D5_contamination_purge",
+    "T27_bm25_topk",
+    "D7_split_leakage",
+    "T28_lm_perplexity",
+    "G14_hits",
+    "G15_modularity",
+    "D8_boilerplate_scrub",
+    "V8_mmr_rerank",
+    "G16_harmonic_landmarks",
+    "PR2_key_skew",
+    "M5_sparse_matmul",
+    "W9_multires_rollup",
+    "G17_clustering_coeff",
+    "A9_exact_median",
+    "W10_decay_score",
+    "PR3_psi_drift",
+    "D9_lsh_eval",
+    "J10_bloom_semijoin",
+    "EX2_shard_manifest",
+    "F12_json_extract",
+    "A10_grouped_mode",
+    "G18_link_prediction",
+    "C3_rate_changepoint",
+    "U8_scd2_history",
+    "A11_salted_distinct",
+    "T31_temperature_mix",
+    "G19_personalized_pagerank",
+    "V9_filtered_topk",
+    "D10_semdedup_eval",
+    "O5_keyset_page",
+    "T32_curation_audit",
+    "W12_ohlc_bars",
+    "W13_funnel_conversion",
+    "PR4_joinsize_estimate",
+    "W14_zscore_anomalies",
+    "MM4_media_neardup",
+    "ED4_time_weighted_avg",
+    "A12_grouping_sets_distinct",
+    "V10_filtered_indexed",
+    "W15_rolling_actives",
+    "T33_readability",
+    "T34_hapax_profile",
+    "F13_embedded_id_audit",
+    "G20_degree_profile",
+    "C4_seasonality_profile",
+    "A1_gen_statistics",
+    "A3_merge_into_index",
+    "A4_duplicate_guard",
+    "A6_next_id",
 )
 
 def _reorder() -> None:
