@@ -395,6 +395,83 @@ def run_shard_export(docs_stream: DataFrame, out_dir: str, checkpoint: str):
 
 def read_shard_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     """The dataloader-facing manifest across every lineage and batch:
-    one partition-discovered read of the manifest deltas (columns
-    app, batch, lang, shard_id, n_docs, n_tokens, n_bytes, ...)."""
-    return spark.read.parquet(f"{out_dir}/manifest_delta")
+    the compacted base (``manifest_base``, one dataset listing) plus any
+    per-batch deltas written since (columns app, batch, lang, shard_id,
+    n_docs, n_tokens, n_bytes, ...).
+
+    DELTA SHADOWS BASE on (app, batch): a batch present in both — a
+    post-compaction checkpoint replay rewrites its delta dir, or a crash
+    between the compaction swap and the delta sweep leaves both copies —
+    is read from the delta only.  The two copies are identical by the
+    idempotent-directory contract, so shadowing makes BOTH races
+    invisible rather than double-counted; this is the replay guard the
+    per-batch layout had, preserved across compaction."""
+    finish_manifest_compaction(spark, out_dir)
+    base_dir = f"{out_dir}/manifest_base"
+    delta_dir = f"{out_dir}/manifest_delta"
+    has_base = _path_exists(spark, base_dir)
+    has_delta = _path_exists(spark, delta_dir)
+    if not has_base:
+        return spark.read.parquet(delta_dir)
+    base = spark.read.parquet(base_dir)
+    if not has_delta:
+        return base
+    delta = spark.read.parquet(delta_dir).select(*base.columns)
+    replayed = delta.select("app", "batch").distinct()
+    return base.join(replayed, ["app", "batch"], "left_anti").unionByName(
+        delta
+    )
+
+
+def finish_manifest_compaction(spark: SparkSession, out_dir: str) -> None:
+    """Roll the manifest-compaction swap forward from ANY crash point
+    (the versioned-log / ``finish_ivf_compaction`` protocol): a complete
+    merged base (``_SUCCESS`` present) under ``__compact_tmp`` is
+    promoted — delete old base, rename tmp, sweep the folded deltas; an
+    incomplete tmp is discarded (the live manifest was never touched).
+    Run by every read and every compaction, so no crash strands the
+    manifest."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = f"{out_dir}/manifest_base__compact_tmp"
+    if not fs.exists(hpath(tmp)):
+        return
+    if not fs.exists(hpath(f"{tmp}/_SUCCESS")):
+        fs.delete(hpath(tmp), True)  # merge died mid-write; manifest intact
+        return
+    dst = hpath(f"{out_dir}/manifest_base")
+    fs.delete(dst, True)
+    if not fs.rename(hpath(tmp), dst) and not fs.exists(dst):
+        raise RuntimeError("manifest compaction recovery rename failed")
+    fs.delete(hpath(f"{out_dir}/manifest_delta"), True)
+
+
+def compact_shard_manifests(spark: SparkSession, out_dir: str) -> None:
+    """Fold the per-batch manifest deltas into ``manifest_base`` — the
+    manifest twin of ``compact_ivf_deltas``: ``read_shard_manifest``
+    answers identically before and after (tested), but partition
+    discovery goes back to ONE dataset listing instead of one directory
+    per micro-batch forever (a long-lived stream's listing cost grew
+    linearly with batch count — the real degradation mode, VERDICT r7
+    item 7).  The shard DATA dirs are untouched: dataloaders locate them
+    through this manifest (app/batch/lang/shard_id name the delta path),
+    never by listing ``shards_delta``, so manifest compaction alone
+    restores O(1) discovery.
+
+    CRASH-SAFE: merged base fully written (+``_SUCCESS``) under
+    ``__compact_tmp`` before the live manifest is touched;
+    ``finish_manifest_compaction`` completes the swap from any crash
+    point.  Single-maintainer contract as the IVF twin (don't run
+    concurrently with an active stream's upserts); a checkpoint replay
+    AFTER compaction re-creates its delta dir, which the reader's
+    delta-shadows-base rule absorbs and the NEXT compaction folds."""
+    finish_manifest_compaction(spark, out_dir)  # complete any stranded swap
+    if not _path_exists(spark, f"{out_dir}/manifest_delta"):
+        return
+    merged = read_shard_manifest(spark, out_dir).localCheckpoint()
+    tmp = f"{out_dir}/manifest_base__compact_tmp"
+    # one row per (app, batch, lang, shard): driver/broadcast-scale by
+    # construction, so a single output file is the right layout
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    finish_manifest_compaction(spark, out_dir)

@@ -1569,6 +1569,92 @@ class TestStreamingShardExport:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_manifest_compaction_equivalence_and_replay_guard(
+        self, spark, sf_dir
+    ):
+        """compact_shard_manifests folds the per-batch manifest deltas
+        into ONE base dataset (VERDICT r7 item 7): (a) the dataloader-
+        facing read is row-identical before and after; (b) the delta
+        dirs are gone and the base is a single dataset; (c) a batch
+        replayed AFTER compaction (its delta dir reborn beside its
+        folded base copy — also the crash window between swap and
+        sweep) is shadowed, not double-counted; (d) an incomplete
+        compaction tmp is discarded by the reader-side heal; (e) a
+        completed-but-unswapped tmp is rolled forward by the heal."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import pipeline
+        from biodiversity_graph_db_spark.tables import table
+
+        tmp = tempfile.mkdtemp(prefix="shard_compact_")
+        out = f"{tmp}/out"
+        try:
+            docs = table(spark, sf_dir, "documents")
+            batches = [
+                docs.where(F.col("doc_id") % 3 == i).localCheckpoint()
+                for i in range(3)
+            ]
+            for i, b in enumerate(batches):
+                pipeline.shard_export_upsert(b, i, out, app_id="appA")
+
+            def rows(df):
+                cols = sorted(df.columns)
+                return sorted(
+                    tuple(str(v) for v in r)
+                    for r in df.select(*cols).collect()
+                )
+
+            before = rows(pipeline.read_shard_manifest(spark, out))
+            assert before
+
+            # (a)+(b) equivalence and single-dataset layout
+            pipeline.compact_shard_manifests(spark, out)
+            assert rows(pipeline.read_shard_manifest(spark, out)) == before
+            assert not pipeline._path_exists(spark, f"{out}/manifest_delta")
+            assert pipeline._path_exists(spark, f"{out}/manifest_base")
+
+            # idempotent on an already-compacted manifest
+            pipeline.compact_shard_manifests(spark, out)
+            assert rows(pipeline.read_shard_manifest(spark, out)) == before
+
+            # (c) post-compaction checkpoint replay: batch 1's delta dir
+            # reappears beside its folded base copy — shadowed, and the
+            # next compaction folds it away again
+            pipeline.shard_export_upsert(batches[1], 1, out, app_id="appA")
+            assert rows(pipeline.read_shard_manifest(spark, out)) == before
+            pipeline.compact_shard_manifests(spark, out)
+            assert rows(pipeline.read_shard_manifest(spark, out)) == before
+            assert not pipeline._path_exists(spark, f"{out}/manifest_delta")
+
+            # a genuinely NEW batch after compaction merges in
+            pipeline.shard_export_upsert(batches[2], 9, out, app_id="appB")
+            grown = rows(pipeline.read_shard_manifest(spark, out))
+            assert len(grown) > len(before)
+            pipeline.compact_shard_manifests(spark, out)
+            assert rows(pipeline.read_shard_manifest(spark, out)) == grown
+
+            # (d) incomplete tmp (no _SUCCESS): discarded, base intact
+            import os
+
+            bad = f"{out}/manifest_base__compact_tmp"
+            os.makedirs(bad)
+            with open(f"{bad}/part-junk.parquet", "w") as f:
+                f.write("torn")
+            assert rows(pipeline.read_shard_manifest(spark, out)) == grown
+            assert not pipeline._path_exists(spark, bad)
+
+            # (e) completed-but-unswapped tmp: move the live base into
+            # tmp position (it carries _SUCCESS from its parquet write)
+            # — the exact state after a crash just before the rename —
+            # and the reader-side heal promotes it
+            shutil.move(f"{out}/manifest_base", bad)
+            assert rows(pipeline.read_shard_manifest(spark, out)) == grown
+            assert pipeline._path_exists(spark, f"{out}/manifest_base")
+            assert not pipeline._path_exists(spark, bad)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
 
 class TestStreamStreamLeftOuter:
     def test_left_outer_attribution_contract(self, spark, events_dir):
