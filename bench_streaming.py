@@ -37,9 +37,28 @@ def _force_monotone_arrival(d: str) -> None:
         os.utime(p, (now + i, now + i))
 
 
+def _state_metrics(q) -> tuple[int, float]:
+    """Peak state-store footprint over a finished query's progress
+    history: (max total rows, max MB) summed across state operators
+    within each progress event, maxed across events — the number the
+    SCALE §18 table records (state growth super-linear in window size
+    is the degradation mode to catch)."""
+    rows = 0
+    mem = 0
+    for p in q.recentProgress or []:
+        ops = p.get("stateOperators") or []
+        r = sum(int(so.get("numRowsTotal", 0)) for so in ops)
+        m = sum(int(so.get("memoryUsedBytes", 0)) for so in ops)
+        rows = max(rows, r)
+        mem = max(mem, m)
+    return rows, round(mem / 1e6, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
+
+    from pyspark.sql import functions as F
 
     from biodiversity_graph_db_spark.session import get_spark
     from biodiversity_graph_db_spark.streaming import ingest
@@ -92,6 +111,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results["dedup_rows_per_sec"] = round(n_rows / dt, 1)
         results["dedup_sec"] = round(dt, 2)
+        results["dedup_state_rows"], results["dedup_state_mb"] = _state_metrics(q)
 
         # 2b) pretraining ingest with cross-batch NEAR-dup (MinHash band
         # ledger) over the documents table — the round-4 pipeline stage
@@ -139,6 +159,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results["sessions_rows_per_sec"] = round(n_rows / dt, 1)
         results["sessions_sec"] = round(dt, 2)
+        results["sessions_state_rows"], results["sessions_state_mb"] = _state_metrics(q)
         results["sessions_closed"] = spark.sql(
             "SELECT COUNT(*) c FROM bench_sessions"
         ).collect()[0].c
@@ -159,6 +180,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results["asof_rows_per_sec"] = round(n_rows / dt, 1)
         results["asof_sec"] = round(dt, 2)
+        results["asof_state_rows"], results["asof_state_mb"] = _state_metrics(q)
 
         # 2e) versioned-graph commits: each micro-batch becomes one
         # graph version (SD4 online) — the history-producing ingest
@@ -194,6 +216,112 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results["tumbling_rows_per_sec"] = round(n_rows / dt, 1)
         results["tumbling_sec"] = round(dt, 2)
+        results["tumbling_state_rows"], results["tumbling_state_mb"] = _state_metrics(q)
+
+        # 4) W9 continuous-aggregate maintainer (ROLLUP cells folded
+        # into the store per micro-batch; state = the on-disk cell table)
+        t0 = time.perf_counter()
+        q = ingest.run_multires_rollup(
+            ingest.read_events_stream(spark, events_dir),
+            f"{tmp}/rollup",
+            f"{tmp}/ckpt_rollup",
+        ).start()
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        results["w9_rollup_rows_per_sec"] = round(n_rows / dt, 1)
+        results["w9_rollup_sec"] = round(dt, 2)
+        results["w9_rollup_cells"] = spark.read.parquet(
+            f"{tmp}/rollup"
+        ).count()
+
+        # 5) streaming IVF index maintainer: index built from half the
+        # embeddings, the other half streamed in as per-batch deltas;
+        # state = the delta rows awaiting compaction
+        from biodiversity_graph_db_spark.extensions import (
+            similarity as sim,
+        )
+
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        base = emb.where(F.col("vec_id") % 2 == 0)
+        newer = emb.where(F.col("vec_id") % 2 == 1)
+        n_new = newer.count()
+        emb_src = f"{tmp}/emb_incoming"
+        (
+            newer.repartitionByRange(n_files, "vec_id")
+            .write.mode("overwrite")
+            .parquet(emb_src)
+        )
+        _force_monotone_arrival(emb_src)
+        sim.write_ivf_index(base, f"{tmp}/ivf_idx")
+        emb_stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(emb_src)
+        )
+        t0 = time.perf_counter()
+        q = ingest.run_ivf_append(
+            emb_stream, f"{tmp}/ivf_idx", f"{tmp}/ckpt_ivf"
+        ).start()
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        results["ivf_append_rows_per_sec"] = round(n_new / dt, 1)
+        results["ivf_append_sec"] = round(dt, 2)
+        results["ivf_delta_rows"] = spark.read.parquet(
+            f"{tmp}/ivf_idx/assigned_delta"
+        ).count()
+        t0 = time.perf_counter()
+        sim.compact_ivf_deltas(spark, f"{tmp}/ivf_idx")
+        results["ivf_compact_sec"] = round(time.perf_counter() - t0, 2)
+
+        # 6) streaming shard export (token-budgeted JSONL shards +
+        # manifests per batch) + manifest compaction
+        t0 = time.perf_counter()
+        q = pipeline.run_shard_export(
+            pipeline.read_documents_stream(spark, docs_dir),
+            f"{tmp}/shards",
+            f"{tmp}/ckpt_shards",
+        ).start()
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        results["shard_export_docs_per_sec"] = round(n_docs / dt, 1)
+        results["shard_export_sec"] = round(dt, 2)
+        results["shard_manifest_rows"] = pipeline.read_shard_manifest(
+            spark, f"{tmp}/shards"
+        ).count()
+        t0 = time.perf_counter()
+        pipeline.compact_shard_manifests(spark, f"{tmp}/shards")
+        results["manifest_compact_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+
+        # 7) watermarked stream-stream attribution join (inner): both
+        # sides derived from ONE events stream; state = buffered rows
+        # awaiting watermark expiry on both sides
+        ev_s = ingest.read_events_stream(spark, events_dir)
+        t0 = time.perf_counter()
+        q = (
+            ingest.attributed_purchases(
+                ev_s.where(F.col("event_type") == "click"),
+                ev_s.where(F.col("event_type") == "purchase"),
+            )
+            .writeStream.format("memory")
+            .queryName("bench_ssjoin")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        results["ssjoin_rows_per_sec"] = round(n_rows / dt, 1)
+        results["ssjoin_sec"] = round(dt, 2)
+        results["ssjoin_state_rows"], results["ssjoin_state_mb"] = (
+            _state_metrics(q)
+        )
+        results["ssjoin_matches"] = spark.sql(
+            "SELECT COUNT(*) c FROM bench_ssjoin"
+        ).collect()[0].c
 
         print(
             json.dumps(

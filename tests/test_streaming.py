@@ -43,6 +43,12 @@ def events_dir(spark, sf_dir):
         .write.mode("overwrite")
         .parquet(f"{tmp}/events")
     )
+    # ...and pin ascending mtimes: FileStreamSource orders batches by
+    # MTIME, which the parallel write leaves arbitrary — an out-of-order
+    # time slice is legitimately dropped as late data by any
+    # watermark-bounded operator (dedup-within-watermark, stream-stream
+    # join), turning these tests flaky
+    _force_monotone_arrival(f"{tmp}/events")
     yield f"{tmp}/events"
     shutil.rmtree(tmp, ignore_errors=True)
 
