@@ -98,6 +98,14 @@ HEADLINE = [
     "W14_zscore_anomalies",
     "MM4_media_neardup",
     "ED4_time_weighted_avg",
+    # round 8 additions: stratified sampling, band join, retention
+    # cohorts, prefix dedup (V11_filtered_recall is oracle-graded but
+    # not a bench headline — full index build + dual ranking, the V10/
+    # SD4 one-shot-construction precedent)
+    "O6_stratified_sample",
+    "J11_band_join",
+    "C5_retention_cohorts",
+    "D11_prefix_dup",
     "A12_grouping_sets_distinct",
     "W15_rolling_actives",
     "T33_readability",

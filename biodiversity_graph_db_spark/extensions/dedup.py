@@ -1009,3 +1009,75 @@ def d9_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "D11_prefix_dup",
+    oracle="""
+    WITH minted AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             substr(text, 1, 120) AS text,
+             LEAST(n_chars, 120) AS n_chars
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    keyed AS (
+      SELECT doc_id, n_chars, md5(substr(text, 1, 100)) AS prefix_key
+      FROM minted
+    )
+    SELECT prefix_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS tail_spread
+    FROM keyed
+    GROUP BY prefix_key
+    HAVING COUNT(*) > 1
+    ORDER BY prefix_key
+    """,
+)
+def d11_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-duplicate detection — documents identical in their first
+    100 characters but (possibly) diverging after: the truncation /
+    re-crawl / pagination dup class that exact fingerprinting (T3)
+    misses by design (one tail byte changes the full-text hash) and
+    MinHash (D1) only catches when the shared prefix dominates the
+    shingle set.  Pretraining pipelines run this pass to collapse
+    article+comment re-renders and length-capped vendor re-deliveries;
+    ``tail_spread`` (max−min length per group) is the triage signal —
+    0 means same-length near-copies, large means truncation.
+
+    The synthetic corpus has no natural truncation dups, so a
+    deterministic minted copy (every 97th doc, cut at 120 chars) makes
+    the grade non-hollow — the D7/T9 mint-then-operate discipline,
+    reproduced exactly in the oracle.  Scale shape: the md5 prefix key
+    is computed in the scan (bounded 100-char input regardless of
+    document size — unlike T3's full-text hash this never reads the
+    tail), ONE combinable count shuffle on the key, output bounded by
+    the dup-group count.  Keeper = min doc_id, the T3/D1 canonical
+    rule."""
+    d = table(spark, sf_dir, "documents")
+    minted = d.select("doc_id", "text", "n_chars").unionByName(
+        d.where(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.substring(F.col("text"), 1, 120).alias("text"),
+            F.least(F.col("n_chars"), F.lit(120)).alias("n_chars"),
+        )
+    )
+    return (
+        minted.select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.substring(F.col("text"), 1, 100)).alias("prefix_key"),
+        )
+        .groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            (F.max("n_chars") - F.min("n_chars"))
+            .cast("long")
+            .alias("tail_spread"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("prefix_key")
+    )

@@ -470,3 +470,89 @@ def j10_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "J11_band_join",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS a_id, value AS va FROM events
+      WHERE event_type = 'click' AND event_id % 7 = 0
+    ),
+    b AS (
+      SELECT event_id AS b_id, value AS vb FROM events
+      WHERE event_type = 'purchase' AND event_id % 11 = 0
+    ),
+    prs AS (
+      SELECT a_id, b_id, va, vb FROM a JOIN b
+        ON abs(va - vb) <= 0.25
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_a_matched,
+           CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_b_matched,
+           CAST(COALESCE(SUM(CAST(FLOOR(va * 100) AS BIGINT)
+                             + CAST(FLOOR(vb * 100) AS BIGINT)), 0)
+                AS BIGINT) AS value_checksum
+    FROM prs
+    """,
+)
+def j11_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAND (epsilon-range) join — pairs of click/purchase events whose
+    values lie within ±0.25 of each other, the non-equi join class
+    (price matching, sensor alignment, tolerance reconciliation) that a
+    naive engine executes as a cartesian product with a filter.
+
+    BINNING spelling: each row maps to the ``floor(value/eps)`` integer
+    bucket; a qualifying pair differs by at most one bucket, so probing
+    the three adjacent buckets (a 3x bounded explode on the smaller
+    side) turns the inequality into an EQUI-join on the bucket id, then
+    an exact |va−vb| <= eps refine — the grid-index filter-refine
+    pattern spatial.py's GEO3 uses in 2D, here in 1D (cf. DuckDB's IEJoin
+    and Spark's own range-join hints for the same class).  Each pair
+    survives in exactly ONE probe bucket (the one equal to b's bucket),
+    so no dedup pass is needed.  Plan-tested: no CartesianProduct, no
+    BroadcastNestedLoopJoin.  Scale: shuffle keyed by bucket id; fan-out
+    fixed at 3; skewed value clusters surface as bucket skew, the
+    PR2->A11 salting recipe applies unchanged."""
+    ev = table(spark, sf_dir, "events")
+    eps = 0.25
+    a = ev.where(
+        (F.col("event_type") == "click") & (F.col("event_id") % 7 == 0)
+    ).select(
+        F.col("event_id").alias("a_id"),
+        F.col("value").alias("va"),
+        F.floor(F.col("value") / eps).cast("long").alias("a_bucket"),
+    )
+    b = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 11 == 0)
+    ).select(
+        F.col("event_id").alias("b_id"),
+        F.col("value").alias("vb"),
+        F.floor(F.col("value") / eps).cast("long").alias("b_bucket"),
+    )
+    probes = a.select(
+        "a_id",
+        "va",
+        F.explode(
+            F.array(
+                F.col("a_bucket") - 1, F.col("a_bucket"), F.col("a_bucket") + 1
+            )
+        ).alias("bucket"),
+    )
+    pairs = probes.join(
+        b, probes["bucket"] == b["b_bucket"]
+    ).where(F.abs(F.col("va") - F.col("vb")) <= eps)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("a_id").cast("long").alias("n_a_matched"),
+        F.countDistinct("b_id").cast("long").alias("n_b_matched"),
+        F.coalesce(
+            F.sum(
+                F.floor(F.col("va") * 100).cast("long")
+                + F.floor(F.col("vb") * 100).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("value_checksum"),
+    )

@@ -549,3 +549,79 @@ def f13_embedded_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_consistent"),
     )
+
+
+@query(
+    "O6_stratified_sample",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_acctbal,
+             CAST(('0x' || substr(md5('cust_' || c_custkey), 1, 8))
+                  AS BIGINT) % 100 < 20 AS sampled
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS share_ppm,
+           CAST(SUM(CASE WHEN sampled
+                    THEN CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100)
+                              AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS sampled_acctbal_cents
+    FROM c
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def o6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling — the training-data-pipeline
+    primitive `df.sample` can't give you: a fixed 20% of every stratum,
+    selected by a content hash so the SAME rows are chosen on every
+    engine, every run, every cluster size (T11's md5-bucket idiom on
+    the row key; the reference has no sampling surface at all —
+    BiodiversityCoder.Core enumerates full node sets).
+
+    Spark's own ``sampleBy`` draws per-row Bernoulli from a seeded RNG:
+    resampling under retries/speculation isn't reproducible across
+    partitionings, and the fraction is only approximate.  The hash
+    spelling is exact-in-expectation, partitioning-independent, and
+    pushes into the scan as a column predicate.  Output proves the
+    selected ROW SET matches (acctbal checksum over the sample), not
+    just the counts.  Scale: one map-side-combinable rollup on a
+    |segments| key space; zero shuffles beyond it."""
+    c = table(spark, sf_dir, "customer")
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("cust_"), F.col("c_custkey").cast("string"))),
+        1,
+        8,
+    )
+    sampled = F.conv(hex8, 16, 10).cast("long") % 100 < 20
+    return (
+        c.select(
+            "c_mktsegment",
+            sampled.cast("long").alias("s"),
+            F.when(
+                sampled, F.floor(F.col("c_acctbal") * 100).cast("long")
+            )
+            .otherwise(F.lit(0))
+            .alias("bal_cents"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("s").cast("long").alias("n_sampled"),
+            F.sum("bal_cents").cast("long").alias("sampled_acctbal_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_total",
+            "n_sampled",
+            F.expr("CAST((n_sampled * 1000000) DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "sampled_acctbal_cents",
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -886,3 +886,79 @@ def c4_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "C5_retention_cohorts",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+               // 604800 AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS w0 FROM uw GROUP BY user_id
+    ),
+    act AS (
+      SELECT c.w0, uw.week - c.w0 AS offset_w, uw.user_id
+      FROM uw JOIN cohort c ON c.user_id = uw.user_id
+    ),
+    ret AS (
+      SELECT w0, offset_w,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM act GROUP BY w0, offset_w
+    )
+    SELECT r.w0 AS cohort_week, r.offset_w AS week_offset, r.n_active,
+           CAST(r.n_active * 1000000 // z.n_active AS BIGINT)
+             AS retention_ppm
+    FROM ret r JOIN ret z ON z.w0 = r.w0 AND z.offset_w = 0
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def c5_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — users grouped by FIRST-ACTIVE week,
+    tracked by distinct activity k weeks later, retention as ppm of the
+    cohort's week-0 size: the canonical product-analytics rollup (the
+    funnel W13 answers "did they convert", this answers "did they come
+    back").  Weeks are epoch-second ``DIV 604800`` — pure integer
+    arithmetic, identical in both engines (date_trunc('week') is
+    engine-convention-dependent; the house W12/ED4 unix-epoch rule).
+
+    Scale shape: the corpus collapses IMMEDIATELY to distinct
+    (user, week) presence (bounded by users x weeks — the W15 idiom);
+    cohort assignment is one combinable MIN per user; the triangle is a
+    two-phase count-distinct over the presence table; the week-0
+    normalizer joins |cohorts| rows.  No window functions, no
+    per-user sort, nothing proportional to raw event count past the
+    first combinable aggregate."""
+    ev = table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.expr("unix_timestamp(ts) DIV 604800").alias("week"),
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("w0"))
+    ret = (
+        uw.join(cohort, "user_id")
+        .select("w0", (F.col("week") - F.col("w0")).alias("week_offset"), "user_id")
+        .groupBy("w0", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    base = ret.where(F.col("week_offset") == 0).select(
+        F.col("w0").alias("z_w0"), F.col("n_active").alias("n_base")
+    )
+    return (
+        ret.join(base, ret["w0"] == base["z_w0"])
+        .select(
+            F.col("w0").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.expr("CAST((n_active * 1000000) DIV n_base AS BIGINT)").alias(
+                "retention_ppm"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -90,6 +90,10 @@ PRIORITY: tuple[str, ...] = (
     # (1) NEW round-8 queries — first driver grade needed (inserted
     # here as they are added; rotation(35) + new + r5 fills = 50)
     "V11_filtered_recall",
+    "O6_stratified_sample",
+    "J11_band_join",
+    "C5_retention_cohorts",
+    "D11_prefix_dup",
     # (2) window fills: oldest remaining evidence (r4-graded A1/A3/A4/
     # A6 were refreshed r7; these fills are the oldest r5 grades)
     "V1_cosine_topk",

@@ -1216,3 +1216,35 @@ class TestRound7FourthWavePlans:
         assert len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE)) == 1
         assert plan.count("HashAggregate") >= 4
         assert "BatchEvalPython" not in plan
+
+    def test_j11_band_join_is_bucketed_equi_join(self, spark, sf_dir):
+        """The epsilon-band join must execute as the binned EQUI-join
+        (explode of 3 probe buckets → hash join on bucket id → refine
+        filter), never a nested-loop product of the two event sets."""
+        plan = _plan(spark, sf_dir, "J11_band_join")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" in plan  # the bucket equi-join survives
+        assert "BatchEvalPython" not in plan
+
+    def test_o6_sample_predicate_in_scan_pipeline(self, spark, sf_dir):
+        """The md5 stratified-sample decision is a column expression in
+        the scan pipeline feeding ONE two-phase rollup — no Python, no
+        extra shuffle, no second scan."""
+        import re
+
+        plan = _plan(spark, sf_dir, "O6_stratified_sample")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 2  # map-side partial
+
+    def test_c5_collapses_before_cohort_join(self, spark, sf_dir):
+        """Retention must collapse events to distinct (user, week)
+        presence before any join (the W15 discipline) and never
+        nested-loop the cohort normalizer."""
+        plan = _plan(spark, sf_dir, "C5_retention_cohorts")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 4  # presence + min + distinct
