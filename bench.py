@@ -106,6 +106,15 @@ HEADLINE = [
     "J11_band_join",
     "C5_retention_cohorts",
     "D11_prefix_dup",
+    "T35_char_entropy",
+    "PR5_numeric_corr",
+    "ED5_interarrival_median",
+    "O7_hash_sample_topk",
+    "T36_pmi_collocations",
+    "G21_degree_assortativity",
+    "O8_weighted_sample",
+    "D12_source_overlap",
+    "ED6_type_transitions",
     "A12_grouping_sets_distinct",
     "W15_rolling_actives",
     "T33_readability",

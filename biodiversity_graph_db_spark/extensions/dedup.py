@@ -1081,3 +1081,100 @@ def d11_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("prefix_key")
     )
+
+
+@query(
+    "D12_source_overlap",
+    oracle="""
+    WITH minted AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'src' || CAST((CAST(substr(source, 4) AS INT) + 7) % 20
+                           AS INT) AS source,
+             text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    p AS (SELECT DISTINCT source, md5(text) AS fp FROM minted),
+    sz AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY source
+    ),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM p a JOIN p b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT c.src_a, c.src_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+           CAST(c.n_common * 1000000 // sa.n AS BIGINT) AS contain_a_ppm,
+           CAST(c.n_common * 1000000 // sb.n AS BIGINT) AS contain_b_ppm
+    FROM common c
+    JOIN sz sa ON c.src_a = sa.source
+    JOIN sz sb ON c.src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def d12_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE containment matrix — for every source pair, how
+    many exact-duplicate documents they share and what fraction of each
+    side that is (ppm): the corpus-redundancy audit run before mixture
+    weights are set (T16/T31 assume sources are distinct corpora; a
+    vendor re-delivering another crawl's shards silently double-weights
+    it, and this matrix is how that is caught).  Direction matters —
+    a small source fully contained in a large one reads 1e6 on one
+    axis and noise on the other — so both containments are emitted.
+
+    The synthetic corpus has no natural cross-source duplicates, so a
+    deterministic re-attribution mint (every 7th doc also credited to
+    the source 7 slots over) makes the grade non-hollow — the D11/D7
+    discipline, replayed exactly in the oracle.  Scale shape: docs
+    collapse to DISTINCT (source, fingerprint) in one combinable pass;
+    the self-join shuffles on the fingerprint where each group is
+    bounded by |sources|, so the pair blowup is |sources|² per
+    duplicated fingerprint, never corpus²; the size table is
+    |sources|-bounded and broadcast.  Integer ppm via DIV — exact."""
+    d = table(spark, sf_dir, "documents")
+    minted = d.select("source", "text").unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            F.concat(
+                F.lit("src"),
+                (
+                    (F.substring("source", 4, 10).cast("int") + 7) % 20
+                ).cast("string"),
+            ).alias("source"),
+            "text",
+        )
+    )
+    p = minted.select("source", F.md5("text").alias("fp")).distinct()
+    sz = p.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = p.select(F.col("source").alias("src_a"), "fp")
+    b = p.select(F.col("source").alias("src_b"), "fp")
+    common = (
+        a.join(b, "fp")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(
+                sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("n_common * 1000000 DIV n_a").alias("contain_a_ppm"),
+            F.expr("n_common * 1000000 DIV n_b").alias("contain_b_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biodiversity_graph_db_spark.operators._util import dquant, sql_dquant
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -301,3 +302,81 @@ def pr3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "PR5_numeric_corr",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS sy,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                      * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sxx,
+             CAST(SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)
+                      * CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS syy,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                      * CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {sql_dquant(
+               'CAST(n * sxy - sx * sy AS DOUBLE)'
+               ' / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)'
+               '        * CAST(n * syy - sy * sy AS DOUBLE))'
+           )} AS corr_qty_disc
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def pr5_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation between numeric columns (quantity
+    vs discount per return flag) — the relationship profile beside
+    PR1's univariate stats: the look-before-you-model pass that flags
+    confounded features, and the drift companion to PR3 (a correlation
+    SIGN flip between crawls is a pipeline bug even when both marginals
+    pass PSI).
+
+    Exactness discipline: values are scaled to small integers at the
+    scan (quantity units, discount cents — both bounded by TPC-H
+    domain, so every moment product stays far inside BIGINT at any row
+    count); the five moments are ONE map-side-combinable aggregate
+    pass; the final ratio is two exact-BIGINT differences combined in
+    IEEE double + sqrt, floor-quantized — deterministic cross-engine.
+    ``F.corr`` computes a streaming double covariance whose value
+    depends on partition merge order; the moment spelling is
+    order-independent by construction.  Wide-value columns (prices)
+    would overflow the n·Sxx product at extreme row counts — route
+    those through DECIMAL(38) moments, the house money rule."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity")).cast("long")
+    y = F.floor(F.col("l_discount") * 100).cast("long")
+    m = (
+        li.select(F.col("l_returnflag"), x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "l_returnflag", "n", dquant(num / den).alias("corr_qty_disc")
+    ).orderBy("l_returnflag")

@@ -2559,3 +2559,200 @@ def t34_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "T35_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT source, unnest(string_split_regex(text, '')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars WHERE ch <> '' GROUP BY source, ch
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_chars_total,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS s_clnc
+      FROM counts GROUP BY source
+    )
+    SELECT source, n_chars_total, n_distinct_chars,
+           CAST(CAST(FLOOR(ln(CAST(n_chars_total AS DOUBLE)) * 1000000)
+                     AS BIGINT) - s_clnc // n_chars_total
+                AS BIGINT) AS entropy_micronats
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def t35_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-distribution Shannon entropy — the
+    gibberish/OCR-noise corpus signal beside T2 (lexical quality), T4
+    (language profile) and T28 (bigram LM surprise): clean prose in one
+    script sits in a narrow entropy band; binary-junk shards spike it,
+    template/repeated text collapses it.  Identity used:
+    ``H = ln(n) − (Σ c·ln c)/n`` (micro-nats) so the one transcendental
+    (ln) takes exact integer inputs and floor-quantizes to the 1e-6
+    grid — the T26/PR3/T28 idiom; everything else is BIGINT arithmetic,
+    order-independent and cross-engine exact.
+
+    Scale shape: one char explode → one map-side-combinable
+    (source, char) count — the combine collapses each partition to its
+    alphabet before the shuffle, so shuffle volume is |sources|×|alphabet|
+    per partition, not |chars|; the rollup table is alphabet-bounded
+    like T28's vocabulary."""
+    d = spread(table(spark, sf_dir, "documents"))
+    counts = (
+        d.select("source", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qln = lambda col: F.floor(F.log(col.cast("double")) * 1e6).cast("long")
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars_total"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum(F.col("c") * qln(F.col("c"))).cast("long").alias("s_clnc"),
+        )
+        .select(
+            "source",
+            "n_chars_total",
+            "n_distinct_chars",
+            (
+                qln(F.col("n_chars_total"))
+                - F.expr("s_clnc DIV n_chars_total")
+            )
+            .cast("long")
+            .alias("entropy_micronats"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "T36_pmi_collocations",
+    oracle="""
+    WITH d AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT t[CAST(i AS INT)] AS w1,
+             CASE WHEN CAST(i AS INT) < len(t)
+                  THEN t[CAST(i AS INT) + 1] END AS w2
+      FROM (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM d)
+    ),
+    p AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w1 <> '' GROUP BY w1, w2
+    ),
+    u AS (SELECT w1 AS w, CAST(SUM(c) AS BIGINT) AS cu FROM p GROUP BY w1),
+    tots AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_uni,
+             CAST(SUM(CASE WHEN w2 IS NOT NULL THEN c END) AS BIGINT)
+               AS n_bi
+      FROM p
+    )
+    SELECT b.w1, b.w2, b.c AS c_xy,
+           CAST(FLOOR(ln(b.c) * 1000000)
+                - FLOOR(ln(t.n_bi) * 1000000)
+                - FLOOR(ln(u1.cu) * 1000000)
+                - FLOOR(ln(u2.cu) * 1000000)
+                + 2 * FLOOR(ln(t.n_uni) * 1000000) AS BIGINT)
+             AS pmi_micronats
+    FROM p b
+    JOIN u u1 ON b.w1 = u1.w
+    JOIN u u2 ON b.w2 = u2.w
+    CROSS JOIN tots t
+    WHERE b.w2 IS NOT NULL AND b.c >= 5
+    ORDER BY pmi_micronats DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def t36_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word-bigram collocations by pointwise mutual information
+    (min count 5) — the phrase-mining / tokenizer-vocabulary signal
+    beside T10's raw frequency top-k: PMI surfaces pairs that co-occur
+    far above chance ("new york"-class units a frequency list buries
+    under stopword pairs), the standard first pass before multi-word
+    vocab entries or n-gram features are added to a pipeline.
+    PMI = ln p(xy) − ln p(x) − ln p(y) with unigram p over all tokens
+    and bigram p over all adjacent pairs; every ln takes an exact
+    BIGINT count and floor-quantizes to micro-nats (the T28/T35 idiom),
+    so the score — and the top-20 cutoff — is integer-exact and
+    cross-engine deterministic (ties broken by the pair itself).
+
+    Scale shape: ONE tokenize + ONE Generate — each token is emitted
+    once, paired with its successor (null for the last, via
+    ``try_element_at``), so the corpus-sized shuffle happens exactly
+    once and is map-side combinable into the vocab²-bounded pair
+    table.  Unigram counts are DERIVED from that collapsed table
+    (c(x) = Σ_y c(x,y) including the null successor — every token
+    appears exactly once as a pair head), never from a second pass;
+    the two PMI joins broadcast the vocab-bounded unigram side, and
+    the totals row broadcasts as a 1-row cross join."""
+    d = spread(table(spark, sf_dir, "documents"))
+    tok = d.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(t, (x, i) ->"
+                " struct(x AS w1, try_element_at(t, i + 2) AS w2))"
+            )
+        ).alias("pr")
+    )
+    # the pair table feeds THREE consumers (unigram rollup, totals,
+    # the PMI join) — localCheckpoint the vocab²-bounded cut so the
+    # corpus tokenize+explode runs ONCE (the T28/D8 single-pass
+    # discipline; without it the plan re-runs the Generate 4×)
+    p = (
+        tok.select("pr.w1", "pr.w2")
+        .where(F.col("w1") != "")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    u = p.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c").cast("long").alias("cu")
+    )
+    tots = p.agg(
+        F.sum("c").cast("long").alias("n_uni"),
+        F.sum(F.when(F.col("w2").isNotNull(), F.col("c")))
+        .cast("long")
+        .alias("n_bi"),
+    )
+    qln = lambda col: F.floor(F.log(col.cast("double")) * 1e6).cast("long")
+    b = p.where(F.col("w2").isNotNull() & (F.col("c") >= 5))
+    return (
+        b.join(
+            F.broadcast(u.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(u.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("c_xy"),
+            (
+                qln(F.col("c"))
+                - qln(F.col("n_bi"))
+                - qln(F.col("cu1"))
+                - qln(F.col("cu2"))
+                + F.lit(2) * qln(F.col("n_uni"))
+            )
+            .cast("long")
+            .alias("pmi_micronats"),
+        )
+        .orderBy(F.desc("pmi_micronats"), "w1", "w2")
+        .limit(20)
+    )

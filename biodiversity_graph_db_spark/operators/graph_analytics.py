@@ -953,3 +953,89 @@ def g20_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "G21_degree_assortativity",
+    oracle=f"""
+    WITH {_LI_GRAPH_SQL},
+    und2 AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (
+      SELECT src AS key, CAST(COUNT(*) AS BIGINT) AS d
+      FROM und2 GROUP BY src
+    ),
+    ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und2 e
+      JOIN deg da ON e.src = da.key
+      JOIN deg db ON e.dst = db.key
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM ends
+    )
+    SELECT n AS n_edge_ends,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 10000) / 10000.0 AS assortativity
+    FROM m
+    """,
+)
+def g21_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the o/p/s graph — the Pearson
+    correlation of endpoint degrees over all directed edge ends, the
+    one-number mixing diagnostic that reads WITH G20's power-law
+    histogram: disassortative (r < 0, hubs attach to leaves — the
+    typical web/crawl shape) means hub-mirroring helps; assortative
+    (r > 0, a dense hub core) means the hot keys collide in the SAME
+    shuffle partitions and salting is needed before the histogram alone
+    would say so.
+
+    PR5's exact-moment discipline on graph data: degrees are exact
+    BIGINTs from one combinable count, the five moments are ONE
+    combinable pass over the degree-joined edge list, the final ratio
+    is IEEE double + sqrt, floor-quantized — order-independent and
+    cross-engine deterministic (``F.corr`` is merge-order-dependent).
+    Scale shape: degree table is vertex-sized, joined to the edge list
+    on its natural key (the same co-partitioned join every per-round
+    kernel here uses), then everything collapses map-side to one row.
+    """
+    und = algorithms.undirect(li_graph(spark, sf_dir))
+    deg = und.groupBy(F.col("src").alias("key")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    ends = (
+        und.join(deg.withColumnsRenamed({"key": "src", "d": "x"}), "src")
+        .join(deg.withColumnsRenamed({"key": "dst", "d": "y"}), "dst")
+        .select("x", "y")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        F.col("n").alias("n_edge_ends"),
+        (F.floor(num / den * 10000) / 10000.0).alias("assortativity"),
+    )

@@ -625,3 +625,101 @@ def o6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "O7_hash_sample_topk",
+    oracle="""
+    SELECT o_orderkey, priority_hash
+    FROM (
+      SELECT o_orderkey,
+             md5('ord_' || o_orderkey) AS priority_hash
+      FROM orders
+    )
+    ORDER BY priority_hash, o_orderkey
+    LIMIT 100
+    """,
+)
+def o7_hash_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL k-row sample — the 100 smallest md5
+    priorities over the key space: the reproducible eval-subset /
+    spot-check selection a pipeline pins in a config (O6 stratifies by
+    fraction; this fixes exact k).  Hash-rank sampling is the
+    distributed form of a uniform draw without replacement: the md5
+    order is uniform over keys, identical on every engine, run and
+    partitioning, and adding rows only perturbs the selection where new
+    hashes land inside the current top-k (bounded churn — the property
+    reservoir sampling has and ORDER BY rand() does not).
+
+    Scale shape: TakeOrderedAndProject (plan-tested) — each partition
+    keeps a k-heap, the driver merges |partitions|·k candidates; never
+    a global sort, never a shuffle of the corpus."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.md5(
+                F.concat(F.lit("ord_"), F.col("o_orderkey").cast("string"))
+            ).alias("priority_hash"),
+        )
+        .orderBy("priority_hash", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "O8_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('w8_' || doc_id), 1, 8)) AS BIGINT)
+               % 1000000 AS u_int
+      FROM documents WHERE n_chars > 0
+    ),
+    p AS (
+      SELECT doc_id, n_chars,
+             CAST(FLOOR(ln((u_int + 1) / 1000000.0) * 1000000) AS BIGINT)
+               AS lnu_micro
+      FROM k
+    )
+    SELECT doc_id, n_chars, lnu_micro
+    FROM p
+    ORDER BY CAST(lnu_micro AS DOUBLE) / n_chars DESC, doc_id
+    LIMIT 100
+    """,
+)
+def o8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED k-row sample without replacement —
+    Efraimidis–Spirakis A-ES keys (priority u^(1/w), here weight =
+    document length) ranked by the equivalent monotone form
+    ln(u)/w: the mixture-sampling primitive behind "sample documents
+    proportional to token count" that O6 (per-stratum fraction) and O7
+    (uniform top-k) cannot express.  u is the T11/O7 md5 bucket, so
+    the draw is identical on every engine, run and partitioning, and
+    appends only perturb the selection where new keys land inside the
+    current top-k (bounded churn).
+
+    Exactness: ln(u) is floor-quantized to micro-nats on an exact
+    1e-6-grid input (the house qln idiom); the rank key is ONE IEEE
+    double division of that integer by the integer weight — identical
+    in both engines — with doc_id tie-break, and only integer columns
+    are emitted.  Scale shape: key computed in the scan,
+    TakeOrderedAndProject k-heap per partition (plan-tested no
+    range-partition global sort), driver merges |partitions|·k."""
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("w8_"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    u_int = F.conv(hex8, 16, 10).cast("long") % 1000000
+    lnu = F.floor(
+        F.log((u_int + 1) / F.lit(1000000.0)) * 1e6
+    ).cast("long")
+    return (
+        d.select("doc_id", "n_chars", lnu.alias("lnu_micro"))
+        .orderBy(
+            (F.col("lnu_micro").cast("double") / F.col("n_chars")).desc(),
+            "doc_id",
+        )
+        .limit(100)
+        .select("doc_id", "n_chars", "lnu_micro")
+    )

@@ -962,3 +962,180 @@ def c5_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "ED5_interarrival_median",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, user_id,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS s,
+             event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             LEAD(s) OVER (
+               PARTITION BY event_type, user_id ORDER BY s, event_id
+             ) - s AS gap_s
+      FROM seq
+    ),
+    g AS (SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL),
+    r AS (
+      SELECT event_type, gap_s,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY gap_s
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           AVG(gap_s) AS median_gap_s
+    FROM r
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ed5_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EXACT median inter-arrival time of a user's consecutive
+    events — the burstiness/SLA profile ops teams baseline alerting on
+    (the mean is burst-dominated, ED4's point; the median is the robust
+    center), and the irregular-sampling diagnostic that says whether
+    W7/W8's resample grid is honest for this feed.
+
+    Composition of two house disciplines: gaps from ONE per-(type,
+    user) LEAD window over the (ts, event_id) total order (rank state
+    only — the ED4/W12 rule), then A9's VALUE-HISTOGRAM exact median
+    over the gap table — gaps collapse to (type, gap_s) counts
+    map-side (integer seconds, heavily repeated), the rank window runs
+    over the collapsed table, middles located by cumulative-count
+    containment.  Never a per-type sort of raw gaps.  unix-epoch
+    second truncation matches DuckDB date_diff (the verify-gate
+    contract)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        "event_id",
+    )
+    wlead = Window.partitionBy("event_type", "user_id").orderBy(
+        "s", "event_id"
+    )
+    gaps = (
+        seq.withColumn("gap_s", F.lead("s").over(wlead) - F.col("s"))
+        .where(F.col("gap_s").isNotNull())
+        .select("event_type", "gap_s")
+    )
+    vh = gaps.groupBy("event_type", "gap_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("gap_s")
+    vh = (
+        vh.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("lo", F.col("cum") - F.col("cnt") + 1)
+    )
+    m1 = F.floor((F.col("n") + 1) / 2)
+    m2 = F.floor((F.col("n") + 2) / 2)
+    hit1 = (m1 >= F.col("lo")) & (m1 <= F.col("cum"))
+    hit2 = (m2 >= F.col("lo")) & (m2 <= F.col("cum"))
+    picked = vh.where(hit1 | hit2).select(
+        "event_type",
+        "n",
+        "gap_s",
+        (hit1.cast("int") + hit2.cast("int")).alias("w"),
+    )
+    return (
+        picked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            (
+                F.sum(F.col("gap_s") * F.col("w"))
+                / F.sum("w").cast("double")
+            ).alias("median_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ED6_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS s,
+             event_id
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+             ) AS to_type
+      FROM seq
+    ),
+    c AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions * 1000000
+                // SUM(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS rate_ppm
+    FROM c
+    ORDER BY from_type, to_type
+    """,
+)
+def ed6_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    profile): counts and ppm rates of each (from → to) step over every
+    user's time-ordered stream — the user-journey fingerprint behind
+    W13's fixed funnel (the funnel asks "did signup→purchase happen";
+    the matrix says which steps dominate, and a rate shift between
+    crawls is a product or instrumentation change PR3's per-column
+    marginals can't see).
+
+    Scale shape: ONE per-user LEAD window over the (epoch-second,
+    event_id) total order — rank state only, the ED5/W12 rule — whose
+    output collapses map-side to the |types|²-bounded count matrix;
+    row-normalization is a second window over that BOUNDED table (one
+    tree, so the corpus pass runs once — a totals join-back would
+    duplicate the LEAD subtree, the D5/T8 re-evaluation class).
+    Integer ppm via DIV — exact cross-engine."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    tr = seq.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = tr.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        c.withColumn(
+            "n_from", F.sum("n_transitions").over(wt).cast("long")
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("n_transitions * 1000000 DIV n_from").alias("rate_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -94,8 +94,18 @@ PRIORITY: tuple[str, ...] = (
     "J11_band_join",
     "C5_retention_cohorts",
     "D11_prefix_dup",
-    # (2) window fills: oldest remaining evidence (r4-graded A1/A3/A4/
-    # A6 were refreshed r7; these fills are the oldest r5 grades)
+    "T35_char_entropy",
+    "PR5_numeric_corr",
+    "ED5_interarrival_median",
+    "O7_hash_sample_topk",
+    "T36_pmi_collocations",
+    "G21_degree_assortativity",
+    "O8_weighted_sample",
+    "D12_source_overlap",
+    "ED6_type_transitions",
+    # (2) window fill: oldest remaining evidence (r4-graded A1/A3/A4/
+    # A6 were refreshed r7; this fill is the oldest r5 grade —
+    # rotation(35) + new(14) + 1 fill = 50)
     "V1_cosine_topk",
     "T21_boilerplate_frac",
     "T6_winnow_fingerprints",

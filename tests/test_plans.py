@@ -1248,3 +1248,99 @@ class TestRound7FourthWavePlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("HashAggregate") >= 4  # presence + min + distinct
+
+    def test_o7_sample_is_takeordered(self, spark, sf_dir):
+        """Global hash-rank sampling must be a per-partition k-heap
+        (TakeOrderedAndProject), never a global sort of the corpus."""
+        plan = _plan(spark, sf_dir, "O7_hash_sample_topk")
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_t35_single_explode_combinable(self, spark, sf_dir):
+        """One char explode, map-side-combinable (source, char) count,
+        bounded per-source rollup — no Python, no second scan."""
+        import re
+
+        plan = _plan(spark, sf_dir, "T35_char_entropy")
+        assert len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE)) == 1
+        assert "BatchEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 4
+
+    def test_pr5_one_scan_two_phase(self, spark, sf_dir):
+        """All five correlation moments come from ONE combinable pass
+        over one scan — no window, no join, no Python."""
+        import re
+
+        plan = _plan(spark, sf_dir, "PR5_numeric_corr")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert plan.count("HashAggregate") >= 2
+        assert "SortMergeJoin" not in plan and "Window" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_ed5_collapses_gaps_before_rank(self, spark, sf_dir):
+        """The gap table must collapse to (type, gap) value-histogram
+        counts before any rank window (A9's discipline on derived
+        values) and never product the middle-position lookup."""
+        plan = _plan(spark, sf_dir, "ED5_interarrival_median")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "BatchEvalPython" not in plan
+
+    def test_t36_one_generate_broadcast_pmi(self, spark, sf_dir):
+        """Tokens are emitted ONCE (pair-with-successor explode) into a
+        localCheckpoint-ed vocab²-bounded pair table; the final plan
+        must score off that materialized cut (the T28/D8 single-pass
+        rule: unigram rollup, totals AND the PMI join all read
+        ExistingRDD, never a re-run of the corpus Generate), and the
+        PMI joins broadcast the vocab-bounded sides."""
+        plan = _plan(spark, sf_dir, "T36_pmi_collocations")
+        assert "ExistingRDD" in plan
+        assert "Generate" not in plan, plan
+        assert "Scan parquet" not in plan, plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_g21_moments_no_cartesian(self, spark, sf_dir):
+        """Assortativity = one combinable moment pass over the degree-
+        joined edge list — no cartesian, no Python, no window."""
+        plan = _plan(spark, sf_dir, "G21_degree_assortativity")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Window" not in plan
+
+    def test_o8_sample_is_takeordered(self, spark, sf_dir):
+        """Weighted hash-rank sampling keeps the O7 shape: per-partition
+        k-heap (TakeOrderedAndProject), never a global sort."""
+        plan = _plan(spark, sf_dir, "O8_weighted_sample")
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_d12_fp_equijoin_broadcast_sizes(self, spark, sf_dir):
+        """The source-overlap self-join must be an equi-join on the
+        fingerprint (groups bounded by |sources|) with the size table
+        broadcast — never corpus² and never a shuffle join on the
+        |sources|-bounded side."""
+        plan = _plan(spark, sf_dir, "D12_source_overlap")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_ed6_single_window_bounded_rollup(self, spark, sf_dir):
+        """ONE corpus pass: the per-user LEAD window plus the row-
+        normalization window over the already-collapsed |types|^2
+        matrix — exactly two Window nodes over ONE scan (a totals
+        join-back would duplicate the LEAD subtree), no Python."""
+        import re
+
+        plan = _plan(spark, sf_dir, "ED6_type_transitions")
+        assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 2
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("HashAggregate") >= 2
