@@ -1214,3 +1214,161 @@ def test_link_prediction_matches_bruteforce_model(spark, pairs):
             j = cn / (len(nbr[a]) + len(nbr[b]) - cn)
             want[(a, b)] = (cn, int(j * 10000) / 10000.0)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 600)),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_sample_matches_model_and_partitioning(spark, rows):
+    """O8's Efraimidis–Spirakis hash-rank selection equals an
+    independent Python model of ln(u)/w ranking (md5 replayed in
+    hashlib) and is invariant under repartitioning — the two properties
+    that make a weighted sample reproducible on a cluster."""
+    import hashlib
+    import math
+
+    k = 10
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def run(frame):
+        hex8 = F.substring(
+            F.md5(F.concat(F.lit("w8_"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        )
+        u_int = F.conv(hex8, 16, 10).cast("long") % 1000000
+        lnu = F.floor(
+            F.log((u_int + 1) / F.lit(1000000.0)) * 1e6
+        ).cast("long")
+        return [
+            r.doc_id
+            for r in frame.select(
+                "doc_id", "n_chars", lnu.alias("lnu_micro")
+            )
+            .orderBy(
+                (F.col("lnu_micro").cast("double") / F.col("n_chars")).desc(),
+                "doc_id",
+            )
+            .limit(k)
+            .collect()
+        ]
+
+    got = run(df)
+    assert got == run(df.repartition(7)), "partitioning changed the sample"
+
+    def model_key(doc_id, w):
+        u_int = (
+            int(hashlib.md5(f"w8_{doc_id}".encode()).hexdigest()[:8], 16)
+            % 1000000
+        )
+        return (
+            -(math.floor(math.log((u_int + 1) / 1000000.0) * 1e6) / w),
+            doc_id,
+        )
+
+    want = [d for d, _ in sorted(rows, key=lambda t: model_key(*t))[:k]]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),          # user
+            st.integers(0, 50),         # second offset
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+def test_type_transitions_match_python_model(spark, evs):
+    """ED6's transition matrix equals the per-user sorted-sequence
+    model for any event set, including simultaneous timestamps (the
+    event_id tie-break makes the LEAD order total)."""
+    rows = [(i, u, s, t) for i, (u, s, t) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, s long, event_type string"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    tr = df.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = tr.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    got = {
+        (r.from_type, r.to_type): (r.n, r.rate_ppm)
+        for r in c.withColumn(
+            "rate_ppm", F.expr("n * 1000000 DIV sum(n) OVER (PARTITION BY from_type)")
+        ).collect()
+    }
+    # python model
+    per_user: dict = {}
+    for i, (u, s, t) in enumerate(evs):
+        per_user.setdefault(u, []).append((s, i, t))
+    counts: dict = {}
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, t1), (_, _, t2) in zip(seq, seq[1:]):
+            counts[(t1, t2)] = counts.get((t1, t2), 0) + 1
+    froms: dict = {}
+    for (t1, _), n in counts.items():
+        froms[t1] = froms.get(t1, 0) + n
+    want = {
+        k2: (n, n * 1000000 // froms[k2[0]]) for k2, n in counts.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pmi_pair_table_unigram_identity(spark, docs):
+    """T36's load-bearing derivation: unigram counts reconstructed from
+    the pair-with-successor table (c(x) = sum over successors,
+    including the null one) equal direct token counts — for any corpus.
+    This is what lets the query tokenize the corpus exactly once."""
+    df = spark.createDataFrame([(" ".join(d),) for d in docs], "text string")
+    tok = df.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(t, (x, i) ->"
+                " struct(x AS w1, try_element_at(t, i + 2) AS w2))"
+            )
+        ).alias("pr")
+    )
+    p = (
+        tok.select("pr.w1", "pr.w2")
+        .where(F.col("w1") != "")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {
+        r.w: r.cu
+        for r in p.groupBy(F.col("w1").alias("w"))
+        .agg(F.sum("c").cast("long").alias("cu"))
+        .collect()
+    }
+    want: dict = {}
+    for d in docs:
+        for t in d:
+            want[t] = want.get(t, 0) + 1
+    assert got == want
