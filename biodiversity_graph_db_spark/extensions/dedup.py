@@ -1127,11 +1127,16 @@ def d12_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic re-attribution mint (every 7th doc also credited to
     the source 7 slots over) makes the grade non-hollow — the D11/D7
     discipline, replayed exactly in the oracle.  Scale shape: docs
-    collapse to DISTINCT (source, fingerprint) in one combinable pass;
-    the self-join shuffles on the fingerprint where each group is
-    bounded by |sources|, so the pair blowup is |sources|² per
-    duplicated fingerprint, never corpus²; the size table is
-    |sources|-bounded and broadcast.  Integer ppm via DIV — exact."""
+    collapse to DISTINCT (source, fingerprint) in one combinable pass,
+    localCheckpoint-ed — the fingerprint table feeds FOUR consumers
+    (both self-join sides and both size lookups), and without the cut
+    the corpus md5+DISTINCT re-runs per consumer (8 parquet scans,
+    caught by end-of-round plan audit; materializing ~40 bytes/doc is
+    the standard dedup trade).  The self-join shuffles on the
+    fingerprint where each group is bounded by |sources|, so the pair
+    blowup is |sources|² per duplicated fingerprint, never corpus²;
+    the size table is |sources|-bounded and broadcast.  Integer ppm
+    via DIV — exact."""
     d = table(spark, sf_dir, "documents")
     minted = d.select("source", "text").unionByName(
         d.where(F.col("doc_id") % 7 == 0).select(
@@ -1144,7 +1149,11 @@ def d12_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
-    p = minted.select("source", F.md5("text").alias("fp")).distinct()
+    p = (
+        minted.select("source", F.md5("text").alias("fp"))
+        .distinct()
+        .localCheckpoint()
+    )
     sz = p.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = p.select(F.col("source").alias("src_a"), "fp")
     b = p.select(F.col("source").alias("src_b"), "fp")

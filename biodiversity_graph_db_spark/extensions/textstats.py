@@ -1654,13 +1654,19 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-``k`` documents for a term query under BM25.
 
-    Scale shape: ONE token explode over the corpus feeds both the
-    per-doc lengths and the (doc, term) frequencies (the term filter is
-    a cheap IN over the exploded stream, not a second tokenize); avgdl
-    and N arrive as a broadcast 1-row aggregate; per-term scores join
-    doc-keyed; the final top-k is a TakeOrderedAndProject, never a full
-    sort.  At 100 TB this is two map-side-combinable aggregates over
-    the token stream plus bounded joins — the same family as T26.
+    Scale shape: ONE token explode, ONE combinable aggregate — per-doc
+    length AND the |terms| conditional term counts come out of the SAME
+    groupBy (a fixed probe query means tf-per-term fits as columns),
+    localCheckpoint-ed because the per-doc table feeds three consumers
+    (avgdl/N stats, document frequencies, scoring).  The round-8 plan
+    audit found the previous spelling re-ran the tokenize 4× (dl, tf,
+    stats and the scoring join each rebuilt the explode — the D5/T8
+    class, despite this docstring claiming one pass); the plan test now
+    pins zero Generates downstream of the cut.  tf rows melt back out
+    of the checkpointed table via ``stack`` (doc-bounded, carries dl —
+    the dl join is gone too); avgdl and N arrive as a broadcast 1-row
+    aggregate; the final top-k is a TakeOrderedAndProject, never a
+    full sort.
 
     Cross-engine determinism: the one transcendental (ln in the idf) is
     floor-quantized to a 1e-6 grid (the T26 discipline); every other op
@@ -1673,19 +1679,31 @@ def bm25_topk(
     toks = spread(docs).select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.count(F.when(F.col("token") == t, True)).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .localCheckpoint()
+    )
     stats = F.broadcast(
-        dl.agg(
+        per_doc.agg(
             (
                 F.sum("dl").cast("double") / F.count(F.lit(1))
             ).alias("avgdl"),
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
-    tf = (
-        toks.where(F.col("token").isin(*terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stack_expr = "stack({n}, {args}) AS (token, tf)".format(
+        n=len(terms),
+        args=", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms)),
+    )
+    tf = per_doc.selectExpr("doc_id", "dl", stack_expr).where(
+        F.col("tf") > 0
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf_q = (
@@ -1701,7 +1719,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .crossJoin(stats)
         .select(
             "doc_id",

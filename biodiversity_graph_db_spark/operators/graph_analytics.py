@@ -1005,11 +1005,13 @@ def g21_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable pass over the degree-joined edge list, the final ratio
     is IEEE double + sqrt, floor-quantized — order-independent and
     cross-engine deterministic (``F.corr`` is merge-order-dependent).
-    Scale shape: degree table is vertex-sized, joined to the edge list
-    on its natural key (the same co-partitioned join every per-round
-    kernel here uses), then everything collapses map-side to one row.
-    """
-    und = algorithms.undirect(li_graph(spark, sf_dir))
+    Scale shape: the symmetric edge list is localCheckpoint-ed once
+    (it feeds the degree count AND both join probes — the G19 "static
+    edge side materialized once" rule; without the cut the
+    scan+undirect subtree re-ran 18×); the degree table is
+    vertex-sized, joined on its natural key, then everything collapses
+    map-side to one row."""
+    und = algorithms.undirect(li_graph(spark, sf_dir)).localCheckpoint()
     deg = und.groupBy(F.col("src").alias("key")).agg(
         F.count("*").cast("long").alias("d")
     )

@@ -926,12 +926,16 @@ def c5_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-convention-dependent; the house W12/ED4 unix-epoch rule).
 
     Scale shape: the corpus collapses IMMEDIATELY to distinct
-    (user, week) presence (bounded by users x weeks — the W15 idiom);
+    (user, week) presence (bounded by users x weeks — the W15 idiom),
+    localCheckpoint-ed because it feeds BOTH the cohort MIN and the
+    triangle join (without the cut the corpus scan re-runs per
+    consumer — the D5/T8 class, caught by end-of-round plan audit);
     cohort assignment is one combinable MIN per user; the triangle is a
     two-phase count-distinct over the presence table; the week-0
-    normalizer joins |cohorts| rows.  No window functions, no
-    per-user sort, nothing proportional to raw event count past the
-    first combinable aggregate."""
+    normalizer is a window over the |cohorts|x|offsets|-bounded
+    triangle (a join-back against itself would re-run the triangle).
+    Nothing proportional to raw event count past the first combinable
+    aggregate, and the raw corpus is scanned exactly once."""
     ev = table(spark, sf_dir, "events")
     uw = (
         ev.select(
@@ -939,6 +943,7 @@ def c5_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_timestamp(ts) DIV 604800").alias("week"),
         )
         .distinct()
+        .localCheckpoint()
     )
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("w0"))
     ret = (
@@ -947,11 +952,14 @@ def c5_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w0", "week_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
-    base = ret.where(F.col("week_offset") == 0).select(
-        F.col("w0").alias("z_w0"), F.col("n_active").alias("n_base")
-    )
+    wbase = Window.partitionBy("w0")
     return (
-        ret.join(base, ret["w0"] == base["z_w0"])
+        ret.withColumn(
+            "n_base",
+            F.max(
+                F.when(F.col("week_offset") == 0, F.col("n_active"))
+            ).over(wbase),
+        )
         .select(
             F.col("w0").alias("cohort_week"),
             "week_offset",

@@ -103,9 +103,10 @@ PRIORITY: tuple[str, ...] = (
     "O8_weighted_sample",
     "D12_source_overlap",
     "ED6_type_transitions",
-    # (2) window fill: oldest remaining evidence (r4-graded A1/A3/A4/
-    # A6 were refreshed r7; this fill is the oldest r5 grade —
-    # rotation(35) + new(14) + 1 fill = 50)
+    # (2) plan-changed re-grade (the r7 D5/T8 precedent): the round-8
+    # audit restructured T27's tokenize to one checkpointed pass —
+    # rotation(35) + new(14) + 1 re-grade = 50
+    "T27_bm25_topk",
     "V1_cosine_topk",
     "T21_boilerplate_frac",
     "T6_winnow_fingerprints",
@@ -200,7 +201,6 @@ PRIORITY: tuple[str, ...] = (
     # (tests/test_oracle_parity.py)
     "T8_contamination_overlap",
     "D5_contamination_purge",
-    "T27_bm25_topk",
     "D7_split_leakage",
     "T28_lm_perplexity",
     "G14_hits",

@@ -766,8 +766,14 @@ class TestBm25Plan:
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastExchange" in plan
         assert "BatchEvalPython" not in plan
-        # two map-side-combinable agg families (dl and tf) at least
         assert plan.count("HashAggregate") >= 4
+        # the corpus tokenize runs ONCE into the localCheckpoint-ed
+        # per-doc (dl, tf_i) table — the round-8 audit found the old
+        # spelling re-ran the explode 4x; downstream may only read the
+        # cut (residual Generates are the stack melt over doc-bounded
+        # rows, never a parquet re-scan)
+        assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan, plan
 
 
 class TestLmPerplexityPlan:
@@ -1247,7 +1253,12 @@ class TestRound7FourthWavePlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
-        assert plan.count("HashAggregate") >= 4  # presence + min + distinct
+        assert plan.count("HashAggregate") >= 4  # min + distinct phases
+        # presence is localCheckpoint-ed (feeds cohort MIN + triangle)
+        # and the normalizer is a window over the bounded triangle: the
+        # raw events scan must not appear in the final plan at all
+        assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan, plan
 
     def test_o7_sample_is_takeordered(self, spark, sf_dir):
         """Global hash-rank sampling must be a per-partition k-heap
@@ -1305,12 +1316,17 @@ class TestRound7FourthWavePlans:
 
     def test_g21_moments_no_cartesian(self, spark, sf_dir):
         """Assortativity = one combinable moment pass over the degree-
-        joined edge list — no cartesian, no Python, no window."""
+        joined edge list — no cartesian, no Python, no window; the
+        symmetric edge list is materialized ONCE (degree count + both
+        join probes read the cut, never a re-run of the scan+undirect
+        subtree)."""
         plan = _plan(spark, sf_dir, "G21_degree_assortativity")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
         assert "Window" not in plan
+        assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan, plan
 
     def test_o8_sample_is_takeordered(self, spark, sf_dir):
         """Weighted hash-rank sampling keeps the O7 shape: per-partition
@@ -1329,6 +1345,10 @@ class TestRound7FourthWavePlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
+        # the (source, fp) table is localCheckpoint-ed: all four
+        # consumers read the cut — the corpus md5 pass never re-runs
+        assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan, plan
 
     def test_ed6_single_window_bounded_rollup(self, spark, sf_dir):
         """ONE corpus pass: the per-user LEAD window plus the row-
