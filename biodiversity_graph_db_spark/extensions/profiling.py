@@ -41,11 +41,16 @@ def _col_profile(df: DataFrame, name: str, min_s, max_s) -> DataFrame:
 
 def profile_events(df: DataFrame) -> DataFrame:
     """One profile row per column of the events table.  Implemented as
-    a union of per-column single-row aggregates over the SAME cached
-    scan — Catalyst collapses the shared subtree, and each aggregate is
-    map-side-combinable; a generic-schema version would instead unpivot
-    to (column, value) and group once (same one-scan property, used
-    when the column list is wide/unknown)."""
+    a union of per-column single-row aggregates; the plan has one scan
+    PER BRANCH (Catalyst does not dedupe union subtrees — round-8 plan
+    sweep), but each branch's scan is COLUMN-PRUNED to exactly its one
+    column, so total bytes read equal ONE scan of all profiled columns
+    — the columnar-format property this spelling leans on.  Each
+    aggregate is map-side-combinable and its count-distinct shuffles
+    only that column's values.  A generic-schema version would instead
+    unpivot to (column, value) and group once — one scan pass but one
+    fused shuffle; same I/O, fewer jobs, used when the column list is
+    wide/unknown."""
     s = F.col
 
     def istr(name: str, fn) -> F.Column:  # integer/string: verbatim
@@ -261,10 +266,14 @@ def pr3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     format change) before they enter the mix.  PSI(source) =
     SUM_b (p_b - q_b) * ln(p_b / q_b), add-one smoothed.
 
-    Scale shape: two map-side-combinable counts over ONE scan family
-    (per-(source,bucket) and per-bucket), the bucket reference table is
-    BUCKETS rows and the per-source grid |sources| x BUCKETS — both
-    bounded dimensions joined without touching the corpus again.  The
+    Scale shape: ONE map-side-combinable (source, bucket) count over
+    ONE corpus scan, localCheckpoint-ed; the per-bucket REFERENCE
+    histogram is DERIVED from that bounded cut (gc = sum of sc over
+    sources — the T36 derive-don't-rescan rule; the round-8 plan sweep
+    found the old spelling re-ran the corpus scan 4x), as are the
+    per-source totals.  The bucket reference table is BUCKETS rows and
+    the per-source grid |sources| x BUCKETS — bounded dimensions joined
+    without touching the corpus again.  The
     one transcendental (ln) takes an exact-integer rational and is
     floor-quantized to the 1e-6 grid (the T26 idiom), the share
     difference to 1e-8; each term is then an exact BIGINT product, so
@@ -274,9 +283,13 @@ def pr3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "source", b.cast("bigint").alias("bucket")
     )
-    g = d.groupBy("bucket").agg(F.count("*").alias("gc"))
+    s = (
+        d.groupBy("source", "bucket")
+        .agg(F.count("*").alias("sc"))
+        .localCheckpoint()
+    )
+    g = s.groupBy("bucket").agg(F.sum("sc").alias("gc"))
     gn = g.agg(F.sum("gc").alias("gt"))
-    s = d.groupBy("source", "bucket").agg(F.count("*").alias("sc"))
     sn = s.groupBy("source").agg(F.sum("sc").alias("st"))
     grid = (
         sn.crossJoin(F.broadcast(g))

@@ -928,6 +928,11 @@ class TestRound7FourthWavePlans:
         assert "CartesianProduct" not in plan
         assert plan.count("HashAggregate") >= 2
         assert "BatchEvalPython" not in plan
+        # ONE corpus scan into the checkpointed (source, bucket) count;
+        # the reference histogram and all totals derive from the cut
+        # (the old spelling re-scanned the corpus 4x — round-8 sweep)
+        assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan, plan
 
     def test_j10_bloom_probe_is_mapside_semi_joins(self, spark, sf_dir):
         """The Bloom probe must be K broadcast LEFT-SEMI joins (map-side,
