@@ -1533,10 +1533,14 @@ def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
     pipeline uses for topic balancing and near-dup triage.
 
     Three bounded shuffles: (doc_id, token) term counts (map-side
-    combinable), token document frequencies (ditto), a token-keyed
-    join-back, then the per-doc top-k as a doc_id-partitioned
-    ROW_NUMBER — rank state only, no full-partition buffering.  N
-    arrives as a broadcast 1-row aggregate, not a driver collect.
+    combinable, localCheckpoint-ed — the count table feeds BOTH the
+    document-frequency rollup and the scoring join, and without the cut
+    the corpus tokenize ran twice; the T28-dbg pattern, caught by the
+    round-8 plan sweep), token document frequencies (ditto), a
+    token-keyed join-back, then the per-doc top-k as a doc_id-
+    partitioned ROW_NUMBER — rank state only, no full-partition
+    buffering.  N arrives as a broadcast 1-row aggregate off a
+    doc_id-pruned scan, not a driver collect.
     ln() is the one transcendental, and libm implementations DISAGREE
     in the last ulp (measured: Java Math.log vs DuckDB ln differ on
     real df inputs), so the raw score is NOT cross-engine stable.  The
@@ -1559,6 +1563,7 @@ def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
         )
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     df_ = t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))

@@ -1369,3 +1369,17 @@ class TestRound7FourthWavePlans:
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert plan.count("HashAggregate") >= 2
+
+    def test_t26_single_tokenize_checkpointed(self, spark, sf_dir):
+        """TF-IDF's (doc, token) count table is localCheckpoint-ed —
+        the document-frequency rollup and the scoring join both read
+        the cut, never a second corpus tokenize (round-8 sweep find);
+        the only residual scan is the doc_id-pruned N count."""
+        import re
+
+        plan = _plan(spark, sf_dir, "T26_tfidf_topk")
+        assert "ExistingRDD" in plan
+        assert "Generate" not in plan, plan
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) <= 1, plan
+        assert "BatchEvalPython" not in plan
