@@ -160,6 +160,7 @@ HEADLINE = [
     "T23_bloom_membership",
     "T24_histogram_quantiles",
     "T25_grouped_quantiles",
+    "T26_tfidf_topk",
     "SD1_snapshot_diff",
     "SD2_incremental_stats",
     # SD4_graph_time_travel / SD6_version_range_diff are oracle-graded
