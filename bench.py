@@ -169,6 +169,13 @@ HEADLINE = [
     # (fixed driver latency; 3 versioned log writes + integrity probes),
     # not data throughput — SD3 tracks the versioned-read cost.
     "GEO5_density_grid",
+    "D13_shared_spans",
+    "V12_pq_adc_topk",
+    # V13_pq_recall is oracle-graded but not a bench headline: it is
+    # V1's brute-force pass + V12's ADC pass + a |Q|x5 join — its time
+    # is the sum of two already-benched plans (the V10 precedent).
+    "V14_pq_rerank",
+    "D14_span_purge",
 ]
 
 

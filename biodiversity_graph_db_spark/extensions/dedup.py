@@ -15,7 +15,7 @@ pipeline end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biodiversity_graph_db_spark.operators._util import sql_dquant
@@ -1186,4 +1186,260 @@ def d12_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_common * 1000000 DIV n_b").alias("contain_b_ppm"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+# --- D13: cross-document repeated-substring spans ---------------------------
+
+SPAN_K = 8  # shingle width (tokens); a reported span is always >= SPAN_K
+SPAN_DF_CAP = 8  # hub guard: grams in more docs than this are boilerplate
+
+
+@query(
+    "D13_shared_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, t.i AS pos,
+             md5(array_to_string(ts[t.i:t.i+{SPAN_K - 1}], ' ')) AS g
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+                 1, greatest(len(ts) - {SPAN_K - 1}, 0))) AS i) t
+    ),
+    keep AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY g
+      ) WHERE nd BETWEEN 2 AND {SPAN_DF_CAP}
+    ),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.g IN (SELECT g FROM keep)
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS isl_id,
+             pa - pb AS diag
+      FROM pr
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_a, doc_b, diag, isl_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(run_len) + {SPAN_K - 1} AS BIGINT) AS max_span_tokens,
+           CAST(SUM(run_len) + {SPAN_K - 1} * COUNT(*) AS BIGINT)
+             AS shared_tokens
+    FROM runs
+    GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d13_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SUBSTRING spans — for every doc pair,
+    the maximal contiguous token runs they share (>= SPAN_K tokens):
+    the exact-substring dedup pass of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), which removes
+    verbatim re-use that survives every other pass here — T3 hashes
+    whole docs, D11 only prefixes, D1/E2 score global similarity (a
+    95-token quote inside two otherwise-different docs scores low
+    Jaccard), and T8 only checks against an external benchmark set.
+    Output per pair: span count, longest span, total shared tokens —
+    the "trim the quote or drop the doc" decision inputs.
+
+    Plan shape (suffix arrays don't distribute; stride-1 shingles do):
+    ONE tokenize+Generate pass emits every ``SPAN_K``-token gram hash
+    with its position; the (doc, pos, gram) cut is checkpointed (it
+    feeds the document-frequency guard AND the pair join — without the
+    cut the corpus tokenize re-runs, the round-8 plan-sweep class).
+    Grams seen in more than ``SPAN_DF_CAP`` distinct docs are dropped
+    before pairing (template boilerplate — join groups stay bounded,
+    never corpus x corpus; the df filter, the pair self-join and the
+    run grouping all shuffle on the SAME gram/pair keys).  Contiguity
+    is the gaps-and-islands trick: matching positions on one pair
+    diagonal (pa - pb) with consecutive pa collapse to one island via
+    ``pa - row_number()``, so span extraction is one window over the
+    bounded match table, never a per-pair sort of raw text.  At 100 TB
+    the match table is bounded by real re-use x df-cap, not corpus
+    size.  Positions are 1-based in both engines (posexplode + 1)."""
+    return shared_spans(table(spark, sf_dir, "documents"))
+
+
+def shared_spans(
+    d: DataFrame, k: int = SPAN_K, df_cap: int = SPAN_DF_CAP
+) -> DataFrame:
+    """Core of D13 over any (doc_id, text) DataFrame — see
+    ``d13_shared_spans`` for semantics and plan shape."""
+    from biodiversity_graph_db_spark.extensions.textstats import (
+        norm_tokens,
+        token_kgrams,
+    )
+    from biodiversity_graph_db_spark.operators._util import spread
+
+    # spread: the stride-1 gram pass is the compute-heavy stage (one
+    # md5 per token position); a single-split local file would
+    # serialize it on one core (measured 9.1 s -> sub-second on
+    # local[32] at 5k docs; no-op on any real at-scale layout)
+    sh = (
+        spread(d).select(
+            "doc_id",
+            F.posexplode(token_kgrams(norm_tokens(F.col("text")), k)).alias(
+                "pos0", "g"
+            ),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+        .localCheckpoint()
+    )
+    keep = (
+        sh.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where((F.col("nd") >= 2) & (F.col("nd") <= df_cap))
+        .select("g")
+    )
+    a = sh.join(keep, "g").select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
+    pr = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        pr.withColumn("isl_id", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isl_id")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            (F.max("run_len") + (k - 1)).alias("max_span_tokens"),
+            (F.sum("run_len") + (k - 1) * F.count(F.lit(1))).alias(
+                "shared_tokens"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SPAN_PURGE_PPM = 300000  # drop a doc when >=30% of its tokens are spans
+# shared with an earlier doc
+
+
+@query(
+    "D14_span_purge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, t.i AS pos,
+             md5(array_to_string(ts[t.i:t.i+{SPAN_K - 1}], ' ')) AS g
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+                 1, greatest(len(ts) - {SPAN_K - 1}, 0))) AS i) t
+    ),
+    keep AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY g
+      ) WHERE nd BETWEEN 2 AND {SPAN_DF_CAP}
+    ),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.g IN (SELECT g FROM keep)
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS isl_id,
+             pa - pb AS diag
+      FROM pr
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_a, doc_b, diag, isl_id
+    ),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(SUM(run_len) + {SPAN_K - 1} * COUNT(*) AS BIGINT)
+               AS shared_tokens
+      FROM runs GROUP BY doc_a, doc_b
+    ),
+    worst AS (
+      SELECT doc_b AS doc_id, doc_a AS worst_partner, shared_tokens
+      FROM (
+        SELECT doc_a, doc_b, shared_tokens,
+               ROW_NUMBER() OVER (PARTITION BY doc_b
+                                  ORDER BY shared_tokens DESC, doc_a) AS rk
+        FROM spans
+      ) WHERE rk = 1
+    ),
+    nt AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks
+    )
+    SELECT w.doc_id, w.worst_partner, w.shared_tokens, nt.n_tokens,
+           CAST(w.shared_tokens * 1000000 // nt.n_tokens AS BIGINT)
+             AS dup_ppm
+    FROM worst w JOIN nt USING (doc_id)
+    WHERE w.shared_tokens * 1000000 // nt.n_tokens >= {SPAN_PURGE_PPM}
+    ORDER BY doc_id
+    """,
+)
+def d14_span_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-based PURGE decision on top of D13's detection — the
+    detect→purge pair the engine already ships for benchmark
+    contamination (T8→D5), applied to intra-corpus verbatim re-use:
+    a document whose worst earlier partner shares >= 30% of its tokens
+    in contiguous spans is a re-syndication/quote-wrapper and is
+    dropped (keeper = the earlier doc_id, the T3/D1/D11 canonical
+    rule).  Output: the dropped docs with the partner, the span token
+    mass and the dup fraction (ppm) — the audit trail a curation run
+    logs next to T32.
+
+    Scale shape: D13's plan end-to-end (one checkpointed gram pass,
+    df-capped pair join, one chaining window) plus ONE bounded window
+    over the pair table (worst partner per doc) and a column-pruned
+    token-count join back to documents; the ppm is integer DIV, the
+    threshold applies in both engines to the same BIGINTs."""
+    pairs = shared_spans(table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b", "shared_tokens"
+    )
+    from biodiversity_graph_db_spark.extensions.textstats import norm_tokens
+
+    w = Window.partitionBy("doc_b").orderBy(
+        F.col("shared_tokens").desc(), "doc_a"
+    )
+    worst = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("worst_partner"),
+            "shared_tokens",
+        )
+    )
+    nt = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(norm_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        worst.join(nt, "doc_id")
+        .withColumn(
+            "dup_ppm", F.expr("shared_tokens * 1000000 DIV n_tokens")
+        )
+        .where(F.col("dup_ppm") >= SPAN_PURGE_PPM)
+        .select("doc_id", "worst_partner", "shared_tokens", "n_tokens", "dup_ppm")
+        .orderBy("doc_id")
     )

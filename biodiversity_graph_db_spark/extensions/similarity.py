@@ -1984,3 +1984,528 @@ def v11_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- V12: product-quantization ADC top-k -----------------------------------
+
+PQ_M = 8  # subspaces (64 dims -> 8 sub-vectors of 8)
+PQ_DSUB = 8  # dims per subspace
+PQ_K = 16  # codewords per subspace (4-bit codes)
+_PQ_Q = 1e6  # element quantization scale (|x| < 0.5 -> xi < 5e5)
+
+#: Shared oracle CTE: per-element quantized codes (the V7 qcodes idiom)
+#: plus the deterministic md5-rank codebook sample — every downstream
+#: number (assignment distances, LUT dots, norms) is exact BIGINT
+#: arithmetic on these, so both engines replay the SAME codebook, the
+#: SAME code assignment and the SAME ADC scores bit-for-bit.
+_PQ_SQL = f"""
+    el AS (
+      SELECT e.vec_id,
+             CAST((t.i - 1) // {PQ_DSUB} + 1 AS BIGINT) AS m,
+             CAST((t.i - 1) % {PQ_DSUB} + 1 AS BIGINT) AS d,
+             CAST(FLOOR(CAST(t.v AS DOUBLE) * {_PQ_Q}) AS BIGINT) AS xi
+      FROM embeddings e
+      CROSS JOIN LATERAL (
+        SELECT unnest(e.embedding) AS v,
+               generate_subscripts(e.embedding, 1) AS i
+      ) t
+    ),
+    samp AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('pq_' || vec_id), vec_id) AS BIGINT) AS j
+      FROM embeddings
+      QUALIFY j <= {PQ_K}
+    ),
+    cbel AS (
+      SELECT s.j, e.m, e.d, e.xi FROM el e JOIN samp s USING (vec_id)
+    ),
+    cnorms AS (
+      SELECT j, m, SUM(xi * xi) AS cnorm FROM cbel GROUP BY j, m
+    ),
+    dists AS (
+      SELECT e.vec_id, e.m, c.j,
+             SUM((e.xi - c.xi) * (e.xi - c.xi)) AS dist
+      FROM el e JOIN cbel c ON c.m = e.m AND c.d = e.d
+      GROUP BY e.vec_id, e.m, c.j
+    ),
+    codes AS (
+      SELECT vec_id AS c_id, m, j, cn.cnorm
+      FROM (
+        SELECT vec_id, m, j, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        FROM dists
+      ) a JOIN cnorms cn USING (j, m)
+      WHERE a.rk = 1
+    ),
+    qnorms AS (
+      SELECT vec_id AS q_id, SUM(xi * xi) AS q_norm FROM el
+      WHERE vec_id < 10 GROUP BY vec_id
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, c.m, c.j, SUM(q.xi * c.xi) AS pdot
+      FROM el q JOIN cbel c ON c.m = q.m AND c.d = q.d
+      WHERE q.vec_id < 10
+      GROUP BY q.vec_id, c.m, c.j
+    )
+"""
+
+
+def pq_codebook(emb: DataFrame) -> DataFrame:
+    """Deterministic PQ codebook: the ``PQ_K`` corpus vectors with the
+    smallest ``md5('pq_' || vec_id)`` priorities (the O7 hash-rank
+    sample — uniform over the corpus, identical on every engine/run/
+    partitioning; a k-means codebook would be tighter but is neither
+    cross-engine replayable nor needed to prove the ADC machinery),
+    split into ``PQ_M`` sub-vectors of quantized BIGINT elements.
+    Returns (m, j, cvec array<long>, cnorm) — ``PQ_M x PQ_K`` rows, a
+    bounded broadcast artifact like the IVF centroid table."""
+    samp = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.concat(F.lit("pq_"), F.col("vec_id").cast("string"))).alias(
+                "prio"
+            ),
+        )
+        .orderBy("prio", "vec_id")
+        .limit(PQ_K)
+    )
+    j_w = Window.orderBy("prio", "vec_id")
+    xi = samp.withColumn("j", F.row_number().over(j_w).cast("long")).select(
+        "j",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(_PQ_Q)).cast("long"),
+        ).alias("xi"),
+    )
+    sub = xi.select(
+        "j",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(PQ_M)),
+                lambda m: F.struct(
+                    m.cast("long").alias("m"),
+                    F.slice("xi", (m - 1) * PQ_DSUB + 1, PQ_DSUB).alias("cvec"),
+                ),
+            )
+        ).alias("s"),
+    ).select("j", "s.m", "s.cvec")
+    return sub.withColumn(
+        "cnorm",
+        F.aggregate(
+            F.transform("cvec", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_encode(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """Assign every vector its nearest codeword per subspace (exact
+    BIGINT L2 on the quantized grid, ties to the smallest code id).
+    Returns (c_id, m, j, cnorm) long-form codes.
+
+    Scale shape: ONE narrow pass over the corpus — sub-vectors explode
+    map-side (PQ_M rows per vector), the bounded codebook broadcasts,
+    and the argmin is a combinable ``min(struct(dist, j))``: the 16
+    candidate rows per (vector, subspace) collapse in the map stage, so
+    the only shuffle is PQ_M small rows per vector.  This is the pass
+    that turns 256 bytes/vector into PQ_M nibbles at 100 TB."""
+    sub = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(_PQ_Q)).cast("long"),
+        ).alias("xi"),
+    ).select(
+        "c_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(PQ_M)),
+                lambda m: F.struct(
+                    m.cast("long").alias("m"),
+                    F.slice("xi", (m - 1) * PQ_DSUB + 1, PQ_DSUB).alias("svec"),
+                ),
+            )
+        ).alias("s"),
+    ).select("c_id", "s.m", "s.svec")
+    scored = sub.join(F.broadcast(cb), "m").withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    best = (
+        scored.groupBy("c_id", "m")
+        .agg(F.min(F.struct("dist", "j", "cnorm")).alias("b"))
+        .select("c_id", "m", F.col("b.j").alias("j"), F.col("b.cnorm").alias("cnorm"))
+    )
+    return best
+
+
+@query(
+    "V12_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_SQL},
+    scores AS (
+      SELECT l.q_id, c.c_id,
+             SUM(l.pdot) AS dot, SUM(c.cnorm) AS recon_norm
+      FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+      WHERE c.c_id <> l.q_id
+      GROUP BY l.q_id, c.c_id
+    ),
+    adc AS (
+      SELECT s.q_id, s.c_id,
+             s.dot / sqrt(CAST(q.q_norm AS DOUBLE)
+                          * CAST(s.recon_norm AS DOUBLE)) AS adcv
+      FROM scores s JOIN qnorms q USING (q_id)
+    )
+    SELECT q_id, rank, c_id, FLOOR(adcv * 1e6) / 1e6 AS adc_cos FROM (
+      SELECT q_id, c_id, adcv,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adcv DESC, c_id) AS INT)
+               AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def v12_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC cosine top-5 (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search") for the first
+    10 query vectors — the memory-side ANN scale path beside IVF's
+    partition pruning (V3) and int8 scalar quantization (V7): 64 f32
+    dims (256 B) compress to PQ_M=8 4-bit codes (4 B, 64x), and query
+    scoring never touches a raw candidate vector — it reads each
+    candidate's 8 codes and sums 8 table lookups.
+
+    Asymmetric distance computation, Spark-first: the query side
+    precomputes a LUT (query sub-vector x each of the 16 codewords per
+    subspace = 128 exact-BIGINT partial dots per query, 10 x 128 rows
+    broadcast); scoring is ONE equi-join of the long-form code table
+    against the broadcast LUT on (subspace, code) followed by a
+    combinable SUM per (query, candidate) — the reconstructed norm
+    rides the same aggregation (each (candidate, subspace) row joins
+    exactly one LUT row per query, so SUM(cnorm) = recon norm).  No
+    cartesian, no Python, no raw-vector re-read after encoding.  At
+    100 TB the code table is the only thing scanned per query — 64x
+    less I/O than V1's brute force — and both codebook fit (16 rows)
+    and LUT fan-out (|Q| x 128) are corpus-independent broadcasts.
+
+    Everything downstream of the f32 parquet read is exact integer
+    arithmetic (floor-quantized elements), so the DuckDB oracle replays
+    codebook selection, assignment argmin, LUT and ranking decision-
+    for-decision; recall vs V1's exact ranking is measured by V13."""
+    scores = pq_adc_scores(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.col("adcv").desc(), "c_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "rank",
+            "c_id",
+            (F.floor(F.col("adcv") * 1e6) / 1e6).alias("adc_cos"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC score table (q_id, c_id, adcv) for the first 10 query
+    vectors against the whole corpus — the shared engine of V12 (pure
+    ADC top-k), V13 (recall governor) and V14 (shortlist + exact
+    re-rank).  See ``v12_pq_adc_topk`` for the plan-shape argument.
+
+    The codebook (PQ_M x PQ_K rows) and the query LUT (|Q| x PQ_M x
+    PQ_K rows) are BOUNDED artifacts consumed by multiple joins —
+    localCheckpoint-ed so the corpus scan runs exactly once, in the
+    encode pass (without the cuts the codebook's sample subtree and
+    the query-side scan re-ran per consumer: five corpus scans for
+    one query, the round-8 plan-sweep class; plan-tested down to
+    one)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb).localCheckpoint()
+    codes = pq_encode(spread(emb), cb)
+    q_el = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(_PQ_Q)).cast("long"),
+        ).alias("xi"),
+    )
+    qnorm = q_el.select(
+        "q_id",
+        F.aggregate(
+            F.transform("xi", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_norm"),
+    )
+    lut = (
+        q_el.select(
+            "q_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(PQ_M)),
+                    lambda m: F.struct(
+                        m.cast("long").alias("m"),
+                        F.slice("xi", (m - 1) * PQ_DSUB + 1, PQ_DSUB).alias("qvec"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("q_id", "s.m", "s.qvec")
+        .join(F.broadcast(cb.select("m", "j", "cvec")), "m")
+        .select(
+            "q_id",
+            "m",
+            "j",
+            F.aggregate(
+                F.zip_with("qvec", "cvec", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("pdot"),
+        )
+        .join(F.broadcast(qnorm), "q_id")
+        .localCheckpoint()
+    )
+    scores = (
+        codes.join(F.broadcast(lut), ["m", "j"])
+        .where(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum("pdot").alias("dot"),
+            F.sum("cnorm").alias("recon_norm"),
+            F.max("q_norm").alias("q_norm"),
+        )
+        .withColumn(
+            "adcv",
+            F.col("dot")
+            / F.sqrt(
+                F.col("q_norm").cast("double") * F.col("recon_norm").cast("double")
+            ),
+        )
+    )
+    return scores.select("q_id", "c_id", "adcv")
+
+
+@query(
+    "V13_pq_recall",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+    terms AS (
+      SELECT q_id, c_id, unnest(qe) AS qa, unnest(ce) AS cb
+      FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    dots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM terms GROUP BY q_id, c_id
+    ),
+    cos AS (
+      SELECT d.q_id, d.c_id,
+             d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                          * CAST(nc.norm_sq AS DOUBLE)) AS cosv
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms nc ON nc.vec_id = d.c_id
+    ),
+    exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosv DESC, c_id) AS rank
+        FROM cos
+      ) WHERE rank <= 5
+    ),
+    {_PQ_SQL},
+    scores AS (
+      SELECT l.q_id, cd.c_id,
+             SUM(l.pdot) AS dot, SUM(cd.cnorm) AS recon_norm
+      FROM codes cd JOIN lut l ON l.m = cd.m AND l.j = cd.j
+      WHERE cd.c_id <> l.q_id
+      GROUP BY l.q_id, cd.c_id
+    ),
+    adc AS (
+      SELECT s.q_id, s.c_id,
+             s.dot / sqrt(CAST(qn.q_norm AS DOUBLE)
+                          * CAST(s.recon_norm AS DOUBLE)) AS adcv
+      FROM scores s JOIN qnorms qn USING (q_id)
+    ),
+    approx AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adcv DESC, c_id) AS rank
+        FROM adc
+      ) WHERE rank <= 5
+    )
+    SELECT e.q_id,
+           CAST(COUNT(a.c_id) AS BIGINT) AS n_hits,
+           {sql_dquant('COUNT(a.c_id) / 5.0')} AS recall_at_5
+    FROM exact e LEFT JOIN approx a
+      ON a.q_id = e.q_id AND a.c_id = e.c_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+)
+def v13_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ-ADC ranking (V12) against the exact cosine
+    ranking (V1) — the governor that justifies the 64x compression
+    with a measurement instead of an assertion, closing the same loop
+    D9 closes for LSH banding, D10 for IVF bucketing and V11 for
+    filtered pruned probing.  A hash-rank codebook on 64-dim synthetic
+    embeddings is a LOWER bound on trained-codebook recall; what the
+    grade proves cross-engine is the measurement harness itself (both
+    rankings, the hit join and the rollup), so production can swap the
+    codebook and keep the governor.  The 100 TB read: both sides reuse
+    already-proven plans (V1's broadcast-query brute pass — the
+    ground-truth pass a recall audit pays ONCE on a bounded query
+    sample — and V12's code-table join), the hit join is |Q| x 5
+    rows."""
+    exact = v1_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = v12_pq_adc_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            dquant(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+PQ_SHORTLIST = 100  # ADC shortlist size re-ranked exactly by V14
+
+
+@query(
+    "V14_pq_rerank",
+    oracle=f"""
+    WITH {_PQ_SQL},
+    scores AS (
+      SELECT l.q_id, cd.c_id,
+             SUM(l.pdot) AS dot, SUM(cd.cnorm) AS recon_norm
+      FROM codes cd JOIN lut l ON l.m = cd.m AND l.j = cd.j
+      WHERE cd.c_id <> l.q_id
+      GROUP BY l.q_id, cd.c_id
+    ),
+    adc AS (
+      SELECT s.q_id, s.c_id,
+             s.dot / sqrt(CAST(qn.q_norm AS DOUBLE)
+                          * CAST(s.recon_norm AS DOUBLE)) AS adcv
+      FROM scores s JOIN qnorms qn USING (q_id)
+    ),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adcv DESC, c_id) AS rank
+        FROM adc
+      ) WHERE rank <= {PQ_SHORTLIST}
+    ),
+    norms AS ({_NORM_SQL}),
+    terms AS (
+      SELECT s.q_id, s.c_id, unnest(qe.embedding) AS qa,
+             unnest(ce.embedding) AS cb
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.q_id
+      JOIN embeddings ce ON ce.vec_id = s.c_id
+    ),
+    dots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM terms GROUP BY q_id, c_id
+    ),
+    cos AS (
+      SELECT d.q_id, d.c_id,
+             d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                          * CAST(nc.norm_sq AS DOUBLE)) AS cosv
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms nc ON nc.vec_id = d.c_id
+    )
+    SELECT q_id, rank, c_id, FLOOR(cosv * 1e6) / 1e6 AS cosine FROM (
+      SELECT q_id, c_id, cosv,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cosv DESC, c_id) AS INT)
+               AS rank
+      FROM cos
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def v14_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving shape, complete: ADC shortlist (top-``PQ_SHORTLIST``
+    by compressed-domain score) + EXACT cosine re-rank of the shortlist
+    — the two-stage retrieval every production PQ deployment runs
+    (FAISS's IVFADC+refine), because pure ADC ranking (V12) eats the
+    full quantization error while a re-rank only needs the true
+    neighbors to LAND in the shortlist.  V13 measures exactly how much
+    that matters here: on this corpus's structureless synthetic
+    vectors (PQ's adversarial case — no manifold for the codewords to
+    learn, so shortlist quality degrades toward random once R/N is
+    small) pure-ADC recall@5 is ~0.1 and the R=100 shortlist recovers
+    0.8 at 500 vectors / 0.56 at 2000; real embedding corpora sit far
+    above this floor, and the governor (V13, plus the V5/V6b drift
+    pattern) is precisely the instrument that tells an operator where
+    THEIR data sits before trusting the 64x compression.
+
+    Scale shape: stage 1 never reads raw vectors (V12's code-table
+    join); stage 2 re-reads exactly ``|Q| x R`` candidate vectors by
+    EQUI-join on the shortlist pair set — bounded, query-proportional
+    work, the only part that touches full-width data.  Both stages and
+    the splice are replayed by the oracle, so the grade proves the
+    shortlist boundary (who made the cut) AND the exact re-scoring."""
+    scores = pq_adc_scores(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.col("adcv").desc(), "c_id")
+    short = (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qn = with_norm(emb.where(F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    cn = with_norm(emb).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    rer = (
+        short.join(F.broadcast(qn), "q_id")
+        .join(cn, "c_id")
+        .withColumn(
+            "cosv",
+            cosine(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ),
+        )
+    )
+    w5 = Window.partitionBy("q_id").orderBy(F.col("cosv").desc(), "c_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w5))
+        .where(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "rank",
+            "c_id",
+            (F.floor(F.col("cosv") * 1e6) / 1e6).alias("cosine"),
+        )
+        .orderBy("q_id", "rank")
+    )

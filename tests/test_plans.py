@@ -1383,3 +1383,76 @@ class TestRound7FourthWavePlans:
         scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
         assert len(scans) <= 1, plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound8Wave2Plans:
+    def test_d13_spans_single_pass_no_cartesian(self, spark, sf_dir):
+        """The (doc, pos, gram) shingle cut is localCheckpoint-ed — the
+        document-frequency guard and the pair self-join both read the
+        cut, never a second corpus tokenize; pairing is an equi-join on
+        the gram hash (df-capped groups, never corpus x corpus); span
+        chaining is exactly ONE window over the bounded match table."""
+        import re
+
+        plan = _plan(spark, sf_dir, "D13_shared_spans")
+        assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan, plan
+        assert "Generate" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 1
+
+    def test_v12_pq_one_scan_broadcast_lut(self, spark, sf_dir):
+        """ADC scoring reads the corpus ONCE (the encode pass); the
+        codebook and the query LUT are bounded localCheckpoint-ed
+        broadcasts (without the cuts the codebook sample subtree re-ran
+        per consumer: five corpus scans, caught at plan-test time).
+        Scoring is equi-join + combinable SUM — no cartesian, no
+        Python, no raw-vector re-read."""
+        import re
+
+        plan = _plan(spark, sf_dir, "V12_pq_adc_topk")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert "ExistingRDD" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_v14_rerank_bounded_stage2(self, spark, sf_dir):
+        """Stage 1 is V12's single-scan code join; stage 2 re-reads raw
+        vectors ONLY via equi-joins on the |Q| x R shortlist (query side
+        broadcast).  Up to 4 scans: encode, query vectors, candidate
+        vectors, plus Spark's own runtime bloom-filter subquery on the
+        probe side (the optimizer injecting runtime filtering — keep
+        it).  Never a cartesian, never Python."""
+        import re
+
+        plan = _plan(spark, sf_dir, "V14_pq_rerank")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) <= 4, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_d14_purge_bounded_tail(self, spark, sf_dir):
+        """D14 = D13's single-pass span plan + ONE bounded worst-partner
+        window + a column-pruned token-count join back; never a
+        cartesian, never Python, and the only parquet re-read is the
+        two-column (doc_id, text-length) scan."""
+        import re
+
+        plan = _plan(spark, sf_dir, "D14_span_purge")
+        assert "ExistingRDD" in plan
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) <= 1, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        # exactly two true Windows (island chaining + worst-partner);
+        # the rk=1 filter additionally plans WindowGroupLimit pre-filter
+        # nodes, which are the k-heap OPTIMIZATION, not extra passes
+        assert len(re.findall(r"^\(\d+\) Window\s*$", plan, re.MULTILINE)) == 2

@@ -1372,3 +1372,128 @@ def test_pmi_pair_table_unigram_identity(spark, docs):
         for t in d:
             want[t] = want.get(t, 0) + 1
     assert got == want
+
+
+# --- D13 shared-span chaining vs a pure-Python model ----------------------
+
+
+def _model_shared_spans(docs, k=8, df_cap=8):
+    """Independent model of D13: stride-1 k-token shingles, df-capped,
+    diagonal gaps-and-islands chaining."""
+    import hashlib
+    from collections import defaultdict
+
+    toks = {
+        i: re.sub(r"\s+", " ", t.strip().lower()).split(" ") for i, t in docs
+    }
+    occ = defaultdict(list)  # gram -> [(doc, pos)]
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            g = hashlib.md5(" ".join(ts[p : p + k]).encode()).hexdigest()
+            occ[g].append((i, p + 1))
+    out = defaultdict(list)  # (a, b) -> [(diag, pa)]
+    for g, lst in occ.items():
+        if not 2 <= len({d for d, _ in lst}) <= df_cap:
+            continue
+        for da, pa in lst:
+            for db, pb in lst:
+                if da < db:
+                    out[(da, db)].append((pa - pb, pa))
+    rows = []
+    for (da, db), hits in out.items():
+        runs = []
+        for diag in {d for d, _ in hits}:
+            ps = sorted(p for d, p in set(hits) if d == diag)
+            run = 1
+            for prev, cur in zip(ps, ps[1:]):
+                if cur == prev + 1:
+                    run += 1
+                else:
+                    runs.append(run)
+                    run = 1
+            runs.append(run)
+        rows.append(
+            (da, db, len(runs), max(runs) + k - 1, sum(runs) + (k - 1) * len(runs))
+        )
+    return sorted(rows)
+
+
+def test_d13_spans_match_model(spark):
+    """Handcrafted corpus exercising every chaining edge: a long shared
+    span, two disjoint spans in one pair, a 3-doc shared gram, an
+    in-doc repeated gram (two diagonals), and a hub gram past the df
+    cap (must be excluded)."""
+    from biodiversity_graph_db_spark.extensions.dedup import shared_spans
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    span2 = "one two three four five six seven eight"
+    hub = "h1 h2 h3 h4 h5 h6 h7 h8"
+    docs = [
+        (1, f"{span} filler1 xx {span2}"),
+        (2, f"start2 {span} yy tail {span2}"),
+        (3, f"{span2} only here"),
+        (4, f"{span2} {span2} doubled"),  # in-doc repeat -> two diagonals
+    ]
+    # hub gram in >8 docs: must not create pairs on its own
+    docs += [(10 + i, f"u{i} {hub} v{i}") for i in range(9)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        tuple(r) for r in shared_spans(df).collect()
+    )
+    want = _model_shared_spans(docs)
+    assert got == want
+
+
+# --- V12 PQ codes + ADC ranking vs a numpy replay --------------------------
+
+
+def test_v12_pq_matches_numpy_model(spark, sf_dir):
+    """Third-engine check: replay codebook selection (md5 hash-rank),
+    quantization, argmin assignment and ADC scoring in numpy/hashlib
+    and demand the identical top-5 per query."""
+    import hashlib
+
+    import numpy as np
+
+    from biodiversity_graph_db_spark import registry
+
+    registry.load_all()
+    got = [
+        (r.q_id, r.rank, r.c_id)
+        for r in registry.QUERIES["V12_pq_adc_topk"](spark, sf_dir).collect()
+    ]
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xi = np.floor(X * 1e6)
+    M, DS, K = 8, 8, 16
+    samp = sorted(
+        ids, key=lambda v: (hashlib.md5(f"pq_{v}".encode()).hexdigest(), v)
+    )[:K]
+    idx = {v: i for i, v in enumerate(ids)}
+    C = Xi[[idx[v] for v in samp]]
+    cbs = [C[:, m * DS : (m + 1) * DS] for m in range(M)]
+    N = len(ids)
+    codes = np.zeros((N, M), dtype=int)
+    for m in range(M):
+        sub = Xi[:, m * DS : (m + 1) * DS]
+        d2 = ((sub[:, None, :] - cbs[m][None, :, :]) ** 2).sum(-1)
+        codes[:, m] = d2.argmin(1)  # ties: argmin takes first = smallest j
+    recon = np.stack([cbs[m][codes[:, m]] for m in range(M)], axis=1).reshape(N, -1)
+    rn = (recon**2).sum(1)
+    qsel = ids < 10
+    Q = Xi[qsel]
+    qn = (Q**2).sum(1)
+    adc = (Q @ recon.T) / np.sqrt(qn[:, None] * rn[None, :])
+    want = []
+    for qi, q in enumerate(ids[qsel]):
+        a = adc[qi].copy()
+        a[idx[q]] = -np.inf
+        order = sorted(range(N), key=lambda c: (-a[c], ids[c]))[:5]
+        want += [(int(q), r + 1, int(ids[c])) for r, c in enumerate(order)]
+    assert sorted(got) == sorted(want)
