@@ -176,6 +176,7 @@ HEADLINE = [
     # is the sum of two already-benched plans (the V10 precedent).
     "V14_pq_rerank",
     "D14_span_purge",
+    "V15_ivfpq_topk",
 ]
 
 

@@ -2229,7 +2229,34 @@ def pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb).localCheckpoint()
     codes = pq_encode(spread(emb), cb)
-    q_el = emb.where(F.col("vec_id") < 10).select(
+    lut = pq_query_lut(emb.where(F.col("vec_id") < 10), cb)
+    scores = (
+        codes.join(F.broadcast(lut), ["m", "j"])
+        .where(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum("pdot").alias("dot"),
+            F.sum("cnorm").alias("recon_norm"),
+            F.max("q_norm").alias("q_norm"),
+        )
+        .withColumn(
+            "adcv",
+            F.col("dot")
+            / F.sqrt(
+                F.col("q_norm").cast("double") * F.col("recon_norm").cast("double")
+            ),
+        )
+    )
+    return scores.select("q_id", "c_id", "adcv")
+
+
+def pq_query_lut(queries_df: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table: (q_id, m, j, pdot, q_norm) — the
+    |Q| x PQ_M x PQ_K exact-BIGINT partial dots of each query
+    sub-vector against every codeword, localCheckpoint-ed (bounded,
+    corpus-independent, consumed broadcast by every ADC scoring
+    join)."""
+    q_el = queries_df.select(
         F.col("vec_id").alias("q_id"),
         F.transform(
             "embedding",
@@ -2272,24 +2299,7 @@ def pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qnorm), "q_id")
         .localCheckpoint()
     )
-    scores = (
-        codes.join(F.broadcast(lut), ["m", "j"])
-        .where(F.col("c_id") != F.col("q_id"))
-        .groupBy("q_id", "c_id")
-        .agg(
-            F.sum("pdot").alias("dot"),
-            F.sum("cnorm").alias("recon_norm"),
-            F.max("q_norm").alias("q_norm"),
-        )
-        .withColumn(
-            "adcv",
-            F.col("dot")
-            / F.sqrt(
-                F.col("q_norm").cast("double") * F.col("recon_norm").cast("double")
-            ),
-        )
-    )
-    return scores.select("q_id", "c_id", "adcv")
+    return lut
 
 
 @query(
@@ -2506,6 +2516,121 @@ def v14_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "c_id",
             (F.floor(F.col("cosv") * 1e6) / 1e6).alias("cosine"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+# --- V15: IVF x PQ (IVFADC) -------------------------------------------------
+
+
+@query(
+    "V15_ivfpq_topk",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    {_ASSIGN_SQL},
+    cassign AS (SELECT c_id, cent_id FROM aranked WHERE crk = 1),
+    qassign AS (SELECT c_id AS q_id, cent_id FROM aranked
+                WHERE crk <= 2 AND c_id < 10),
+    cand AS (
+      SELECT qa2.q_id, ca2.c_id
+      FROM qassign qa2 JOIN cassign ca2 USING (cent_id)
+      WHERE qa2.q_id <> ca2.c_id
+    ),
+    {_PQ_SQL},
+    scores AS (
+      SELECT p.q_id, p.c_id,
+             SUM(l.pdot) AS dot, SUM(cd.cnorm) AS recon_norm
+      FROM cand p
+      JOIN codes cd ON cd.c_id = p.c_id
+      JOIN lut l ON l.q_id = p.q_id AND l.m = cd.m AND l.j = cd.j
+      GROUP BY p.q_id, p.c_id
+    ),
+    adc AS (
+      SELECT s.q_id, s.c_id,
+             s.dot / sqrt(CAST(qn.q_norm AS DOUBLE)
+                          * CAST(s.recon_norm AS DOUBLE)) AS adcv
+      FROM scores s JOIN qnorms qn USING (q_id)
+    )
+    SELECT q_id, rank, c_id, FLOOR(adcv * 1e6) / 1e6 AS adc_cos FROM (
+      SELECT q_id, c_id, adcv,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adcv DESC, c_id) AS INT)
+               AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def v15_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the two orthogonal ANN scale levers COMPOSED, which is
+    how every production vector index actually ships (FAISS IVFPQ):
+    IVF's partition pruning bounds WHICH rows a query touches (each
+    query reads only its nprobe=2 probed clusters — V3's structure),
+    and PQ bounds WHAT it reads per row (8 nibble codes, never the raw
+    vector — V12's structure).  At 100 TB: cluster id is the partition
+    key, the code table is the only column scanned inside probed
+    partitions, so per-query I/O is (corpus / n_clusters) x nprobe x
+    4 bytes — the two multiplicative reductions the separate V3 and
+    V12 grades prove individually, here proven composed (pruning must
+    not disturb ADC arithmetic, and the candidate equi-join must carry
+    the LUT join without re-reading vectors).
+
+    Plan: assignment is the one-pass Arrow kernel (``ivf_assign``);
+    the probed candidate pair set is a cent_id equi-join against the
+    broadcast query assignment; scoring joins codes on c_id and the
+    broadcast LUT on (q_id, m, code) — one combinable SUM, no
+    cartesian, no raw-vector read after encode.  Both stages replayed
+    by the oracle (the V3 assignment CTEs + the V12 PQ CTEs,
+    composed), so the grade pins the cluster boundary AND the
+    compressed scores."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent_ids, cmat, cnorm = _collect_centroids(emb, 8)
+    cass = ivf_assign(spread(emb), cent_ids, cmat, cnorm, 1).select(
+        F.col("vec_id").alias("c_id"), "cent_id"
+    )
+    qass = F.broadcast(
+        ivf_assign(emb.where(F.col("vec_id") < 10), cent_ids, cmat, cnorm, 2).select(
+            F.col("vec_id").alias("q_id"), "cent_id"
+        )
+    )
+    cand = cass.join(qass, "cent_id").where(
+        F.col("q_id") != F.col("c_id")
+    ).select("q_id", "c_id")
+    cb = pq_codebook(emb).localCheckpoint()
+    codes = pq_encode(spread(emb), cb)
+    lut = pq_query_lut(emb.where(F.col("vec_id") < 10), cb)
+    scores = (
+        cand.join(codes, "c_id")
+        .join(
+            F.broadcast(lut.select("q_id", "m", "j", "pdot")),
+            ["q_id", "m", "j"],
+        )
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum("pdot").alias("dot"),
+            F.sum("cnorm").alias("recon_norm"),
+        )
+        .join(
+            F.broadcast(lut.select("q_id", "q_norm").distinct()), "q_id"
+        )
+        .withColumn(
+            "adcv",
+            F.col("dot")
+            / F.sqrt(
+                F.col("q_norm").cast("double") * F.col("recon_norm").cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adcv").desc(), "c_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "rank",
+            "c_id",
+            (F.floor(F.col("adcv") * 1e6) / 1e6).alias("adc_cos"),
         )
         .orderBy("q_id", "rank")
     )

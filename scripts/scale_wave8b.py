@@ -22,6 +22,7 @@ WAVE = [
     "V13_pq_recall",
     "V14_pq_rerank",
     "D14_span_purge",
+    "V15_ivfpq_topk",
 ]
 
 

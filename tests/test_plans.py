@@ -1456,3 +1456,23 @@ class TestRound8Wave2Plans:
         # the rk=1 filter additionally plans WindowGroupLimit pre-filter
         # nodes, which are the k-heap OPTIMIZATION, not extra passes
         assert len(re.findall(r"^\(\d+\) Window\s*$", plan, re.MULTILINE)) == 2
+
+    def test_v15_ivfpq_composed_pruning(self, spark, sf_dir):
+        """IVFADC: exactly three corpus-side passes — the Arrow
+        assignment kernel (MapInPandas, the vectorized exception), the
+        bounded query-side assignment, and the PQ encode pass (at
+        production these are ONE persisted index build, the V6
+        pattern); candidate generation is a cent_id equi-join against
+        the broadcast query assignment and scoring joins the broadcast
+        LUT — no cartesian, no row-at-a-time Python, no raw-vector
+        read after encode."""
+        import re
+
+        plan = _plan(spark, sf_dir, "V15_ivfpq_topk")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) <= 3, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ExistingRDD" in plan
+        assert plan.count("BroadcastHashJoin") >= 2
