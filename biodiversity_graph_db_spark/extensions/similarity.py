@@ -2524,9 +2524,7 @@ def v14_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- V15: IVF x PQ (IVFADC) -------------------------------------------------
 
 
-@query(
-    "V15_ivfpq_topk",
-    oracle=f"""
+_IVFPQ_SQL = f"""
     WITH norms AS ({_NORM_SQL}),
     {_ASSIGN_SQL},
     cassign AS (SELECT c_id, cent_id FROM aranked WHERE crk = 1),
@@ -2560,8 +2558,10 @@ def v14_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM adc
     ) WHERE rank <= 5
     ORDER BY q_id, rank
-    """,
-)
+    """
+
+
+@query("V15_ivfpq_topk", oracle=_IVFPQ_SQL)
 def v15_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the two orthogonal ANN scale levers COMPOSED, which is
     how every production vector index actually ships (FAISS IVFPQ):
@@ -2634,3 +2634,181 @@ def v15_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rank")
     )
+
+
+# --- persisted IVFADC: PQ code sidecar on the IVF index ---------------------
+# The stored form of V15: {path}/pq/codebook (PQ_M x PQ_K derived codeword
+# table) and {path}/pq/codes long-form (cent_id, c_id, m, j, cnorm)
+# PARTITIONED BY cent_id — a query reads ONLY probed-cluster partitions of
+# ONLY the 4-byte-per-vector code table.  This is what the V15 docstring's
+# "one persisted index build in production" means, made literal on disk.
+
+
+def pq_augment_index(spark: SparkSession, path: str) -> None:
+    """Build the PQ sidecar for an existing IVF index: derive the
+    deterministic md5-rank codebook from the index's OWN vector set
+    (so augment after append re-derives against the full current
+    corpus), encode every assigned vector once, replicate codes per
+    cluster copy (an n_probe>1 near-dup index stores a vector in
+    several clusters), and write partitioned by ``cent_id`` so the
+    probed-cluster filter prunes code files exactly as it prunes
+    assigned files.
+
+    Maintenance contract: the sidecar snapshots the assigned table at
+    augment time — ``append_ivf_index`` / streaming deltas make it
+    STALE (new vectors have no codes), which ``ivfpq_topk_indexed``
+    detects inside the probed partitions and refuses to serve (better
+    no answer than silently missing the newest vectors).  Re-run this
+    after appends/compaction, like compact itself."""
+    assigned = _read_assigned(spark, path).select(
+        "vec_id", "embedding", "cent_id"
+    )
+    vecs = assigned.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    cb = pq_codebook(vecs)
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq/codebook")
+    cb_stored = spark.read.parquet(f"{path}/pq/codebook")
+    codes = pq_encode(vecs, F.broadcast(cb_stored))
+    (
+        codes.join(
+            assigned.select(F.col("vec_id").alias("c_id"), "cent_id"), "c_id"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/pq/codes")
+    )
+
+
+def ivfpq_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries_df: DataFrame,
+    n_probe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k against the persisted IVFADC index: assign the tiny query
+    side with the stored centroids, prune to the probed ``cent_id``
+    partitions of the CODE table (the raw-vector ``assigned`` table is
+    never scanned for scoring — per-candidate I/O is 8 nibble codes,
+    not 256 bytes), score via the broadcast LUT from the stored
+    codebook, one combinable SUM per (query, candidate).  Same output
+    schema and (given the same centroids/codebook rules) the same
+    answers as the in-memory V15 plan — the equivalence is tested.
+
+    Freshness guard: vectors appended since ``pq_augment_index`` have
+    assigned rows but no codes; the guard anti-joins the two INSIDE
+    the probed partitions (bounded, probe-sized work) and raises
+    rather than silently dropping the newest vectors from answers."""
+    import numpy as np
+
+    finish_ivf_rebuild(spark, path)
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cent_ids = np.array([r.cent_id for r in cents], dtype=np.int64)
+    cmat = np.array([r.cent_emb for r in cents], dtype=np.float64)
+    cnorm = np.array([r.cent_norm for r in cents], dtype=np.float64)
+    qass = F.broadcast(
+        ivf_assign(queries_df, cent_ids, cmat, cnorm, n_probe)
+        .select(F.col("vec_id").alias("q_id"), "cent_id")
+        .localCheckpoint()
+    )
+    probed = sorted(
+        {r.cent_id for r in qass.select("cent_id").distinct().collect()}
+    )
+    codes = spark.read.parquet(f"{path}/pq/codes").where(
+        F.col("cent_id").isin(probed)
+    )
+    stale = (
+        _read_assigned(spark, path)
+        .where(F.col("cent_id").isin(probed))
+        .select(F.col("vec_id").alias("c_id"))
+        .join(
+            codes.select("c_id").dropDuplicates(["c_id"]),
+            "c_id",
+            "left_anti",
+        )
+        .limit(1)
+        .count()
+    )
+    if stale:
+        raise ValueError(
+            f"PQ sidecar at {path}/pq is stale: probed partitions hold "
+            "assigned vectors with no codes (appended since the last "
+            "pq_augment_index).  Re-run pq_augment_index."
+        )
+    cb_stored = spark.read.parquet(f"{path}/pq/codebook")
+    lut = pq_query_lut(queries_df, F.broadcast(cb_stored))
+    pairs = (
+        codes.join(qass, "cent_id")
+        .where(F.col("q_id") != F.col("c_id"))
+        # an n_probe>1 index replicates a vector's codes per cluster
+        # copy; a candidate sharing 2+ probed clusters with a query
+        # would double its partial sums — the code rows are identical
+        # in every copy, so keeping one per (q, c, m) is lossless
+        .dropDuplicates(["q_id", "c_id", "m"])
+    )
+    scores = (
+        pairs.join(F.broadcast(lut.select("q_id", "m", "j", "pdot")), ["q_id", "m", "j"])
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum("pdot").alias("dot"),
+            F.sum("cnorm").alias("recon_norm"),
+        )
+        .join(F.broadcast(lut.select("q_id", "q_norm").distinct()), "q_id")
+        .withColumn(
+            "adcv",
+            F.col("dot")
+            / F.sqrt(
+                F.col("q_norm").cast("double") * F.col("recon_norm").cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adcv").desc(), "c_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "rank",
+            "c_id",
+            (F.floor(F.col("adcv") * 1e6) / 1e6).alias("adc_cos"),
+        )
+    )
+
+
+@query("V16_ivfpq_indexed", oracle=_IVFPQ_SQL)
+def v16_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V15's IVFADC answered from the PERSISTED form: build the IVF
+    index on disk (8 deterministic centroids, n_probe=1 storage),
+    augment it with the PQ code sidecar, then serve the same 10
+    queries from the stored code partitions.  Shares V15's oracle
+    verbatim — the in-memory composition and the on-disk index MUST
+    give byte-identical answers (same centroid rule, same md5-rank
+    codebook over the same vector set, same exact-BIGINT ADC), so one
+    SQL replay grades both the query plan and the storage round-trip.
+    The serving-path property the persisted form adds — probed-
+    partition file pruning on a codes-only scan, raw vectors never
+    read — is pinned by the plan test; the staleness guard after
+    append is pinned by test_extensions."""
+    import shutil
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    try:
+        write_ivf_index(
+            emb.select("vec_id", "embedding"), f"{tmp}/idx", n_centroids=8,
+            n_probe=1,
+        )
+        pq_augment_index(spark, f"{tmp}/idx")
+        return (
+            ivfpq_topk_indexed(
+                spark,
+                f"{tmp}/idx",
+                emb.where(F.col("vec_id") < 10),
+                n_probe=2,
+                k=5,
+            )
+            .orderBy("q_id", "rank")
+            .localCheckpoint()  # materialize before the index dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1093,3 +1093,63 @@ class TestIvfMaintenanceCrashSafety:
             assert not os.path.exists(rb)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestIvfPqSidecar:
+    def test_stale_guard_and_reaugment_heal(self, spark, sf_dir):
+        """The PQ sidecar snapshots the assigned table: vectors appended
+        after pq_augment_index have no codes, and serving must REFUSE
+        (raise) rather than silently answer without the newest vectors.
+        Re-running pq_augment_index heals, and the healed index answers
+        identically to a sidecar built on the full set in one shot."""
+        import shutil
+        import tempfile
+
+        import pytest as _pytest
+
+        from biodiversity_graph_db_spark.extensions.similarity import (
+            append_ivf_index,
+            ivfpq_topk_indexed,
+            pq_augment_index,
+            write_ivf_index,
+        )
+
+        emb = table(spark, sf_dir, "embeddings")
+        a = emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+        b = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+        queries = emb.where(F.col("vec_id") < 6).select("vec_id", "embedding")
+
+        tmp = tempfile.mkdtemp(prefix="ivfpq_stale_")
+        try:
+            write_ivf_index(a, f"{tmp}/incr", n_centroids=8)
+            pq_augment_index(spark, f"{tmp}/incr")
+            # sanity: serves while fresh
+            assert len(ivfpq_topk_indexed(
+                spark, f"{tmp}/incr", queries
+            ).collect()) > 0
+            append_ivf_index(b, f"{tmp}/incr")
+            with _pytest.raises(ValueError, match="stale"):
+                ivfpq_topk_indexed(spark, f"{tmp}/incr", queries).collect()
+            pq_augment_index(spark, f"{tmp}/incr")
+            got = ivfpq_topk_indexed(
+                spark, f"{tmp}/incr", queries
+            ).collect()
+
+            # control: same centroids, one-pass A∪B assignment + one
+            # one-shot sidecar — the codebook re-derives from the same
+            # full vector set, so answers must be identical
+            shutil.copytree(
+                f"{tmp}/incr/centroids", f"{tmp}/full/centroids"
+            )
+            append_ivf_index(
+                emb.select("vec_id", "embedding"), f"{tmp}/full"
+            )
+            pq_augment_index(spark, f"{tmp}/full")
+            want = ivfpq_topk_indexed(
+                spark, f"{tmp}/full", queries
+            ).collect()
+
+            assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+            assert len(got) > 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -1476,3 +1476,40 @@ class TestRound8Wave2Plans:
         assert "BatchEvalPython" not in plan
         assert "ExistingRDD" in plan
         assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_v16_ivfpq_indexed_codes_only_pruned_scan(self, spark, sf_dir):
+        """The persisted-IVFADC serving scan reads ONLY the probed
+        cent_id partitions of the CODE table, and reads no embedding
+        column anywhere in the scoring path — per-candidate I/O is the
+        nibble codes, never the 256-byte raw vector."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions import similarity as sim
+        from biodiversity_graph_db_spark.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        tmp = tempfile.mkdtemp(prefix="ivfpq_plan_")
+        try:
+            sim.write_ivf_index(
+                emb.select("vec_id", "embedding"), f"{tmp}/idx",
+                n_centroids=8, n_probe=1,
+            )
+            sim.pq_augment_index(spark, f"{tmp}/idx")
+            df = sim.ivfpq_topk_indexed(
+                spark, f"{tmp}/idx", emb.where(F.col("vec_id") < 4),
+                n_probe=2, k=5,
+            )
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "cent_id" in plan.split("PartitionFilters")[1][:160]
+            # the scoring path scans codes, not vectors
+            for seg in plan.split("ReadSchema: ")[1:]:
+                assert "embedding" not in seg.splitlines()[0], seg[:200]
+            assert "CartesianProduct" not in plan
+            assert "BatchEvalPython" not in plan
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
