@@ -177,6 +177,10 @@ HEADLINE = [
     "V14_pq_rerank",
     "D14_span_purge",
     "V15_ivfpq_topk",
+    "T37_nb_langid",
+    "T38_dsir_weights",
+    "V17_kmeans_refine",
+    "V18_cluster_purity",
     # V16_ivfpq_indexed is oracle-graded but not a bench headline: its
     # one-shot time is a full index BUILD + sidecar encode (the
     # construction that makes the grade exact), not serving throughput —

@@ -2812,3 +2812,306 @@ def v16_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- V17: Lloyd k-means refinement of the IVF centroids ---------------------
+# The IVF family (V3-V16) seeds its centroids deterministically (first-8 by
+# vec_id — the md5-rank discipline that makes every oracle replayable).
+# Production indexes TRAIN those centroids: FAISS runs Lloyd's k-means over
+# a sample before building IVF/IVFPQ.  This is that training step as a
+# distributed op, made cross-engine exact by running Lloyd's entirely in
+# quantized-integer space: components floor-scaled to BIGINT micro-units,
+# per-(vector, centroid) SSE an exact BIGINT sum, centroid updates
+# floor(mean) back onto the same grid.  The per-iteration SSE descent and
+# reassignment counts are the convergence audit a 100 TB index build logs.
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _km_assign_sql(cents: str, prefix: str) -> str:
+    """One unrolled Lloyd assignment in DuckDB SQL: nearest centroid by
+    exact integer SSE, ties to the lower cent_id."""
+    return f"""
+    {prefix}d AS (
+      SELECT e.vec_id, c.cent_id,
+             CAST(SUM((e.vq - c.cq) * (e.vq - c.cq)) AS BIGINT) AS ssev
+      FROM evq e JOIN {cents} c USING (dim)
+      GROUP BY e.vec_id, c.cent_id
+    ),
+    {prefix} AS (
+      SELECT vec_id, cent_id, ssev FROM (
+        SELECT vec_id, cent_id, ssev,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ssev, cent_id) AS rk
+        FROM {prefix}d
+      ) WHERE rk = 1
+    )"""
+
+
+def _km_update_sql(assign: str, cents: str) -> str:
+    return f"""
+    {cents} AS (
+      SELECT a.cent_id, e.dim,
+             CAST(FLOOR(CAST(SUM(e.vq) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cq
+      FROM {assign} a JOIN evq e USING (vec_id)
+      GROUP BY a.cent_id, e.dim
+    )"""
+
+
+def km_quantize(emb: DataFrame) -> DataFrame:
+    """Explode embeddings to the quantized long-form Lloyd grid
+    (vec_id, dim, vq=FLOOR(v·1e6) BIGINT) — computed ONCE and
+    localCheckpoint-ed because every assignment and update pass
+    re-reads it (4 + 3 consumers for a 3-iteration refine)."""
+    return (
+        spread(emb)
+        .select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .select(
+            "vec_id",
+            (F.col("dim") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 1e6).cast("long").alias("vq"),
+        )
+        .localCheckpoint()
+    )
+
+
+def km_seed_centroids(emb: DataFrame, evq: DataFrame) -> DataFrame:
+    """Deterministic seeds: the first _KM_K vectors by vec_id (the
+    _CENTS_SQL rule every IVF oracle replays), in quantized long form."""
+    return (
+        evq.join(
+            F.broadcast(
+                emb.orderBy("vec_id").limit(_KM_K).select("vec_id")
+            ).withColumnRenamed("vec_id", "seed_id"),
+            F.col("vec_id") == F.col("seed_id"),
+        )
+        .select(F.col("vec_id").alias("cent_id"), "dim", F.col("vq").alias("cq"))
+        .localCheckpoint()
+    )
+
+
+def km_assign(evq: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """One Lloyd assignment: nearest centroid by exact integer SSE
+    (ties to the lower cent_id).  Broadcast join on dim against the
+    k×64-row centroid table, collapsing map-side into (vec, cent)
+    partial sums, then ONE combinable min-struct agg — no window, no
+    all-pairs shuffle; the N-row result is checkpointed to cut
+    iterative lineage (the G6/G19 discipline)."""
+    diff = F.col("vq") - F.col("cq")
+    return (
+        evq.join(F.broadcast(cents_df), "dim")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(diff * diff).cast("long").alias("ssev"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("ssev", "cent_id")).alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.cent_id").alias("cent_id"),
+            F.col("s.ssev").alias("ssev"),
+        )
+        .localCheckpoint()
+    )
+
+
+def km_update(evq: DataFrame, assign_df: DataFrame) -> DataFrame:
+    """One Lloyd update: per-(centroid, dim) FLOOR(mean) back onto the
+    integer grid — one keyed reduce to a k×64 table.  Empty clusters
+    simply drop out (both engines agree)."""
+    return (
+        assign_df.join(evq, "vec_id")
+        .groupBy("cent_id", "dim")
+        .agg(
+            F.floor(F.sum("vq").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cq")
+        )
+        .localCheckpoint()
+    )
+
+
+@query(
+    "V17_kmeans_refine",
+    oracle=f"""
+    WITH evq AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+             CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS vq
+      FROM (SELECT vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+    ),
+    seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K}),
+    c0 AS (
+      SELECT vec_id AS cent_id, dim, vq AS cq FROM evq
+      WHERE vec_id IN (SELECT vec_id FROM seeds)
+    ),
+    {_km_assign_sql('c0', 'a0')},
+    {_km_update_sql('a0', 'c1')},
+    {_km_assign_sql('c1', 'a1')},
+    {_km_update_sql('a1', 'c2')},
+    {_km_assign_sql('c2', 'a2')},
+    {_km_update_sql('a2', 'c3')},
+    {_km_assign_sql('c3', 'a3')}
+    SELECT * FROM (
+      SELECT 0 AS iter, CAST(0 AS BIGINT) AS n_moved,
+             (SELECT CAST(SUM(ssev) AS BIGINT) FROM a0) AS sse
+      UNION ALL
+      SELECT 1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM a1 JOIN a0 USING (vec_id)
+              WHERE a1.cent_id <> a0.cent_id),
+             (SELECT CAST(SUM(ssev) AS BIGINT) FROM a1)
+      UNION ALL
+      SELECT 2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM a2 JOIN a1 USING (vec_id)
+              WHERE a2.cent_id <> a1.cent_id),
+             (SELECT CAST(SUM(ssev) AS BIGINT) FROM a2)
+      UNION ALL
+      SELECT 3,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM a3 JOIN a2 USING (vec_id)
+              WHERE a3.cent_id <> a2.cent_id),
+             (SELECT CAST(SUM(ssev) AS BIGINT) FROM a3)
+    ) ORDER BY iter
+    """,
+)
+def v17_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations refining the deterministic first-8 IVF
+    seed centroids, reporting per-iteration total SSE and reassignment
+    count — SSE must be non-increasing and moves must shrink, the
+    convergence audit of a production centroid-training job (FAISS
+    trains IVF/IVFPQ centroids with exactly this loop before the V6/V16
+    index build consumes them).
+
+    Cross-engine exactness: Lloyd's runs entirely on a quantized
+    integer grid — components floor-scaled to BIGINT (×1e6), per-pair
+    SSE an exact BIGINT sum of squared diffs, centroid update =
+    FLOOR(mean) back onto the grid — so there is NO float summation
+    anywhere and both engines agree bit-for-bit after any shuffle.
+
+    Scale shape: the exploded (vec, dim, component) table is computed
+    ONCE and localCheckpoint-ed (it feeds 4 assignment passes + 3
+    updates); each assignment is a BROADCAST join against the k×64-row
+    centroid table collapsing map-side into (vec, cent) partial sums,
+    then a combinable min-struct agg — no window, no all-pairs; each
+    update is one keyed reduce to a k×64 table.  Per-iteration state
+    (N-row assignment) is checkpointed to cut lineage — the G6/G19
+    iterative-kernel discipline."""
+    emb = table(spark, sf_dir, "embeddings")
+    evq = km_quantize(emb)
+    cents = km_seed_centroids(emb, evq)
+    a_prev = km_assign(evq, cents)
+    out = a_prev.agg(
+        F.lit(0).alias("iter"),
+        F.lit(0).cast("long").alias("n_moved"),
+        F.sum("ssev").cast("long").alias("sse"),
+    )
+    for it in range(1, _KM_ITERS + 1):
+        cents = km_update(evq, a_prev)
+        a_cur = km_assign(evq, cents)
+        moved = (
+            a_cur.select("vec_id", F.col("cent_id").alias("cur"))
+            .join(a_prev.select("vec_id", F.col("cent_id").alias("prev")), "vec_id")
+            .agg(
+                F.sum((F.col("cur") != F.col("prev")).cast("long"))
+                .cast("long")
+                .alias("n_moved")
+            )
+        )
+        sse = a_cur.agg(F.sum("ssev").cast("long").alias("sse"))
+        out = out.unionByName(
+            moved.crossJoin(sse).select(
+                F.lit(it).alias("iter"), "n_moved", "sse"
+            )
+        )
+        a_prev = a_cur
+    return out.orderBy("iter")
+
+
+# --- V18: cluster label purity (curation-eval over the IVF partitioning) ----
+
+
+@query(
+    "V18_cluster_purity",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    {_ASSIGN_SQL},
+    assigned AS (
+      SELECT a.c_id, a.cent_id, e.label
+      FROM aranked a JOIN embeddings e ON e.vec_id = a.c_id
+      WHERE a.crk = 1
+    ),
+    cl AS (
+      SELECT cent_id, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned GROUP BY cent_id, label
+    ),
+    tot AS (
+      SELECT cent_id, CAST(SUM(n) AS BIGINT) AS n_vecs,
+             CAST(COUNT(*) AS BIGINT) AS n_labels
+      FROM cl GROUP BY cent_id
+    ),
+    top AS (
+      SELECT cent_id, label AS top_label, n AS top_n FROM (
+        SELECT cent_id, label, n,
+               ROW_NUMBER() OVER (PARTITION BY cent_id
+                                  ORDER BY n DESC, label) AS rk
+        FROM cl
+      ) WHERE rk = 1
+    )
+    SELECT t.cent_id, o.n_vecs, o.n_labels, t.top_label, t.top_n,
+           CAST((t.top_n * 1000000) // o.n_vecs AS BIGINT) AS purity_ppm
+    FROM top t JOIN tot o USING (cent_id)
+    ORDER BY cent_id
+    """,
+)
+def v18_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster label purity of the IVF partitioning: assign every
+    vector to its nearest seed centroid (the V3 rule — same Arrow
+    kernel, same scaled-int cosine), join the ground-truth ``label``
+    column, and report each cluster's size, label diversity, majority
+    label and purity (ppm) — the cluster-quality audit behind
+    SemDeDup-style semantic curation and the V6b re-cluster governor:
+    a purity collapse is the signal that centroids have drifted off
+    the corpus and the index needs re-training (V17 is that re-train).
+
+    Scale shape: ONE zero-shuffle Arrow assignment pass, one narrow
+    label join on vec_id (column-pruned — the embedding never travels
+    past the kernel), one combinable (cluster,label) count, and a
+    k-bounded top-1 window.  Output is k rows at any corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent_ids, cmat, cnorm = _collect_centroids(emb, 8)
+    assigned = ivf_assign(emb, cent_ids, cmat, cnorm, 1).select(
+        "vec_id", "cent_id"
+    )
+    cl = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cent_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # k×|labels| bounded; feeds totals + top-1
+    )
+    tot = cl.groupBy("cent_id").agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    w = Window.partitionBy("cent_id").orderBy(F.desc("n"), "label")
+    top = (
+        cl.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "cent_id",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_n"),
+        )
+    )
+    return (
+        top.join(tot, "cent_id")
+        .select(
+            "cent_id",
+            "n_vecs",
+            "n_labels",
+            "top_label",
+            "top_n",
+            F.expr("top_n * 1000000 DIV n_vecs").cast("long").alias("purity_ppm"),
+        )
+        .orderBy("cent_id")
+    )

@@ -2778,3 +2778,318 @@ def t36_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micronats"), "w1", "w2")
         .limit(20)
     )
+
+
+# --- T37: Naive-Bayes language classifier (learned filter family) -----------
+# Classifier-based filtering is the third published quality/routing filter
+# family (rule signals = T2/T7, LM perplexity = T28, learned classifier =
+# this): CCNet/LLaMA filter with a fastText linear classifier, and fastText
+# langid itself is exactly this shape — a linear model over token counts.
+# The reference has no learned layer at all (its language handling is the
+# static `Field.fs` vocabulary); a training-data platform needs the
+# fit-on-split / score-on-split loop as a first-class distributed op.
+
+
+@query(
+    "T37_nb_langid",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, is_train, unnest(t) AS w FROM d
+    ),
+    dw AS (
+      SELECT doc_id, lang, is_train, w, CAST(COUNT(*) AS BIGINT) AS m
+      FROM tok WHERE w <> '' GROUP BY ALL
+    ),
+    wc AS (
+      SELECT w, lang AS c, CAST(SUM(m) AS BIGINT) AS cnt
+      FROM dw WHERE is_train GROUP BY w, lang
+    ),
+    classes AS (
+      SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM wc GROUP BY c
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wc),
+    prior AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    n_train AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    contrib AS (
+      SELECT dw.doc_id, cl.c,
+             CAST(SUM(dw.m * (
+               FLOOR(ln(COALESCE(wc.cnt, 0) + 1) * 1000000)
+               - FLOOR(ln(cl.tot + vocab.v) * 1000000)
+             )) AS BIGINT) AS tok_score
+      FROM dw CROSS JOIN classes cl CROSS JOIN vocab
+      LEFT JOIN wc ON wc.w = dw.w AND wc.c = cl.c
+      WHERE NOT dw.is_train
+      GROUP BY dw.doc_id, cl.c
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang, p.c,
+             CAST(FLOOR(ln(p.n_docs) * 1000000)
+                  - FLOOR(ln(n_train.n) * 1000000)
+                  + COALESCE(co.tok_score, 0) AS BIGINT) AS score
+      FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1) t
+      CROSS JOIN prior p CROSS JOIN n_train
+      LEFT JOIN contrib co ON co.doc_id = t.doc_id AND co.c = p.c
+    )
+    SELECT doc_id, lang AS true_lang, c AS pred_lang,
+           score AS score_micronats
+    FROM (
+      SELECT doc_id, lang, c, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, c) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    ORDER BY doc_id
+    """,
+)
+def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier: FIT on the even
+    doc_ids (unigram counts per class with add-1 smoothing, class
+    priors from document counts), SCORE every odd doc_id, emit the
+    argmax class beside the true label — the learned counterpart of
+    T5's fixed stopword-vote heuristic, and the distributed form of
+    the fastText-style classifier filter every published pretraining
+    pipeline runs (CCNet perplexity buckets aside, quality and langid
+    routing are linear models over token counts exactly like this).
+
+    Cross-engine determinism: every likelihood is
+    ``m · (qln(cnt+1) − qln(tot_c + V))`` with qln = FLOOR(ln·1e6) on
+    exact BIGINT counts, summed as BIGINT — transcendentals are
+    quantized per-term, so summation order can never move the argmax;
+    ties break on the class name.
+
+    Scale shape: ONE tokenize pass collapsed to the (doc, word, count)
+    cut and localCheckpoint-ed (the BM25/T26 discipline — it feeds the
+    model build AND the scoring join); the MODEL is vocab×|classes|
+    bounded and broadcast (never corpus-sized), priors are a |classes|
+    row broadcast, and scoring is one broadcast join + one combinable
+    per-(doc,class) sum — at 100 TB this is two map-side-combinable
+    reduces over the token stream, no corpus-sized shuffle beyond the
+    (doc,word) collapse."""
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    qln = lambda col: F.floor(F.log(col.cast("double")) * 1e6).cast("long")
+    dw = (
+        d.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % 2 == 0).alias("is_train"),
+            F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "lang", "is_train", "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint()
+    )
+    wc = (
+        dw.where("is_train")
+        .groupBy(F.col("w"), F.col("lang").alias("c"))
+        .agg(F.sum("m").cast("long").alias("cnt"))
+        .localCheckpoint()  # vocab×classes bounded; feeds 3 consumers
+    )
+    classes = wc.groupBy("c").agg(F.sum("cnt").cast("long").alias("tot"))
+    vocab = wc.agg(F.countDistinct("w").cast("long").alias("v"))
+    prior = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint()  # |classes| rows; feeds the grid AND n_train
+    )
+    # n_train = Σ_c n_docs_c — derived from the |classes|-row prior, never
+    # a second (even column-pruned) pass over the corpus
+    n_train = prior.agg(F.sum("n_docs").cast("long").alias("n"))
+    contrib = (
+        dw.where(~F.col("is_train"))
+        .crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(wc), ["w", "c"], "left")
+        .groupBy("doc_id", "c")
+        .agg(
+            F.sum(
+                F.col("m")
+                * (
+                    qln(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    - qln(F.col("tot") + F.col("v"))
+                )
+            )
+            .cast("long")
+            .alias("tok_score")
+        )
+    )
+    scored = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang")
+        .crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(n_train))
+        .join(contrib, ["doc_id", "c"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            (
+                qln(F.col("n_docs"))
+                - qln(F.col("n"))
+                + F.coalesce(F.col("tok_score"), F.lit(0))
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("c").alias("pred_lang"),
+            F.col("score").alias("score_micronats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- T38: DSIR importance weights (data-selection family) -------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): weight every
+# raw document by how much more likely its unigrams are under a TARGET
+# domain's hashed-n-gram LM than under the RAW corpus LM, then resample by
+# weight.  This is the published selection machinery behind domain-matched
+# pretraining mixes — the learned complement of T16's static mix ratios and
+# T31's temperature reweighting.
+
+
+@query(
+    "T38_dsir_weights",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, lang, unnest(t) AS w FROM d),
+    dw AS (
+      SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS m
+      FROM tok WHERE w <> '' GROUP BY ALL
+    ),
+    model AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN lang = 'en' THEN m ELSE 0 END) AS BIGINT)
+               AS cnt_t,
+             CAST(SUM(m) AS BIGINT) AS cnt_r
+      FROM dw GROUP BY w
+    ),
+    tots AS (
+      SELECT CAST(SUM(cnt_t) AS BIGINT) AS tt,
+             CAST(SUM(cnt_r) AS BIGINT) AS tr,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM model
+    ),
+    scored AS (
+      SELECT dw.doc_id, dw.lang,
+             CAST(SUM(dw.m * (
+               (FLOOR(ln(model.cnt_t + 1) * 1000000)
+                - FLOOR(ln(tots.tt + tots.v) * 1000000))
+               - (FLOOR(ln(model.cnt_r + 1) * 1000000)
+                  - FLOOR(ln(tots.tr + tots.v) * 1000000))
+             )) AS BIGINT) AS iw
+      FROM dw JOIN model ON model.w = dw.w CROSS JOIN tots
+      GROUP BY dw.doc_id, dw.lang
+    )
+    SELECT doc_id, lang, iw AS iw_micronats, rank FROM (
+      SELECT doc_id, lang, iw,
+             ROW_NUMBER() OVER (ORDER BY iw DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 30
+    ORDER BY rank
+    """,
+)
+def t38_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over the corpus with the English slice as
+    the target domain: per-word log-likelihood ratio between the
+    target unigram LM and the raw-corpus unigram LM (add-1 smoothing
+    over the shared raw vocabulary), per-document weight = count-
+    weighted sum of its words' ratios, top-30 by weight — English docs
+    surfacing at the head is the built-in sanity check, and the weight
+    column is exactly what an O8-style Efraimidis–Spirakis pass would
+    consume to RESAMPLE the mix (Xie et al. 2023's pipeline: weight
+    here, weighted-sample via the already-shipped O8 kernel).
+
+    Cross-engine determinism: both LMs quantize per-word as
+    qln(cnt+1) − qln(total+V) on exact BIGINT counts (the T37/T36
+    idiom); the per-doc sum is BIGINT, so ranking is order-insensitive
+    with doc_id tie-break.
+
+    Scale shape: ONE tokenize collapsed to (doc, word, count) and
+    localCheckpoint-ed (feeds the model AND the scoring join); the
+    model is ONE conditional aggregate to a vocab-bounded table
+    (target and raw counts come out of the same groupBy — never two
+    corpus passes), broadcast into the scoring join; the top-30 is a
+    TakeOrderedAndProject, never a full sort."""
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    qln = lambda col: F.floor(F.log(col.cast("double")) * 1e6).cast("long")
+    dw = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint()
+    )
+    model = (
+        dw.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", F.col("m")).otherwise(0))
+            .cast("long")
+            .alias("cnt_t"),
+            F.sum("m").cast("long").alias("cnt_r"),
+        )
+        .localCheckpoint()  # vocab-bounded; feeds totals + scoring
+    )
+    tots = model.agg(
+        F.sum("cnt_t").cast("long").alias("tt"),
+        F.sum("cnt_r").cast("long").alias("tr"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    scored = (
+        dw.join(F.broadcast(model), "w")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.col("m")
+                * (
+                    (qln(F.col("cnt_t") + 1) - qln(F.col("tt") + F.col("v")))
+                    - (qln(F.col("cnt_r") + 1) - qln(F.col("tr") + F.col("v")))
+                )
+            )
+            .cast("long")
+            .alias("iw")
+        )
+    )
+    # top-30 FIRST as a TakeOrderedAndProject (never a global N-row
+    # window sort), then rank the surviving 30 rows — the single-
+    # partition window runs over 30 rows, not the corpus
+    w = Window.orderBy(F.desc("iw"), "doc_id")
+    return (
+        scored.orderBy(F.desc("iw"), "doc_id")
+        .limit(30)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "lang", F.col("iw").alias("iw_micronats"), "rank")
+        .orderBy("rank")
+    )

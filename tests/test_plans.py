@@ -1513,3 +1513,85 @@ class TestRound8Wave2Plans:
             assert "BatchEvalPython" not in plan
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestRound8Wave3Plans:
+    def test_t37_nb_single_corpus_scan(self, spark, sf_dir):
+        """The NB fit/score pipeline reads the corpus ONCE in-plan (the
+        2-column test-doc side; the tokenize and prior passes live
+        behind their checkpoints): the model is a vocab x classes
+        broadcast, scoring is broadcast joins + combinable sums, the
+        argmax is a WindowGroupLimit k-heap — no cartesian blowup, no
+        Python, no second text scan."""
+        import re
+
+        plan = _plan(spark, sf_dir, "T37_nb_langid")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) <= 1, plan
+        for seg in plan.split("ReadSchema: ")[1:]:
+            head = seg.splitlines()[0]
+            assert "text" not in head, head  # never re-reads the text
+        assert "Generate" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert len(re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.MULTILINE)) >= 1
+
+    def test_t38_dsir_zero_rescan_takeordered(self, spark, sf_dir):
+        """DSIR scoring runs entirely off the checkpointed (doc, word,
+        count) cut (zero in-plan scans — model AND scoring share it);
+        the global top-30 is a TakeOrderedAndProject, never an N-row
+        single-partition window sort (the rank window runs over the 30
+        survivors)."""
+        import re
+
+        plan = _plan(spark, sf_dir, "T38_dsir_weights")
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 0
+        assert "TakeOrderedAndProject" in plan
+        assert "Generate" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_v17_km_assign_broadcast_no_window(self, spark, sf_dir):
+        """One Lloyd assignment plans as a BROADCAST hash join on dim +
+        two combinable aggregates (partial min-struct replaces the
+        rank window entirely) — the per-iteration building block the
+        V17 audit runs 4x."""
+        import re
+
+        from biodiversity_graph_db_spark.extensions import similarity as sim
+        from biodiversity_graph_db_spark.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        evq = sim.km_quantize(emb)
+        cents = sim.km_seed_centroids(emb, evq)
+        d = F.col("vq") - F.col("cq")
+        # the km_assign plan shape, un-checkpointed so it is visible
+        df = (
+            evq.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cent_id")
+            .agg(F.sum(d * d).cast("long").alias("ssev"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("ssev", "cent_id")).alias("s"))
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 0
+
+    def test_v18_purity_bounded_tail(self, spark, sf_dir):
+        """Purity runs off the checkpointed k x |labels| count table:
+        zero in-plan scans, the per-cluster top-1 is a WindowGroupLimit
+        k-heap, output is k rows — no cartesian, no Python in the
+        tail (the assignment kernel lives behind the checkpoint)."""
+        import re
+
+        plan = _plan(spark, sf_dir, "V18_cluster_purity")
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 0
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert len(re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.MULTILINE)) >= 1

@@ -1497,3 +1497,221 @@ def test_v12_pq_matches_numpy_model(spark, sf_dir):
         order = sorted(range(N), key=lambda c: (-a[c], ids[c]))[:5]
         want += [(int(q), r + 1, int(ids[c])) for r, c in enumerate(order)]
     assert sorted(got) == sorted(want)
+
+
+# --- T37 Naive Bayes vs a pure-Python model --------------------------------
+
+
+def _qln(x: int) -> int:
+    import math
+
+    return math.floor(math.log(x) * 1_000_000)
+
+
+def _model_nb(docs):
+    """Independent NB replay: fit on even doc_ids, score odd, add-1
+    smoothing, per-term qln quantization, argmax with class-name
+    tie-break — mirrors the published multinomial NB exactly."""
+    from collections import Counter, defaultdict
+
+    tok = {
+        i: [w for w in re.sub(r"\s+", " ", t.strip().lower()).split(" ") if w]
+        for i, (t, _) in docs.items()
+    }
+    train = {i for i in docs if i % 2 == 0}
+    wc: dict = defaultdict(Counter)
+    prior: Counter = Counter()
+    for i in train:
+        prior[docs[i][1]] += 1
+        wc[docs[i][1]].update(tok[i])
+    vocab = {w for c in wc.values() for w in c}
+    v = len(vocab)
+    n_train = sum(prior.values())
+    classes = sorted(prior)
+    out = {}
+    for i in sorted(set(docs) - train):
+        best = None
+        for c in classes:
+            tot = sum(wc[c].values())
+            s = _qln(prior[c]) - _qln(n_train)
+            for w in tok[i]:
+                s += _qln(wc[c][w] + 1) - _qln(tot + v)
+            if best is None or s > best[0]:
+                best = (s, c)
+        out[i] = (docs[i][1], best[1], best[0])
+    return out
+
+
+def test_t37_nb_matches_model(spark):
+    """Handcrafted corpus with separable classes plus OOV words in the
+    test split, driven through the registered T37 pipeline on a temp
+    parquet dir — predictions, scores and tie-breaks must equal the
+    pure-Python NB replay."""
+    import os
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark import registry
+
+    registry.load_all()
+    rows = [
+        (0, "ham ham spam eggs", "en"),
+        (1, "ham ham ham novel", "en"),      # OOV word 'novel'
+        (2, "le chat le chien", "fr"),
+        (3, "le le chat unseen", "fr"),
+        (4, "spam eggs eggs ham", "en"),
+        (5, "chien chat le ham", "fr"),
+        (6, "ham eggs", "en"),
+        (7, "totally oov words", "fr"),      # all-OOV doc: prior decides
+    ]
+    docs = {i: (t, c) for i, t, c in rows}
+    tmp = tempfile.mkdtemp(prefix="t37_model_")
+    try:
+        spark.createDataFrame(
+            [(i, t, c, "srcX", len(t)) for i, t, c in rows],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r.doc_id: (r.true_lang, r.pred_lang, r.score_micronats)
+            for r in registry.QUERIES["T37_nb_langid"](spark, tmp).collect()
+        }
+        want = _model_nb(docs)
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- T38 DSIR weights vs a pure-Python model --------------------------------
+
+
+def _model_dsir(rows):
+    from collections import Counter
+
+    tok = {
+        i: [w for w in re.sub(r"\s+", " ", t.strip().lower()).split(" ") if w]
+        for i, t, _ in rows
+    }
+    cnt_t: Counter = Counter()
+    cnt_r: Counter = Counter()
+    for i, _, lang in rows:
+        if lang == "en":
+            cnt_t.update(tok[i])
+        cnt_r.update(tok[i])
+    v = len(cnt_r)
+    tt, tr = sum(cnt_t.values()), sum(cnt_r.values())
+    scored = []
+    for i, _, lang in rows:
+        iw = sum(
+            (_qln(cnt_t[w] + 1) - _qln(tt + v))
+            - (_qln(cnt_r[w] + 1) - _qln(tr + v))
+            for w in tok[i]
+        )
+        scored.append((i, lang, iw))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    return [
+        (i, lang, iw, rk + 1) for rk, (i, lang, iw) in enumerate(scored[:30])
+    ]
+
+
+def test_t38_dsir_matches_model(spark):
+    """Target-heavy vs off-target docs through the registered T38
+    pipeline on a temp parquet dir — weights, ordering and rank
+    tie-breaks must equal the pure-Python DSIR replay, and the
+    target-language docs must surface at the head."""
+    import os
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark import registry
+
+    registry.load_all()
+    rows = [
+        (0, "stack heap pointer stack", "en"),
+        (1, "stack heap alloc free", "en"),
+        (2, "le chat dort ici", "fr"),
+        (3, "der hund schlaeft hier", "de"),
+        (4, "stack le pointer chat", "fr"),   # mixed: middling weight
+        (5, "heap stack stack stack", "en"),
+        (6, "uno dos tres cuatro", "es"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="t38_model_")
+    try:
+        spark.createDataFrame(
+            [(i, t, c, "srcX", len(t)) for i, t, c in rows],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = [
+            (r.doc_id, r.lang, r.iw_micronats, r.rank)
+            for r in registry.QUERIES["T38_dsir_weights"](spark, tmp).collect()
+        ]
+        want = _model_dsir(rows)
+        assert got == want
+        # sanity: every pure-target doc outranks every pure-off-target doc
+        rank = {i: rk for i, _, _, rk in got}
+        assert max(rank[0], rank[1], rank[5]) < min(rank[2], rank[3], rank[6])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- V17 Lloyd refinement vs a numpy integer replay -------------------------
+
+
+def test_v17_kmeans_matches_numpy_model(spark, sf_dir):
+    """Replay the exact quantized-integer Lloyd loop in numpy (int64
+    grid, floor-mean updates, (sse, cent_id) lexicographic argmin) on
+    the real sf fixture and demand identical per-iteration SSE and
+    move counts; also pin the convergence semantics the audit exists
+    for: SSE strictly improves over the seed assignment and moves
+    never increase."""
+    import numpy as np
+
+    from biodiversity_graph_db_spark import registry
+    from biodiversity_graph_db_spark.tables import table
+
+    registry.load_all()
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb], dtype=np.int64)
+    vq = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    cents = vq[:8].copy()
+    cent_ids = ids[:8].copy()
+
+    def assign(c, cids):
+        sse = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        order = np.lexsort((np.broadcast_to(cids, sse.shape), sse), axis=1)
+        pick = order[:, 0]
+        return cids[pick], sse[np.arange(len(vq)), pick]
+
+    a_prev, sse_prev = assign(cents, cent_ids)
+    want = [(0, 0, int(sse_prev.sum()))]
+    for it in range(1, 4):
+        new_ids = np.array(sorted(set(a_prev.tolist())), dtype=np.int64)
+        cents = np.stack(
+            [
+                np.floor(
+                    vq[a_prev == c].sum(axis=0).astype(np.float64)
+                    / (a_prev == c).sum()
+                ).astype(np.int64)
+                for c in new_ids
+            ]
+        )
+        a_cur, sse_cur = assign(cents, new_ids)
+        want.append(
+            (it, int((a_cur != a_prev).sum()), int(sse_cur.sum()))
+        )
+        a_prev = a_cur
+    got = [
+        (r.iter, r.n_moved, r.sse)
+        for r in registry.QUERIES["V17_kmeans_refine"](spark, sf_dir).collect()
+    ]
+    assert got == want
+    sses = [s for _, _, s in got]
+    moves = [m for _, m, _ in got[1:]]
+    assert sses[-1] < sses[0]
+    assert all(b <= a for a, b in zip(moves, moves[1:]))
