@@ -181,6 +181,10 @@ HEADLINE = [
     "T38_dsir_weights",
     "V17_kmeans_refine",
     "V18_cluster_purity",
+    # V19_trained_ivf_recall is oracle-graded but not a bench headline:
+    # full Lloyd train + IVF serve + the brute-force exact baseline —
+    # the V11/V13 audit-query precedent (its scale evidence is SCALE
+    # §21: flat 1.0x at one order up, job-count bound).
     # V16_ivfpq_indexed is oracle-graded but not a bench headline: its
     # one-shot time is a full index BUILD + sidecar encode (the
     # construction that makes the grade exact), not serving throughput —

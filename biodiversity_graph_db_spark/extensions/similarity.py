@@ -3115,3 +3115,201 @@ def v18_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cent_id")
     )
+
+
+# --- V19: recall of the TRAINED IVF (k-means centroids feeding serving) -----
+
+
+@query(
+    "V19_trained_ivf_recall",
+    oracle=f"""
+    WITH norms AS ({_NORM_SQL}),
+    evq AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+             CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS vq
+      FROM (SELECT vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+    ),
+    seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K}),
+    c0 AS (
+      SELECT vec_id AS cent_id, dim, vq AS cq FROM evq
+      WHERE vec_id IN (SELECT vec_id FROM seeds)
+    ),
+    {_km_assign_sql('c0', 'a0')},
+    {_km_update_sql('a0', 'c1')},
+    {_km_assign_sql('c1', 'a1')},
+    {_km_update_sql('a1', 'c2')},
+    {_km_assign_sql('c2', 'a2')},
+    {_km_update_sql('a2', 'c3')},
+    {_km_assign_sql('c3', 'a3')},
+    qsse AS (
+      SELECT e.vec_id AS q_id, c.cent_id,
+             CAST(SUM((e.vq - c.cq) * (e.vq - c.cq)) AS BIGINT) AS ssev
+      FROM evq e JOIN c3 c USING (dim)
+      WHERE e.vec_id < 10
+      GROUP BY e.vec_id, c.cent_id
+    ),
+    probed AS (
+      SELECT q_id, cent_id FROM (
+        SELECT q_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY ssev, cent_id) AS rk
+        FROM qsse
+      ) WHERE rk <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT p.q_id, a.vec_id AS c_id
+      FROM probed p JOIN a3 a USING (cent_id)
+      WHERE a.vec_id <> p.q_id
+    ),
+    cterms AS (
+      SELECT c.q_id, c.c_id, unnest(eq.embedding) AS qa,
+             unnest(ec.embedding) AS cb
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.q_id
+      JOIN embeddings ec ON ec.vec_id = c.c_id
+    ),
+    cdots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM cterms GROUP BY q_id, c_id
+    ),
+    ivf5 AS (
+      SELECT q_id, c_id FROM (
+        SELECT d.q_id, d.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.q_id
+                 ORDER BY d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                                       * CAST(nc.norm_sq AS DOUBLE)) DESC,
+                          d.c_id) AS rank
+        FROM cdots d
+        JOIN norms nq ON nq.vec_id = d.q_id
+        JOIN norms nc ON nc.vec_id = d.c_id
+      ) WHERE rank <= 5
+    ),
+    bterms AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             unnest(q.embedding) AS qa, unnest(c.embedding) AS cb
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id
+    ),
+    bdots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM bterms GROUP BY q_id, c_id
+    ),
+    exact5 AS (
+      SELECT q_id, c_id FROM (
+        SELECT d.q_id, d.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.q_id
+                 ORDER BY d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                                       * CAST(nc.norm_sq AS DOUBLE)) DESC,
+                          d.c_id) AS rank
+        FROM bdots d
+        JOIN norms nq ON nq.vec_id = d.q_id
+        JOIN norms nc ON nc.vec_id = d.c_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.q_id, CAST(COUNT(i.c_id) AS BIGINT) AS n_hits,
+           CAST((COUNT(i.c_id) * 1000000) // 5 AS BIGINT) AS recall_ppm
+    FROM exact5 e
+    LEFT JOIN ivf5 i ON i.q_id = e.q_id AND i.c_id = e.c_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+)
+def v19_trained_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of an IVF index built on V17's TRAINED centroids — the
+    composition that makes centroid training load-bearing rather than
+    an isolated audit: vectors are bucketed by their final Lloyd
+    assignment (quantized-L2, the FAISS IVF default metric), each of
+    the 10 probe queries searches its 2 nearest trained clusters, and
+    the pruned answer is graded per-query against the exact brute-force
+    top-5 (hits and recall ppm) — the V5/D10-style governor, now over
+    the trained partitioning, cross-engine replayed END TO END (3
+    Lloyd iterations, probe selection, candidate pruning, exact
+    re-scoring all unrolled in the oracle).
+
+    Scale shape: the k-means passes are V17's (broadcast assignment,
+    keyed updates, checkpointed grid); probe selection is a 10×k
+    window; candidates flow through ONE cent_id equi-join (never
+    all-pairs — the brute-force side exists only because this IS the
+    recall eval, bounded to the 10-query audit slice, the V5 rule);
+    scoring re-reads exactly the candidate pair set via equi-joins."""
+    emb = table(spark, sf_dir, "embeddings")
+    evq = km_quantize(emb)
+    cents = km_seed_centroids(emb, evq)
+    a = km_assign(evq, cents)
+    for _ in range(_KM_ITERS):
+        cents = km_update(evq, a)
+        a = km_assign(evq, cents)
+    diff = F.col("vq") - F.col("cq")
+    qsse = (
+        evq.where(F.col("vec_id") < 10)
+        .join(F.broadcast(cents), "dim")
+        .groupBy(F.col("vec_id").alias("q_id"), "cent_id")
+        .agg(F.sum(diff * diff).cast("long").alias("ssev"))
+    )
+    wp = Window.partitionBy("q_id").orderBy("ssev", "cent_id")
+    probed = (
+        qsse.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= 2)
+        .select("q_id", "cent_id")
+    )
+    cand = (
+        F.broadcast(probed)
+        .join(a.select(F.col("vec_id").alias("c_id"), "cent_id"), "cent_id")
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    wn = with_norm(emb)
+    qside = F.broadcast(
+        wn.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    cside = wn.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    scored = (
+        cand.join(qside, "q_id")
+        .join(cside, "c_id")
+        .withColumn(
+            "cosv",
+            cosine(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cosv"), "c_id")
+    ivf5 = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "c_id")
+    )
+    exact5 = brute_force_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    ).select("q_id", "c_id")
+    return (
+        exact5.join(
+            ivf5.withColumn("hit", F.lit(1)), ["q_id", "c_id"], "left"
+        )
+        .groupBy("q_id")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            F.expr("n_hits * 1000000 DIV 5").cast("long").alias("recall_ppm"),
+        )
+        .orderBy("q_id")
+    )

@@ -1153,3 +1153,23 @@ class TestIvfPqSidecar:
             assert len(got) > 0
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestTrainedIvfRecall:
+    def test_v19_recall_floor_and_shape(self, spark, sf_dir):
+        """The trained-IVF recall governor must produce one row per
+        probe query with recall@5 >= the 0.6 serving floor on average
+        (the V5 discipline).  Training optimizes partition SSE, not
+        recall at fixed nprobe — so the floor is on the mean, and the
+        per-query rows are the audit trail."""
+        from biodiversity_graph_db_spark import registry
+
+        registry.load_all()
+        rows = registry.QUERIES["V19_trained_ivf_recall"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 10
+        assert all(0 <= r.n_hits <= 5 for r in rows)
+        assert all(r.recall_ppm == r.n_hits * 1_000_000 // 5 for r in rows)
+        mean = sum(r.n_hits for r in rows) / 50.0
+        assert mean >= 0.6, [tuple(r) for r in rows]
