@@ -3093,3 +3093,75 @@ def t38_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("iw").alias("iw_micronats"), "rank")
         .orderBy("rank")
     )
+
+
+# --- T39: k-anonymity audit over quasi-identifiers --------------------------
+
+
+K_ANON = 5
+_LEN_BUCKET = 100  # n_chars quantization for the quasi-identifier
+
+
+@query(
+    "T39_k_anonymity",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(n_chars // {_LEN_BUCKET} AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, source, len_bucket
+    HAVING COUNT(*) < {K_ANON}
+    ORDER BY lang, source, len_bucket
+    """,
+)
+def t39_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney's k-anonymity, the standard privacy
+    re-identification measure): group the corpus by its quasi-
+    identifier tuple — (lang, source, length bucket) here, the columns
+    an adversary could link against an external dataset — and surface
+    every group smaller than k={K_ANON}.  Documents in an under-k group
+    are re-identifiable by their metadata alone; the privacy complement
+    of T9's content-side PII scan, run before any corpus release
+    (training-data publication is exactly such a release).
+
+    Scale shape: ONE map-side-combinable groupBy over three promoted
+    columns (the text is never read — column pruning leaves a
+    3-column scan); output is bounded by the quasi-identifier
+    cardinality, never the corpus.  The HAVING filter ships in the
+    aggregate, so only risky groups ever leave the reducers."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars DIV {_LEN_BUCKET}").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") < K_ANON)
+        .orderBy("lang", "source", "len_bucket")
+    )
+
+
+def nb_token_counts(docs: DataFrame) -> DataFrame:
+    """The mergeable NB model state: (word, class, cnt) unigram counts
+    over a document set.  Counts ADD under union, so the model is
+    maintainable across micro-batches by grouped sum exactly like the
+    CM sketch (streaming/ingest.run_nb_model); T37's fit step produces
+    these same counts (equivalence pinned in tests)."""
+    return (
+        spread(docs)
+        .select(
+            F.col("lang").alias("c"),
+            F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("w", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def nb_doc_counts(docs: DataFrame) -> DataFrame:
+    """The NB prior state: documents per class — also add-mergeable."""
+    return docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -929,3 +929,65 @@ def attributed_purchases(
         .cast("long")
         .alias("value_x10000"),
     )
+
+
+def nb_model_upsert(
+    batch: DataFrame,
+    batch_id: int,
+    out_path: str,
+    app_id: str | None = None,
+) -> None:
+    """One micro-batch's Naive-Bayes model merge: the (word, class)
+    unigram counts and the per-class doc-count priors both ADD under
+    union (the CM-sketch property), so each batch folds in by grouped
+    sum.  Each of the two state tables carries its own replay stamp
+    and is guarded INDEPENDENTLY — a crash between the two overwrites
+    replays the batch, and the already-committed table skips while the
+    missing one merges, restoring exactly-once for both."""
+    from biodiversity_graph_db_spark.extensions.textstats import (
+        nb_doc_counts,
+        nb_token_counts,
+    )
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    spark = batch.sparkSession
+    for sub, fresh, keys in (
+        ("wc", nb_token_counts(batch), ["w", "c"]),
+        ("prior", nb_doc_counts(batch), ["c"]),
+    ):
+        path = f"{out_path}/{sub}"
+        merged = fresh
+        if _path_exists(spark, path):
+            stored = spark.read.parquet(path)
+            if _replayed(stored, batch_id, app_id):
+                continue  # this table already holds the batch
+            val = "cnt" if sub == "wc" else "n_docs"
+            merged = (
+                fresh.unionByName(stored.drop("last_batch", "last_app"))
+                .groupBy(*keys)
+                .agg(F.sum(val).cast("long").alias(val))
+            )
+        _stamp(merged, batch_id, app_id).localCheckpoint().write.mode(
+            "overwrite"
+        ).parquet(path)
+
+
+def run_nb_model(docs: DataFrame, out_path: str, checkpoint: str):
+    """Streaming Naive-Bayes model maintenance: the learned-filter
+    family's (T37) fit state kept current as labelled documents
+    arrive — `{out}/wc` is the (word, class) count table and
+    `{out}/prior` the per-class doc counts, both add-mergeable and
+    bounded by vocab × classes (never corpus-sized), so a 100 TB
+    stream maintains a broadcast-scale model.  Stream-built ≡
+    batch-fit is pinned bit-for-bit in tests (the run_cm_sketch
+    discipline); scoring reads the store exactly as T37 reads its
+    in-session fit."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        nb_model_upsert(batch, batch_id, out_path, app_id=checkpoint)
+
+    return (
+        docs.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

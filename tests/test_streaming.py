@@ -1716,3 +1716,89 @@ class TestStreamStreamLeftOuter:
             assert not (g_null & {p for p, _ in g_inner})
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingNbModel:
+    def _docs_stream(self, spark, tmp):
+        """Split the fixture documents into 3 parquet files so
+        availableNow + maxFilesPerTrigger drains as 3 micro-batches."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        src = f"{tmp}/docs_src"
+        for i in range(3):
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        ), docs
+
+    def test_stream_model_equals_batch_fit(self, spark):
+        """After draining, the maintained (word, class) counts and the
+        doc-count priors must equal the batch fit over the same
+        documents bit-for-bit — the add-mergeability claim behind
+        maintaining a classifier online."""
+        from biodiversity_graph_db_spark.extensions.textstats import (
+            nb_doc_counts,
+            nb_token_counts,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="nb_stream_")
+        try:
+            stream, docs = self._docs_stream(spark, tmp)
+            q = ingest.run_nb_model(
+                stream, f"{tmp}/model", f"{tmp}/ckpt"
+            ).start()
+            q.awaitTermination(120)
+            got_wc = {
+                (r.w, r.c, r.cnt)
+                for r in spark.read.parquet(f"{tmp}/model/wc").collect()
+            }
+            want_wc = {
+                (r.w, r.c, r.cnt) for r in nb_token_counts(docs).collect()
+            }
+            got_p = {
+                (r.c, r.n_docs)
+                for r in spark.read.parquet(f"{tmp}/model/prior").collect()
+            }
+            want_p = {(r.c, r.n_docs) for r in nb_doc_counts(docs).collect()}
+            assert got_wc == want_wc and len(got_wc) > 0
+            assert got_p == want_p and len(got_p) > 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_replayed_batch_skips_per_table(self, spark):
+        """Counts ADD under merge, so a replayed foreachBatch call must
+        be a no-op for a table that already committed the batch — and
+        the guard is PER TABLE: a crash after the wc overwrite but
+        before the prior overwrite replays into a store where wc must
+        skip while prior still merges."""
+        tmp = tempfile.mkdtemp(prefix="nb_replay_")
+        try:
+            docs = spark.read.parquet(
+                "/root/testdata/sf0.001/documents.parquet"
+            )
+            b0 = docs.where(F.col("doc_id") % 2 == 0)
+            b1 = docs.where(F.col("doc_id") % 2 == 1)
+            out = f"{tmp}/model"
+
+            ingest.nb_model_upsert(b0, 0, out, app_id="A")
+            snap = lambda sub: sorted(
+                map(tuple, spark.read.parquet(f"{out}/{sub}").collect())
+            )
+            wc_after, p_after = snap("wc"), snap("prior")
+            # full replay of batch 0: both tables unchanged
+            ingest.nb_model_upsert(b0, 0, out, app_id="A")
+            assert snap("wc") == wc_after and snap("prior") == p_after
+            # torn crash: wipe prior back to empty, replay batch 0 —
+            # wc must skip (no double count), prior must (re)commit
+            shutil.rmtree(f"{out}/prior")
+            ingest.nb_model_upsert(b0, 0, out, app_id="A")
+            assert snap("wc") == wc_after
+            assert snap("prior") == p_after
+            # next batch still merges into both
+            ingest.nb_model_upsert(b1, 1, out, app_id="A")
+            assert snap("wc") != wc_after and snap("prior") != p_after
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
