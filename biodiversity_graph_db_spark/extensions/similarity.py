@@ -2659,7 +2659,16 @@ def pq_augment_index(spark: SparkSession, path: str) -> None:
     STALE (new vectors have no codes), which ``ivfpq_topk_indexed``
     detects inside the probed partitions and refuses to serve (better
     no answer than silently missing the newest vectors).  Re-run this
-    after appends/compaction, like compact itself."""
+    after appends/compaction, like compact itself.
+
+    Crash window (codebook overwritten, codes not): harmless by
+    construction — the codebook is a DETERMINISTIC function of the
+    index's vector set (md5-rank), so with an unchanged set the
+    interrupted re-augment wrote the identical codebook the old codes
+    were encoded under, and with a changed set the old codes lack the
+    appended vectors and the staleness guard refuses to serve; there
+    is no reachable state where a fresh codebook silently scores stale
+    codes."""
     assigned = _read_assigned(spark, path).select(
         "vec_id", "embedding", "cent_id"
     )
