@@ -2997,6 +2997,11 @@ def v17_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SSE an exact BIGINT sum of squared diffs, centroid update =
     FLOOR(mean) back onto the grid — so there is NO float summation
     anywhere and both engines agree bit-for-bit after any shuffle.
+    Headroom: the per-pair SSE is overflow-safe at any corpus size
+    (≤2.6e14 for 64 dims on this grid); the TOTAL-SSE audit column
+    holds to ~10⁶ vectors worst-case — past that report per-shard
+    partial SSEs (the same combinable sum grouped by shard) or coarsen
+    the grid (SCALE §22).
 
     Scale shape: the exploded (vec, dim, component) table is computed
     ONCE and localCheckpoint-ed (it feeds 4 assignment passes + 3
