@@ -2809,14 +2809,21 @@ def t36_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w, lang AS c, CAST(SUM(m) AS BIGINT) AS cnt
       FROM dw WHERE is_train GROUP BY w, lang
     ),
-    classes AS (
-      SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM wc GROUP BY c
-    ),
-    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wc),
     prior AS (
       SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
     ),
+    -- the class list comes from the PRIOR (doc counts), not from the
+    -- token counts: a train class whose documents are all token-less
+    -- still exists, with tot=0 and the fully-smoothed 1/(0+V)
+    -- likelihood per token (hypothesis-found degenerate case)
+    classes AS (
+      SELECT p.c, CAST(COALESCE(t.tot, 0) AS BIGINT) AS tot
+      FROM prior p LEFT JOIN (
+        SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM wc GROUP BY c
+      ) t ON t.c = p.c
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wc),
     n_train AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n
       FROM documents WHERE doc_id % 2 = 0
@@ -2898,14 +2905,21 @@ def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("m").cast("long").alias("cnt"))
         .localCheckpoint()  # vocab×classes bounded; feeds 3 consumers
     )
-    classes = wc.groupBy("c").agg(F.sum("cnt").cast("long").alias("tot"))
-    vocab = wc.agg(F.countDistinct("w").cast("long").alias("v"))
     prior = (
         d.where(F.col("doc_id") % 2 == 0)
         .groupBy(F.col("lang").alias("c"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .localCheckpoint()  # |classes| rows; feeds the grid AND n_train
     )
+    # class list from the PRIOR, not the token counts: a train class
+    # whose documents are all token-less still exists, with tot=0 and
+    # the fully-smoothed 1/(0+V) per-token likelihood (hypothesis-found)
+    classes = prior.select("c").join(
+        wc.groupBy("c").agg(F.sum("cnt").cast("long").alias("tot")),
+        "c",
+        "left",
+    ).select("c", F.coalesce(F.col("tot"), F.lit(0)).cast("long").alias("tot"))
+    vocab = wc.agg(F.countDistinct("w").cast("long").alias("v"))
     # n_train = Σ_c n_docs_c — derived from the |classes|-row prior, never
     # a second (even column-pruned) pass over the corpus
     n_train = prior.agg(F.sum("n_docs").cast("long").alias("n"))
@@ -3028,7 +3042,10 @@ def t38_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: both LMs quantize per-word as
     qln(cnt+1) − qln(total+V) on exact BIGINT counts (the T37/T36
     idiom); the per-doc sum is BIGINT, so ranking is order-insensitive
-    with doc_id tie-break.
+    with doc_id tie-break.  Token-less documents carry no importance
+    weight and are EXCLUDED from the ranking (weights are over
+    content; a real pipeline length-filters first) — engine, oracle
+    and the pure-Python replay all agree, pinned by hypothesis.
 
     Scale shape: ONE tokenize collapsed to (doc, word, count) and
     localCheckpoint-ed (feeds the model AND the scoring join); the

@@ -1600,7 +1600,12 @@ def _model_dsir(rows):
     v = len(cnt_r)
     tt, tr = sum(cnt_t.values()), sum(cnt_r.values())
     scored = []
+    # token-less docs carry no importance weight and are excluded from
+    # the ranking (the engine and oracle agree; pinned by hypothesis —
+    # the divergence it found was in an earlier version of THIS model)
     for i, _, lang in rows:
+        if not tok[i]:
+            continue
         iw = sum(
             (_qln(cnt_t[w] + 1) - _qln(tt + v))
             - (_qln(cnt_r[w] + 1) - _qln(tr + v))
@@ -1715,3 +1720,86 @@ def test_v17_kmeans_matches_numpy_model(spark, sf_dir):
     moves = [m for _, m, _ in got[1:]]
     assert sses[-1] < sses[0]
     assert all(b <= a for a, b in zip(moves, moves[1:]))
+
+
+# --- T37/T38 on hypothesis-random corpora ----------------------------------
+# The handcrafted model tests pin the known edges (OOV, all-OOV, mixed);
+# these let hypothesis hunt for the ones nobody thought of — score ties,
+# single-word vocabularies, classes present only in the test split,
+# whitespace-only documents, duplicate texts across classes.
+
+_WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_LANG = st.sampled_from(["en", "fr", "zh"])
+
+
+def _doc_text(draw):
+    return " ".join(draw(st.lists(_WORDS, min_size=0, max_size=8)))
+
+
+@st.composite
+def _corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=10))
+    rows = [
+        (i, " ".join(draw(st.lists(_WORDS, min_size=0, max_size=8))),
+         draw(_LANG))
+        for i in range(n)
+    ]
+    # NB needs a non-empty train split with at least one token; DSIR
+    # needs a non-empty vocabulary — regenerate degenerate draws
+    assume(any(i % 2 == 0 and t.strip() for i, t, _ in rows))
+    assume(any(i % 2 == 1 for i, _, _ in rows))
+    assume(any(t.strip() for _, t, _ in rows))
+    return rows
+
+
+def _write_docs(spark, tmp, rows):
+    import os
+
+    spark.createDataFrame(
+        [(i, t, c, "srcX", len(t)) for i, t, c in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_corpus())
+def test_t37_nb_random_corpora(spark, rows):
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark import registry
+
+    registry.load_all()
+    tmp = tempfile.mkdtemp(prefix="t37_hyp_")
+    try:
+        _write_docs(spark, tmp, rows)
+        got = {
+            r.doc_id: (r.true_lang, r.pred_lang, r.score_micronats)
+            for r in registry.QUERIES["T37_nb_langid"](spark, tmp).collect()
+        }
+        want = _model_nb({i: (t, c) for i, t, c in rows})
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_corpus())
+def test_t38_dsir_random_corpora(spark, rows):
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark import registry
+
+    registry.load_all()
+    tmp = tempfile.mkdtemp(prefix="t38_hyp_")
+    try:
+        _write_docs(spark, tmp, rows)
+        got = [
+            (r.doc_id, r.lang, r.iw_micronats, r.rank)
+            for r in registry.QUERIES["T38_dsir_weights"](spark, tmp).collect()
+        ]
+        want = _model_dsir(rows)
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
