@@ -1803,3 +1803,103 @@ def test_t38_dsir_random_corpora(spark, rows):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- V17 Lloyd loop on hypothesis-random vector sets ------------------------
+# The fixture replay (test_v17_kmeans_matches_numpy_model) covers real
+# data; random small vector sets reach the edges the fixture never
+# produces — clusters that EMPTY mid-run (the centroid must drop out in
+# both engines), exact SSE ties (cent_id tie-break), negative and
+# boundary components, fewer vectors than seeds.
+
+
+def _model_km_curve(vecs, iters=3, k=8):
+    """Pure-numpy replay of the quantized-integer Lloyd audit curve for
+    an arbitrary (vec_id -> float components) set; k seeds = first
+    min(k, N) vec_ids, same rules as km_* (floor ×1e6 grid, integer
+    SSE, (sse, cent_id) argmin, floor-mean update, empty clusters drop)."""
+    import numpy as np
+
+    ids = np.array(sorted(vecs), dtype=np.int64)
+    vq = np.floor(
+        np.array([vecs[i] for i in ids], dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    cent_ids = ids[: min(k, len(ids))].copy()
+    cents = vq[: min(k, len(ids))].copy()
+
+    def assign(c, cids):
+        sse = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        order = np.lexsort((np.broadcast_to(cids, sse.shape), sse), axis=1)
+        pick = order[:, 0]
+        return cids[pick], sse[np.arange(len(vq)), pick]
+
+    a_prev, sse_prev = assign(cents, cent_ids)
+    out = [(0, 0, int(sse_prev.sum()))]
+    for it in range(1, iters + 1):
+        new_ids = np.array(sorted(set(a_prev.tolist())), dtype=np.int64)
+        cents = np.stack(
+            [
+                np.floor(
+                    vq[a_prev == c].sum(axis=0).astype(np.float64)
+                    / (a_prev == c).sum()
+                ).astype(np.int64)
+                for c in new_ids
+            ]
+        )
+        a_cur, sse_cur = assign(cents, new_ids)
+        out.append((it, int((a_cur != a_prev).sum()), int(sse_cur.sum())))
+        a_prev = a_cur
+    return out
+
+
+@st.composite
+def _vecset(draw):
+    n = draw(st.integers(min_value=2, max_value=14))
+    dims = draw(st.integers(min_value=1, max_value=4))
+    comp = st.integers(min_value=-40, max_value=40)
+    return {
+        i: [draw(comp) / 8.0 for _ in range(dims)] for i in range(n)
+    }
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_vecset())
+def test_v17_km_loop_random_vectors(spark, vecs):
+    """Drive the km_* building blocks exactly as V17 composes them over
+    a random vector set and demand the identical audit curve from the
+    numpy integer replay — including runs where clusters empty out."""
+    from pyspark.sql import functions as SF
+
+    from biodiversity_graph_db_spark.extensions import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>",
+    )
+    evq = sim.km_quantize(emb)
+    cents = sim.km_seed_centroids(emb, evq)
+    a_prev = sim.km_assign(evq, cents)
+    got = [
+        (
+            0,
+            0,
+            a_prev.agg(SF.sum("ssev").cast("long")).collect()[0][0],
+        )
+    ]
+    for it in range(1, 4):
+        cents = sim.km_update(evq, a_prev)
+        a_cur = sim.km_assign(evq, cents)
+        moved = (
+            a_cur.select("vec_id", SF.col("cent_id").alias("cur"))
+            .join(
+                a_prev.select("vec_id", SF.col("cent_id").alias("prev")),
+                "vec_id",
+            )
+            .where("cur <> prev")
+            .count()
+        )
+        got.append(
+            (it, moved, a_cur.agg(SF.sum("ssev").cast("long")).collect()[0][0])
+        )
+        a_prev = a_cur
+    assert got == _model_km_curve(vecs)
