@@ -181,6 +181,9 @@ HEADLINE = [
     "T38_dsir_weights",
     "V17_kmeans_refine",
     "V18_cluster_purity",
+    "Q3_shipping_priority",
+    "Q5_local_supplier_volume",
+    "T39_k_anonymity",
     # V19_trained_ivf_recall is oracle-graded but not a bench headline:
     # full Lloyd train + IVF serve + the brute-force exact baseline —
     # the V11/V13 audit-query precedent (its scale evidence is SCALE

@@ -556,3 +556,132 @@ def j11_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_checksum"),
     )
+
+
+# --- Q3/Q5: the classic multiway star-join shapes ---------------------------
+# Q1 (aggregations.py) covers the fact-table scan+agg shape; these two
+# cover the join-PLANNING shapes a warehouse engine is judged on — Q3 =
+# selective dimension filter driving a 3-way join into a grouped top-k,
+# Q5 = a 6-table star where three bounded dimensions must broadcast
+# while the two fact tables shuffle on their keys.
+
+
+@query(
+    "Q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 shape): a selective dimension
+    predicate (one market segment) drives a customer⋈orders⋈lineitem
+    pipeline into a per-order revenue rollup and a top-10.
+
+    Scale shape: the segment filter lands IN the customer scan
+    (pushed-down predicate), the filtered customer keys broadcast into
+    the orders join (no fact-side shuffle for the dimension hop), the
+    orders⋈lineitem join shuffles on the order key with both date
+    filters pushed into their scans, and the top-10 is a
+    TakeOrderedAndProject over the grouped rollup — never a full sort.
+    Revenue is the scaled-integer sum, so the top-10 cutoff is
+    order-insensitive (ties broken by date then key)."""
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            o.join(F.broadcast(c.select("c_custkey")), 
+                   F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "Q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): six tables — two facts
+    (orders, lineitem) and four bounded dimensions — rolled up to
+    per-nation revenue where customer and supplier share a nation
+    inside one region.
+
+    Scale shape: region→nation→supplier collapse to ONE broadcast-able
+    filtered dimension (region's predicate prunes nation, nation
+    prunes supplier — the classic star-join dimension reduction);
+    customer joins broadcast too (bounded), so the ONLY shuffle is the
+    orders⋈lineitem fact-fact join on the order key with the date
+    window pushed into the orders scan.  The same plan at 100 TB:
+    dimensions stay broadcast (they grow with entities, not events),
+    facts shuffle once."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey", "n_name")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

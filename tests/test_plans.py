@@ -1595,3 +1595,32 @@ class TestRound8Wave3Plans:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert len(re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.MULTILINE)) >= 1
+
+
+class TestStarJoinPlans:
+    def test_q3_pushdown_broadcast_topk(self, spark, sf_dir):
+        """Q3's segment and date predicates must land IN their scans
+        (PushedFilters), the filtered customer side must broadcast,
+        and the top-10 must be a TakeOrderedAndProject — never a full
+        sort of the rollup."""
+        plan = _plan(spark, sf_dir, "Q3_shipping_priority")
+        assert "EqualTo(c_mktsegment,BUILDING)" in plan
+        assert "LessThan(o_orderdate" in plan
+        assert "GreaterThan(l_shipdate" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q5_star_dimensions_broadcast(self, spark, sf_dir):
+        """Q5's region predicate must push into the region scan and the
+        region→nation→supplier chain plus customer must all join as
+        broadcasts (they are bounded dimensions); the only join allowed
+        to shuffle is fact⋈fact.  No cartesian anywhere despite the
+        two-column (suppkey AND nationkey) join condition."""
+        plan = _plan(spark, sf_dir, "Q5_local_supplier_volume")
+        assert "EqualTo(r_name,ASIA)" in plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
