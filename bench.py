@@ -183,6 +183,7 @@ HEADLINE = [
     "V18_cluster_purity",
     "Q3_shipping_priority",
     "Q5_local_supplier_volume",
+    "Q17_small_quantity_revenue",
     "T39_k_anonymity",
     # V19_trained_ivf_recall is oracle-graded but not a bench headline:
     # full Lloyd train + IVF serve + the brute-force exact baseline —

@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biodiversity_graph_db_spark.operators._util import dquant, dsum, sql_dquant, sql_dsum
+from biodiversity_graph_db_spark.operators._util import (
+    davg,
+    dquant,
+    dsum,
+    sql_davg,
+    sql_dquant,
+    sql_dsum,
+)
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -684,4 +691,54 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(rev).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "Q17_small_quantity_revenue",
+    oracle=f"""
+    WITH avgq AS (
+      SELECT l_partkey,
+             {sql_davg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           {sql_dsum('l.l_extendedprice')} AS small_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < {sql_dquant('0.2 * avg_qty')}
+    GROUP BY l.l_partkey
+    ORDER BY l.l_partkey
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): lineitems whose
+    quantity is below 20% of their part's average — the CORRELATED
+    scalar-subquery shape, written in its decorrelated form (the
+    rewrite every optimizer performs): aggregate the fact once per
+    part key, broadcast the bounded per-part average back onto the
+    same fact, filter, roll up.
+
+    Scale shape: ONE fact shuffle (the per-part average, map-side
+    combinable to |parts| rows) + the brand-filtered part dimension
+    broadcast + the average broadcast back — the fact table is scanned
+    twice but never shuffled twice, and nothing row-expands.  The
+    threshold comparison quantizes the average to the 4-dp grid
+    (sql_dquant) so the < cutoff binds identically in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    avgq = li.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(p.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avgq), "l_partkey")
+        .where(F.col("l_quantity") < dquant(0.2 * F.col("avg_qty")))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+            dsum("l_extendedprice").alias("small_revenue"),
+        )
+        .orderBy("l_partkey")
     )

@@ -1624,3 +1624,17 @@ class TestStarJoinPlans:
         assert plan.count("BroadcastHashJoin") >= 4
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+    def test_q17_aggregate_rejoin_one_fact_shuffle(self, spark, sf_dir):
+        """Q17's decorrelated scalar subquery: the per-part average is
+        the ONLY fact shuffle (map-side-combinable HashAggregate) and
+        rejoins the fact as a BROADCAST; the brand dimension filter is
+        pushed into the part scan.  No cartesian, no sort-merge join —
+        at any scale the fact table is scanned twice but shuffled
+        once."""
+        plan = _plan(spark, sf_dir, "Q17_small_quantity_revenue")
+        assert "EqualTo(p_brand,Brand#1)" in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
