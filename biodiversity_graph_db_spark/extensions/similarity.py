@@ -3327,3 +3327,154 @@ def v19_trained_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --- V20: reciprocal-rank-fusion hybrid retrieval ---------------------------
+# The standard hybrid-search serving composition (RRF, Cormack et al.):
+# fuse a LEXICAL ranking (T27's BM25 for the fixed probe query) with a
+# VECTOR ranking (cosine to the probe embedding, vec_id 0) by summing
+# 1/(K + rank) across the lists.  Every RAG stack ships exactly this —
+# lexical catches exact terms the embedding smooths over, the embedding
+# catches paraphrase the lexical side misses, and RRF needs no score
+# calibration between the two (it only consumes RANKS, which is why it
+# is the production default over weighted score sums).
+
+RRF_K = 60
+RRF_DEPTH = 20  # fuse the top-20 of each list
+RRF_TOPK = 10
+
+
+@query(
+    "V20_rrf_hybrid",
+    oracle=f"""
+    WITH btoks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    bdl AS (SELECT doc_id, COUNT(*) AS dl FROM btoks GROUP BY doc_id),
+    bstats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                      COUNT(*) AS n_docs
+               FROM bdl),
+    btf AS (SELECT doc_id, token, COUNT(*) AS tf FROM btoks
+            WHERE token IN ('hash', 'merge', 'vector')
+            GROUP BY doc_id, token),
+    bdfreq AS (SELECT token, COUNT(*) AS df FROM btf GROUP BY token),
+    bscored AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(
+               (FLOOR(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                      * 1e6) / 1e6)
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))))
+               * 1e6) AS BIGINT) AS s_i
+      FROM btf t
+      JOIN bdfreq d USING (token)
+      JOIN bdl l USING (doc_id)
+      CROSS JOIN bstats s
+    ),
+    bagg AS (SELECT doc_id, CAST(SUM(s_i) AS BIGINT) AS score_scaled
+             FROM bscored GROUP BY doc_id),
+    bm AS (
+      SELECT doc_id, rk FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id)
+                    AS BIGINT) AS rk
+        FROM bagg
+      ) WHERE rk <= {RRF_DEPTH}
+    ),
+    norms AS ({_NORM_SQL}),
+    vterms AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             unnest(q.embedding) AS qa, unnest(c.embedding) AS cb
+      FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+      CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id
+    ),
+    vdots AS (
+      SELECT q_id, c_id,
+             SUM(CAST(FLOOR(CAST(qa AS DOUBLE) * CAST(cb AS DOUBLE) * 1e12)
+                 AS BIGINT)) AS dot
+      FROM vterms GROUP BY q_id, c_id
+    ),
+    vec AS (
+      SELECT c_id AS doc_id, rk FROM (
+        SELECT d.c_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                                       * CAST(nc.norm_sq AS DOUBLE)) DESC,
+                          d.c_id) AS BIGINT) AS rk
+        FROM vdots d
+        JOIN norms nq ON nq.vec_id = d.q_id
+        JOIN norms nc ON nc.vec_id = d.c_id
+      ) WHERE rk <= {RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             CAST(COALESCE(b.rk, 0) AS BIGINT) AS bm25_rk,
+             CAST(COALESCE(v.rk, 0) AS BIGINT) AS vec_rk,
+             CAST(
+               CASE WHEN b.rk IS NULL THEN 0
+                    ELSE CAST(FLOOR(1000000.0 / ({RRF_K} + b.rk)) AS BIGINT)
+               END
+               + CASE WHEN v.rk IS NULL THEN 0
+                      ELSE CAST(FLOOR(1000000.0 / ({RRF_K} + v.rk)) AS BIGINT)
+                 END AS BIGINT) AS rrf_micro
+      FROM bm b FULL OUTER JOIN vec v ON b.doc_id = v.doc_id
+    )
+    SELECT doc_id, rrf_micro, bm25_rk, vec_rk,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    ORDER BY fused_rank
+    LIMIT {RRF_TOPK}
+    """,
+)
+def v20_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: T27's BM25 top-20
+    (lexical) and the exact cosine top-20 to the probe embedding
+    (vec_id 0) fuse as Σ 1/({RRF_K}+rank), quantized to micro-units so
+    the fused order is integer-exact; absent ranks contribute 0 and
+    report as rank 0 in the audit columns.  RRF is THE production
+    hybrid-search default because it consumes only ranks — no score
+    calibration between a BM25 scale and a cosine scale.
+
+    Scale shape: both input rankings are already top-{RRF_DEPTH}
+    bounded (BM25's rollup + the ANN top-k — in production the vector
+    side is the V3/V16 pruned path; the exact side here keeps the
+    oracle replayable end-to-end), so the fusion is a full-outer join
+    of two {RRF_DEPTH}-row lists — driver-trivial at any corpus
+    size."""
+    from biodiversity_graph_db_spark.extensions.textstats import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bm = (
+        bm25_topk(docs, k=RRF_DEPTH)
+        .select("doc_id", F.col("rk").cast("long").alias("bm_rk"))
+    )
+    vec = (
+        brute_force_topk(emb.where(F.col("vec_id") == 0), emb, k=RRF_DEPTH)
+        .select(F.col("c_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("v_rk"))
+    )
+    contrib = lambda rk: F.when(rk.isNull(), F.lit(0).cast("long")).otherwise(
+        F.floor(F.lit(1_000_000.0) / (F.lit(RRF_K) + rk)).cast("long")
+    )
+    fused = (
+        bm.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (contrib(F.col("bm_rk")) + contrib(F.col("v_rk")))
+            .cast("long")
+            .alias("rrf_micro"),
+            F.coalesce(F.col("bm_rk"), F.lit(0)).cast("long").alias("bm25_rk"),
+            F.coalesce(F.col("v_rk"), F.lit(0)).cast("long").alias("vec_rk"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= RRF_TOPK)
+        .select("doc_id", "rrf_micro", "bm25_rk", "vec_rk", "fused_rank")
+        .orderBy("fused_rank")
+    )
