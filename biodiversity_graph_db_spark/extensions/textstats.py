@@ -3182,3 +3182,76 @@ def nb_doc_counts(docs: DataFrame) -> DataFrame:
     return docs.groupBy(F.col("lang").alias("c")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# --- T40: Heaps'-law vocabulary growth curve --------------------------------
+
+
+@query(
+    "T40_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    firsts AS (
+      SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM tok WHERE w <> '' GROUP BY w
+    ),
+    n AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM documents),
+    bucketed AS (
+      SELECT CAST(LEAST(f.first_doc * 10 // n.n_docs, 9) AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS new_words
+      FROM firsts f CROSS JOIN n
+      GROUP BY decile
+    )
+    SELECT decile, new_words,
+           CAST(SUM(new_words) OVER (ORDER BY decile) AS BIGINT)
+             AS vocab_size
+    FROM bucketed
+    ORDER BY decile
+    """,
+)
+def t40_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct-word count as
+    the corpus is consumed in doc_id order, reported per decile — the
+    corpus-diversity audit (a flattening curve means new data is
+    adding tokens but no new language; a steep one means the domain is
+    still unexplored), read before deciding whether more of a source
+    is worth ingesting (D6's domain caps act on what this measures).
+
+    Scale shape: the naive form ("distinct words in the first k% of
+    docs", k times) is k corpus passes with giant distinct states; the
+    scale-right identity is FIRST-OCCURRENCE bucketing — vocab(t) =
+    |{w : first_doc(w) ≤ t}| — which is ONE tokenize pass, ONE
+    map-side-combinable MIN per word (vocab-bounded), a 10-row decile
+    rollup and a 10-row running sum.  The running 'distinct count'
+    never materializes a distinct state larger than the vocabulary."""
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    firsts = (
+        d.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.min("doc_id").cast("long").alias("first_doc"))
+    )
+    n = d.agg((F.max("doc_id") + 1).cast("long").alias("n_docs"))
+    bucketed = (
+        firsts.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.least(
+                F.expr("first_doc * 10 DIV n_docs"), F.lit(9).cast("long")
+            ).alias("decile")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("new_words"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bucketed.withColumn(
+            "vocab_size", F.sum("new_words").over(w).cast("long")
+        )
+        .orderBy("decile")
+    )
