@@ -1903,3 +1903,32 @@ def test_v17_km_loop_random_vectors(spark, vecs):
         )
         a_prev = a_cur
     assert got == _model_km_curve(vecs)
+
+
+# --- D13 span chaining on hypothesis-random corpora --------------------------
+# The handcrafted corpus in test_d13_spans_match_model pins the known
+# chaining edges; random tiny-vocab docs make shared grams and broken
+# diagonals COMMON (a 3-word alphabet with k=3 collides constantly), so
+# hypothesis hunts the chaining/df-cap/self-diagonal interactions nobody
+# scripted.
+
+
+@st.composite
+def _span_corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=6))
+    word = st.sampled_from(["x", "y", "z"])
+    return [
+        (i, " ".join(draw(st.lists(word, min_size=0, max_size=12))))
+        for i in range(n)
+    ]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_span_corpus(), k=st.integers(min_value=2, max_value=4))
+def test_d13_spans_random_corpora(spark, docs, k):
+    from biodiversity_graph_db_spark.extensions.dedup import shared_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in shared_spans(df, k=k).collect())
+    want = _model_shared_spans(docs, k=k)
+    assert got == want
