@@ -1932,3 +1932,60 @@ def test_d13_spans_random_corpora(spark, docs, k):
     got = sorted(tuple(r) for r in shared_spans(df, k=k).collect())
     want = _model_shared_spans(docs, k=k)
     assert got == want
+
+
+# --- T14 chunking vs a pure-Python model ------------------------------------
+# Oracle parity proves Spark ≡ DuckDB, but both spell the SAME
+# n_chunks/slice formula — the shared-misconception class the T37
+# class-grid bug proved real.  The model below derives chunk bounds
+# from first principles (emit windows until the previous one reached
+# the end), so an off-by-one in the shared ceil() arithmetic would
+# diverge here even though parity stays green.
+
+
+def _model_chunks(rows, size=50, overlap=10):
+    stride = size - overlap
+    out = []
+    for doc_id, text in rows:
+        toks = re.sub(r"\s+", " ", text.strip()).split(" ")
+        cid = 0
+        while True:
+            chunk = toks[cid * stride : cid * stride + size]
+            out.append((doc_id, cid, len(chunk), " ".join(chunk)))
+            if cid * stride + size >= len(toks):
+                break
+            cid += 1
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lengths=st.lists(
+        st.integers(min_value=1, max_value=160), min_size=1, max_size=8
+    )
+)
+def test_t14_chunking_matches_model(spark, lengths):
+    import os
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark import registry
+
+    registry.load_all()
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    tmp = tempfile.mkdtemp(prefix="t14_hyp_")
+    try:
+        spark.createDataFrame(
+            [(i, t, "en", "srcX", len(t)) for i, t in rows],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+            for r in registry.QUERIES["T14_chunking"](spark, tmp).collect()
+        )
+        assert got == _model_chunks(rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
