@@ -187,6 +187,7 @@ HEADLINE = [
     "T39_k_anonymity",
     "V20_rrf_hybrid",
     "T40_vocab_growth",
+    "Q4_priority_exists",
     # V19_trained_ivf_recall is oracle-graded but not a bench headline:
     # full Lloyd train + IVF serve + the brute-force exact baseline —
     # the V11/V13 audit-query precedent (its scale evidence is SCALE

@@ -48,9 +48,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
     # ---- ROUND-8 WINDOW (first 50 = the driver's grading window) ----
-    # r9 NOTE: 18 queries registered this round sit PAST the window and
+    # r9 NOTE: 19 queries registered this round sit PAST the window and
     # need first driver grades next round — D13/D14, V12-V20, T37-T40,
-    # Q3/Q5/Q17 (the NB streaming maintainer stays test-only); rotate
+    # Q3/Q4/Q5/Q17 (the NB streaming maintainer stays test-only); rotate
     # them to the head of the r9 window, then refresh the oldest r5
     # grades with the remaining slots.
     # (0) VERDICT r7 item 1: the 35 queries whose newest driver grade

@@ -1638,3 +1638,15 @@ class TestStarJoinPlans:
         assert plan.count("BroadcastHashJoin") >= 2
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+    def test_q4_exists_plans_as_semi_join(self, spark, sf_dir):
+        """The EXISTS decorrelation must plan as a LEFT SEMI join (one
+        output row per qualifying order regardless of match count) with
+        both predicates pushed into their scans."""
+        plan = _plan(spark, sf_dir, "Q4_priority_exists")
+        assert "LeftSemi" in plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan
+        assert "GreaterThanOrEqual(l_quantity,45" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
