@@ -47,16 +47,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a previous round and (b) still covered every run by the local oracle-
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-8 WINDOW (first 50 = the driver's grading window) ----
-    # r9 NOTE: 19 queries registered this round sit PAST the window and
-    # need first driver grades next round — D13/D14, V12-V20, T37-T40,
-    # Q3/Q4/Q5/Q17 (the NB streaming maintainer stays test-only); rotate
-    # them to the head of the r9 window, then refresh the oldest r5
-    # grades with the remaining slots.
-    # (0) VERDICT r7 item 1: the 35 queries whose newest driver grade
-    # was r4 — three rounds of session-wide plan changes (pmod hashes,
-    # InferFiltersFromGenerate excluded, parallelism guards) shipped
-    # since; rotate them all in before anything new.
+    # ---- ROUND-9 WINDOW (first 50 = the driver's grading window) ----
+    # r10 NOTE: any query registered in round 9 sits past the window and
+    # needs a first driver grade in r10; rotate it to the head, then the
+    # "remaining r5 grades" block below, then the oldest r6 grades.
+    # (0) VERDICT r8 item 1: first driver grades for the 19 queries
+    # registered in round 8 (local triple-SF parity + plan pins only).
+    "Q3_shipping_priority",
+    "Q4_priority_exists",
+    "Q5_local_supplier_volume",
+    "Q17_small_quantity_revenue",
+    "D13_shared_spans",
+    "D14_span_purge",
+    "V12_pq_adc_topk",
+    "V13_pq_recall",
+    "V14_pq_rerank",
+    "V15_ivfpq_topk",
+    "V16_ivfpq_indexed",
+    "V17_kmeans_refine",
+    "V18_cluster_purity",
+    "V19_trained_ivf_recall",
+    "V20_rrf_hybrid",
+    "T37_nb_langid",
+    "T38_dsir_weights",
+    "T39_k_anonymity",
+    "T40_vocab_growth",
+    # (1) the 31 oldest driver grades (r5) — three sessions of plan
+    # changes shipped since; refresh in VERDICT-suggested order.
+    "W1_next_in_sequence",
+    "W1_seed_next_chain",
+    "W2_temporal_extent",
+    "W3_moving_smooth",
+    "W4_sessionize",
+    "W5_tumbling_window",
+    "W6_sliding_window",
+    "W7_resample_ffill",
+    "G1_star_one_hop",
+    "G2_hierarchy_closure",
+    "G4_holocene_contains",
+    "G5_triangle_count",
+    "G6_pagerank",
+    "G9_label_propagation",
+    "G12_scc",
+    "V1_cosine_topk",
+    "V2_embedding_neardup",
+    "MM1_media_decode_metadata",
+    "MM2_frame_sample",
+    "MM3_media_embedding",
+    "K1_source_keys",
+    "K2_population_keys",
+    "Q1_pricing_summary",
+    "J2G_evidence_extract",
+    "A5_array_sections_complete",
+    "C1_age_depth_interpolate",
+    "D1_neardup_clusters",
+    "D2_semantic_dedup",
+    "D3_quality_canonical",
+    "E4b_fuzzy_name_match_d2",
+    "ED2_database_access_date",
+    # ---- past the window: everything below is driver-green r5+ and
+    # re-verified every run by tests/test_oracle_parity.py ----
+    # remaining r5 grades — head of the r10 rotation
+    "ED3_calibration_curves",
+    "F1_point_lookup",
+    "F10_conditional_route",
+    "GEO4b_radius_sites_geodesic",
+    "J1_one_hop_traversal",
+    "S14_seed_statistics",
+    "S4_batch_key_lookup",
+    "T6_winnow_fingerprints",
+    "T21_boilerplate_frac",
+    # r6+ grades, most recent last
     "C2_radiocarbon_calibrate",
     "E1_ngram_jaccard_topk",
     "E2_minhash_lsh_neardup",
@@ -92,8 +153,6 @@ PRIORITY: tuple[str, ...] = (
     "T2_quality_scores",
     "T3_fingerprint_dedup",
     "T5_langid_ngram",
-    # (1) NEW round-8 queries — first driver grade needed (inserted
-    # here as they are added; rotation(35) + new + r5 fills = 50)
     "V11_filtered_recall",
     "O6_stratified_sample",
     "J11_band_join",
@@ -108,50 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "O8_weighted_sample",
     "D12_source_overlap",
     "ED6_type_transitions",
-    # (2) plan-changed re-grade (the r7 D5/T8 precedent): the round-8
-    # audit restructured T27's tokenize to one checkpointed pass —
-    # rotation(35) + new(14) + 1 re-grade = 50
     "T27_bm25_topk",
-    "V1_cosine_topk",
-    "T21_boilerplate_frac",
-    "T6_winnow_fingerprints",
-    "E4b_fuzzy_name_match_d2",
-    "D1_neardup_clusters",
-    "D2_semantic_dedup",
-    "D3_quality_canonical",
-    "W7_resample_ffill",
-    "G9_label_propagation",
-    "A5_array_sections_complete",
-    "C1_age_depth_interpolate",
-    "ED2_database_access_date",
-    "ED3_calibration_curves",
-    "F10_conditional_route",
-    "F1_point_lookup",
-    "G12_scc",
-    "G1_star_one_hop",
-    "G2_hierarchy_closure",
-    "G4_holocene_contains",
-    "G5_triangle_count",
-    "G6_pagerank",
-    "GEO4b_radius_sites_geodesic",
-    "J1_one_hop_traversal",
-    "J2G_evidence_extract",
-    "K1_source_keys",
-    "K2_population_keys",
-    "MM1_media_decode_metadata",
-    "MM2_frame_sample",
-    "MM3_media_embedding",
-    "Q1_pricing_summary",
-    "S14_seed_statistics",
-    "S4_batch_key_lookup",
-    "V2_embedding_neardup",
-    "W1_next_in_sequence",
-    "W1_seed_next_chain",
-    "W2_temporal_extent",
-    "W3_moving_smooth",
-    "W4_sessionize",
-    "W5_tumbling_window",
-    "W6_sliding_window",
     "A2_group_by_type",
     "A8_rollup_stats",
     "D6_domain_cap",
@@ -201,9 +217,6 @@ PRIORITY: tuple[str, ...] = (
     "X13_validation_suite",
     "X5_old_date_normalization",
     "X7_author_display",
-    # ---- past the window: every remaining query is r6/r7-driver-
-    # green and re-verified each run by the local gate replica
-    # (tests/test_oracle_parity.py)
     "T8_contamination_overlap",
     "D5_contamination_purge",
     "D7_split_leakage",
