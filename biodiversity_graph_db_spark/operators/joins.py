@@ -212,13 +212,15 @@ def j6_hyperedge_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperedge star expansion (addProxiedTaxon'/commitProxiedTaxon,
     Storage.fs:396-423; the proxy⇄method⇄taxon⇄outcome hub): the lineitem
     row is the hyperedge, its FKs are the InferredFrom/Using/As spokes.
-    part/supplier broadcast; orders joins on the already-partitioned key."""
+    part/supplier joins are hint-free (they grow with SF — the planner
+    broadcasts them at bench scale, shuffles at 100 TB; ADVICE r8);
+    orders joins on the already-partitioned key."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_quantity") == 50) & (F.col("l_discount") >= 0.09)
     )
     o = table(spark, sf_dir, "orders")
-    p = F.broadcast(table(spark, sf_dir, "part"))
-    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
     net = dquant(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -596,11 +598,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline into a per-order revenue rollup and a top-10.
 
     Scale shape: the segment filter lands IN the customer scan
-    (pushed-down predicate), the filtered customer keys broadcast into
-    the orders join (no fact-side shuffle for the dimension hop), the
-    orders⋈lineitem join shuffles on the order key with both date
-    filters pushed into their scans, and the top-10 is a
-    TakeOrderedAndProject over the grouped rollup — never a full sort.
+    (pushed-down predicate); the customer⋈orders join carries NO
+    broadcast hint — customer grows with scale factor, so the planner
+    (size estimate + AQE) broadcasts it at bench SFs and shuffles both
+    sides on the customer key at 100 TB; the orders⋈lineitem join
+    shuffles on the order key with both date filters pushed into their
+    scans; and the top-10 is a TakeOrderedAndProject over the grouped
+    rollup — never a full sort.  The projection sits BEFORE the
+    orderBy/limit so the ordered top-10 is the terminal operator (a
+    trailing select could let a plan change reorder the rows).
     Revenue is the scaled-integer sum, so the top-10 cutoff is
     order-insensitive (ties broken by date then key)."""
     c = table(spark, sf_dir, "customer").where(
@@ -615,16 +621,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(
-            o.join(F.broadcast(c.select("c_custkey")), 
+            o.join(c.select("c_custkey"),
                    F.col("o_custkey") == F.col("c_custkey"))
             .select("o_orderkey", "o_orderdate", "o_orderpriority"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 
 
@@ -653,14 +659,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-nation revenue where customer and supplier share a nation
     inside one region.
 
-    Scale shape: region→nation→supplier collapse to ONE broadcast-able
-    filtered dimension (region's predicate prunes nation, nation
-    prunes supplier — the classic star-join dimension reduction);
-    customer joins broadcast too (bounded), so the ONLY shuffle is the
-    orders⋈lineitem fact-fact join on the order key with the date
-    window pushed into the orders scan.  The same plan at 100 TB:
-    dimensions stay broadcast (they grow with entities, not events),
-    facts shuffle once."""
+    Scale shape: region (5 rows) and the region-pruned nation (≤25
+    rows) are FIXED-cardinality dimensions — those two carry explicit
+    broadcast hints because they are bounded at any scale.  Supplier
+    and customer grow with scale factor, so their joins carry NO hint:
+    the planner (size estimate + AQE) broadcasts them at bench SFs and
+    falls back to key-shuffles at 100 TB.  The orders⋈lineitem
+    fact-fact join shuffles on the order key with the date window
+    pushed into the orders scan."""
     r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation").join(
         F.broadcast(r.select("r_regionkey")),
@@ -680,11 +686,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            c.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
-            F.broadcast(s.select("s_suppkey", "s_nationkey", "n_name")),
+            s.select("s_suppkey", "s_nationkey", "n_name"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -721,19 +727,24 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part key, broadcast the bounded per-part average back onto the
     same fact, filter, roll up.
 
-    Scale shape: ONE fact shuffle (the per-part average, map-side
-    combinable to |parts| rows) + the brand-filtered part dimension
-    broadcast + the average broadcast back — the fact table is scanned
-    twice but never shuffled twice, and nothing row-expands.  The
-    threshold comparison quantizes the average to the 4-dp grid
-    (sql_dquant) so the < cutoff binds identically in both engines."""
+    Scale shape: the per-part average is a map-side-combinable
+    aggregate (one fact shuffle down to |parts| rows); its rejoin onto
+    the fact carries NO broadcast hint — |parts| grows with scale
+    factor, so the planner's size estimate broadcasts it at bench SFs
+    while at 100 TB the rejoin becomes a partkey-co-partitioned
+    shuffle join (both sides hash on l_partkey; the aggregate side
+    arrives pre-partitioned from its own groupBy).  The brand filter
+    is pushed into the part scan; that dimension join is also left to
+    the planner.  Nothing row-expands.  The threshold comparison
+    quantizes the average to the 4-dp grid (sql_dquant) so the <
+    cutoff binds identically in both engines."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
     avgq = li.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
     return (
-        li.join(F.broadcast(p.select("p_partkey")),
+        li.join(p.select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avgq), "l_partkey")
+        .join(avgq, "l_partkey")
         .where(F.col("l_quantity") < dquant(0.2 * F.col("avg_qty")))
         .groupBy("l_partkey")
         .agg(

@@ -1600,9 +1600,11 @@ class TestRound8Wave3Plans:
 class TestStarJoinPlans:
     def test_q3_pushdown_broadcast_topk(self, spark, sf_dir):
         """Q3's segment and date predicates must land IN their scans
-        (PushedFilters), the filtered customer side must broadcast,
-        and the top-10 must be a TakeOrderedAndProject — never a full
-        sort of the rollup."""
+        (PushedFilters), the planner must pick broadcasts for the
+        bench-scale dimension hops WITHOUT an explicit hint (customer
+        is scale-proportional, so the code must not pin it — ADVICE
+        r8), and the top-10 must be a TakeOrderedAndProject — never a
+        full sort of the rollup."""
         plan = _plan(spark, sf_dir, "Q3_shipping_priority")
         assert "EqualTo(c_mktsegment,BUILDING)" in plan
         assert "LessThan(o_orderdate" in plan
@@ -1613,11 +1615,13 @@ class TestStarJoinPlans:
         assert "BroadcastNestedLoopJoin" not in plan
 
     def test_q5_star_dimensions_broadcast(self, spark, sf_dir):
-        """Q5's region predicate must push into the region scan and the
-        region→nation→supplier chain plus customer must all join as
-        broadcasts (they are bounded dimensions); the only join allowed
-        to shuffle is fact⋈fact.  No cartesian anywhere despite the
-        two-column (suppkey AND nationkey) join condition."""
+        """Q5's region predicate must push into the region scan; region
+        and region-pruned nation carry explicit broadcast hints (fixed
+        cardinality), while supplier/customer are hint-free and the
+        planner still broadcasts them at bench SFs (ADVICE r8: no
+        pinned broadcast on scale-proportional tables).  No cartesian
+        anywhere despite the two-column (suppkey AND nationkey) join
+        condition."""
         plan = _plan(spark, sf_dir, "Q5_local_supplier_volume")
         assert "EqualTo(r_name,ASIA)" in plan
         assert "GreaterThanOrEqual(o_orderdate" in plan
@@ -1628,11 +1632,12 @@ class TestStarJoinPlans:
 
     def test_q17_aggregate_rejoin_one_fact_shuffle(self, spark, sf_dir):
         """Q17's decorrelated scalar subquery: the per-part average is
-        the ONLY fact shuffle (map-side-combinable HashAggregate) and
-        rejoins the fact as a BROADCAST; the brand dimension filter is
-        pushed into the part scan.  No cartesian, no sort-merge join —
-        at any scale the fact table is scanned twice but shuffled
-        once."""
+        a map-side-combinable HashAggregate whose rejoin is HINT-FREE
+        (ADVICE r8: |parts| grows with SF, so the code must not pin a
+        broadcast); at bench SFs the planner's size estimate still
+        broadcasts it, at 100 TB it becomes a partkey-co-partitioned
+        shuffle join.  The brand dimension filter is pushed into the
+        part scan.  No cartesian."""
         plan = _plan(spark, sf_dir, "Q17_small_quantity_revenue")
         assert "EqualTo(p_brand,Brand#1)" in plan
         assert plan.count("BroadcastHashJoin") >= 2
