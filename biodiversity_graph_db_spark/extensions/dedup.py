@@ -1268,15 +1268,26 @@ def d13_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pa - row_number()``, so span extraction is one window over the
     bounded match table, never a per-pair sort of raw text.  At 100 TB
     the match table is bounded by real re-use x df-cap, not corpus
-    size.  Positions are 1-based in both engines (posexplode + 1)."""
+    size.  Positions are 1-based in both engines (posexplode + 1).
+
+    Semantics note (round 9): ``shared_tokens`` sums run lengths across
+    DIAGONALS, so a gram repeated inside one doc contributes once per
+    shifted alignment — it is match-MASS, a detection stat that can
+    exceed ``n_tokens`` on repetition-heavy docs.  The D14 purge
+    decision therefore uses ``span_coverage`` (distinct covered
+    positions, always <= n_tokens), not this column."""
     return shared_spans(table(spark, sf_dir, "documents"))
 
 
-def shared_spans(
+def _span_pairs(
     d: DataFrame, k: int = SPAN_K, df_cap: int = SPAN_DF_CAP
 ) -> DataFrame:
-    """Core of D13 over any (doc_id, text) DataFrame — see
-    ``d13_shared_spans`` for semantics and plan shape."""
+    """The shared gram/pair stage of D13/D14 over any (doc_id, text)
+    DataFrame: one checkpointed stride-1 gram pass, the df-cap hub
+    guard, and the gram-keyed pair self-join.  Returns
+    (doc_a, doc_b, pa, pb) matched 1-based positions with
+    doc_a < doc_b — see ``d13_shared_spans`` for the plan-shape
+    argument."""
     from biodiversity_graph_db_spark.extensions.textstats import (
         norm_tokens,
         token_kgrams,
@@ -1307,10 +1318,20 @@ def shared_spans(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
     )
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
-    pr = (
+    return (
         a.join(b, "g")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+        .select("doc_a", "doc_b", "pa", "pb")
+    )
+
+
+def shared_spans(
+    d: DataFrame, k: int = SPAN_K, df_cap: int = SPAN_DF_CAP
+) -> DataFrame:
+    """Core of D13 over any (doc_id, text) DataFrame — see
+    ``d13_shared_spans`` for semantics and plan shape."""
+    pr = _span_pairs(d, k, df_cap).withColumn(
+        "diag", F.col("pa") - F.col("pb")
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = (
@@ -1331,8 +1352,41 @@ def shared_spans(
     )
 
 
-SPAN_PURGE_PPM = 300000  # drop a doc when >=30% of its tokens are spans
-# shared with an earlier doc
+def span_coverage(
+    d: DataFrame, k: int = SPAN_K, df_cap: int = SPAN_DF_CAP
+) -> DataFrame:
+    """Distinct-position span coverage per pair — how many of doc_b's
+    token positions fall inside ANY k-gram it shares with doc_a.
+    Unlike ``shared_spans.shared_tokens`` (match mass across
+    diagonals, which double-counts when a gram repeats inside one
+    doc), coverage is a true fraction: each matched position pb
+    covers the interval [pb, pb+k-1], and the result is the size of
+    the UNION of those intervals — so ``covered_tokens <= n_tokens``
+    by construction (ADVICE r8: dup_ppm could exceed 1e6 on
+    repetition-heavy docs and fire the purge on <30% distinct reuse).
+
+    Interval-union without islands: over the DISTINCT sorted pbs of a
+    pair, position pb contributes ``min(k, next_pb - pb)`` new covered
+    tokens (k for the last one) — one ``lead`` window over the bounded
+    match table plus a combinable SUM, no per-pair sort of raw text."""
+    pbd = _span_pairs(d, k, df_cap).select("doc_a", "doc_b", "pb").distinct()
+    w = Window.partitionBy("doc_a", "doc_b").orderBy("pb")
+    return (
+        pbd.withColumn("nxt", F.lead("pb").over(w))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("nxt").isNull(), F.lit(k))
+            .otherwise(F.least(F.lit(k), F.col("nxt") - F.col("pb")))
+            .alias("c"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("c").cast("long").alias("covered_tokens"))
+    )
+
+
+SPAN_PURGE_PPM = 300000  # drop a doc when >=30% of its tokens are COVERED
+# by spans shared with an earlier doc (distinct positions, never mass)
 
 
 @query(
@@ -1361,40 +1415,37 @@ SPAN_PURGE_PPM = 300000  # drop a doc when >=30% of its tokens are spans
       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
       WHERE a.g IN (SELECT g FROM keep)
     ),
-    isl AS (
-      SELECT doc_a, doc_b, pa,
-             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
-                                     ORDER BY pa) AS isl_id,
-             pa - pb AS diag
-      FROM pr
+    pbd AS (
+      SELECT DISTINCT doc_a, doc_b, pb FROM pr
     ),
-    runs AS (
-      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run_len
-      FROM isl GROUP BY doc_a, doc_b, diag, isl_id
-    ),
-    spans AS (
+    cov AS (
       SELECT doc_a, doc_b,
-             CAST(SUM(run_len) + {SPAN_K - 1} * COUNT(*) AS BIGINT)
-               AS shared_tokens
-      FROM runs GROUP BY doc_a, doc_b
+             CAST(SUM(CASE WHEN nxt IS NULL THEN {SPAN_K}
+                           ELSE LEAST({SPAN_K}, nxt - pb) END) AS BIGINT)
+               AS covered_tokens
+      FROM (
+        SELECT doc_a, doc_b, pb,
+               LEAD(pb) OVER (PARTITION BY doc_a, doc_b ORDER BY pb) AS nxt
+        FROM pbd
+      ) GROUP BY doc_a, doc_b
     ),
     worst AS (
-      SELECT doc_b AS doc_id, doc_a AS worst_partner, shared_tokens
+      SELECT doc_b AS doc_id, doc_a AS worst_partner, covered_tokens
       FROM (
-        SELECT doc_a, doc_b, shared_tokens,
+        SELECT doc_a, doc_b, covered_tokens,
                ROW_NUMBER() OVER (PARTITION BY doc_b
-                                  ORDER BY shared_tokens DESC, doc_a) AS rk
-        FROM spans
+                                  ORDER BY covered_tokens DESC, doc_a) AS rk
+        FROM cov
       ) WHERE rk = 1
     ),
     nt AS (
       SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks
     )
-    SELECT w.doc_id, w.worst_partner, w.shared_tokens, nt.n_tokens,
-           CAST(w.shared_tokens * 1000000 // nt.n_tokens AS BIGINT)
+    SELECT w.doc_id, w.worst_partner, w.covered_tokens, nt.n_tokens,
+           CAST(w.covered_tokens * 1000000 // nt.n_tokens AS BIGINT)
              AS dup_ppm
     FROM worst w JOIN nt USING (doc_id)
-    WHERE w.shared_tokens * 1000000 // nt.n_tokens >= {SPAN_PURGE_PPM}
+    WHERE w.covered_tokens * 1000000 // nt.n_tokens >= {SPAN_PURGE_PPM}
     ORDER BY doc_id
     """,
 )
@@ -1402,25 +1453,32 @@ def d14_span_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-based PURGE decision on top of D13's detection — the
     detect→purge pair the engine already ships for benchmark
     contamination (T8→D5), applied to intra-corpus verbatim re-use:
-    a document whose worst earlier partner shares >= 30% of its tokens
-    in contiguous spans is a re-syndication/quote-wrapper and is
-    dropped (keeper = the earlier doc_id, the T3/D1/D11 canonical
-    rule).  Output: the dropped docs with the partner, the span token
-    mass and the dup fraction (ppm) — the audit trail a curation run
-    logs next to T32.
+    a document whose worst earlier partner COVERS >= 30% of its token
+    positions with shared contiguous spans is a re-syndication/quote-
+    wrapper and is dropped (keeper = the earlier doc_id, the
+    T3/D1/D11 canonical rule).  Output: the dropped docs with the
+    partner, the covered-token count and the dup fraction (ppm) — the
+    audit trail a curation run logs next to T32.
 
-    Scale shape: D13's plan end-to-end (one checkpointed gram pass,
-    df-capped pair join, one chaining window) plus ONE bounded window
-    over the pair table (worst partner per doc) and a column-pruned
-    token-count join back to documents; the ppm is integer DIV, the
-    threshold applies in both engines to the same BIGINTs."""
-    pairs = shared_spans(table(spark, sf_dir, "documents")).select(
-        "doc_a", "doc_b", "shared_tokens"
-    )
+    Coverage, not mass (ADVICE r8 fix): D13's ``shared_tokens`` sums
+    run lengths across diagonals, so an in-doc gram repeat creates
+    extra alignments and the sum can exceed ``n_tokens`` — dup_ppm
+    over 1e6, firing the purge on docs whose distinct shared text is
+    below the threshold.  ``span_coverage`` counts distinct covered
+    positions (interval union via one ``lead`` window), so
+    ``covered_tokens <= n_tokens`` and dup_ppm <= 1e6 by construction.
+
+    Scale shape: D13's gram/pair stage end-to-end (one checkpointed
+    gram pass, df-capped pair join) plus TWO bounded windows over the
+    match table (coverage ``lead`` + worst-partner top-1) and a
+    column-pruned token-count join back to documents; the ppm is
+    integer DIV, the threshold applies in both engines to the same
+    BIGINTs."""
+    pairs = span_coverage(table(spark, sf_dir, "documents"))
     from biodiversity_graph_db_spark.extensions.textstats import norm_tokens
 
     w = Window.partitionBy("doc_b").orderBy(
-        F.col("shared_tokens").desc(), "doc_a"
+        F.col("covered_tokens").desc(), "doc_a"
     )
     worst = (
         pairs.withColumn("rk", F.row_number().over(w))
@@ -1428,7 +1486,7 @@ def d14_span_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_b").alias("doc_id"),
             F.col("doc_a").alias("worst_partner"),
-            "shared_tokens",
+            "covered_tokens",
         )
     )
     nt = table(spark, sf_dir, "documents").select(
@@ -1437,9 +1495,9 @@ def d14_span_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         worst.join(nt, "doc_id")
         .withColumn(
-            "dup_ppm", F.expr("shared_tokens * 1000000 DIV n_tokens")
+            "dup_ppm", F.expr("covered_tokens * 1000000 DIV n_tokens")
         )
         .where(F.col("dup_ppm") >= SPAN_PURGE_PPM)
-        .select("doc_id", "worst_partner", "shared_tokens", "n_tokens", "dup_ppm")
+        .select("doc_id", "worst_partner", "covered_tokens", "n_tokens", "dup_ppm")
         .orderBy("doc_id")
     )

@@ -1439,10 +1439,11 @@ class TestRound8Wave2Plans:
         assert plan.count("BroadcastHashJoin") >= 2
 
     def test_d14_purge_bounded_tail(self, spark, sf_dir):
-        """D14 = D13's single-pass span plan + ONE bounded worst-partner
-        window + a column-pruned token-count join back; never a
-        cartesian, never Python, and the only parquet re-read is the
-        two-column (doc_id, text-length) scan."""
+        """D14 = D13's single-pass gram/pair plan + TWO bounded windows
+        over the match table (coverage ``lead`` interval-union +
+        worst-partner top-1) + a column-pruned token-count join back;
+        never a cartesian, never Python, and the only parquet re-read
+        is the two-column (doc_id, text-length) scan."""
         import re
 
         plan = _plan(spark, sf_dir, "D14_span_purge")
@@ -1452,8 +1453,8 @@ class TestRound8Wave2Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
-        # exactly two true Windows (island chaining + worst-partner);
-        # the rk=1 filter additionally plans WindowGroupLimit pre-filter
+        # exactly two true Windows (coverage lead + worst-partner); the
+        # rk=1 filter additionally plans WindowGroupLimit pre-filter
         # nodes, which are the k-heap OPTIMIZATION, not extra passes
         assert len(re.findall(r"^\(\d+\) Window\s*$", plan, re.MULTILINE)) == 2
 

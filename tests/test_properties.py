@@ -1444,6 +1444,72 @@ def test_d13_spans_match_model(spark):
     assert got == want
 
 
+def _model_span_coverage(docs, k=8, df_cap=8):
+    """Independent model of span_coverage: per pair, the size of the
+    UNION of intervals [pb, pb+k-1] over matched doc_b positions —
+    computed literally as a position set, not via the lead trick."""
+    import hashlib
+    from collections import defaultdict
+
+    toks = {
+        i: re.sub(r"\s+", " ", t.strip().lower()).split(" ") for i, t in docs
+    }
+    occ = defaultdict(list)
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            g = hashlib.md5(" ".join(ts[p : p + k]).encode()).hexdigest()
+            occ[g].append((i, p + 1))
+    cover = defaultdict(set)  # (a, b) -> covered doc_b positions
+    for g, lst in occ.items():
+        if not 2 <= len({d for d, _ in lst}) <= df_cap:
+            continue
+        for da, _pa in lst:
+            for db, pb in lst:
+                if da < db:
+                    cover[(da, db)].update(range(pb, pb + k))
+    return sorted((a, b, len(s)) for (a, b), s in cover.items())
+
+
+def test_d14_coverage_matches_model_and_is_bounded(spark):
+    """The ADVICE-r8 overcount case: doc 4 repeats span2 in-doc, so
+    D13's shared_tokens EXCEEDS coverage for its pairs — coverage must
+    match the literal position-set model and never exceed n_tokens."""
+    from biodiversity_graph_db_spark.extensions.dedup import (
+        shared_spans,
+        span_coverage,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    span2 = "one two three four five six seven eight"
+    docs = [
+        (1, f"{span} filler1 xx {span2}"),
+        (2, f"start2 {span} yy tail {span2}"),
+        (3, f"{span2} only here"),
+        (4, f"{span2} {span2} doubled"),  # in-doc repeat -> two diagonals
+        # doc 5 is the ADVICE-r8 overcount witness: doc_a=4 holds span2
+        # TWICE, so the pair (4,5) has two alignments onto the same pb
+        # — shared_tokens (16) exceeds doc 5's n_tokens (9) while the
+        # distinct covered positions are just the 8 of one span
+        (5, f"{span2} tail5"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in span_coverage(df).collect())
+    assert got == _model_span_coverage(docs)
+    n_tokens = {
+        i: len(re.sub(r"\s+", " ", t.strip().lower()).split(" "))
+        for i, t in docs
+    }
+    for _a, b, cov in got:
+        assert cov <= n_tokens[b]
+    # and the motivating inequality: mass exceeds BOTH coverage and the
+    # doc's own length on the repeat pair — the dup_ppm > 1e6 bug
+    mass = {
+        (r.doc_a, r.doc_b): r.shared_tokens for r in shared_spans(df).collect()
+    }
+    cov_map = {(a, b): c for a, b, c in got}
+    assert mass[(4, 5)] > n_tokens[5] >= cov_map[(4, 5)]
+
+
 # --- V12 PQ codes + ADC ranking vs a numpy replay --------------------------
 
 
