@@ -2644,6 +2644,29 @@ def v15_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "one persisted index build in production" means, made literal on disk.
 
 
+def _codebook_fingerprint(cb_rows) -> str:
+    """Deterministic md5 over the codebook's (m, j, cvec, cnorm) rows —
+    stamped next to the codes at augment time and re-checked at serve
+    time, so codes can never silently score under a codebook other
+    than the one they were encoded with (ADVICE r8: the old crash-
+    window argument relied on the index vector set never shrinking)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for r in sorted(cb_rows, key=lambda r: (r.m, r.j)):
+        h.update(
+            f"{r.m}:{r.j}:{','.join(str(int(x)) for x in r.cvec)}"
+            f":{r.cnorm};".encode()
+        )
+    return h.hexdigest()
+
+
+def _pq_fp_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/pq/codes/_CODEBOOK_FP")
+    return hp, hp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
 def pq_augment_index(spark: SparkSession, path: str) -> None:
     """Build the PQ sidecar for an existing IVF index: derive the
     deterministic md5-rank codebook from the index's OWN vector set
@@ -2661,14 +2684,18 @@ def pq_augment_index(spark: SparkSession, path: str) -> None:
     no answer than silently missing the newest vectors).  Re-run this
     after appends/compaction, like compact itself.
 
-    Crash window (codebook overwritten, codes not): harmless by
-    construction — the codebook is a DETERMINISTIC function of the
-    index's vector set (md5-rank), so with an unchanged set the
-    interrupted re-augment wrote the identical codebook the old codes
-    were encoded under, and with a changed set the old codes lack the
-    appended vectors and the staleness guard refuses to serve; there
-    is no reachable state where a fresh codebook silently scores stale
-    codes."""
+    Crash window (codebook overwritten, codes not): refused by the
+    FINGERPRINT stamp, not by an invariance argument — the codes
+    directory carries ``_CODEBOOK_FP`` (md5 of the codeword rows,
+    written AFTER the codes), and serving verifies it against the
+    stored codebook.  A crash between the codebook write and the codes
+    write leaves the OLD stamp beside the NEW codebook (mismatch →
+    refuse); a crash between the codes write and the stamp leaves no
+    stamp (refuse).  Either way the heal is re-running this function.
+    This stays safe even if a future compaction/retention path SHRINKS
+    the vector set — the old determinism argument silently depended on
+    the set never shrinking (the missing-codes guard can't see a
+    same-or-smaller set encoded under a different codebook)."""
     assigned = _read_assigned(spark, path).select(
         "vec_id", "embedding", "cent_id"
     )
@@ -2685,6 +2712,14 @@ def pq_augment_index(spark: SparkSession, path: str) -> None:
         .partitionBy("cent_id")
         .parquet(f"{path}/pq/codes")
     )
+    # stamp LAST: the fingerprint asserts "these codes were encoded
+    # under exactly this stored codebook" — it must not exist until
+    # both are durable (underscore-prefixed file: invisible to the
+    # parquet reader, removed by the codes overwrite above)
+    fp_path, fs = _pq_fp_path(spark, path)
+    out = fs.create(fp_path, True)
+    out.write(bytearray(_codebook_fingerprint(cb_stored.collect()).encode()))
+    out.close()
 
 
 def ivfpq_topk_indexed(
@@ -2744,6 +2779,28 @@ def ivfpq_topk_indexed(
             "pq_augment_index).  Re-run pq_augment_index."
         )
     cb_stored = spark.read.parquet(f"{path}/pq/codebook")
+    # codebook/codes coherence: the stamp written after the codes must
+    # match the stored codebook, or some augment crashed between the
+    # two writes (or a retention path rewrote one side) — refuse rather
+    # than silently score codes under a codebook they weren't encoded
+    # with (the ADC sums would be plausible garbage, the worst failure)
+    fp_path, fs = _pq_fp_path(spark, path)
+    stamped = None
+    if fs.exists(fp_path):
+        stream = fs.open(fp_path)
+        try:
+            stamped = bytes(
+                stream.readNBytes(64)
+            ).decode("ascii", "replace").strip()
+        finally:
+            stream.close()
+    if stamped != _codebook_fingerprint(cb_stored.collect()):
+        raise ValueError(
+            f"PQ sidecar at {path}/pq is incoherent: the codes' "
+            "_CODEBOOK_FP stamp is missing or does not match the stored "
+            "codebook (an augment crashed between the codebook and codes "
+            "writes).  Re-run pq_augment_index."
+        )
     lut = pq_query_lut(queries_df, F.broadcast(cb_stored))
     pairs = (
         codes.join(qass, "cent_id")

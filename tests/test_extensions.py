@@ -1154,6 +1154,57 @@ class TestIvfPqSidecar:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_codebook_fingerprint_guard(self, spark, sf_dir):
+        """ADVICE r8: the missing-codes staleness guard can't see a
+        same-size vector set encoded under a DIFFERENT codebook (e.g. a
+        crash between the codebook and codes writes after a retention
+        pass).  The _CODEBOOK_FP stamp must catch both halves: a
+        codebook that doesn't match the stamp, and a missing stamp."""
+        import os
+        import shutil
+        import tempfile
+
+        import pytest as _pytest
+
+        from biodiversity_graph_db_spark.extensions.similarity import (
+            ivfpq_topk_indexed,
+            pq_augment_index,
+            pq_codebook,
+            write_ivf_index,
+        )
+
+        emb = table(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 2 == 0).select(
+            "vec_id", "embedding"
+        )
+        queries = emb.where(F.col("vec_id") < 6).select("vec_id", "embedding")
+
+        tmp = tempfile.mkdtemp(prefix="ivfpq_fp_")
+        ix = f"{tmp}/ix"
+        try:
+            write_ivf_index(corpus, ix, n_centroids=8)
+            pq_augment_index(spark, ix)
+            assert len(ivfpq_topk_indexed(spark, ix, queries).collect()) > 0
+
+            # simulate the crash window: a NEW codebook (derived from a
+            # shrunk vector set — same ids, so the missing-codes guard
+            # is blind) lands while the codes are still the old ones
+            shrunk = corpus.where(F.col("vec_id") % 4 == 0)
+            pq_codebook(shrunk).coalesce(1).write.mode("overwrite").parquet(
+                f"{ix}/pq/codebook"
+            )
+            with _pytest.raises(ValueError, match="_CODEBOOK_FP"):
+                ivfpq_topk_indexed(spark, ix, queries).collect()
+
+            # heal by re-augmenting, then break the other half: no stamp
+            pq_augment_index(spark, ix)
+            assert len(ivfpq_topk_indexed(spark, ix, queries).collect()) > 0
+            os.remove(f"{ix}/pq/codes/_CODEBOOK_FP")
+            with _pytest.raises(ValueError, match="_CODEBOOK_FP"):
+                ivfpq_topk_indexed(spark, ix, queries).collect()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
 
 class TestTrainedIvfRecall:
     def test_v19_recall_floor_and_shape(self, spark, sf_dir):
