@@ -1019,6 +1019,7 @@ def recluster_ivf_index(
     path: str,
     n_centroids: int | None = None,
     n_probe: int = 1,
+    swap: bool = True,
 ) -> None:
     """RE-TRAIN the index (the maintenance loop V6's append path
     opens): pick fresh centroids from a deterministic pseudo-random
@@ -1038,7 +1039,14 @@ def recluster_ivf_index(
     The rebuild writes to ``{path}__rebuild`` then swaps directories —
     same single-maintainer contract as log compaction (don't run
     concurrently with queries/appends on the same index; a metastore
-    layer is what upgrades the swap to a transaction)."""
+    layer is what upgrades the swap to a transaction).
+
+    ``swap=False`` leaves the finished rebuild as an UNMARKED candidate
+    at ``{path}__rebuild`` (no ``_COMPLETE``): the live index is
+    untouched, the candidate is readable as an index path in its own
+    right for probe-set evaluation, and any heal (crash or unrelated
+    read) drops it — exactly the semantics a not-yet-accepted candidate
+    wants.  ``recluster_if_drifted`` uses this for its recall A/B."""
     import math
 
     corpus = (
@@ -1071,16 +1079,25 @@ def recluster_ivf_index(
     ivf_assign(corpus, cent_ids, cmat, cnorm, n_probe).write.mode(
         "overwrite"
     ).partitionBy("cent_id").parquet(f"{tmp}/assigned")
+    if not swap:
+        return  # unmarked candidate: evaluated (and accepted or
+        # dropped) by the caller; heals delete it on any crash
     # completeness marker: both datasets are fully written; from here
     # the swap must roll FORWARD from any crash point (a crash BETWEEN
     # the two sub-swaps would otherwise leave new centroids beside an
     # assigned table keyed by the OLD centroids — wrong answers, the
     # worst failure class) — finish_ivf_rebuild owns the roll-forward
+    _accept_ivf_rebuild(spark, path)
+
+
+def _accept_ivf_rebuild(spark: SparkSession, path: str) -> None:
+    """Mark the rebuild at ``{path}__rebuild`` complete and roll the
+    swap forward — the accept half of the candidate protocol."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(conf)
-    fs.create(hpath(f"{tmp}/_COMPLETE"), True).close()
+    fs.create(hpath(f"{path}__rebuild/_COMPLETE"), True).close()
     finish_ivf_rebuild(spark, path)
 
 
@@ -1130,13 +1147,38 @@ def recluster_if_drifted(
     for: measure recall@k on a probe set; if it sagged below
     ``threshold``, re-train (``store_n_probe`` = the index's storage
     replication: 1 for a topk index, >1 for a near-dup layout).
-    Returns whether a re-cluster ran."""
-    if ivf_index_recall(spark, path, queries_df, k=k, n_probe=n_probe) >= threshold:
+    Returns whether a re-cluster was ACCEPTED.
+
+    The swap is recall-gated (VERDICT r8 item 3): k-means-style
+    re-training optimizes SSE, not recall at fixed n_probe — V19
+    measured a trained centroid set serving WORSE than the seeded one
+    (0.80 vs 0.90 at sf0.1) — so an unconditional swap can replace a
+    sagging index with a worse one.  The rebuild is therefore staged
+    as an unmarked candidate at ``{path}__rebuild``, its recall@k is
+    measured on the SAME probe set against the SAME exact baseline
+    (same corpus — re-assignment only moves vectors between clusters),
+    and the swap happens only when the candidate serves at least as
+    well as the incumbent; otherwise the candidate is dropped and the
+    incumbent keeps serving.  Decision rule recorded in SCALE §25."""
+    incumbent = ivf_index_recall(spark, path, queries_df, k=k, n_probe=n_probe)
+    if incumbent >= threshold:
         return False
+    # stage the re-train as a candidate (live index untouched) ...
     recluster_ivf_index(
-        spark, path, n_centroids=n_centroids, n_probe=store_n_probe
+        spark, path, n_centroids=n_centroids, n_probe=store_n_probe, swap=False
     )
-    return True
+    tmp = f"{path}__rebuild"
+    # ... A/B it on the probe set: the candidate dir is a complete
+    # index (centroids + assigned), readable by the same measurement
+    candidate = ivf_index_recall(spark, tmp, queries_df, k=k, n_probe=n_probe)
+    if candidate >= incumbent:
+        _accept_ivf_rebuild(spark, path)
+        return True
+    # reject: the re-train would have made serving worse
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(tmp)
+    hp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hp, True)
+    return False
 
 
 # --------------------------------------------------------------------------

