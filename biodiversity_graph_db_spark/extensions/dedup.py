@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from biodiversity_graph_db_spark.operators._util import sql_dquant
+from biodiversity_graph_db_spark.operators._util import cut, sql_dquant
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import fan_out, table
 
@@ -1149,10 +1149,8 @@ def d12_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
-    p = (
-        minted.select("source", F.md5("text").alias("fp"))
-        .distinct()
-        .localCheckpoint()
+    p = cut(
+        minted.select("source", F.md5("text").alias("fp")).distinct()
     )
     sz = p.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = p.select(F.col("source").alias("src_a"), "fp")
@@ -1306,8 +1304,8 @@ def _span_pairs(
             ),
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
-        .localCheckpoint()
     )
+    sh = cut(sh)
     keep = (
         sh.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))

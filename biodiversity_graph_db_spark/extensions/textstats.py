@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biodiversity_graph_db_spark.operators._util import (
+    cut,
     dquant,
     spread,
     sql_dquant,
@@ -1563,8 +1564,8 @@ def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
         )
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
     )
+    t = cut(t)
     df_ = t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -1955,11 +1956,10 @@ def lm_perplexity(docs: DataFrame) -> DataFrame:
     # training rollups and the scoring join — without a cut Spark
     # re-evaluates the explode + first shuffle once per subtree (4x the
     # dominant map stage, the exact D5/T8 bug family of VERDICT r6).
-    dbg = (
+    dbg = cut(
         char_bigrams(docs)
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()
     )
     lm = (
         dbg.groupBy("bg")
@@ -2110,8 +2110,8 @@ def boilerplate_scrub(
         .select("doc_id", F.explode_outer(passage_chunks(F.col("text"), k)).alias("c"))
         .where(F.col("c").isNotNull())
         .select("doc_id", F.col("c.h").alias("h"), F.col("c.len").alias("len"))
-        .localCheckpoint()
     )
+    flat = cut(flat)
     common = (
         flat.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("dfreq"))
@@ -2402,7 +2402,8 @@ def t32_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
         quality_score(F.col("text"), F.col("n_chars")).alias("qv"),
         grams.alias("grams"),
-    ).localCheckpoint()
+    )
+    base = cut(base)
     bench_grams = (
         base.where("is_bench")
         .select(F.explode_outer("grams").alias("gram"))
@@ -2421,12 +2422,12 @@ def t32_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.withColumn("ng", F.size("grams"))
         .join(hits, "doc_id", "left")
         .withColumn("nh", F.coalesce(F.col("nh"), F.lit(0)))
-        .localCheckpoint()
     )
+    s1 = cut(s1)
     contaminated = (F.col("ng") > 0) & (20 * F.col("nh") >= F.col("ng"))
     surv1 = s1.where(~contaminated)
     keepers = surv1.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    s2 = surv1.join(keepers, "fp").localCheckpoint()
+    s2 = cut(surv1.join(keepers, "fp"))
     surv2 = s2.where(
         (F.col("doc_id") == F.col("keeper")) & (F.col("qv") >= 0.5)
     )
@@ -2897,8 +2898,8 @@ def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") != "")
         .groupBy("doc_id", "lang", "is_train", "w")
         .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint()
     )
+    dw = cut(dw)
     wc = (
         dw.where("is_train")
         .groupBy(F.col("w"), F.col("lang").alias("c"))
@@ -3066,8 +3067,8 @@ def t38_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") != "")
         .groupBy("doc_id", "lang", "w")
         .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint()
     )
+    dw = cut(dw)
     model = (
         dw.groupBy("w")
         .agg(

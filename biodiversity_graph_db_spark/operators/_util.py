@@ -76,3 +76,41 @@ def spread(df):
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+def cut(df):
+    """Lineage cut + single materialization for a multi-consumer
+    intermediate (the E2/E3 discipline: checkpoint the expensive cut
+    once so downstream consumers re-read instead of recomputing).
+
+    Storage mode is a config switch, plan shape is identical in both
+    (downstream consumes a ``Scan ExistingRDD`` either way — tested):
+
+    - default: ``localCheckpoint`` — executor-local blocks, no extra
+      I/O path, right for single-process/bench runs;
+    - ``spark.graft.cuts.reliable=true``: reliable ``.checkpoint()``
+      to the SparkContext checkpoint dir (set it via
+      ``spark.graft.cuts.dir`` or ``setCheckpointDir``) — the
+      production deployment choice for CORPUS-PROPORTIONAL cuts
+      (T26/T28/D12/T32/D13/T37/T38), where losing an executor mid-job
+      would otherwise recompute the whole upstream stage on localCheckpoint's
+      non-replicated blocks (SCALE §19's documented trade).
+
+    Bounded artifacts (vocab tables, |classes| grids, centroid sets)
+    can stay on plain ``localCheckpoint`` — recomputing them is cheap
+    and replicating them buys nothing."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.graft.cuts.reliable", "false") != "true":
+        return df.localCheckpoint()
+    sc = spark.sparkContext
+    jdir = sc._jsc.sc().getCheckpointDir()
+    if not jdir.isDefined():
+        conf_dir = spark.conf.get("spark.graft.cuts.dir", None)
+        if not conf_dir:
+            raise ValueError(
+                "spark.graft.cuts.reliable=true needs a checkpoint dir: "
+                "set spark.graft.cuts.dir or call "
+                "sparkContext.setCheckpointDir first"
+            )
+        sc.setCheckpointDir(conf_dir)
+    return df.checkpoint(eager=True)

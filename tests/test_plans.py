@@ -1438,6 +1438,44 @@ class TestRound8Wave2Plans:
         assert "BatchEvalPython" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
 
+    def test_cut_reliable_mode_same_shape_same_rows(self, spark, sf_dir):
+        """VERDICT r8 item 5: the ``cut`` helper's reliable-checkpoint
+        mode (the production switch for corpus-proportional cuts) must
+        change ONLY where the materialized blocks live — the downstream
+        plan shape (scan count, window count, no cartesian, the
+        ExistingRDD boundary) and the query's rows must be identical to
+        the default localCheckpoint mode."""
+        import re
+        import shutil
+        import tempfile
+
+        def sig(plan):
+            return (
+                len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)),
+                len(re.findall(r"^\(\d+\) Window\s*$", plan, re.MULTILINE)),
+                "CartesianProduct" in plan,
+                "ExistingRDD" in plan,
+            )
+
+        name = "D13_shared_spans"
+        base_plan = _plan(spark, sf_dir, name)
+        base_rows = sorted(
+            map(tuple, registry.QUERIES[name](spark, sf_dir).collect())
+        )
+        ckdir = tempfile.mkdtemp(prefix="graft_cuts_")
+        try:
+            spark.conf.set("spark.graft.cuts.reliable", "true")
+            spark.conf.set("spark.graft.cuts.dir", ckdir)
+            rel_plan = _plan(spark, sf_dir, name)
+            rel_rows = sorted(
+                map(tuple, registry.QUERIES[name](spark, sf_dir).collect())
+            )
+        finally:
+            spark.conf.set("spark.graft.cuts.reliable", "false")
+            shutil.rmtree(ckdir, ignore_errors=True)
+        assert sig(rel_plan) == sig(base_plan)
+        assert rel_rows == base_rows
+
     def test_d14_purge_bounded_tail(self, spark, sf_dir):
         """D14 = D13's single-pass gram/pair plan + TWO bounded windows
         over the match table (coverage ``lead`` interval-union +
