@@ -3185,6 +3185,81 @@ def nb_doc_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "T41_nb_model_store",
+    oracle="""
+    WITH tok AS (
+      SELECT lang AS c,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT w, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok WHERE w <> '' GROUP BY w, c
+    ),
+    prior AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS class_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT wc.w, wc.c, wc.cnt, prior.class_docs
+    FROM wc JOIN prior USING (c)
+    ORDER BY w, c
+    """,
+)
+def t41_nb_model_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming NB maintainer's stream≡batch claim as a DRIVER
+    row (VERDICT r8 item 6): split the documents table into three
+    parquet files, drain them through the REAL Structured Streaming
+    maintainer (``run_nb_model`` — availableNow + maxFilesPerTrigger=1
+    → three foreachBatch merges into the ``wc``/``prior`` stores, each
+    with its own replay stamp), then read the maintained store back.
+    The oracle is the one-shot batch fit in SQL, so the driver grades
+    the add-mergeability equivalence itself: three merged micro-batch
+    models must equal the single-pass model bit-for-bit.
+
+    Scale shape: each micro-batch's merge is the T37 fit over the
+    batch (one (doc,word) shuffle, vocab×classes-bounded state) plus a
+    grouped-sum fold into a store that stays vocab×classes rows no
+    matter how much history streamed through — the 100 TB online-
+    classifier maintenance story.  The result is localCheckpoint-ed
+    before the temp store dies (the V10 index-teardown discipline)."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import run_nb_model
+
+    docs = table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="t41_nb_store_")
+    try:
+        src = f"{tmp}/src"
+        for i in range(3):
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_nb_model(stream, f"{tmp}/model", f"{tmp}/ckpt").start()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("T41 drain did not finish within 600 s")
+        wc = spark.read.parquet(f"{tmp}/model/wc")
+        prior = spark.read.parquet(f"{tmp}/model/prior")
+        return (
+            wc.select("w", "c", "cnt")
+            .join(
+                prior.select("c", F.col("n_docs").alias("class_docs")), "c"
+            )
+            .select("w", "c", "cnt", "class_docs")
+            .orderBy("w", "c")
+            .localCheckpoint()  # materialize before the store dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --- T40: Heaps'-law vocabulary growth curve --------------------------------
 
 
