@@ -3577,3 +3577,465 @@ def v20_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rrf_micro", "bm25_rk", "vec_rk", "fused_rank")
         .orderBy("fused_rank")
     )
+
+
+# --- V21: TRAINED PQ codebook vs the hash-rank baseline ----------------------
+# VERDICT r8 item 4: structureless synthetic vectors are PQ's adversarial
+# case (V13 honestly measured ~0.1 pure-ADC recall there); the claim a
+# trained codebook EARNS its keep needs structured data.  V21 builds a
+# deterministic mode-structured corpus (each subspace's sub-vector is one
+# of CL_MODES anchor sub-vectors times per-element noise — exactly the
+# multi-modal per-subspace distribution PQ is designed for, Jegou et al.
+# 2011 §II), trains a codebook through the V17 integer-exact Lloyd kernel
+# keyed by subspace, and grades recall@5 of trained vs hash-rank ADC
+# against exact cosine — all three rankings replayed in the oracle.  The
+# hash-rank codebook stays the default everywhere (V12-V16): it is the
+# cross-engine-replayable spelling; training is the production upgrade
+# whose benefit is now MEASURED, not asserted.
+
+CL_MODES = 4  # anchor modes per subspace
+CL_NOISE_MOD = 401  # ±20% multiplicative element noise on a 1e-3 grid
+_PQKM_ITERS = 3
+
+
+def _hex6(md5col: Column) -> Column:
+    """BIGINT from the first 6 md5 hex chars — same value in DuckDB via
+    CAST(('0x' || substr(md5(...), 1, 6)) AS BIGINT)."""
+    return F.conv(F.substring(md5col, 1, 6), 16, 10).cast("long")
+
+
+def clustered_embeddings(emb: DataFrame) -> DataFrame:
+    """Deterministic mode-structured corpus over the embeddings table's
+    ids: anchor vectors are the CL_MODES smallest by md5('cl_'||vec_id)
+    (the O7 hash-rank draw); vector i's subspace-m sub-vector is anchor
+    s(i,m)'s sub-vector (s = md5-derived, no residue structure) with
+    ±20% md5-derived per-element multiplicative noise.  Every value is
+    a product/quotient of integers and IEEE doubles computed by the
+    same expressions in both engines — the corpus is exactly
+    SQL-replayable, the property every V-family oracle rests on."""
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("cl_"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    modes = (
+        emb.select("vec_id", "embedding")
+        .withColumn("a", F.row_number().over(w).cast("long"))
+        .where(F.col("a") <= CL_MODES)
+        .select("a", F.posexplode("embedding").alias("i0", "av"))
+        .select(
+            "a",
+            (F.col("i0") + 1).cast("long").alias("i"),
+            F.col("av").cast("double").alias("av"),
+            (F.floor(F.col("i0") / F.lit(PQ_DSUB)) + 1)
+            .cast("long")
+            .alias("mm"),
+        )
+    )
+    choice = (
+        emb.select("vec_id")
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(1), F.lit(PQ_M))).alias("m0"),
+        )
+        .select("vec_id", F.col("m0").cast("long").alias("m"))
+        .withColumn(
+            "s",
+            (
+                _hex6(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"),
+                            F.lit(":"),
+                            F.col("m").cast("string"),
+                        )
+                    )
+                )
+                % CL_MODES
+                + 1
+            ).cast("long"),
+        )
+    )
+    corp_long = (
+        choice.join(
+            F.broadcast(modes),
+            (F.col("s") == F.col("a")) & (F.col("m") == F.col("mm")),
+        )
+        .withColumn(
+            "noise",
+            (
+                _hex6(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"),
+                            F.lit("#"),
+                            F.col("i").cast("string"),
+                        )
+                    )
+                )
+                % CL_NOISE_MOD
+                - (CL_NOISE_MOD - 1) / 2
+            )
+            / F.lit(1000.0),
+        )
+        .select(
+            "vec_id",
+            "i",
+            (F.col("av") * (F.lit(1.0) + F.col("noise"))).alias("x"),
+        )
+    )
+    return (
+        corp_long.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "x"))).alias("sx"))
+        .select(
+            "vec_id",
+            F.transform("sx", lambda s: s["x"]).alias("embedding"),
+        )
+    )
+
+
+def pq_train_codebook(corpus: DataFrame, iters: int = _PQKM_ITERS) -> DataFrame:
+    """PQ codebook TRAINING: the V17 integer-exact Lloyd kernel (floor-
+    quantized BIGINT elements, exact-SSE assignment with ties to the
+    lower code id, floor(mean) updates back onto the grid) run with the
+    SUBSPACE as an extra key — one distributed pass per Lloyd step
+    trains all PQ_M sub-codebooks at once instead of PQ_M separate
+    k-means jobs.  Seeds are the first PQ_K vectors by vec_id (the
+    km_seed_centroids rule); empty codewords drop out (both engines
+    agree).  Returns the pq_codebook schema (m, j, cvec, cnorm), so
+    pq_encode / pq_query_lut consume it through the same injection
+    seam as the hash-rank default."""
+    corpus = corpus.localCheckpoint()  # feeds iters+1 assignment passes
+    # the per-element quantized grid the UPDATE step averages over —
+    # built once; the assignment step is pq_encode ITSELF (training
+    # runs the exact serve-path kernel, so train/serve can never
+    # disagree on distance or tie rules)
+    sub = (
+        corpus.select(
+            F.col("vec_id").alias("c_id"),
+            F.posexplode("embedding").alias("i0", "v"),
+        )
+        .select(
+            "c_id",
+            (F.floor(F.col("i0") / F.lit(PQ_DSUB)) + 1)
+            .cast("long")
+            .alias("m"),
+            (F.col("i0") % PQ_DSUB + 1).cast("long").alias("d"),
+            F.floor(F.col("v").cast("double") * F.lit(_PQ_Q))
+            .cast("long")
+            .alias("xi"),
+        )
+        .localCheckpoint()
+    )
+
+    def to_arrays(cb_long: DataFrame) -> DataFrame:
+        return (
+            cb_long.groupBy("m", "j")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("sc")
+            )
+            .select(
+                "m", "j", F.transform("sc", lambda s: s["cq"]).alias("cvec")
+            )
+            .withColumn(
+                "cnorm",
+                F.aggregate(
+                    F.transform("cvec", lambda x: x * x),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+
+    seeds = (
+        corpus.orderBy("vec_id")
+        .limit(PQ_K)
+        .select("vec_id")
+        .withColumn(
+            "j", F.row_number().over(Window.orderBy("vec_id")).cast("long")
+        )
+    )
+    cb = to_arrays(
+        sub.join(
+            F.broadcast(seeds),
+            F.col("c_id") == F.col("vec_id"),
+        ).select("m", "j", "d", F.col("xi").alias("cq"))
+    ).localCheckpoint()
+    for _ in range(iters):
+        assign = pq_encode(corpus, cb).select("c_id", "m", "j")
+        cb = to_arrays(
+            assign.join(sub, ["c_id", "m"])
+            .groupBy("m", "j", "d")
+            .agg(
+                F.floor(F.sum("xi").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq")
+            )
+        ).localCheckpoint()
+    return cb
+
+
+def _adc_topk(
+    corpus: DataFrame, queries_df: DataFrame, cb: DataFrame, k: int = 5
+) -> DataFrame:
+    """ADC top-k under an injected codebook — the V12 scoring plan
+    (encode once, broadcast LUT, one combinable SUM per (q, c), rank
+    window) with corpus and codebook as seams."""
+    codes = pq_encode(corpus, cb)
+    lut = pq_query_lut(queries_df, cb)
+    scores = (
+        codes.join(F.broadcast(lut), ["m", "j"])
+        .where(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum("pdot").alias("dot"),
+            F.sum("cnorm").alias("recon_norm"),
+            F.max("q_norm").alias("q_norm"),
+        )
+        .withColumn(
+            "adcv",
+            F.col("dot")
+            / F.sqrt(
+                F.col("q_norm").cast("double")
+                * F.col("recon_norm").cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adcv").desc(), "c_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id")
+    )
+
+
+def _pqkm_assign_sql(cents: str, prefix: str) -> str:
+    """One unrolled per-subspace Lloyd assignment in DuckDB SQL —
+    _km_assign_sql with (m) as an extra key."""
+    return f"""
+    {prefix}d AS (
+      SELECT e.vec_id, e.m, c.j,
+             CAST(SUM((e.xi - c.cq) * (e.xi - c.cq)) AS BIGINT) AS ssev
+      FROM vel e JOIN {cents} c ON c.m = e.m AND c.d = e.d
+      GROUP BY e.vec_id, e.m, c.j
+    ),
+    {prefix} AS (
+      SELECT vec_id, m, j FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY ssev, j) AS rk
+        FROM {prefix}d
+      ) WHERE rk = 1
+    )"""
+
+
+def _pqkm_update_sql(assign: str, cents: str) -> str:
+    return f"""
+    {cents} AS (
+      SELECT a.m, a.j, e.d,
+             CAST(FLOOR(CAST(SUM(e.xi) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cq
+      FROM {assign} a JOIN vel e ON e.vec_id = a.vec_id AND e.m = a.m
+      GROUP BY a.m, a.j, e.d
+    )"""
+
+
+def _adc_top5_sql(cb: str, prefix: str) -> str:
+    """Codes + LUT + ADC top-5 under codebook CTE ``cb`` (long form
+    (m, j, d, cq)) — the V12 oracle pattern parameterized over the
+    codebook and the ``vel``/``qn`` corpus CTEs."""
+    return f"""
+    {prefix}norm AS (
+      SELECT j, m, SUM(cq * cq) AS cnorm FROM {cb} GROUP BY j, m
+    ),
+    {prefix}dist AS (
+      SELECT e.vec_id, e.m, c.j,
+             SUM((e.xi - c.cq) * (e.xi - c.cq)) AS dist
+      FROM vel e JOIN {cb} c ON c.m = e.m AND c.d = e.d
+      GROUP BY e.vec_id, e.m, c.j
+    ),
+    {prefix}codes AS (
+      SELECT vec_id AS c_id, m, j, cn.cnorm FROM (
+        SELECT vec_id, m, j, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        FROM {prefix}dist
+      ) a JOIN {prefix}norm cn USING (j, m)
+      WHERE a.rk = 1
+    ),
+    {prefix}lut AS (
+      SELECT q.vec_id AS q_id, c.m, c.j, SUM(q.xi * c.cq) AS pdot
+      FROM vel q JOIN {cb} c ON c.m = q.m AND c.d = q.d
+      WHERE q.vec_id < 10
+      GROUP BY q.vec_id, c.m, c.j
+    ),
+    {prefix}sc AS (
+      SELECT l.q_id, cd.c_id, SUM(l.pdot) AS dot, SUM(cd.cnorm) AS recon
+      FROM {prefix}codes cd JOIN {prefix}lut l ON l.m = cd.m AND l.j = cd.j
+      WHERE cd.c_id <> l.q_id
+      GROUP BY l.q_id, cd.c_id
+    ),
+    {prefix}top AS (
+      SELECT q_id, c_id FROM (
+        SELECT s.q_id, s.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.q_id
+                 ORDER BY s.dot / sqrt(CAST(q.q_norm AS DOUBLE)
+                                       * CAST(s.recon AS DOUBLE)) DESC,
+                          s.c_id) AS rank
+        FROM {prefix}sc s JOIN qn q USING (q_id)
+      ) WHERE rank <= 5
+    )"""
+
+
+_V21_SQL = f"""
+    WITH anch AS (
+      SELECT embedding,
+             CAST(ROW_NUMBER() OVER (ORDER BY md5('cl_' || vec_id), vec_id)
+                  AS BIGINT) AS a
+      FROM embeddings
+      QUALIFY a <= {CL_MODES}
+    ),
+    modes AS (
+      SELECT a, t.i, CAST(t.v AS DOUBLE) AS av,
+             CAST((t.i - 1) // {PQ_DSUB} + 1 AS BIGINT) AS m
+      FROM anch CROSS JOIN LATERAL (
+        SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i) t
+    ),
+    choice AS (
+      SELECT e.vec_id, mm.m,
+             CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
+                  CAST(mm.m AS VARCHAR)), 1, 6)) AS BIGINT)
+               % {CL_MODES} + 1 AS s
+      FROM embeddings e CROSS JOIN (SELECT DISTINCT m FROM modes) mm
+    ),
+    corp AS (
+      SELECT c.vec_id, mo.i,
+             mo.av * (1.0 +
+               (CAST(('0x' || substr(md5(CAST(c.vec_id AS VARCHAR) || '#' ||
+                     CAST(mo.i AS VARCHAR)), 1, 6)) AS BIGINT)
+                % {CL_NOISE_MOD} - {(CL_NOISE_MOD - 1) // 2}) / 1000.0) AS x
+      FROM choice c JOIN modes mo ON mo.a = c.s AND mo.m = c.m
+    ),
+    vel AS (
+      SELECT vec_id,
+             CAST((i - 1) // {PQ_DSUB} + 1 AS BIGINT) AS m,
+             CAST((i - 1) % {PQ_DSUB} + 1 AS BIGINT) AS d,
+             CAST(FLOOR(x * {_PQ_Q}) AS BIGINT) AS xi
+      FROM corp
+    ),
+    qn AS (
+      SELECT vec_id AS q_id, SUM(xi * xi) AS q_norm FROM vel
+      WHERE vec_id < 10 GROUP BY vec_id
+    ),
+    samp AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('pq_' || vec_id), vec_id) AS BIGINT) AS j
+      FROM embeddings
+      QUALIFY j <= {PQ_K}
+    ),
+    hcb AS (
+      SELECT s.j, e.m, e.d, e.xi AS cq FROM vel e JOIN samp s USING (vec_id)
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) AS j
+      FROM embeddings
+      QUALIFY j <= {PQ_K}
+    ),
+    tc0 AS (
+      SELECT s.j, e.m, e.d, e.xi AS cq FROM vel e JOIN seeds s USING (vec_id)
+    ),
+    {_pqkm_assign_sql('tc0', 'ta0')},
+    {_pqkm_update_sql('ta0', 'tc1')},
+    {_pqkm_assign_sql('tc1', 'ta1')},
+    {_pqkm_update_sql('ta1', 'tc2')},
+    {_pqkm_assign_sql('tc2', 'ta2')},
+    {_pqkm_update_sql('ta2', 'tc3')},
+    {_adc_top5_sql('hcb', 'h')},
+    {_adc_top5_sql('tc3', 't')},
+    norms AS (
+      SELECT vec_id, SUM(CAST(FLOOR(x * x * 1e12) AS BIGINT)) AS norm_sq
+      FROM corp GROUP BY vec_id
+    ),
+    bdots AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             SUM(CAST(FLOOR(q.x * c.x * 1e12) AS BIGINT)) AS dot
+      FROM (SELECT * FROM corp WHERE vec_id < 10) q
+      JOIN corp c ON c.i = q.i AND c.vec_id <> q.vec_id
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    exact5 AS (
+      SELECT q_id, c_id FROM (
+        SELECT d.q_id, d.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.q_id
+                 ORDER BY d.dot / sqrt(CAST(nq.norm_sq AS DOUBLE)
+                                       * CAST(nc.norm_sq AS DOUBLE)) DESC,
+                          d.c_id) AS rank
+        FROM bdots d
+        JOIN norms nq ON nq.vec_id = d.q_id
+        JOIN norms nc ON nc.vec_id = d.c_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.q_id,
+           CAST(COUNT(h.c_id) AS BIGINT) AS n_hits_hash,
+           CAST(COUNT(t.c_id) AS BIGINT) AS n_hits_trained,
+           FLOOR(COUNT(h.c_id) / 5.0 * 10000) / 10000 AS recall_hash,
+           FLOOR(COUNT(t.c_id) / 5.0 * 10000) / 10000 AS recall_trained
+    FROM exact5 e
+    LEFT JOIN htop h ON h.q_id = e.q_id AND h.c_id = e.c_id
+    LEFT JOIN ttop t ON t.q_id = e.q_id AND t.c_id = e.c_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+"""
+
+
+@query("V21_pq_trained_recall", oracle=_V21_SQL)
+def v21_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ-ADC under a TRAINED codebook vs the hash-rank
+    baseline, on the mode-structured corpus — the oracle-verified A/B
+    VERDICT r8 item 4 asked for.  Both codebooks, both ADC rankings,
+    the exact baseline and the recall rollup are replayed in SQL, so
+    the driver grades the comparison itself, not just one side.
+
+    Scale shape: corpus construction is one broadcast join against the
+    CL_MODES×64-row mode table (never a shuffle of the embeddings);
+    training is _PQKM_ITERS Lloyd passes over the quantized (vec, m, d)
+    grid with a broadcast codebook (the V17 plan, one extra key);
+    serving cost is identical for both codebooks — the trained one is
+    a drop-in at the pq_encode seam.  The hash-rank codebook remains
+    the default for V12-V16.
+
+    Pricing note (the ED2_write rule): this query is a BUILD+AUDIT
+    harness — codebook training, TWO full ADC serves, the exact
+    baseline and the recall rollup in one plan; production trains once
+    per index build and persists.  Its bench time (6.6 s at sf0.1) is
+    job-count, not data — the same localCheckpoint-chain class as
+    V15/V17, measured flat per decade in SCALE §27."""
+    emb = table(spark, sf_dir, "embeddings")
+    corp = clustered_embeddings(emb).localCheckpoint()
+    queries = corp.where(F.col("vec_id") < 10)
+    cb_hash = pq_codebook(corp).localCheckpoint()
+    cb_tr = pq_train_codebook(corp)
+    exact = brute_force_topk(queries, corp, k=5).select("q_id", "c_id")
+    h_top = _adc_topk(corp, queries, cb_hash).withColumn("h_hit", F.lit(1))
+    t_top = _adc_topk(corp, queries, cb_tr).withColumn("t_hit", F.lit(1))
+    return (
+        exact.join(h_top, ["q_id", "c_id"], "left")
+        .join(t_top, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("h_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits_hash"),
+            F.sum(F.coalesce(F.col("t_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits_trained"),
+            dquant(
+                F.sum(F.coalesce(F.col("h_hit"), F.lit(0))) / F.lit(5.0)
+            ).alias("recall_hash"),
+            dquant(
+                F.sum(F.coalesce(F.col("t_hit"), F.lit(0))) / F.lit(5.0)
+            ).alias("recall_trained"),
+        )
+        .orderBy("q_id")
+    )
