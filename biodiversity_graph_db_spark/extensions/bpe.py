@@ -71,8 +71,14 @@ def _word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("w") != "")
     words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     # " a b c " — every symbol space-wrapped so merges are literal
-    # string replaces with exact element boundaries
-    return words.select(
+    # string replaces with exact element boundaries.
+    # coalesce(4): the training sample is BOUNDED by design (the
+    # doc_id<100 tractability bound of the unrolled oracle), so the
+    # word-type table is a few thousand rows — 32 partitions made every
+    # per-step pair-count job pay 32 map tasks of pure scheduling; at
+    # production scale the sample stays bounded, so this is not a
+    # parallelism loss (the full-corpus pass is T19's ENCODE, not this)
+    return words.coalesce(4).select(
         F.concat(
             F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
         ).alias("wstr"),
@@ -142,7 +148,15 @@ def bpe_train(
             )
         )
         if k < n_steps:
-            corpus = _apply_merge(corpus, top).localCheckpoint()
+            # NO checkpoint on the merged corpus: the merge is map-only
+            # (broadcast 1-row top + literal replaces) over the one
+            # checkpointed word-type table, so step k's pair-count job
+            # re-runs k cheap replace maps instead of paying a whole
+            # extra materialization job per step — 9 sequential jobs
+            # → 5 (VERDICT r8 item 7; winner selection can't batch
+            # without breaking the sequential-merge oracle semantics:
+            # a merge's NEW pairs (x,ab) can outrank the original #2)
+            corpus = _apply_merge(corpus, top)
     out = steps[0]
     for s in steps[1:]:
         out = out.unionByName(s)
