@@ -799,3 +799,742 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# --- Round 9: TPC-H completion wave ------------------------------------------
+# The remaining classic join-planning shapes expressible over the synthetic
+# schema (no partsupp table exists, so Q2/Q9/Q11/Q16/Q20 are out of scope;
+# Q12/Q21/Q22 substitute an existing fact attribute for the missing
+# shipmode/commit-receipt/phone columns while keeping the SHAPE — the
+# conditional two-way count, the exists/not-exists self-join, the
+# scalar-subquery + anti-join — which is what the planner is graded on).
+
+
+@query(
+    "Q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue change (TPC-H Q6 shape): the pure filter-and-
+    aggregate query — no join at all, the canonical predicate-pushdown
+    probe.
+
+    Scale shape: all three predicates land in the parquet scan
+    (PushedFilters: shipdate range, discount range, quantity bound —
+    plan-tested), the projection prunes to the three referenced
+    columns, and the whole query is one map-side-combinable global
+    aggregate: at 100 TB it reads only row groups whose min/max
+    straddle the window and moves ONE partial row per partition."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+@query(
+    "Q7_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape): the
+    two-role dimension pattern — nation joins BOTH fact sides
+    (supplier's and customer's), with a disjunctive cross-side
+    predicate that no single scan can absorb.
+
+    Scale shape: the two nation joins broadcast (≤25 rows each, fixed
+    at any scale — explicit hints are earned here, unlike customer/
+    supplier); the date window pushes into the lineitem scan; the
+    nation-pair disjunction evaluates right after the last dimension
+    join, BEFORE the rollup, so only qualifying rows shuffle into the
+    4-group aggregate.  Year extraction is a scan-side expression, not
+    a join."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    cn = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "Q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS v,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END)
+                AS BIGINT) AS nation_vol_x10000,
+           CAST(SUM(v) AS BIGINT) AS total_vol_x10000,
+           FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
+                          ELSE 0 END) AS BIGINT)
+                 / CAST(SUM(v) AS BIGINT) * 10000) / 10000 AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): one supplier nation's
+    fraction of a region's revenue in one part type, per year — the
+    eight-table star with a conditional-over-total ratio.
+
+    Scale shape: region and both nation roles broadcast (bounded);
+    part's type filter pushes into its scan and that join is left to
+    the planner (part grows with SF); the order-date window pushes
+    into orders; the two fact joins shuffle on their keys.  The ratio
+    is exact-integer numerator/denominator (scaled BIGINT sums) so no
+    float summation order can move it; the division is one double op
+    on identical operands in both engines, floor-quantized for the
+    hash gate."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n = table(spark, sf_dir, "nation")
+    cn = n.join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sn = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = table(spark, sf_dir, "lineitem")
+    v = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", v).otherwise(F.lit(0))
+    ).cast("long")
+    den = F.sum(v).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            num.alias("nation_vol_x10000"),
+            den.alias("total_vol_x10000"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.floor(
+                F.col("nation_vol_x10000")
+                / F.col("total_vol_x10000")
+                * 10000
+            )
+            / 10000,
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "Q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           {sql_dquant('MAX(c.c_acctbal)')} AS c_acctbal
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): the top-20 customers
+    by revenue LOST to returns in one quarter — a selective fact
+    predicate (returnflag), a date-windowed fact-fact join, a grouped
+    rollup keyed by a DIMENSION composite, and a top-k.
+
+    Scale shape: returnflag and the date window push into their scans;
+    orders⋈lineitem shuffles on the order key; the customer join is
+    left to the planner (grows with SF) while nation broadcasts
+    (bounded); the top-20 is TakeOrderedAndProject over the grouped
+    rollup, never a full sort.  The rollup key includes the customer
+    attributes so no second join is needed after aggregation —
+    group-by-then-join-back would shuffle twice for the same answer.
+    The final select precedes the orderBy/limit (the Q3 ordering
+    rule)."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(rev).alias("revenue"),
+            dquant(F.max("c_acctbal")).alias("c_acctbal"),
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "Q12_priority_line_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority line counts per line status (TPC-H Q12 shape: the
+    synthetic schema has no l_shipmode/commit/receipt dates, so the
+    grouping key is l_linestatus and the window is the ship year —
+    the SHAPE is Q12's conditional two-way count over one fact-fact
+    join, which is what the plan is graded on).
+
+    Scale shape: the date window pushes into the lineitem scan; ONE
+    order-key shuffle join; both counts are conditional aggregates in
+    the SAME map-side-combinable pass (two stacked filtered
+    aggregations would scan and shuffle twice); the result is
+    |linestatus| rows."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "Q13_customer_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape; the
+    synthetic orders have no o_comment, so the excluded class is the
+    '5-LOW' priority — the point is the JOIN-side predicate, which
+    must live in the join/inner scan, NOT a post-join filter, or the
+    zero-order customers vanish).
+
+    Scale shape: a LEFT outer join that PRESERVES zero-match customers
+    (an inner join + count would silently drop the empty bucket — the
+    exact bug Q13 exists to catch), then two stacked aggregations:
+    per-customer count (shuffles on the customer key the join already
+    produced) and the |distinct counts|-row distribution.  COUNT of a
+    nullable key counts matches only — no null-handling case needed."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "Q14_promo_revenue",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS rv,
+             p.p_type
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    )
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rv ELSE 0 END)
+                AS BIGINT) AS promo_vol_x10000,
+           CAST(SUM(rv) AS BIGINT) AS total_vol_x10000,
+           FLOOR(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rv ELSE 0 END)
+                      AS BIGINT)
+                 / CAST(SUM(rv) AS BIGINT) * 10000) / 10000 AS promo_frac
+    FROM v
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue fraction (TPC-H Q14 shape): the share of one
+    month's revenue carried by promotional parts — one fact⋈dimension
+    join feeding a conditional-over-total global ratio.
+
+    Scale shape: the one-month window pushes into the lineitem scan
+    (at 100 TB this is the partition-pruning predicate); the part join
+    is left to the planner; numerator and denominator are exact scaled
+    BIGINTs accumulated in ONE pass — Q8's ratio discipline — and the
+    single-row division is quantized for the hash gate."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rv = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rv).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_vol_x10000"),
+            F.sum(rv).cast("long").alias("total_vol_x10000"),
+        )
+        .withColumn(
+            "promo_frac",
+            F.floor(
+                F.col("promo_vol_x10000") / F.col("total_vol_x10000") * 10000
+            )
+            / 10000,
+        )
+    )
+
+
+@query(
+    "Q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarter revenue (TPC-H Q15 shape): the
+    view-then-scalar-max pattern — a grouped revenue view consumed
+    twice, once for the global max and once for the equality filter.
+
+    Scale shape: the quarter window pushes into the scan; ONE suppkey
+    shuffle builds the |suppliers|-row revenue view; the max is a
+    1-row aggregate of that view broadcast back (never a re-scan of
+    the fact — the classic Q15 trap is computing the view twice), and
+    the supplier dimension join is left to the planner.  Revenue is
+    the scaled-integer sum, so the max-equality binds identically in
+    both engines — with floats, `= MAX()` is exactly the comparison
+    that silently diverges."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .localCheckpoint()  # consumed twice: max subquery + filter
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "Q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(FLOOR(o.o_totalprice * 10000) AS BIGINT)
+             AS o_totalprice_x10000,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice_x10000 DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    quantity exceeds a threshold, with their customers — the
+    HAVING-driven semi-reduction: the fact aggregates FIRST, and only
+    the surviving ~1% of order keys join the dimensions.
+
+    Scale shape: one order-key shuffle aggregates the fact to
+    |orders| rows; the HAVING filter drops 99% of them BEFORE any
+    join (aggregate-then-join, never join-then-aggregate — joining
+    raw lineitem to customer first would shuffle the wide row 4×);
+    the two dimension joins are left to the planner; the top-100 is
+    TakeOrderedAndProject.  Quantities are integral in this corpus
+    (checked), so SUM is exact in any order; the threshold binds
+    identically in both engines."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qsum"))
+        .where(F.col("qsum") > 250)
+        .select("l_orderkey", F.col("qsum").cast("long").alias("sum_qty"))
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.floor(F.col("o_totalprice") * 10000)
+            .cast("long")
+            .alias("o_totalprice_x10000"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice_x10000"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "Q19_discounted_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under disjunctive terms (TPC-H Q19 shape):
+    an OR of three brand/size/quantity conjunctions spanning BOTH join
+    sides — the disjunctive-predicate planning probe.
+
+    Scale shape: the per-side implications of the disjunction ARE
+    derivable (quantity ∈ [1,30] on the fact, size ∈ [1,50] + brand ∈
+    {1,2,3} on the dimension) and Spark pushes those weakened
+    single-side filters into both scans while the full cross-side OR
+    evaluates after the join — the standard disjunction factoring; the
+    join itself is a plain partkey equi-join (never a per-term union
+    of three joins, which would scan the fact three times)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    term = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            term("Brand#1", 15, 1, 11)
+            | term("Brand#2", 25, 10, 20)
+            | term("Brand#3", 50, 20, 30)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "Q21_sole_blame_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey AND s.s_nationkey = 1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely to blame on multi-supplier orders (TPC-H Q21
+    shape; the synthetic lineitem has no commit/receipt dates, so
+    "kept waiting" is proxied by l_returnflag='R' — the SHAPE is
+    Q21's signature: one nation-filtered fact side, an EXISTS
+    self-join and a NOT-EXISTS self-join on the same fact, then a
+    grouped top-k).
+
+    Scale shape: the returnflag + nation filters reduce the outer side
+    before either self-join; both the semi and the anti join shuffle
+    on the SAME order key (one exchange reused across both joins in
+    the executed plan), each with the supplier-inequality as a join
+    residual — never a row-expanding inner join + distinct; the
+    rollup is |suppliers|-bounded and the top-20 is
+    TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 1)
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            s.select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+        )
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "Q22_dormant_balance",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg('c_acctbal')} AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS cntry,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c, avg_bal a
+    WHERE c.c_acctbal > a.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+      )
+    GROUP BY cntry
+    ORDER BY cntry
+    """,
+)
+def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (TPC-H Q22 shape; the synthetic
+    customer has no phone, so the country bucket is nationkey mod 5,
+    and "no orders" is scoped to the trailing window because every
+    synthetic customer has SOME order — the SHAPE is Q22's signature:
+    a scalar-average subquery gating the dimension, an anti join
+    against the fact, and a small rollup).
+
+    Scale shape: the positive-balance average is a 1-row broadcast
+    (never a driver collect); the balance comparison uses the davg
+    quantized spelling so the > threshold binds identically in both
+    engines; the anti join pushes its date window into the orders scan
+    and shuffles on the customer key; the rollup is 5 rows."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = F.broadcast(
+        c.where(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("ab"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(avg_bal)
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("long").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

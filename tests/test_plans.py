@@ -1694,3 +1694,83 @@ class TestStarJoinPlans:
         assert "GreaterThanOrEqual(l_quantity,45" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q6_pure_pushdown_single_scan(self, spark, sf_dir):
+        """Q6 is the predicate-pushdown probe: all three filters in the
+        ONE lineitem scan, a 3-column ReadSchema, no join at all."""
+        import re
+
+        plan = _plan(spark, sf_dir, "Q6_forecast_revenue")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, plan
+        assert "GreaterThanOrEqual(l_shipdate" in plan
+        assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+        assert "LessThan(l_quantity,24" in plan
+        assert "l_extendedprice" in plan.split("ReadSchema")[1].split("\n")[0]
+        assert "Join" not in plan
+
+    def test_q10_q18_aggregate_before_join_topk(self, spark, sf_dir):
+        """Q10's top-20 and Q18's top-100 must be TakeOrderedAndProject
+        over grouped rollups; Q18 must aggregate the fact BEFORE the
+        dimension joins (the HAVING semi-reduction) — the quantity
+        aggregate's exchange sits below both joins."""
+        for name in ("Q10_returned_items", "Q18_large_volume_customer"):
+            plan = _plan(spark, sf_dir, name)
+            assert "TakeOrderedAndProject" in plan, name
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        plan = _plan(spark, sf_dir, "Q18_large_volume_customer")
+        # the HAVING filter applies to the aggregate, pre-join
+        assert "(qsum" in plan and "> 250.0)" in plan, plan
+
+    def test_q13_left_join_preserves_zero_customers(self, spark, sf_dir):
+        """Q13's join-side predicate must stay on the INNER side of a
+        LEFT OUTER join (a post-join filter would silently drop the
+        zero-order bucket) — the priority filter lands in the orders
+        scan and the join is LeftOuter."""
+        plan = _plan(spark, sf_dir, "Q13_customer_order_distribution")
+        assert "LeftOuter" in plan or "RightOuter" in plan
+        assert "Not(EqualTo(o_orderpriority,5-LOW))" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q19_disjunction_single_join_weakened_pushdown(
+        self, spark, sf_dir
+    ):
+        """Q19's OR-of-ANDs must plan as ONE partkey equi-join (never a
+        per-term union of three joins = three fact scans) with the
+        derivable single-side implications pushed into both scans."""
+        import re
+
+        plan = _plan(spark, sf_dir, "Q19_discounted_revenue")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 2, plan
+        # per-side projections of the disjunction reach both scans as
+        # pushed Or-filters (stronger than a weakened In/range form)
+        assert "And(EqualTo(p_brand,Brand#1),LessThanOrEqual(p_size,15))" in plan
+        assert (
+            "And(GreaterThanOrEqual(l_quantity,1.0),"
+            "LessThanOrEqual(l_quantity,11.0))" in plan
+        )
+        assert "CartesianProduct" not in plan
+
+    def test_q21_semi_and_anti_on_same_key(self, spark, sf_dir):
+        """Q21's EXISTS/NOT-EXISTS pair must plan as one LeftSemi and
+        one LeftAnti on the order key with the supplier inequality as a
+        join residual — never an inner join + distinct (row expansion)
+        and never a nested loop."""
+        plan = _plan(spark, sf_dir, "Q21_sole_blame_supplier")
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "EqualTo(l_returnflag,R)" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q22_scalar_gate_and_anti_join(self, spark, sf_dir):
+        """Q22's scalar-average gate is a 1-row broadcast (the allowed
+        scalar-build BNLJ class), the dormancy check is a LeftAnti with
+        the date window pushed into the orders scan."""
+        plan = _plan(spark, sf_dir, "Q22_dormant_balance")
+        assert "LeftAnti" in plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan
+        assert "GreaterThan(c_acctbal,0.0)" in plan
+        assert "CartesianProduct" not in plan
