@@ -68,6 +68,7 @@ KNOWN_FUNNELS: dict[str, str] = {
     "V1_cosine_topk": "BNLJ build = 10-row probe set (by design: the brute baseline)",
     "V2_embedding_neardup": "BNLJ build = 10-row probe set",
     "V5_ivf_recall": "BNLJ build = 10-row probe set (exact side of the recall eval)",
+    "V21_pq_trained_recall": "BNLJ build = 10-row probe set (exact side of the trained-vs-hash A/B)",
     "V7_quantized_topk": "BNLJ build = 10-row probe set",
     "V9_filtered_topk": "BNLJ build = 10-row probe set",
     "V13_pq_recall": "BNLJ build = 10-row probe set (exact side of the recall eval)",
