@@ -735,3 +735,68 @@ def pr4_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("rel_error"),
     )
+
+
+@query(
+    "T42_cm_store",
+    oracle=f"""
+    WITH counters AS (
+      SELECT 0 AS j, {_cm_pos_sql('user_id', 0)} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY pos
+      UNION ALL
+      SELECT 1, {_cm_pos_sql('user_id', 1)} AS pos,
+             CAST(COUNT(*) AS BIGINT)
+      FROM events GROUP BY pos
+      UNION ALL
+      SELECT 2, {_cm_pos_sql('user_id', 2)} AS pos,
+             CAST(COUNT(*) AS BIGINT)
+      FROM events GROUP BY pos
+    )
+    SELECT CAST(j AS BIGINT) AS j, CAST(pos AS BIGINT) AS pos, cnt
+    FROM counters ORDER BY j, pos
+    """,
+)
+def t42_cm_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min MAINTAINER as a driver row (the T41 pattern):
+    drain the events through ``run_cm_sketch`` as three real
+    micro-batches and read the maintained counter store back; the
+    oracle is the one-shot batch ``cm_counters`` in SQL, so the
+    sketch's counters-add-under-union mergeability — the property the
+    whole streaming-synopsis family (CM/KMV/histogram/W9) rests on —
+    is graded by the driver on the COUNTER CELLS themselves, not just
+    the top-k readout T22 grades.
+
+    Scale shape: each fold is depth map-side-combinable groupBys over
+    one micro-batch merged into a store that stays depth x width rows
+    forever; the replay stamp is lineage-bound (a new stream restarting
+    at batch 0 merges; a same-lineage replay skips)."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        drain_parquet_batches,
+        run_cm_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    tmp = tempfile.mkdtemp(prefix="t42_cm_store_")
+    try:
+        drain_parquet_batches(
+            ev,
+            "event_id",
+            lambda s: run_cm_sketch(s, f"{tmp}/store", f"{tmp}/ckpt"),
+            tmp,
+        )
+        return (
+            spark.read.parquet(f"{tmp}/store")
+            .select(
+                F.col("j").cast("long").alias("j"),
+                F.col("pos").cast("long").alias("pos"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+            .orderBy("j", "pos")
+            .localCheckpoint()  # materialize before the store dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -3226,25 +3226,20 @@ def t41_nb_model_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from biodiversity_graph_db_spark.streaming.ingest import run_nb_model
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        drain_parquet_batches,
+        run_nb_model,
+    )
 
     docs = table(spark, sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="t41_nb_store_")
     try:
-        src = f"{tmp}/src"
-        for i in range(3):
-            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+        drain_parquet_batches(
+            docs,
+            "doc_id",
+            lambda s: run_nb_model(s, f"{tmp}/model", f"{tmp}/ckpt"),
+            tmp,
         )
-        q = run_nb_model(stream, f"{tmp}/model", f"{tmp}/ckpt").start()
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("T41 drain did not finish within 600 s")
         wc = spark.read.parquet(f"{tmp}/model/wc")
         prior = spark.read.parquet(f"{tmp}/model/prior")
         return (

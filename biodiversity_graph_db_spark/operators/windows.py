@@ -932,3 +932,63 @@ def w15_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("g", "yyyy-MM-dd").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+@query(
+    "W16_rollup_store",
+    oracle="""
+    WITH b AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket_hour,
+             value
+      FROM events
+    )
+    SELECT COALESCE(bucket_day, 'ALL') AS bucket_day,
+           COALESCE(bucket_hour, 'ALL') AS bucket_hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+             AS value_x10000
+    FROM b GROUP BY ROLLUP (bucket_day, bucket_hour)
+    ORDER BY bucket_day, bucket_hour
+    """,
+)
+def w16_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W9 continuous-aggregate MAINTAINER as a driver row (the T41
+    pattern): drain the events table through ``run_multires_rollup``
+    as three real micro-batches (availableNow + maxFilesPerTrigger=1,
+    three foreachBatch grouped-sum folds with the lineage-bound replay
+    stamp), then read the maintained cell store back.  The oracle is
+    W9's one-shot batch ROLLUP, so the driver grades the continuous
+    aggregate's refresh≡recompute equivalence itself — the property a
+    TimescaleDB-style hypertable rollup rests on.
+
+    Scale shape: each fold is the batch ROLLUP over one micro-batch
+    (one Expand + one combinable aggregate) merged into a store that
+    stays |buckets| rows no matter how much history streamed; the
+    result is localCheckpoint-ed before the temp store dies."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        drain_parquet_batches,
+        run_multires_rollup,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="w16_rollup_store_")
+    try:
+        drain_parquet_batches(
+            ev,
+            "event_id",
+            lambda s: run_multires_rollup(s, f"{tmp}/store", f"{tmp}/ckpt"),
+            tmp,
+        )
+        return (
+            spark.read.parquet(f"{tmp}/store")
+            .select("bucket_day", "bucket_hour", "n", "value_x10000")
+            .orderBy("bucket_day", "bucket_hour")
+            .localCheckpoint()  # materialize before the store dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

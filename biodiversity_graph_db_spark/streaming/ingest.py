@@ -991,3 +991,37 @@ def run_nb_model(docs: DataFrame, out_path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def drain_parquet_batches(
+    df: DataFrame,
+    key_col: str,
+    run,
+    tmp: str,
+    n_batches: int = 3,
+    timeout_s: int = 600,
+) -> None:
+    """Canned-drain harness behind the maintainer DRIVER rows
+    (T41/T42/W16): write ``df`` as ``n_batches`` one-file parquet
+    batches (deterministic ``key_col % n`` split), build a rate-limited
+    file stream (``maxFilesPerTrigger=1`` → one foreachBatch call per
+    file), hand it to the maintainer's ``run`` factory and block until
+    the availableNow drain finishes.  The maintained store then holds
+    the n-way MERGED state, which each driver row's oracle compares to
+    the one-shot batch computation — the add-mergeability equivalence
+    graded by the driver instead of only by tests."""
+    spark = df.sparkSession
+    src = f"{tmp}/src"
+    for i in range(n_batches):
+        df.where(F.col(key_col) % n_batches == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run(stream).start()
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"canned drain did not finish in {timeout_s} s")
