@@ -2791,101 +2791,11 @@ def t36_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fit-on-split / score-on-split loop as a first-class distributed op.
 
 
-@query(
-    "T37_nb_langid",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
-             string_split_regex(trim(lower(text)), '\\s+') AS t
-      FROM documents
-    ),
-    tok AS (
-      SELECT doc_id, lang, is_train, unnest(t) AS w FROM d
-    ),
-    dw AS (
-      SELECT doc_id, lang, is_train, w, CAST(COUNT(*) AS BIGINT) AS m
-      FROM tok WHERE w <> '' GROUP BY ALL
-    ),
-    wc AS (
-      SELECT w, lang AS c, CAST(SUM(m) AS BIGINT) AS cnt
-      FROM dw WHERE is_train GROUP BY w, lang
-    ),
-    prior AS (
-      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
-    ),
-    -- the class list comes from the PRIOR (doc counts), not from the
-    -- token counts: a train class whose documents are all token-less
-    -- still exists, with tot=0 and the fully-smoothed 1/(0+V)
-    -- likelihood per token (hypothesis-found degenerate case)
-    classes AS (
-      SELECT p.c, CAST(COALESCE(t.tot, 0) AS BIGINT) AS tot
-      FROM prior p LEFT JOIN (
-        SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM wc GROUP BY c
-      ) t ON t.c = p.c
-    ),
-    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wc),
-    n_train AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    contrib AS (
-      SELECT dw.doc_id, cl.c,
-             CAST(SUM(dw.m * (
-               FLOOR(ln(COALESCE(wc.cnt, 0) + 1) * 1000000)
-               - FLOOR(ln(cl.tot + vocab.v) * 1000000)
-             )) AS BIGINT) AS tok_score
-      FROM dw CROSS JOIN classes cl CROSS JOIN vocab
-      LEFT JOIN wc ON wc.w = dw.w AND wc.c = cl.c
-      WHERE NOT dw.is_train
-      GROUP BY dw.doc_id, cl.c
-    ),
-    scored AS (
-      SELECT t.doc_id, t.lang, p.c,
-             CAST(FLOOR(ln(p.n_docs) * 1000000)
-                  - FLOOR(ln(n_train.n) * 1000000)
-                  + COALESCE(co.tok_score, 0) AS BIGINT) AS score
-      FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1) t
-      CROSS JOIN prior p CROSS JOIN n_train
-      LEFT JOIN contrib co ON co.doc_id = t.doc_id AND co.c = p.c
-    )
-    SELECT doc_id, lang AS true_lang, c AS pred_lang,
-           score AS score_micronats
-    FROM (
-      SELECT doc_id, lang, c, score,
-             ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, c) AS rk
-      FROM scored
-    ) WHERE rk = 1
-    ORDER BY doc_id
-    """,
-)
-def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes language classifier: FIT on the even
-    doc_ids (unigram counts per class with add-1 smoothing, class
-    priors from document counts), SCORE every odd doc_id, emit the
-    argmax class beside the true label — the learned counterpart of
-    T5's fixed stopword-vote heuristic, and the distributed form of
-    the fastText-style classifier filter every published pretraining
-    pipeline runs (CCNet perplexity buckets aside, quality and langid
-    routing are linear models over token counts exactly like this).
-
-    Cross-engine determinism: every likelihood is
-    ``m · (qln(cnt+1) − qln(tot_c + V))`` with qln = FLOOR(ln·1e6) on
-    exact BIGINT counts, summed as BIGINT — transcendentals are
-    quantized per-term, so summation order can never move the argmax;
-    ties break on the class name.
-
-    Scale shape: ONE tokenize pass collapsed to the (doc, word, count)
-    cut and localCheckpoint-ed (the BM25/T26 discipline — it feeds the
-    model build AND the scoring join); the MODEL is vocab×|classes|
-    bounded and broadcast (never corpus-sized), priors are a |classes|
-    row broadcast, and scoring is one broadcast join + one combinable
-    per-(doc,class) sum — at 100 TB this is two map-side-combinable
-    reduces over the token stream, no corpus-sized shuffle beyond the
-    (doc,word) collapse."""
-    from pyspark.sql import Window
-
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared NB fit+score engine (T37 classifier / T43 calibration):
+    fit on even doc_ids, produce the per-(test doc, class) integer-
+    exact score table — see ``t37_nb_langid`` for the scale shape and
+    the determinism argument.  Mirrors ``_NB_SCORED_CTES``."""
     d = spread(table(spark, sf_dir, "documents"))
     qln = lambda col: F.floor(F.log(col.cast("double")) * 1e6).cast("long")
     dw = (
@@ -2961,6 +2871,112 @@ def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score"),
         )
     )
+    return scored
+
+
+# Shared NB fit+score CTE chain (T37 classifier / T43 calibration):
+# everything through the per-(doc, class) integer-exact `scored` table.
+_NB_SCORED_CTES = """
+    d AS (
+      SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, is_train, unnest(t) AS w FROM d
+    ),
+    dw AS (
+      SELECT doc_id, lang, is_train, w, CAST(COUNT(*) AS BIGINT) AS m
+      FROM tok WHERE w <> '' GROUP BY ALL
+    ),
+    wc AS (
+      SELECT w, lang AS c, CAST(SUM(m) AS BIGINT) AS cnt
+      FROM dw WHERE is_train GROUP BY w, lang
+    ),
+    prior AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    -- the class list comes from the PRIOR (doc counts), not from the
+    -- token counts: a train class whose documents are all token-less
+    -- still exists, with tot=0 and the fully-smoothed 1/(0+V)
+    -- likelihood per token (hypothesis-found degenerate case)
+    classes AS (
+      SELECT p.c, CAST(COALESCE(t.tot, 0) AS BIGINT) AS tot
+      FROM prior p LEFT JOIN (
+        SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM wc GROUP BY c
+      ) t ON t.c = p.c
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wc),
+    n_train AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    contrib AS (
+      SELECT dw.doc_id, cl.c,
+             CAST(SUM(dw.m * (
+               FLOOR(ln(COALESCE(wc.cnt, 0) + 1) * 1000000)
+               - FLOOR(ln(cl.tot + vocab.v) * 1000000)
+             )) AS BIGINT) AS tok_score
+      FROM dw CROSS JOIN classes cl CROSS JOIN vocab
+      LEFT JOIN wc ON wc.w = dw.w AND wc.c = cl.c
+      WHERE NOT dw.is_train
+      GROUP BY dw.doc_id, cl.c
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang, p.c,
+             CAST(FLOOR(ln(p.n_docs) * 1000000)
+                  - FLOOR(ln(n_train.n) * 1000000)
+                  + COALESCE(co.tok_score, 0) AS BIGINT) AS score
+      FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1) t
+      CROSS JOIN prior p CROSS JOIN n_train
+      LEFT JOIN contrib co ON co.doc_id = t.doc_id AND co.c = p.c
+    )
+"""
+
+
+@query(
+    "T37_nb_langid",
+    oracle=f"""
+    WITH {_NB_SCORED_CTES}
+    SELECT doc_id, lang AS true_lang, c AS pred_lang,
+           score AS score_micronats
+    FROM (
+      SELECT doc_id, lang, c, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, c) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    ORDER BY doc_id
+    """,
+)
+def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier: FIT on the even
+    doc_ids (unigram counts per class with add-1 smoothing, class
+    priors from document counts), SCORE every odd doc_id, emit the
+    argmax class beside the true label — the learned counterpart of
+    T5's fixed stopword-vote heuristic, and the distributed form of
+    the fastText-style classifier filter every published pretraining
+    pipeline runs (CCNet perplexity buckets aside, quality and langid
+    routing are linear models over token counts exactly like this).
+
+    Cross-engine determinism: every likelihood is
+    ``m · (qln(cnt+1) − qln(tot_c + V))`` with qln = FLOOR(ln·1e6) on
+    exact BIGINT counts, summed as BIGINT — transcendentals are
+    quantized per-term, so summation order can never move the argmax;
+    ties break on the class name.
+
+    Scale shape: ONE tokenize pass collapsed to the (doc, word, count)
+    cut and localCheckpoint-ed (the BM25/T26 discipline — it feeds the
+    model build AND the scoring join); the MODEL is vocab×|classes|
+    bounded and broadcast (never corpus-sized), priors are a |classes|
+    row broadcast, and scoring is one broadcast join + one combinable
+    per-(doc,class) sum — at 100 TB this is two map-side-combinable
+    reduces over the token stream, no corpus-sized shuffle beyond the
+    (doc,word) collapse."""
+    from pyspark.sql import Window
+
+    scored = _nb_scored(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -2972,6 +2988,92 @@ def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("score_micronats"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "T43_nb_calibration",
+    oracle=f"""
+    WITH {_NB_SCORED_CTES}
+    ,
+    ranked AS (
+      SELECT doc_id, lang, c, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, c) AS rk
+      FROM scored
+    ),
+    pairs AS (
+      SELECT r1.doc_id,
+             CAST(r1.score - r2.score AS BIGINT) AS margin,
+             CASE WHEN r1.c = r1.lang THEN 1 ELSE 0 END AS ok
+      FROM ranked r1
+      JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rk = 2
+      WHERE r1.rk = 1
+    )
+    SELECT CAST(LEAST(margin // 250000, 9) AS BIGINT) AS margin_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           CAST(SUM(ok) * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm,
+           CAST(MIN(margin) AS BIGINT) AS min_margin,
+           CAST(MAX(margin) AS BIGINT) AS max_margin
+    FROM pairs
+    GROUP BY margin_band
+    ORDER BY margin_band
+    """,
+)
+def t43_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the T37 classifier — the learned-filter
+    GOVERNOR (the D9/V5/V13 pattern applied to a model instead of an
+    index): bucket every scored test document by its decision MARGIN
+    (best minus runner-up score, integer micro-nats — the exact
+    integer confidence; softmax would add a transcendental for
+    nothing) into fixed 0.25-nat reliability bands, and report
+    per-band accuracy.  A routing threshold on classifier confidence
+    (the CCNet/fastText filtering practice) is only sound if accuracy
+    rises with margin — this query IS that check, cross-engine
+    verified down to the band populations.
+
+    Scale shape: the fit+score engine is T37's (one (doc,word) cut,
+    vocab x classes broadcast model); the rank-2 window is per-doc
+    (rank state only); banding is a VALUE bucket (margin DIV 250000,
+    capped at band 9) so the rollup is a 10-row map-side-combinable
+    aggregate — never a global NTILE sort, which would funnel the
+    corpus through one partition.  Integer ppm DIV."""
+    from pyspark.sql import Window
+
+    scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    pairs = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("score"))).alias("s2"),
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("pred"),
+            F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang"),
+        )
+        .select(
+            (F.col("s1") - F.col("s2")).cast("long").alias("margin"),
+            F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok"),
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.least(F.expr("margin DIV 250000"), F.lit(9))
+            .cast("long")
+            .alias("margin_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_correct"),
+            F.expr("SUM(ok) * 1000000 DIV COUNT(*)")
+            .cast("long")
+            .alias("accuracy_ppm"),
+            F.min("margin").cast("long").alias("min_margin"),
+            F.max("margin").cast("long").alias("max_margin"),
+        )
+        .orderBy("margin_band")
     )
 
 

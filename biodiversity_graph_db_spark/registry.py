@@ -48,9 +48,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
     # ---- ROUND-9 WINDOW (first 50 = the driver's grading window) ----
-    # r10 NOTE: any query registered in round 9 sits past the window and
-    # needs a first driver grade in r10; rotate it to the head, then the
-    # "remaining r5 grades" block below, then the oldest r6 grades.
+    # r10 NOTE: the 17 queries registered in round 9 sit past the window
+    # and need a first driver grade in r10 — rotate to the head:
+    #   Q6_forecast_revenue, Q7_volume_shipping, Q8_market_share,
+    #   Q10_returned_items, Q12_priority_line_counts,
+    #   Q13_customer_order_distribution, Q14_promo_revenue,
+    #   Q15_top_supplier, Q18_large_volume_customer,
+    #   Q19_discounted_revenue, Q21_sole_blame_supplier,
+    #   Q22_dormant_balance, T41_nb_model_store, V21_pq_trained_recall,
+    #   W16_rollup_store, T42_cm_store (+ any r9 late additions),
+    # plus D14_span_purge (semantics changed r9: coverage-based purge).
+    # Then fill with the "remaining r5 grades" block below, then the
+    # oldest r6 grades.
     # (0) VERDICT r8 item 1: first driver grades for the 19 queries
     # registered in round 8 (local triple-SF parity + plan pins only).
     "Q3_shipping_priority",
