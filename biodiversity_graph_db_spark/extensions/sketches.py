@@ -800,3 +800,63 @@ def t42_cm_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "T44_kmv_store",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             {_HASH_SQL.format(x='user_id')} AS h
+      FROM events
+    )
+    SELECT event_type, h
+    FROM (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed
+    ) WHERE rk <= {KMV_K}
+    ORDER BY event_type, h
+    """,
+)
+def t44_kmv_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV MAINTAINER as a driver row (the T41/T42/W16 pattern):
+    drain the events through ``run_kmv_sketch`` as three real
+    micro-batches and read the maintained k-smallest ledger back; the
+    oracle is the one-shot batch ledger in SQL (T20's kept CTE), so
+    the sketch's distinct-union mergeability — union then re-truncate
+    to k per group — is graded by the driver on the LEDGER ROWS, not
+    just the cardinality readout T20 grades.
+
+    Scale shape: each fold is one distinct + one per-group k-heap over
+    a store that stays |groups| x k rows forever; KMV's merge is
+    naturally idempotent (distinct union), so unlike CM/rollup it
+    needs no replay stamp — a replayed batch unions in rows that are
+    already there."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        drain_parquet_batches,
+        run_kmv_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="t44_kmv_store_")
+    try:
+        drain_parquet_batches(
+            ev,
+            "event_id",
+            lambda s: run_kmv_sketch(s, f"{tmp}/store", f"{tmp}/ckpt"),
+            tmp,
+        )
+        return (
+            spark.read.parquet(f"{tmp}/store")
+            .select("event_type", F.col("h").cast("long").alias("h"))
+            .orderBy("event_type", "h")
+            .localCheckpoint()  # materialize before the store dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
