@@ -75,6 +75,7 @@ KNOWN_FUNNELS: dict[str, str] = {
     "V19_trained_ivf_recall": "BNLJ build = 10-row probe set",
     "E1_ngram_jaccard_topk": "BNLJ build = 100-row probe document set (doc_id < 100)",
     "T37_nb_langid": "BNLJ builds = |classes|-row grid + |classes|-row priors",
+    "T43_nb_calibration": "BNLJ builds = |classes|-row grid + |classes|-row priors (the shared _nb_scored engine, T37's bound)",
     "W15_rolling_actives": "BNLJ build = distinct-day spine (bounded horizon)",
     "T24_histogram_quantiles": "global sort of the bin table (<= n_bins rows)",
     "T31_temperature_mix": "unpartitioned Window over the per-source table (|sources| rows)",
