@@ -122,7 +122,7 @@ def band_bucket_join(bands: DataFrame, broadcast: bool = True) -> DataFrame:
     # self-join; checkpointing also truncates the minhash logical plan,
     # which Catalyst otherwise re-analyzes once per join side (driver
     # time comparable to the execution itself at small sf)
-    bands = bands.localCheckpoint()
+    bands = cut(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     if broadcast:
@@ -302,9 +302,9 @@ def e2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # checkpoint: the shingle table appears in 3 plan branches (minhash +
     # both sides of the exact-Jaccard verify)
-    shingled = d.select(
+    shingled = cut(d.select(
         "doc_id", unigram_shingles(F.col("text")).alias("shingles")
-    ).localCheckpoint()
+    ))
     cand = band_bucket_join(minhash_bands(shingled))
     verified = exact_jaccard(shingled, cand)
     return (
@@ -405,9 +405,9 @@ def d1_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(
         table(spark, sf_dir, "documents").where(F.col("doc_id") < 200), spark
     )
-    shingled = d.select(
+    shingled = cut(d.select(
         "doc_id", unigram_shingles(F.col("text")).alias("shingles")
-    ).localCheckpoint()
+    ))
     cand = band_bucket_join(minhash_bands(shingled))
     pairs = exact_jaccard(shingled, cand).where(F.col("jaccard") >= 0.7)
 
@@ -495,9 +495,9 @@ def d3_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(
         table(spark, sf_dir, "documents").where(F.col("doc_id") < 200), spark
     )
-    shingled = d.select(
+    shingled = cut(d.select(
         "doc_id", unigram_shingles(F.col("text")).alias("shingles")
-    ).localCheckpoint()
+    ))
     cand = band_bucket_join(minhash_bands(shingled))
     pairs = exact_jaccard(shingled, cand).where(F.col("jaccard") >= 0.7)
 
@@ -953,10 +953,10 @@ def d9_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(
         table(spark, sf_dir, "documents").where(F.col("doc_id") < 200), spark
     )
-    shingled = d.select(
+    shingled = cut(d.select(
         "doc_id", unigram_shingles(F.col("text")).alias("shingles")
-    ).localCheckpoint()
-    cand = band_bucket_join(minhash_bands(shingled)).localCheckpoint()
+    ))
+    cand = cut(band_bucket_join(minhash_bands(shingled)))
 
     sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
     ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -987,7 +987,7 @@ def d9_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("j"),
         )
     )
-    truth = jacc.where(F.col("j") >= 0.7).localCheckpoint()
+    truth = cut(jacc.where(F.col("j") >= 0.7))
     hits = cand.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
     from biodiversity_graph_db_spark.operators._util import dquant
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biodiversity_graph_db_spark.extensions.textstats import token_count
+from biodiversity_graph_db_spark.operators._util import cut
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -117,7 +118,7 @@ def export_training_shards(
     The write stays distributed across shards; no coalesce(1) funnel
     anywhere (single-file-per-shard comes from the partition key, not
     a global repartition to 1)."""
-    assigned = shard_assign(docs, shard_tokens).localCheckpoint()
+    assigned = cut(shard_assign(docs, shard_tokens))
     (
         assigned.repartition("lang", "shard_id")
         .sortWithinPartitions("doc_id")

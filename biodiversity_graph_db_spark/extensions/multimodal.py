@@ -107,6 +107,7 @@ def decode_media(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return df.mapInPandas(decode, schema=FEATURES_SCHEMA)
 
 
+from biodiversity_graph_db_spark.operators._util import cut
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -453,8 +454,8 @@ def mm4_media_neardup(spark, sf_dir: str) -> DataFrame:
         sample_frames(media)
         .select("media_id", F.col("frame_checksum").alias("h"))
         .distinct()
-        .localCheckpoint()  # feeds sizes AND both sides of the pair join
     )
+    fh = cut(fh)  # feeds sizes AND both sides of the pair join
     sizes = fh.groupBy("media_id").agg(F.count("*").alias("n"))
     inter = (
         fh.alias("x")

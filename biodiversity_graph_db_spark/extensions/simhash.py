@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biodiversity_graph_db_spark.extensions.dedup import word_ngram_shingles
-from biodiversity_graph_db_spark.operators._util import spread
+from biodiversity_graph_db_spark.operators._util import cut, spread
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import fan_out, table
 
@@ -185,7 +185,7 @@ def simhash_neardups(
     AND truncates the 48-aggregate logical plan, which otherwise gets
     re-analyzed per join side (measured ~1.7 s of driver-side Catalyst
     time per run at sf0.1, larger than the actual execution)."""
-    sigs = simhash_signatures(docs).localCheckpoint()
+    sigs = cut(simhash_signatures(docs))
     cand = simhash_candidates(sigs, broadcast=broadcast)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (

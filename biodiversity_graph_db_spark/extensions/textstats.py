@@ -1694,8 +1694,8 @@ def bm25_topk(
                 for i, t in enumerate(terms)
             ],
         )
-        .localCheckpoint()
     )
+    per_doc = cut(per_doc)
     stats = F.broadcast(
         per_doc.agg(
             (

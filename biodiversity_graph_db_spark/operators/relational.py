@@ -432,7 +432,7 @@ def f12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  At 100 TB prefer `from_json` with a pinned schema when
     MANY properties are read (one parse, many fields); for one
     property the path expression is cheaper."""
-    from biodiversity_graph_db_spark.operators._util import spread
+    from biodiversity_graph_db_spark.operators._util import cut, spread
 
     # The parse is the dominant cost (~10 µs/row Jackson eval), and it
     # must run EXACTLY ONCE per row: expression substitution re-spells
@@ -443,7 +443,7 @@ def f12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gen_sf1: 4.3 s → ~1.4 s.
     ev = spread(table(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    parsed = ev.select("event_type", k.alias("k")).localCheckpoint()
+    parsed = cut(ev.select("event_type", k.alias("k")))
     return (
         parsed.where(F.col("k").isNotNull())
         .groupBy(

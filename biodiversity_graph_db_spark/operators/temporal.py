@@ -27,6 +27,7 @@ from biodiversity_graph_db_spark.graph.edge_payloads import (
     promote_source_edge_cols,
     used_database_payload,
 )
+from biodiversity_graph_db_spark.operators._util import cut
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import table
 
@@ -943,8 +944,8 @@ def c5_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_timestamp(ts) DIV 604800").alias("week"),
         )
         .distinct()
-        .localCheckpoint()
     )
+    uw = cut(uw)
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("w0"))
     ret = (
         uw.join(cohort, "user_id")
