@@ -3613,14 +3613,19 @@ def clustered_embeddings(emb: DataFrame) -> DataFrame:
     a product/quotient of integers and IEEE doubles computed by the
     same expressions in both engines — the corpus is exactly
     SQL-replayable, the property every V-family oracle rests on."""
-    w = Window.orderBy(
-        F.md5(F.concat(F.lit("cl_"), F.col("vec_id").cast("string"))),
-        "vec_id",
+    # anchor selection is TakeOrdered-then-rank (the pq_codebook idiom):
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    # k-heap, no global sort), and the rank window then runs over the
+    # CL_MODES-row result — never a corpus-wide single-partition window
+    prio = F.md5(F.concat(F.lit("cl_"), F.col("vec_id").cast("string")))
+    anch = (
+        emb.select("vec_id", "embedding", prio.alias("prio"))
+        .orderBy("prio", "vec_id")
+        .limit(CL_MODES)
     )
+    w = Window.orderBy("prio", "vec_id")
     modes = (
-        emb.select("vec_id", "embedding")
-        .withColumn("a", F.row_number().over(w).cast("long"))
-        .where(F.col("a") <= CL_MODES)
+        anch.withColumn("a", F.row_number().over(w).cast("long"))
         .select("a", F.posexplode("embedding").alias("i0", "av"))
         .select(
             "a",

@@ -1438,6 +1438,24 @@ class TestRound8Wave2Plans:
         assert "BatchEvalPython" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
 
+    def test_cut_reliable_mode_requires_a_dir(self, spark):
+        """Reliable mode with NO checkpoint dir configured anywhere must
+        fail loudly (a silent localCheckpoint fallback would defeat the
+        fault-tolerance switch), and name both ways to provide one."""
+        import pytest as _pytest
+
+        from biodiversity_graph_db_spark.operators._util import cut
+
+        had_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+        if had_dir:
+            _pytest.skip("session already has a checkpoint dir")
+        spark.conf.set("spark.graft.cuts.reliable", "true")
+        try:
+            with _pytest.raises(ValueError, match="spark.graft.cuts.dir"):
+                cut(spark.range(3))
+        finally:
+            spark.conf.set("spark.graft.cuts.reliable", "false")
+
     def test_cut_reliable_mode_same_shape_same_rows(self, spark, sf_dir):
         """VERDICT r8 item 5: the ``cut`` helper's reliable-checkpoint
         mode (the production switch for corpus-proportional cuts) must
