@@ -47,76 +47,37 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a previous round and (b) still covered every run by the local oracle-
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-9 WINDOW (first 50 = the driver's grading window) ----
-    # r10 NOTE: the 17 queries registered in round 9 sit past the window
-    # and need a first driver grade in r10 — rotate to the head:
-    #   Q6_forecast_revenue, Q7_volume_shipping, Q8_market_share,
-    #   Q10_returned_items, Q12_priority_line_counts,
-    #   Q13_customer_order_distribution, Q14_promo_revenue,
-    #   Q15_top_supplier, Q18_large_volume_customer,
-    #   Q19_discounted_revenue, Q21_sole_blame_supplier,
-    #   Q22_dormant_balance, T41_nb_model_store, V21_pq_trained_recall,
-    #   W16_rollup_store, T42_cm_store (+ any r9 late additions),
-    # plus D14_span_purge (semantics changed r9: coverage-based purge).
-    # Then fill with the "remaining r5 grades" block below, then the
-    # oldest r6 grades.
-    # (0) VERDICT r8 item 1: first driver grades for the 19 queries
-    # registered in round 8 (local triple-SF parity + plan pins only).
-    "Q3_shipping_priority",
-    "Q4_priority_exists",
-    "Q5_local_supplier_volume",
-    "Q17_small_quantity_revenue",
-    "D13_shared_spans",
-    "D14_span_purge",
-    "V12_pq_adc_topk",
-    "V13_pq_recall",
-    "V14_pq_rerank",
-    "V15_ivfpq_topk",
-    "V16_ivfpq_indexed",
-    "V17_kmeans_refine",
-    "V18_cluster_purity",
-    "V19_trained_ivf_recall",
-    "V20_rrf_hybrid",
-    "T37_nb_langid",
-    "T38_dsir_weights",
-    "T39_k_anonymity",
-    "T40_vocab_growth",
-    # (1) the 31 oldest driver grades (r5) — three sessions of plan
-    # changes shipped since; refresh in VERDICT-suggested order.
-    "W1_next_in_sequence",
-    "W1_seed_next_chain",
-    "W2_temporal_extent",
-    "W3_moving_smooth",
-    "W4_sessionize",
-    "W5_tumbling_window",
-    "W6_sliding_window",
-    "W7_resample_ffill",
-    "G1_star_one_hop",
-    "G2_hierarchy_closure",
-    "G4_holocene_contains",
-    "G5_triangle_count",
-    "G6_pagerank",
-    "G9_label_propagation",
-    "G12_scc",
-    "V1_cosine_topk",
-    "V2_embedding_neardup",
-    "MM1_media_decode_metadata",
-    "MM2_frame_sample",
-    "MM3_media_embedding",
-    "K1_source_keys",
-    "K2_population_keys",
-    "Q1_pricing_summary",
-    "J2G_evidence_extract",
-    "A5_array_sections_complete",
-    "C1_age_depth_interpolate",
-    "D1_neardup_clusters",
-    "D2_semantic_dedup",
-    "D3_quality_canonical",
-    "E4b_fuzzy_name_match_d2",
-    "ED2_database_access_date",
-    # ---- past the window: everything below is driver-green r5+ and
-    # re-verified every run by tests/test_oracle_parity.py ----
-    # remaining r5 grades — head of the r10 rotation
+    # ---- ROUND-10 WINDOW (first 50 = the driver's grading window) ----
+    # VERDICT r9 item 1: (a) first driver grades for the 18 queries
+    # registered in round 9, (b) the 9 queries stale at r5, (c) 23 of
+    # the 49 queries whose latest grade is r6 — leading with the five
+    # bench-drift suspects (T23/V5/T19b/G10/T26) so their re-grade
+    # coincides with this round's §18 min-of-5 re-measure.
+    # r11 NOTE: after this window lands, rotate to the head: the 26
+    # remaining r6-latest queries (SD2_incremental_stats ...
+    # X7_author_display block below), plus every query first registered
+    # in round 10 (TPC-H partsupp wave Q2/Q9/Q11/Q16/Q20,
+    # T45_confidence_route), then the oldest r7 grades.
+    # (a) round-9 registrations — first driver grades
+    "Q6_forecast_revenue",
+    "Q7_volume_shipping",
+    "Q8_market_share",
+    "Q10_returned_items",
+    "Q12_priority_line_counts",
+    "Q13_customer_order_distribution",
+    "Q14_promo_revenue",
+    "Q15_top_supplier",
+    "Q18_large_volume_customer",
+    "Q19_discounted_revenue",
+    "Q21_sole_blame_supplier",
+    "Q22_dormant_balance",
+    "T41_nb_model_store",
+    "T42_cm_store",
+    "T44_kmv_store",
+    "W16_rollup_store",
+    "T43_nb_calibration",
+    "V21_pq_trained_recall",
+    # (b) the 9 r5-stale grades
     "ED3_calibration_curves",
     "F1_point_lookup",
     "F10_conditional_route",
@@ -126,57 +87,13 @@ PRIORITY: tuple[str, ...] = (
     "S4_batch_key_lookup",
     "T6_winnow_fingerprints",
     "T21_boilerplate_frac",
-    # r6+ grades, most recent last
-    "C2_radiocarbon_calibrate",
-    "E1_ngram_jaccard_topk",
-    "E2_minhash_lsh_neardup",
-    "E3_simhash_neardup",
-    "E4_fuzzy_name_match",
-    "ED1_edge_date_range",
-    "G3_connected_components",
-    "G7_shortest_paths",
-    "G8_motif_find",
-    "GEO1_bbox_contexts",
-    "GEO2_polygon_contains",
-    "GEO3_points_in_areas",
-    "GEO4_radius_sites",
-    "GEO5_density_grid",
-    "GEO6_area_overlap",
-    "J2_multihop_extract",
-    "J3_reverse_membership",
-    "J4_fk_violation_check",
-    "J5_signature_check",
-    "J6_hyperedge_star",
-    "J8_interval_containment",
-    "J9_asof_join",
-    "M1_unpivot_wide_matrix",
-    "O2_topk_per_group",
-    "PR1_profile_events",
-    "SD1_snapshot_diff",
-    "T13_rarity_score",
-    "T14_chunking",
-    "T15_packing_stats",
-    "T16_mix_sampling",
-    "T17_corpus_cube",
-    "T1_token_stats",
-    "T2_quality_scores",
-    "T3_fingerprint_dedup",
-    "T5_langid_ngram",
-    "V11_filtered_recall",
-    "O6_stratified_sample",
-    "J11_band_join",
-    "C5_retention_cohorts",
-    "D11_prefix_dup",
-    "T35_char_entropy",
-    "PR5_numeric_corr",
-    "ED5_interarrival_median",
-    "O7_hash_sample_topk",
-    "T36_pmi_collocations",
-    "G21_degree_assortativity",
-    "O8_weighted_sample",
-    "D12_source_overlap",
-    "ED6_type_transitions",
-    "T27_bm25_topk",
+    # (c) 23 r6-latest grades: bench-drift suspects first, then the
+    # alphabetical head of the r6 block
+    "T23_bloom_membership",
+    "V5_ivf_recall",
+    "T19b_bpe_encode_kernel",
+    "G10_ebv_richness",
+    "T26_tfidf_topk",
     "A2_group_by_type",
     "A8_rollup_stats",
     "D6_domain_cap",
@@ -187,7 +104,6 @@ PRIORITY: tuple[str, ...] = (
     "F7_nodes_of_type",
     "F8_substring_search",
     "F9_nearest_year_select",
-    "G10_ebv_richness",
     "G11_kcore",
     "G13_weighted_sssp",
     "M2_pivot_row_view",
@@ -196,6 +112,9 @@ PRIORITY: tuple[str, ...] = (
     "O1_index_sort",
     "O3_display_truncation",
     "P1_typed_date_dispatch",
+    # ---- past the window: everything below is driver-green r5+ and
+    # re-verified every run by tests/test_oracle_parity.py ----
+    # remaining r6-latest grades — head of the r11 rotation (26)
     "SD2_incremental_stats",
     "SD3_time_travel_read",
     "SD4_graph_time_travel",
@@ -206,13 +125,10 @@ PRIORITY: tuple[str, ...] = (
     "T12_length_quantiles",
     "T18_bpe_merges",
     "T19_bpe_encode",
-    "T19b_bpe_encode_kernel",
     "T20_kmv_distinct",
     "T22_countmin_heavy",
-    "T23_bloom_membership",
     "T24_histogram_quantiles",
     "T25_grouped_quantiles",
-    "T26_tfidf_topk",
     "T4_lang_profile",
     "T7_repetition_signals",
     "T9_pii_detect",
@@ -220,12 +136,12 @@ PRIORITY: tuple[str, ...] = (
     "U6_set_difference",
     "V3_ivf_topk",
     "V4_ivf_neardup",
-    "V5_ivf_recall",
     "V7_quantized_topk",
     "W8_resample_lerp",
     "X13_validation_suite",
     "X5_old_date_normalization",
     "X7_author_display",
+    # r7-latest grades (49)
     "T8_contamination_overlap",
     "D5_contamination_purge",
     "D7_split_leakage",
@@ -275,6 +191,108 @@ PRIORITY: tuple[str, ...] = (
     "A3_merge_into_index",
     "A4_duplicate_guard",
     "A6_next_id",
+    # r8-latest grades (50)
+    "C2_radiocarbon_calibrate",
+    "C5_retention_cohorts",
+    "D11_prefix_dup",
+    "D12_source_overlap",
+    "E1_ngram_jaccard_topk",
+    "E2_minhash_lsh_neardup",
+    "E3_simhash_neardup",
+    "E4_fuzzy_name_match",
+    "ED1_edge_date_range",
+    "ED5_interarrival_median",
+    "ED6_type_transitions",
+    "G21_degree_assortativity",
+    "G3_connected_components",
+    "G7_shortest_paths",
+    "G8_motif_find",
+    "GEO1_bbox_contexts",
+    "GEO2_polygon_contains",
+    "GEO3_points_in_areas",
+    "GEO4_radius_sites",
+    "GEO5_density_grid",
+    "GEO6_area_overlap",
+    "J11_band_join",
+    "J2_multihop_extract",
+    "J3_reverse_membership",
+    "J4_fk_violation_check",
+    "J5_signature_check",
+    "J6_hyperedge_star",
+    "J8_interval_containment",
+    "J9_asof_join",
+    "M1_unpivot_wide_matrix",
+    "O2_topk_per_group",
+    "O6_stratified_sample",
+    "O7_hash_sample_topk",
+    "O8_weighted_sample",
+    "PR1_profile_events",
+    "PR5_numeric_corr",
+    "SD1_snapshot_diff",
+    "T13_rarity_score",
+    "T14_chunking",
+    "T15_packing_stats",
+    "T16_mix_sampling",
+    "T17_corpus_cube",
+    "T1_token_stats",
+    "T27_bm25_topk",
+    "T2_quality_scores",
+    "T35_char_entropy",
+    "T36_pmi_collocations",
+    "T3_fingerprint_dedup",
+    "T5_langid_ngram",
+    "V11_filtered_recall",
+    # r9-latest grades (50) — freshest, last in rotation order
+    "A5_array_sections_complete",
+    "C1_age_depth_interpolate",
+    "D13_shared_spans",
+    "D14_span_purge",
+    "D1_neardup_clusters",
+    "D2_semantic_dedup",
+    "D3_quality_canonical",
+    "E4b_fuzzy_name_match_d2",
+    "ED2_database_access_date",
+    "G12_scc",
+    "G1_star_one_hop",
+    "G2_hierarchy_closure",
+    "G4_holocene_contains",
+    "G5_triangle_count",
+    "G6_pagerank",
+    "G9_label_propagation",
+    "J2G_evidence_extract",
+    "K1_source_keys",
+    "K2_population_keys",
+    "MM1_media_decode_metadata",
+    "MM2_frame_sample",
+    "MM3_media_embedding",
+    "Q17_small_quantity_revenue",
+    "Q1_pricing_summary",
+    "Q3_shipping_priority",
+    "Q4_priority_exists",
+    "Q5_local_supplier_volume",
+    "T37_nb_langid",
+    "T38_dsir_weights",
+    "T39_k_anonymity",
+    "T40_vocab_growth",
+    "V12_pq_adc_topk",
+    "V13_pq_recall",
+    "V14_pq_rerank",
+    "V15_ivfpq_topk",
+    "V16_ivfpq_indexed",
+    "V17_kmeans_refine",
+    "V18_cluster_purity",
+    "V19_trained_ivf_recall",
+    "V1_cosine_topk",
+    "V20_rrf_hybrid",
+    "V2_embedding_neardup",
+    "W1_next_in_sequence",
+    "W1_seed_next_chain",
+    "W2_temporal_extent",
+    "W3_moving_smooth",
+    "W4_sessionize",
+    "W5_tumbling_window",
+    "W6_sliding_window",
+    "W7_resample_ffill",
 )
 
 def _reorder() -> None:
