@@ -1092,12 +1092,33 @@ def recluster_ivf_index(
 
 def _accept_ivf_rebuild(spark: SparkSession, path: str) -> None:
     """Mark the rebuild at ``{path}__rebuild`` complete and roll the
-    swap forward — the accept half of the candidate protocol."""
+    swap forward — the accept half of the candidate protocol.
+
+    Refuses (raises) unless BOTH candidate datasets are still present:
+    while a ``swap=False`` candidate sits unmarked through a recall
+    A/B, any concurrent index read's heal deletes it (that is the
+    unmarked-candidate contract).  Without this check, ``fs.create``
+    would fabricate a ``_COMPLETE``-only tmp dir, and the roll-forward
+    would then treat both sub-swaps as already done and sweep
+    ``assigned_delta`` — silently dropping streamed appends with no
+    re-train applied.  A ``_COMPLETE``-only tmp therefore can only
+    mean a crash AFTER both sub-swaps (where sweeping the old-centroid
+    deltas is exactly right), which is why ``finish_ivf_rebuild`` must
+    NOT refuse that state — the fabrication is prevented here, at the
+    only place ``_COMPLETE`` is ever created."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(conf)
-    fs.create(hpath(f"{path}__rebuild/_COMPLETE"), True).close()
+    tmp = f"{path}__rebuild"
+    for sub in ("centroids", "assigned"):
+        if not fs.exists(hpath(f"{tmp}/{sub}")):
+            raise RuntimeError(
+                f"ivf rebuild candidate at {tmp} lost {sub} (healed away "
+                "by a concurrent read?) — refusing to mark _COMPLETE; "
+                "re-stage the candidate and re-run the accept"
+            )
+    fs.create(hpath(f"{tmp}/_COMPLETE"), True).close()
     finish_ivf_rebuild(spark, path)
 
 

@@ -2991,11 +2991,13 @@ def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "T43_nb_calibration",
-    oracle=f"""
-    WITH {_NB_SCORED_CTES}
-    ,
+# Shared decision-margin CTE chain (T43 calibration / T45 router): the
+# per-test-doc (margin, ok) pairs — best-minus-runner-up integer score
+# gap beside argmax correctness.  The rk=2 INNER join drops docs with
+# no runner-up (single-class training split) in both engines.
+_NB_PAIRS_CTES = (
+    _NB_SCORED_CTES
+    + """,
     ranked AS (
       SELECT doc_id, lang, c, score,
              ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -3010,6 +3012,42 @@ def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rk = 2
       WHERE r1.rk = 1
     )
+"""
+)
+
+
+def _nb_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``_NB_PAIRS_CTES``'s ``pairs`` table."""
+    from pyspark.sql import Window
+
+    scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("score"))).alias("s2"),
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("pred"),
+            F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang"),
+        )
+        # single-class training split ⇒ no rank-2 ⇒ s2 NULL: the oracle's
+        # inner join on rk=2 drops those docs, and F.least would otherwise
+        # skip the NULL and band them into band 9 (ADVICE r9) — mirror the
+        # inner join so no margin is undefined downstream
+        .where(F.col("s2").isNotNull())
+        .select(
+            (F.col("s1") - F.col("s2")).cast("long").alias("margin"),
+            F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok"),
+        )
+    )
+
+
+@query(
+    "T43_nb_calibration",
+    oracle=f"""
+    WITH {_NB_PAIRS_CTES}
     SELECT CAST(LEAST(margin // 250000, 9) AS BIGINT) AS margin_band,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(ok) AS BIGINT) AS n_correct,
@@ -3039,25 +3077,7 @@ def t43_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at band 9) so the rollup is a 10-row map-side-combinable
     aggregate — never a global NTILE sort, which would funnel the
     corpus through one partition.  Integer ppm DIV."""
-    from pyspark.sql import Window
-
-    scored = _nb_scored(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
-    pairs = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 2)
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("s1"),
-            F.max(F.when(F.col("rk") == 2, F.col("score"))).alias("s2"),
-            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("pred"),
-            F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang"),
-        )
-        .select(
-            (F.col("s1") - F.col("s2")).cast("long").alias("margin"),
-            F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok"),
-        )
-    )
+    pairs = _nb_margin_pairs(spark, sf_dir)
     return (
         pairs.groupBy(
             F.least(F.expr("margin DIV 250000"), F.lit(9))
@@ -3074,6 +3094,121 @@ def t43_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("margin").cast("long").alias("max_margin"),
         )
         .orderBy("margin_band")
+    )
+
+
+@query(
+    "T45_confidence_route",
+    oracle=f"""
+    WITH {_NB_PAIRS_CTES},
+    bands AS (
+      SELECT CAST(LEAST(margin // 250000, 9) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ok) AS BIGINT) AS c
+      FROM pairs GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(c) AS BIGINT) AS c_total
+      FROM bands
+    ),
+    suffix AS (
+      SELECT b,
+             CAST(SUM(n) OVER (ORDER BY b DESC) AS BIGINT) AS kept_n,
+             CAST(SUM(c) OVER (ORDER BY b DESC) AS BIGINT) AS kept_c
+      FROM bands
+    ),
+    best AS (
+      SELECT s.b, s.kept_n, s.kept_c
+      FROM suffix s, tot
+      WHERE s.kept_n * 1000000 >= 200000 * tot.n_total
+      ORDER BY kept_c * 1000000 // kept_n DESC, s.b ASC
+      LIMIT 1
+    )
+    SELECT best.b AS threshold_band,
+           CAST(best.b * 250000 AS BIGINT) AS margin_floor,
+           tot.n_total,
+           best.kept_n AS n_kept,
+           CAST(tot.n_total - best.kept_n AS BIGINT) AS n_routed,
+           CAST(tot.c_total * 1000000 // tot.n_total AS BIGINT)
+             AS acc_all_ppm,
+           CAST(best.kept_c * 1000000 // best.kept_n AS BIGINT)
+             AS acc_kept_ppm
+    FROM best, tot
+    """,
+)
+def t45_confidence_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence ROUTER over the T43 calibration bands (VERDICT r9
+    item 5 — the T8→D5 / D13→D14 detect→enforce discipline applied to
+    the classifier governor): keep the argmax prediction when the
+    decision margin clears a threshold, route everything below it to a
+    fallback (human review / a bigger model — the CCNet/fastText
+    confidence-routing practice), and report what the routing actually
+    bought: kept/routed counts plus realized accuracy on the kept set
+    beside overall accuracy.
+
+    Threshold RULE (deterministic, data-derived, integer-exact): among
+    band thresholds b whose kept suffix holds >=20% of scored docs
+    (kept_n * 1e6 >= 200000 * n_total — the router must not degenerate
+    into near-total abstention), choose the b maximizing realized
+    kept-set accuracy (integer ppm), ties to the SMALLEST b (largest
+    kept set).  Band 0 always qualifies and its suffix accuracy IS the
+    overall accuracy, so ``acc_kept_ppm >= acc_all_ppm`` holds BY
+    CONSTRUCTION at any SF and any data distribution — pinned by test.
+
+    Scale shape: one pass to the 10-row band table (T43's
+    value-banded, map-side-combinable rollup — the margin-pairs
+    pipeline runs ONCE; totals derive from the band table, never a
+    second corpus pass), then suffix sums + argmax over <=10 rows (the
+    unpartitioned window is the bounded sketch-table exception,
+    documented in the sweep); output is a single summary row."""
+    pairs = _nb_margin_pairs(spark, sf_dir)
+    bands = (
+        pairs.groupBy(
+            F.least(F.expr("margin DIV 250000"), F.lit(9))
+            .cast("long")
+            .alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("c"),
+        )
+        .localCheckpoint()  # <=10 rows; feeds tot AND suffix
+    )
+    tot = F.broadcast(
+        bands.agg(
+            F.sum("n").cast("long").alias("n_total"),
+            F.sum("c").cast("long").alias("c_total"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("b"))
+    suffix = bands.select(
+        "b",
+        F.sum("n").over(w).cast("long").alias("kept_n"),
+        F.sum("c").over(w).cast("long").alias("kept_c"),
+    )
+    best = (
+        suffix.crossJoin(tot)
+        .where(F.col("kept_n") * 1000000 >= 200000 * F.col("n_total"))
+        .orderBy(
+            F.expr("kept_c * 1000000 DIV kept_n").desc(), F.col("b").asc()
+        )
+        .limit(1)
+    )
+    return best.select(
+        F.col("b").alias("threshold_band"),
+        (F.col("b") * 250000).cast("long").alias("margin_floor"),
+        "n_total",
+        F.col("kept_n").alias("n_kept"),
+        (F.col("n_total") - F.col("kept_n")).cast("long").alias("n_routed"),
+        F.expr("c_total * 1000000 DIV n_total")
+        .cast("long")
+        .alias("acc_all_ppm"),
+        F.expr("kept_c * 1000000 DIV kept_n")
+        .cast("long")
+        .alias("acc_kept_ppm"),
     )
 
 

@@ -98,7 +98,15 @@ def cut(df):
 
     Bounded artifacts (vocab tables, |classes| grids, centroid sets)
     can stay on plain ``localCheckpoint`` — recomputing them is cheap
-    and replicating them buys nothing."""
+    and replicating them buys nothing.
+
+    Cleanup contract (ADVICE r9): reliable checkpoint files are only
+    ever removed by the ContextCleaner, and only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    context-startup conf; ``session.get_spark`` sets it).  A session
+    built elsewhere that enables reliable cuts without that flag
+    accumulates unbounded checkpoint-dir disk — either set the flag
+    before the context starts or prune the dir periodically."""
     spark = df.sparkSession
     if spark.conf.get("spark.graft.cuts.reliable", "false") != "true":
         return df.localCheckpoint()

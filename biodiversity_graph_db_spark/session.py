@@ -41,6 +41,15 @@ def get_spark(app_name: str = "biodiversity-graph-db-spark") -> SparkSession:
         # eviction churn stalls live jobs.  Force the cleaner's periodic
         # GC often enough that dead blocks drain between queries.
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # Reliable-mode cuts (spark.graft.cuts.reliable=true routes
+        # operators/_util.cut through .checkpoint()) write to the
+        # checkpoint dir and are NEVER removed unless this cleaner flag
+        # is on (Spark default: false).  A long-lived session running
+        # corpus-proportional cuts would otherwise accumulate unbounded
+        # checkpoint disk (ADVICE r9).  Must be set before the context
+        # starts — it cannot be flipped at runtime, which is why it
+        # lives here and not in cut() itself.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # InferFiltersFromGenerate rewrites explode(e) into

@@ -678,6 +678,73 @@ class TestIvfRecluster:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_accept_refuses_healed_away_candidate(self, spark):
+        """ADVICE r9 (medium): while a swap=False candidate sits
+        unmarked through the recall A/B, a concurrent index read's
+        heal may delete it.  _accept_ivf_rebuild must then REFUSE
+        (raise) rather than fabricate a _COMPLETE-only rebuild dir —
+        which finish_ivf_rebuild would treat as an already-swapped
+        rebuild and sweep assigned_delta, silently dropping streamed
+        appends with no re-train applied."""
+        import os
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pytest
+
+        from biodiversity_graph_db_spark.extensions.similarity import (
+            _accept_ivf_rebuild,
+            append_ivf_index,
+            finish_ivf_rebuild,
+            recluster_ivf_index,
+            write_ivf_index,
+        )
+
+        rng = np.random.default_rng(11)
+        vecs = np.abs(rng.normal(1.0, 0.3, (60, 8))).astype(np.float32)
+        base = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        tmp = tempfile.mkdtemp(prefix="ivf_accept_refuse_")
+        try:
+            path = f"{tmp}/idx"
+            write_ivf_index(base, path, n_centroids=4)
+            extra = base.withColumn("vec_id", F.col("vec_id") + 1000)
+            append_ivf_index(extra, path)
+            # streamed appends land in assigned_delta (the streaming
+            # maintainer's layout) — the state a fabricated _COMPLETE
+            # would have silently swept; plant a sentinel batch
+            os.makedirs(f"{path}/assigned_delta/app=t/batch=0")
+            with open(
+                f"{path}/assigned_delta/app=t/batch=0/part-0.parquet", "w"
+            ) as fh:
+                fh.write("sentinel")
+            assert os.path.exists(f"{path}/assigned_delta")
+
+            # stage an unmarked candidate, then simulate the concurrent
+            # reader's heal: no _COMPLETE -> the candidate is dropped
+            recluster_ivf_index(spark, path, n_centroids=4, swap=False)
+            assert os.path.exists(f"{path}__rebuild/centroids")
+            finish_ivf_rebuild(spark, path)
+            assert not os.path.exists(f"{path}__rebuild")
+
+            with pytest.raises(RuntimeError, match="lost centroids"):
+                _accept_ivf_rebuild(spark, path)
+            # the refuse left no marker and did NOT sweep the deltas
+            assert not os.path.exists(f"{path}__rebuild/_COMPLETE")
+            assert os.path.exists(f"{path}/assigned_delta")
+
+            # partial loss (one dataset healed/lost) also refuses
+            recluster_ivf_index(spark, path, n_centroids=4, swap=False)
+            shutil.rmtree(f"{path}__rebuild/assigned")
+            with pytest.raises(RuntimeError, match="lost assigned"):
+                _accept_ivf_rebuild(spark, path)
+            assert os.path.exists(f"{path}/assigned_delta")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
 
 class TestRound6SecondWave:
     """D6 domain cap, T26 tf-idf, G13 weighted SSSP, V7 int8
@@ -1271,3 +1338,56 @@ class TestTrainedIvfRecall:
         assert all(r.recall_ppm == r.n_hits * 1_000_000 // 5 for r in rows)
         mean = sum(r.n_hits for r in rows) / 50.0
         assert mean >= 0.6, [tuple(r) for r in rows]
+
+
+class TestT43SingleClassEdge:
+    def test_single_class_corpus_yields_no_bands(self, spark):
+        """ADVICE r9 (low): with exactly one class in the training
+        split there is no rank-2 score, so the margin is undefined.
+        The oracle's inner join on rk=2 drops every doc; the Spark
+        side must mirror that (filter s2 IS NOT NULL), not let
+        F.least skip the NULL and silently band those docs into
+        margin_band 9 with NULL min/max_margin."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.extensions.textstats import (
+            t43_nb_calibration,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="t43_single_class_")
+        try:
+            spark.createDataFrame(
+                [
+                    (i, f"alpha beta gamma doc {i}", "en", "web", 20)
+                    for i in range(20)
+                ],
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long",
+            ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            out = t43_nb_calibration(spark, tmp).collect()
+            assert out == []
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestT45ConfidenceRoute:
+    def test_kept_accuracy_dominates_overall(self, spark, sf_dir):
+        """The router's contract (VERDICT r9 item 5): realized accuracy
+        on the kept set must be >= overall accuracy — guaranteed by
+        construction because band 0 always clears the 20% kept-floor
+        and its suffix accuracy IS the overall accuracy, so the argmax
+        can never choose worse."""
+        from biodiversity_graph_db_spark import registry
+
+        registry.load_all()
+        rows = registry.QUERIES["T45_confidence_route"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.acc_kept_ppm >= r.acc_all_ppm, tuple(r)
+        assert r.n_kept + r.n_routed == r.n_total
+        # the kept-fraction floor held
+        assert r.n_kept * 1_000_000 >= 200_000 * r.n_total
+        assert r.margin_floor == r.threshold_band * 250_000
