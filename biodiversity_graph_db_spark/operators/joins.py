@@ -1538,3 +1538,473 @@ def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+# --- Q2/Q9/Q11/Q16/Q20: the partsupp join shapes (VERDICT r9 item 3) --------
+# The driver's synthetic schema ships no partsupp table, so the five
+# TPC-H queries that need one could not be registered (COVERAGE.md r9).
+# Instead of skipping the join SHAPES they exercise — the correlated
+# min-cost subquery (Q2), the three-fact profit rollup (Q9), the
+# grouped-having-over-scalar (Q11), the distinct-count anti-join (Q16)
+# and the nested semi-chain (Q20) — partsupp is DERIVED, deterministically,
+# from the keys both engines already share:
+#
+#   for i in 0..3:  ps_suppkey(p, i) = (p_partkey + i * (S DIV 4)) % S
+#
+# where S = |supplier|.  The four suppkeys are distinct for any S >= 4:
+# 0 < d * (S DIV 4) < S for d in 1..3 (since S DIV 4 >= 1 and
+# 3 * (S DIV 4) <= 3S/4 < S), so the four residues never collide —
+# the same per-part-4-suppliers cardinality contract as TPC-H's
+# spec §4.2.3 supplier(i) generator, in a spelling both engines replay
+# exactly.  Quantity and cost come from key-mixed integer formulas
+# (availqty 1..9999; cost 100..100000 integer CENTS so money math
+# stays in BIGINT until the output boundary):
+#
+#   ps_availqty   = (p * 47  + s * 31)   % 9999  + 1
+#   ps_cost_cents = (p * 131 + s * 2971) % 99901 + 100
+#
+# Scale shape: partsupp is GENERATED, never stored — a 4-way explode
+# over a two-column part scan (narrow projection, no shuffle, no join
+# against supplier rows; only supplier's COUNT, a parquet-metadata
+# scalar).  At 100 TB it pipelines into whichever join consumes it,
+# costing 4 rows per part and nothing else.
+
+_PS_ARITY = 4
+
+
+def partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation (see block comment above)."""
+    s_cnt = table(spark, sf_dir, "supplier").count()
+    step = s_cnt // _PS_ARITY
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("ps_partkey")
+    )
+    sk = (F.col("ps_partkey") + F.col("i") * step) % s_cnt
+    return (
+        p.select(
+            "ps_partkey",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_PS_ARITY)])
+            ).alias("i"),
+        )
+        .select("ps_partkey", sk.cast("long").alias("ps_suppkey"))
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                (F.col("ps_partkey") * 47 + F.col("ps_suppkey") * 31) % 9999
+                + 1
+            )
+            .cast("long")
+            .alias("ps_availqty"),
+            (
+                (F.col("ps_partkey") * 131 + F.col("ps_suppkey") * 2971)
+                % 99901
+                + 100
+            )
+            .cast("long")
+            .alias("ps_cost_cents"),
+        )
+    )
+
+
+# The DuckDB spelling of the same relation, shared by the five oracles.
+_PARTSUPP_CTE = """
+    ps0 AS (
+      SELECT p.p_partkey AS ps_partkey,
+             CAST((p.p_partkey + t.i * (sc.cnt // 4)) % sc.cnt AS BIGINT)
+               AS ps_suppkey
+      FROM part p
+      CROSS JOIN (SELECT unnest(range(4)) AS i) t
+      CROSS JOIN (SELECT COUNT(*) AS cnt FROM supplier) sc
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             CAST((ps_partkey * 47 + ps_suppkey * 31) % 9999 + 1 AS BIGINT)
+               AS ps_availqty,
+             CAST((ps_partkey * 131 + ps_suppkey * 2971) % 99901 + 100
+                  AS BIGINT) AS ps_cost_cents
+      FROM ps0
+    )
+"""
+
+
+@query(
+    "Q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()},
+    elig AS (
+      SELECT ps.ps_partkey, ps.ps_cost_cents,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT e.*, p.p_brand FROM elig e
+      JOIN part p ON p.p_partkey = e.ps_partkey
+      WHERE p.p_type = 'PROMO' AND p.p_size < 10
+    ),
+    mc AS (
+      SELECT ps_partkey, MIN(ps_cost_cents) AS min_cents
+      FROM cand GROUP BY ps_partkey
+    )
+    SELECT {sql_dquant('c.s_acctbal')} AS s_acctbal, c.s_name, c.n_name,
+           c.ps_partkey AS p_partkey, c.p_brand, c.ps_cost_cents
+    FROM cand c
+    JOIN mc ON mc.ps_partkey = c.ps_partkey
+           AND c.ps_cost_cents = mc.min_cents
+    ORDER BY s_acctbal DESC, c.n_name, c.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape, spec §B.2: the correlated
+    min-cost subquery): for each qualifying part, the European
+    supplier(s) offering it at the region-wide minimum cost.
+
+    Scale shape: the correlated subquery is DECORRELATED the way a
+    warehouse engine should — one grouped MIN over the already-filtered
+    candidate set, joined back on (partkey, cost) — never a per-part
+    re-scan.  Region (5 rows) and the region-pruned nation broadcast
+    explicitly (bounded at any scale); supplier and part grow with SF
+    so their joins carry NO hint (AQE broadcasts at bench SFs, shuffles
+    at 100 TB).  partsupp is the generated relation (see block comment
+    above): 4 rows per part, pipelined, never stored.  The part
+    predicates land in the part scan; the top-100 is
+    TakeOrderedAndProject over the quantized-acctbal sort key, total
+    order guaranteed by (s_name, p_partkey) tiebreak."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .where((F.col("p_type") == "PROMO") & (F.col("p_size") < 10))
+        .select("p_partkey", "p_brand")
+    )
+    cand = (
+        partsupp_df(spark, sf_dir)
+        .join(
+            s.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "ps_partkey", "ps_cost_cents", "s_name", "s_acctbal",
+            "n_name", "p_brand",
+        )
+    )
+    mc = cand.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    return (
+        cand.join(
+            mc,
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_cost_cents") == F.col("min_cents")),
+        )
+        .select(
+            dquant("s_acctbal").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "ps_cost_cents",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "Q9_product_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()}
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - (ps.ps_cost_cents / 100.0) * l.l_quantity"
+           )} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit rollup (TPC-H Q9 shape): profit =
+    revenue minus supply cost, per supplier nation per order year, for
+    one part family — the widest join tree in the suite (lineitem ⋈
+    part ⋈ partsupp ⋈ supplier ⋈ orders ⋈ nation).
+
+    Scale shape: the name filter prunes part BEFORE any join; the
+    partsupp composite-key join ((partkey, suppkey) — the Q9
+    signature) rides the generated relation, 4 rows per part, and
+    shuffles on the same partkey the part join already used; supplier
+    and orders joins shuffle on their own keys (no hints — both grow
+    with SF); nation broadcasts (25 rows).  Supply cost stays in
+    integer cents inside the profit expression; the rollup is
+    |nations| x |years| rows, map-side combinable via dsum's
+    scaled-integer partial."""
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    ps = partsupp_df(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - (F.col("ps_cost_cents") / 100.0) * F.col("l_quantity")
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "Q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()},
+    filt AS (
+      SELECT ps.ps_partkey,
+             ps.ps_availqty * ps.ps_cost_cents AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      WHERE s.s_nationkey % 5 = 1
+    ),
+    grouped AS (
+      SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+      FROM filt GROUP BY ps_partkey
+    ),
+    scal AS (
+      SELECT CAST(SUM(value_cents) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM grouped
+    )
+    SELECT g.ps_partkey, g.value_cents
+    FROM grouped g, scal
+    WHERE g.value_cents * scal.n > 2 * scal.tot
+    ORDER BY g.value_cents DESC, g.ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape: the
+    grouped-HAVING over a scalar subquery): per-part stock value for
+    one supplier country group, keeping parts whose value exceeds
+    twice the mean per-part value.
+
+    Scale shape: stock value is PURE INTEGER (cents x qty), so the
+    scalar threshold compares exactly in both engines with no float
+    epsilon (value*n > 2*tot — the cross-multiplied spelling of
+    value > 2*tot/n).  The scalar (tot, n) is a 1-row broadcast over
+    the grouped table (the Q22 avg-balance discipline — never a
+    driver collect); the supplier country filter prunes the generated
+    partsupp before grouping; the rollup shuffles once on partkey.
+    TPC-H's fixed FRACTION/SF threshold is replaced by the
+    data-derived 2x-mean so the query returns a stable head at every
+    SF (a fixed fraction empties at 100x and floods at 0.01x)."""
+    s = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") % 5 == 1)
+        .select("s_suppkey")
+    )
+    grouped = (
+        partsupp_df(spark, sf_dir)
+        .join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_availqty") * F.col("ps_cost_cents"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    scal = F.broadcast(
+        grouped.agg(
+            F.sum("value_cents").cast("long").alias("tot"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return (
+        grouped.crossJoin(scal)
+        .where(F.col("value_cents") * F.col("n") > 2 * F.col("tot"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+    )
+
+
+@query(
+    "Q16_supplier_relationship",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()}
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 3
+      )
+    GROUP BY p.p_brand, p.p_type, p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+    """,
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape: the
+    distinct-count anti-join): how many distinct suppliers can supply
+    each (brand, type, size) bucket, excluding a blacklisted supplier
+    set (the synthetic supplier has no comment column, so TPC-H's
+    '%Customer%Complaints%' predicate becomes the deterministic
+    key-residue s_suppkey % 7 = 3 — same shape, scale-stable
+    selectivity).
+
+    Scale shape: the blacklist is a LEFT ANTI join against a
+    key-filtered supplier projection (never NOT IN's
+    null-propagating semantics — keys are non-null by construction,
+    so anti-join and NOT IN agree); part predicates prune in the part
+    scan; the distinct count shuffles once on the group key with
+    partial aggregation below it."""
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 7 == 3)
+        .select(F.col("s_suppkey").alias("bk"))
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        partsupp_df(spark, sf_dir)
+        .join(bad, F.col("ps_suppkey") == F.col("bk"), "left_anti")
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(
+            F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt")
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "Q20_excess_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS qty_scaled
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') p
+        ON p.p_partkey = ps.ps_partkey
+      LEFT JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                          AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty * 20000 > COALESCE(sh.qty_scaled, 0)
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN excess e ON e.ps_suppkey = s.s_suppkey
+    WHERE s.s_nationkey % 5 = 1
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-stock suppliers (TPC-H Q20 shape: the nested semi-join
+    chain): suppliers in one country group holding more than half a
+    year's shipments of any 'small%' part they stock.
+
+    Scale shape: the correlated half-of-shipments subquery is
+    decorrelated into ONE grouped rollup over the date-pruned lineitem
+    scan (shuffle on (partkey, suppkey)), LEFT-joined so a
+    never-shipped (part, supplier) counts as excess stock (both
+    engines spell the same COALESCE(qty, 0), so the NULL semantics
+    TPC-H leaves engine-ambiguous are pinned); the part-name filter
+    enters as a LEFT SEMI join (never an inner join + distinct — the
+    semi keeps partsupp's row bound); quantity crosses engines in
+    floor-scaled integer units (availqty*20000 vs per-row-floored
+    sum).  The final supplier filter is a semi join against the
+    distinct excess-supplier set, |suppliers|-bounded."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (
+            F.col("l_shipdate")
+            >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+        )
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.floor(F.col("l_quantity") * 10000).cast("long"))
+        .cast("long")
+        .alias("qty_scaled")
+    )
+    small = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    excess = (
+        partsupp_df(spark, sf_dir)
+        .join(small, F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+            "left",
+        )
+        .where(
+            F.col("ps_availqty") * 20000
+            > F.coalesce(F.col("qty_scaled"), F.lit(0))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") % 5 == 1)
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

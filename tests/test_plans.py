@@ -1792,3 +1792,76 @@ class TestStarJoinPlans:
         assert "GreaterThanOrEqual(o_orderdate" in plan
         assert "GreaterThan(c_acctbal,0.0)" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestPartsuppWavePlans:
+    """Q2/Q9/Q11/Q16/Q20 (the derived-partsupp wave): the five join
+    shapes TPC-H reserves for its partsupp table, each pinned to the
+    plan that survives 100 TB."""
+
+    def test_q2_decorrelated_min_join(self, spark, sf_dir):
+        """Q2's correlated min-cost subquery must decorrelate into ONE
+        grouped MIN joined back on (partkey, cost) — never a per-part
+        re-scan — with the part predicates pushed into the part scan,
+        the region literal into the region scan, and the top-100 as
+        TakeOrderedAndProject."""
+        plan = _plan(spark, sf_dir, "Q2_min_cost_supplier")
+        assert "min(ps_cost_cents" in plan
+        assert "EqualTo(p_type,PROMO)" in plan
+        assert "LessThan(p_size,10)" in plan
+        assert "EqualTo(r_name,EUROPE)" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q9_name_prune_and_composite_key_join(self, spark, sf_dir):
+        """Q9's part-family filter must reach the part scan as a pushed
+        Contains, the partsupp join must bind BOTH keys (partkey AND
+        suppkey — the Q9 signature), and the rollup must have a
+        map-side partial below its exchange."""
+        plan = _plan(spark, sf_dir, "Q9_product_profit")
+        assert "StringContains(p_name,bolt)" in plan
+        assert "ps_suppkey" in plan and "ps_partkey" in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q11_integer_scalar_gate(self, spark, sf_dir):
+        """Q11's HAVING-over-scalar must be a 1-row broadcast over the
+        grouped table (the allowed scalar-build BNLJ class, same as
+        Q22's average gate) with the threshold comparison in exact
+        integer cross-multiplied form — no float epsilon, no driver
+        collect, no cartesian."""
+        plan = _plan(spark, sf_dir, "Q11_important_stock")
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar gate
+        assert "CartesianProduct" not in plan
+        # integer spelling survives into the filter
+        assert "value_cents" in plan
+
+    def test_q16_distinct_count_anti_join(self, spark, sf_dir):
+        """Q16's supplier blacklist must plan as LeftAnti (never NOT
+        IN's null-trap spelling), with brand/type/size predicates
+        pushed into the part scan and a two-phase distinct count."""
+        plan = _plan(spark, sf_dir, "Q16_supplier_relationship")
+        assert "LeftAnti" in plan
+        assert "Not(EqualTo(p_brand,Brand#13))" in plan
+        assert "Not(EqualTo(p_type,PROMO))" in plan
+        assert "In(p_size" in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q20_semi_chain(self, spark, sf_dir):
+        """Q20's nesting must plan as a SEMI chain — part-name filter
+        as LeftSemi into partsupp, final supplier membership as
+        LeftSemi — with the ship-date window pushed into the lineitem
+        scan and the correlated sum decorrelated into one grouped
+        rollup consumed via LEFT OUTER."""
+        plan = _plan(spark, sf_dir, "Q20_excess_stock")
+        assert plan.count("LeftSemi") >= 2
+        assert "LeftOuter" in plan or "RightOuter" in plan
+        assert "StringStartsWith(p_name,small)" in plan
+        assert "GreaterThanOrEqual(l_shipdate" in plan
+        assert "LessThan(l_shipdate" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
