@@ -82,6 +82,45 @@ KNOWN_FUNNELS: dict[str, str] = {
     "W1_seed_next_chain": "global sort of the calendar-year seed chain (|years| rows)",
 }
 
+# Documented row bound for every unpartitioned Window in the registry
+# (WindowExec with no partition spec serializes its input through ONE
+# task — same failure class as Exchange SinglePartition, so the same
+# audit discipline: each hit must name the bound of the table the
+# window runs over, or the sweep exits 1).  Bounds sourced from the
+# owning query's docstring; update both together.
+#
+# CONSTRUCTION-TIME entries (VERDICT r9 finding 3): windows executed
+# eagerly while the query BUILDS (inside localCheckpoint'd training
+# jobs) never appear in the final executed plan, so the detector can't
+# see them — they are pinned here so a structural change that widens
+# them is caught at review, and printed with every sweep run.
+KNOWN_UNPART_WINDOWS: dict[str, str] = {
+    "V21_pq_trained_recall": (
+        "construction-time: seeds rank = PQ_K(=16)-row TakeOrdered "
+        "result (pq_train_codebook) + anchor rank = CL_MODES(=4)-row "
+        "TakeOrdered result (synthetic mode corpus); final plan's "
+        "windows are q_id-partitioned"
+    ),
+    "V12_pq_adc_topk": (
+        "construction-time: hash-codebook sample rank = PQ_K-row "
+        "TakeOrdered result (pq_codebook j_w) — shared by every PQ-family "
+        "query that trains a codebook"
+    ),
+    # TakeOrdered-then-rank: orderBy().limit(k) plans as
+    # TakeOrderedAndProject (per-partition k-heap), and the rank window
+    # runs over the k survivors only — the T13 discipline
+    "PR2_key_skew": "rank over top-10 TakeOrdered key-count rows",
+    "T10_vocab_topk": "rank over top-50 TakeOrdered vocab rows",
+    "T13_rarity_score": (
+        "rank over RARITY_TOP_V(=20)-row TakeOrdered vocab"
+    ),
+    "T27_bm25_topk": "rank over BM25_TOPK TakeOrdered survivor rows",
+    "T45_confidence_route": (
+        "suffix sums over the <=10-row margin-band table (the bounded "
+        "sketch-table exception; corpus pass collapses to bands first)"
+    ),
+}
+
 # Queries whose repartition counts come from the size-adaptive rule
 # (graph/algorithms.py pagerank/label-prop/wsssp family): a
 # REPARTITION_BY_NUM SinglePartition from these is the tiny-SF
@@ -143,6 +182,39 @@ def _is_scalar_build(lines: list[str], i: int) -> bool:
     return False
 
 
+def _window_is_unpartitioned(op: str) -> bool:
+    """True for a WindowExec toString line with an EMPTY partition spec.
+
+    Format (probed on this Spark): ``Window [funcs], [part], [order]``
+    — but BOTH the part and order specs are omitted when empty, so two
+    bracket groups is ambiguous: ``[funcs], [order]`` (unpartitioned)
+    vs ``[funcs], [part]`` (partitioned, no order — the frame-only
+    shape grouped running sums compile to).  Disambiguate by content:
+    a sort spec carries ``ASC/DESC NULLS`` per column, a partition
+    spec is a bare attribute list."""
+    groups: list[str] = []
+    paren = bracket = 0
+    start = 0
+    for idx, ch in enumerate(op):
+        if ch == "(":
+            paren += 1
+        elif ch == ")":
+            paren -= 1
+        elif ch == "[" and paren == 0:
+            if bracket == 0:
+                start = idx
+            bracket += 1
+        elif ch == "]" and paren == 0:
+            bracket -= 1
+            if bracket == 0:
+                groups.append(op[start : idx + 1])
+    if len(groups) >= 3:
+        return False
+    if len(groups) == 2:
+        return bool(re.search(r"(ASC|DESC) NULLS", groups[1]))
+    return True  # funcs only: no partition spec at all
+
+
 def _audit_funnels(exec_str: str, plan_fmt: str, name: str) -> dict[str, int]:
     """Classify every driver-funnel operator in one executed plan.
 
@@ -163,6 +235,7 @@ def _audit_funnels(exec_str: str, plan_fmt: str, name: str) -> dict[str, int]:
         "bnlj": 0,
         "bnlj-scalar": 0,
         "cartesian": 0,
+        "unpart-window": 0,
     }
     for i, ln in enumerate(lines):
         op = ln[_depth(ln):]
@@ -183,6 +256,8 @@ def _audit_funnels(exec_str: str, plan_fmt: str, name: str) -> dict[str, int]:
                 counts["bnlj"] += 1
         elif op.startswith("CartesianProduct"):
             counts["cartesian"] += 1
+        elif op.startswith("Window ") and _window_is_unpartitioned(op):
+            counts["unpart-window"] += 1
     # cross-check against the formatted Arguments: lines so a toString
     # format change can't blind this audit again (VERDICT r8 finding 1)
     fmt = len(re.findall(r"^\s*Arguments: SinglePartition", plan_fmt, re.M))
@@ -241,11 +316,19 @@ def main() -> None:
             note = "OK — size-adaptive partition count, 1 only at this SF"
         elif kind == "bnlj-scalar":
             note = "OK — cross join with a 1-row scalar build side"
+        elif kind == "unpart-window":
+            bound = KNOWN_UNPART_WINDOWS.get(name) or KNOWN_FUNNELS.get(name)
+            note = bound if bound else "UNBOUNDED? — document or fix"
+            bad += bound is None
         elif kind in ("single", "bnlj", "cartesian"):
             bound = KNOWN_FUNNELS.get(name)
             note = bound if bound else "UNBOUNDED? — document or fix"
             bad += bound is None
         print(f"{kind:>15} x{count}  {name}: {note}")
+    print("\n== construction-time window bounds (not visible in final plans) ==")
+    for name, bound in sorted(KNOWN_UNPART_WINDOWS.items()):
+        if "construction-time" in bound:
+            print(f"  {name}: {bound}")
     if not funnels:
         print("(none)")
     print(f"\n{len(funnels)} funnel hits, {bad} undocumented")
