@@ -233,6 +233,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # SPARK_GRAFT_CUTS_RELIABLE=1: price the production reliable-cut
+    # spelling (operators/_util.cut -> .checkpoint() to local disk)
+    # against the default localCheckpoint on the same queries — the
+    # SCALE §26 switch needs a measured overhead, not a claim
+    # (VERDICT r9 item 6).
+    if os.environ.get("SPARK_GRAFT_CUTS_RELIABLE") == "1":
+        import tempfile
+
+        spark.conf.set("spark.graft.cuts.reliable", "true")
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="graft_cuts_")
+        )
+
     # Warm the JVM + parquet footers once so we measure query time, not
     # first-touch session cost.
     from biodiversity_graph_db_spark.tables import TABLES, table
