@@ -211,6 +211,13 @@ HEADLINE = [
     "Q21_sole_blame_supplier",
     "Q22_dormant_balance",
     "T43_nb_calibration",
+    # round-10 additions: the derived-partsupp wave + the T45 router
+    "Q2_min_cost_supplier",
+    "Q9_product_profit",
+    "Q11_important_stock",
+    "Q16_supplier_relationship",
+    "Q20_excess_stock",
+    "T45_confidence_route",
     # T41/T42/T44/W16 (maintainer-store drains) and V21 (trained-PQ
     # A/B harness) are oracle-graded but not bench headlines: their
     # one-shot times are 3-micro-batch STREAM DRAINS (fixed trigger

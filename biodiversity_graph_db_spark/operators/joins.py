@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biodiversity_graph_db_spark.operators._util import (
+    cut,
     davg,
     dquant,
     dsum,
@@ -1666,16 +1667,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier(s) offering it at the region-wide minimum cost.
 
     Scale shape: the correlated subquery is DECORRELATED the way a
-    warehouse engine should — one grouped MIN over the already-filtered
-    candidate set, joined back on (partkey, cost) — never a per-part
-    re-scan.  Region (5 rows) and the region-pruned nation broadcast
-    explicitly (bounded at any scale); supplier and part grow with SF
-    so their joins carry NO hint (AQE broadcasts at bench SFs, shuffles
-    at 100 TB).  partsupp is the generated relation (see block comment
+    warehouse engine should — a per-part MIN WINDOW over the
+    already-filtered candidate set, then one filter — never a per-part
+    re-scan.  The window spelling (vs grouped-MIN + join-back) costs
+    ONE partkey shuffle and reads the candidate subtree ONCE; the
+    join-back spelling either re-runs the whole 4-join subtree per
+    consumer (the Q15 double-compute trap — the r10 funnel sweep
+    caught exactly that as a 10-scan plan) or needs a checkpoint.
+    Region (5 rows) and the region-pruned nation broadcast explicitly
+    (bounded at any scale); supplier and part grow with SF so their
+    joins carry NO hint (AQE broadcasts at bench SFs, shuffles at
+    100 TB).  partsupp is the generated relation (see block comment
     above): 4 rows per part, pipelined, never stored.  The part
-    predicates land in the part scan; the top-100 is
-    TakeOrderedAndProject over the quantized-acctbal sort key, total
-    order guaranteed by (s_name, p_partkey) tiebreak."""
+    predicates land in the part scan (plan-pinned — visible because
+    nothing is checkpointed); the top-100 is TakeOrderedAndProject
+    over the quantized-acctbal sort key, total order guaranteed by
+    (s_name, p_partkey) tiebreak."""
     r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     n = table(spark, sf_dir, "nation").join(
         F.broadcast(r.select("r_regionkey")),
@@ -1702,15 +1709,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name", "p_brand",
         )
     )
-    mc = cand.groupBy(F.col("ps_partkey").alias("mk")).agg(
-        F.min("ps_cost_cents").alias("min_cents")
-    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ps_partkey")
     return (
-        cand.join(
-            mc,
-            (F.col("ps_partkey") == F.col("mk"))
-            & (F.col("ps_cost_cents") == F.col("min_cents")),
-        )
+        cand.withColumn("min_cents", F.min("ps_cost_cents").over(w))
+        .where(F.col("ps_cost_cents") == F.col("min_cents"))
         .select(
             dquant("s_acctbal").alias("s_acctbal"),
             "s_name",
@@ -1841,7 +1845,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_nationkey") % 5 == 1)
         .select("s_suppkey")
     )
-    grouped = (
+    # grouped feeds TWO consumers (the scalar and the HAVING filter) —
+    # cut it once or the partsupp join+rollup re-runs per consumer
+    # (caught by the r10 funnel sweep as a doubled scan set)
+    grouped = cut(
         partsupp_df(spark, sf_dir)
         .join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("ps_partkey")

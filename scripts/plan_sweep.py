@@ -80,6 +80,10 @@ KNOWN_FUNNELS: dict[str, str] = {
     "T24_histogram_quantiles": "global sort of the bin table (<= n_bins rows)",
     "T31_temperature_mix": "unpartitioned Window over the per-source table (|sources| rows)",
     "W1_seed_next_chain": "global sort of the calendar-year seed chain (|years| rows)",
+    "T45_confidence_route": (
+        "exchange under the <=10-row band-table suffix window (the "
+        "corpus collapses to bands before any funnel)"
+    ),
 }
 
 # Documented row bound for every unpartitioned Window in the registry

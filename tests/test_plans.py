@@ -1799,20 +1799,28 @@ class TestPartsuppWavePlans:
     shapes TPC-H reserves for its partsupp table, each pinned to the
     plan that survives 100 TB."""
 
-    def test_q2_decorrelated_min_join(self, spark, sf_dir):
-        """Q2's correlated min-cost subquery must decorrelate into ONE
-        grouped MIN joined back on (partkey, cost) — never a per-part
-        re-scan — with the part predicates pushed into the part scan,
-        the region literal into the region scan, and the top-100 as
+    def test_q2_decorrelated_min_window(self, spark, sf_dir):
+        """Q2's correlated min-cost subquery must decorrelate into a
+        per-part MIN window over the candidate set — one partkey
+        shuffle, the candidate subtree read ONCE (the grouped-MIN +
+        join-back spelling re-ran the whole 4-join subtree per
+        consumer: a 10-scan plan, caught by the r10 sweep) — with the
+        part predicates pushed into the part scan, the region literal
+        into the region scan, and the top-100 as
         TakeOrderedAndProject."""
+        import re
+
         plan = _plan(spark, sf_dir, "Q2_min_cost_supplier")
-        assert "min(ps_cost_cents" in plan
+        assert "min(ps_cost_cents" in plan and "windowspecdefinition" in plan
         assert "EqualTo(p_type,PROMO)" in plan
         assert "LessThan(p_size,10)" in plan
         assert "EqualTo(r_name,EUROPE)" in plan
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        # one scan per table role — the double-compute stays dead
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) <= 5, plan
 
     def test_q9_name_prune_and_composite_key_join(self, spark, sf_dir):
         """Q9's part-family filter must reach the part scan as a pushed
