@@ -218,7 +218,7 @@ HEADLINE = [
     "Q16_supplier_relationship",
     "Q20_excess_stock",
     "T45_confidence_route",
-    # T41/T42/T44/W16 (maintainer-store drains) and V21 (trained-PQ
+    # T41/T42/T44/W16/D15 (maintainer-store drains) and V21 (trained-PQ
     # A/B harness) are oracle-graded but not bench headlines: their
     # one-shot times are 3-micro-batch STREAM DRAINS (fixed trigger
     # latency, not data throughput — the batch twins W9/T22/T20 track

@@ -1499,3 +1499,72 @@ def d14_span_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "worst_partner", "covered_tokens", "n_tokens", "dup_ppm")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "D15_lsh_band_store",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS sh
+      FROM documents WHERE doc_id < 200
+    ), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    hs AS (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS h),
+    mh AS (
+      SELECT doc_id, h,
+             MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS sig
+      FROM ex CROSS JOIN hs GROUP BY doc_id, h
+    )
+    SELECT doc_id, CAST(h // {BAND_SIZE} AS BIGINT) AS band,
+           md5(string_agg(sig, '|' ORDER BY h)) AS band_key
+    FROM mh GROUP BY doc_id, band
+    ORDER BY doc_id, band
+    """,
+)
+def d15_lsh_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash/LSH band-table MAINTAINER as a driver row (the
+    T41/T42/T44/W16 pattern, completing the synopsis-store family with
+    the DEDUP-AT-INGEST index): drain the documents through
+    ``run_lsh_bands`` as three real micro-batches and read the
+    maintained band store back; the oracle is the one-shot batch
+    banding in SQL (E2's bands CTE), so stream-built ≡ batch-built is
+    graded by the driver on the STORE CELLS — the exact rows the
+    band-bucket join consumes for near-dup candidate generation.
+
+    Scale shape: band rows are a per-document deterministic function,
+    so each micro-batch is one narrow map+groupBy over ITS OWN rows —
+    no read-modify-write of the (corpus-growing) store; exactly-once
+    is the per-batch-directory transaction (streaming/ingest.py
+    ``lsh_band_upsert``); the store stays partitioned by ``band`` so
+    ingest-time dup checks prune buckets exactly like the batch path."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        drain_parquet_batches,
+        run_lsh_bands,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="d15_lsh_store_")
+    try:
+        drain_parquet_batches(
+            docs,
+            "doc_id",
+            lambda s: run_lsh_bands(s, f"{tmp}/store", f"{tmp}/ckpt"),
+            tmp,
+        )
+        return (
+            spark.read.parquet(f"{tmp}/store")
+            .select(
+                "doc_id", F.col("band").cast("long").alias("band"), "band_key"
+            )
+            .orderBy("doc_id", "band")
+            .localCheckpoint()  # materialize before the store dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -857,6 +857,64 @@ def run_ivf_append(emb_stream: DataFrame, index_path: str, checkpoint: str):
     )
 
 
+def lsh_band_upsert(
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    app_id: str | None = None,
+) -> None:
+    """One micro-batch of LSH band-store maintenance (dedup-at-ingest):
+    shingle → minhash → band the batch's documents (the E2/D1 kernel,
+    extensions/dedup.py) and write the (doc_id, band, band_key) rows as
+    the batch's OWN delta dataset
+    ``bands/app=<lineage>/batch=<id>/band=*``.
+
+    Band rows are a PER-DOCUMENT deterministic function, so the merge
+    is plain union — but a bounded-store rewrite (the KMV/CM pattern)
+    would be O(corpus) per batch here, because the band table GROWS
+    with the corpus.  Exactly-once therefore comes from the
+    ``ivf_append_upsert`` discipline instead: the directory is the
+    transaction — a replayed batch overwrites its own dir, a new
+    lineage writes under its own ``app=``.  ``band`` stays the leaf
+    partition key so the downstream band-bucket join prunes deltas
+    exactly as it prunes a batch-built table.  This is how a 100 TB
+    ingest keeps the near-dup index current: new documents band as they
+    arrive, and membership/dup checks are equi-joins against the
+    maintained store — never a corpus re-shingle."""
+    import hashlib
+
+    from biodiversity_graph_db_spark.extensions.dedup import (
+        minhash_bands,
+        unigram_shingles,
+    )
+
+    tag = hashlib.md5((app_id or "default").encode()).hexdigest()[:12]
+    out = f"{store_path}/app={tag}/batch={batch_id}"
+    bands = minhash_bands(
+        batch.select(
+            "doc_id", unigram_shingles(F.col("text")).alias("shingles")
+        )
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(out)
+
+
+def run_lsh_bands(doc_stream: DataFrame, store_path: str, checkpoint: str):
+    """Streaming near-dup index maintenance — keeps the MinHash/LSH
+    band table current as documents arrive; each micro-batch lands as
+    an idempotent per-batch delta.  Equivalence oracle: the one-shot
+    batch ``minhash_bands`` of the same rows (the D15 driver row grades
+    the maintained STORE CELLS against it)."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        lsh_band_upsert(batch, batch_id, store_path, app_id=checkpoint)
+
+    return (
+        doc_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def attributed_purchases(
     clicks: DataFrame,
     purchases: DataFrame,

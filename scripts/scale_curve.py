@@ -1,5 +1,7 @@
-"""Two-order scaling CURVE: one representative op per family timed at
-gen_sf0.01 -> gen_sf0.1 -> gen_sf1 (100x total), min-of-N each.
+"""Scaling CURVE: one representative op per family timed at
+gen_sf0.01 -> gen_sf0.1 -> gen_sf1 (100x total), min-of-N each — plus
+a THIRD decade (gen_sf1 -> gen_sf10) when the sf10 dir exists
+(generated round 10).
 
 The one-order ratios in SCALE §16/§17/§20/§21 cover every op; this
 gives the judge the SHAPE — whether the 10x ratio is flat because of
@@ -24,6 +26,8 @@ DIRS = {
     "sf01": "/root/repo/.scratch/gen_sf0.1",
     "sf1": "/root/repo/.scratch/gen_sf1",
 }
+if os.path.isdir("/root/repo/.scratch/gen_sf10"):
+    DIRS["sf10"] = "/root/repo/.scratch/gen_sf10"
 
 REPS = [
     "Q1_pricing_summary",     # relational scan+agg
@@ -63,6 +67,12 @@ def main() -> None:
         out[f"{name}_r100"] = round(
             out[f"{name}_sf1"] / out[f"{name}_sf01"], 2
         )
+        if "sf10" in DIRS:
+            out[f"{name}_r1000"] = round(
+                out[f"{name}_sf10"] / out[f"{name}_sf1"], 2
+            )
+        print(name, {k[len(name) + 1:]: v for k, v in out.items()
+                     if k.startswith(name)}, flush=True)
     print(json.dumps(out))
     spark.stop()
 

@@ -1802,3 +1802,54 @@ class TestStreamingNbModel:
             assert snap("wc") != wc_after and snap("prior") != p_after
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestLshBandStore:
+    def test_replay_idempotent_and_lineage_isolated(self, spark, sf_dir):
+        """The band store's exactly-once is the per-batch directory
+        transaction (ivf_append_upsert's discipline): a replayed batch
+        overwrites its OWN dir — no duplicate band rows — while a new
+        lineage writes beside it under its own app= dir."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import ingest
+        from biodiversity_graph_db_spark.tables import table
+
+        docs = (
+            table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 30)
+            .select("doc_id", "text")
+            .localCheckpoint()
+        )
+        tmp = tempfile.mkdtemp(prefix="lsh_store_replay_")
+        try:
+            store = f"{tmp}/store"
+            ingest.lsh_band_upsert(docs, 0, store, app_id="A")
+            once = sorted(
+                map(tuple, spark.read.parquet(store)
+                    .select("doc_id", "band", "band_key").collect())
+            )
+            # replay: same (app, batch) dir overwritten, store unchanged
+            ingest.lsh_band_upsert(docs, 0, store, app_id="A")
+            again = sorted(
+                map(tuple, spark.read.parquet(store)
+                    .select("doc_id", "band", "band_key").collect())
+            )
+            assert again == once
+            # every doc holds exactly N_HASHES/BAND_SIZE band rows
+            from biodiversity_graph_db_spark.extensions.dedup import (
+                BAND_SIZE,
+                N_HASHES,
+            )
+
+            per_doc = {r[0]: 0 for r in once}
+            for r in once:
+                per_doc[r[0]] += 1
+            assert set(per_doc.values()) == {N_HASHES // BAND_SIZE}
+            # a different lineage is NOT a replay: it lands beside
+            ingest.lsh_band_upsert(docs, 0, store, app_id="B")
+            both = spark.read.parquet(store).count()
+            assert both == 2 * len(once)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
