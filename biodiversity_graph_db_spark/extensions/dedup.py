@@ -1568,3 +1568,83 @@ def d15_lsh_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "D16_cluster_split",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_COMP_SQL},
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.canonical, d.doc_id) AS canonical_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+      LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, canonical_id,
+           CASE WHEN CAST(('0x' || substr(
+                  md5('doc_' || canonical_id), 1, 8)) AS BIGINT) % 100 < 80
+                THEN 'train'
+                WHEN CAST(('0x' || substr(
+                  md5('doc_' || canonical_id), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    ORDER BY doc_id
+    """,
+)
+def d16_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment — the ENFORCER for the D7
+    split-leakage detector (the T8→D5 / D13→D14 / T43→T45 discipline):
+    hash-split at the NEAR-DUP CLUSTER level, not the document level.
+    D7 measures how many fingerprint groups straddle train/val/test
+    under a per-document hash split; this operator makes that class of
+    leakage structurally impossible — ``split = hash(canonical_id)``,
+    so every member of a near-dup cluster lands in the same split BY
+    CONSTRUCTION (near-identical eval documents can never have a
+    training twin).  This is the published grouped-split practice for
+    contamination-safe eval sets, applied with D1's exact clustering.
+
+    Scale shape: composition of two already-scale-safe pieces — D1's
+    bucketed LSH + hash-min components (never all-pairs) and T11's
+    md5-bucket split applied to the canonical id (pure column
+    expressions).  Singleton docs are their own canonical, so the
+    assignment degrades to the plain hash split exactly where no
+    near-dup structure exists.  The same doc_id<200 work bound as
+    D1/D15 (the oracle's recursive-CTE replay window)."""
+    from biodiversity_graph_db_spark.extensions.textstats import split_name
+    from biodiversity_graph_db_spark.graph.traversal import (
+        connected_components,
+    )
+
+    d = fan_out(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 200), spark
+    )
+    shingled = cut(d.select(
+        "doc_id", unigram_shingles(F.col("text")).alias("shingles")
+    ))
+    cand = band_bucket_join(minhash_bands(shingled))
+    pairs = exact_jaccard(shingled, cand).where(F.col("jaccard") >= 0.7)
+
+    def pad(c: Column) -> Column:
+        return F.lpad(c.cast("string"), 6, "0")
+
+    edges = pairs.select(
+        pad(F.col("doc_a")).alias("source_key"),
+        pad(F.col("doc_b")).alias("sink_key"),
+    )
+    comp = connected_components(edges).select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canonical"),
+    )
+    return (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+        )
+        .withColumn("split", split_name(F.col("canonical_id")))
+        .orderBy("doc_id")
+    )

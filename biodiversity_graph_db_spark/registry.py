@@ -57,7 +57,8 @@ PRIORITY: tuple[str, ...] = (
     # remaining r6-latest queries (SD2_incremental_stats ...
     # X7_author_display block below), plus every query first registered
     # in round 10 (TPC-H partsupp wave Q2/Q9/Q11/Q16/Q20,
-    # T45_confidence_route, D15_lsh_band_store), then the oldest r7
+    # T45_confidence_route, D15_lsh_band_store, D16_cluster_split),
+    # then the oldest r7
     # grades.
     # (a) round-9 registrations — first driver grades
     "Q6_forecast_revenue",

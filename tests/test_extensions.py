@@ -1391,3 +1391,44 @@ class TestT45ConfidenceRoute:
         # the kept-fraction floor held
         assert r.n_kept * 1_000_000 >= 200_000 * r.n_total
         assert r.margin_floor == r.threshold_band * 250_000
+
+
+class TestD16ClusterSplit:
+    def test_no_cluster_straddles_and_doc_split_would_leak(
+        self, spark, sf_dir
+    ):
+        """The enforcement contract (detect→enforce, D7's enforcer):
+        under D16 every near-dup cluster lands in ONE split by
+        construction, while the plain per-document hash split leaks on
+        the same corpus (some multi-doc cluster straddles splits) —
+        proving the operator changes an outcome, not just a label."""
+        from biodiversity_graph_db_spark import registry
+        from biodiversity_graph_db_spark.extensions.textstats import (
+            split_name,
+        )
+
+        registry.load_all()
+        out = registry.QUERIES["D16_cluster_split"](spark, sf_dir)
+        rows = out.collect()
+        assert {r.split for r in rows} <= {"train", "val", "test"}
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r.canonical_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # the same clusters under a PER-DOC split: at least one
+        # multi-doc cluster straddles (the leakage D16 eliminates)
+        doc_split = {
+            r.doc_id: r.split
+            for r in out.select(
+                "doc_id", split_name(F.col("doc_id")).alias("split")
+            ).collect()
+        }
+        doc_level: dict = {}
+        for r in rows:
+            doc_level.setdefault(r.canonical_id, set()).add(
+                doc_split[r.doc_id]
+            )
+        assert any(len(s) > 1 for s in doc_level.values()), (
+            "corpus has no multi-split near-dup cluster under the doc "
+            "split - the contrast assertion is vacuous on this fixture"
+        )
