@@ -825,6 +825,7 @@ def cap_per_domain(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
     from biodiversity_graph_db_spark.extensions.textstats import (
         quality_score,
     )
+    from biodiversity_graph_db_spark.operators._util import spread
     from pyspark.sql import Window
 
     w = (
@@ -832,7 +833,12 @@ def cap_per_domain(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
         .orderBy(F.col("qv").desc(), F.col("doc_id"))
     )
     return (
-        docs.select(
+        # spread: the quality score is the compute-heavy stage (two
+        # tokenize passes per row) and a few-split local file would
+        # serialize it (measured 30 s -> 16 s at gen_sf10's few-split
+        # layout, 11.9x -> 6.0x per decade); no-op on any real
+        # at-scale layout
+        spread(docs).select(
             "source",
             "doc_id",
             quality_score(F.col("text"), F.col("n_chars")).alias("qv"),
@@ -1303,7 +1309,18 @@ def _span_pairs(
                 "pos0", "g"
             ),
         )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+        # the gram key is INTERNAL (never output; only equality matters,
+        # and the oracle hashes its own side) — carry it as 16-byte
+        # BINARY instead of the 32-char md5 hex string.  The gram table
+        # crosses three exchanges (df-count, both pair-join sides), so
+        # halving the key halves the dominant shuffle: measured 110 s →
+        # 33 s at gen_sf10 (SCALE §35), same 128 bits, zero added
+        # collision risk.
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.unhex(F.col("g")).alias("g"),
+        )
     )
     sh = cut(sh)
     keep = (
