@@ -488,7 +488,21 @@ def geo3_points_in_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     can state exact containment as half-open bbox predicates — which is
     precisely the even-odd ray-cast semantics on a rectangle
     ([lon_min, lon_max) × [lat_min, lat_max), boundary rules included),
-    making the general ray-cast path value-verified end-to-end."""
+    making the general ray-cast path value-verified end-to-end.
+
+    Cardinality note (round-10 decade-3 run, SCALE §36): the SYNTHETIC
+    mint derives both sides from customer keys, so points AND
+    fixed-size (20°×10°) areas grow linearly with the corpus and the
+    contained-pair set is quadratic BY CONSTRUCTION — measured 19.8M
+    pairs at gen_sf1, ~2.0B at gen_sf10.  That work is the output
+    (every contained pair must be counted), not a join defect.  In a
+    real deployment the areas side (study regions) is a bounded
+    dimension; if both sides truly grow, the published upgrade is
+    density-adaptive grid granularity plus covered-cell
+    pre-aggregation (count interior cells from a per-cell rollup,
+    exact-check only boundary cells — Sedona-style), which preserves
+    these semantics for polygon families with testable cell
+    coverage."""
     # materialize the promoted table once (localCheckpoint): both join
     # sides derive from it, and without a cut the mint+parse subtree
     # executes twice — this is also the production shape, where the
