@@ -47,76 +47,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a previous round and (b) still covered every run by the local oracle-
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-10 WINDOW (first 50 = the driver's grading window) ----
-    # VERDICT r9 item 1: (a) first driver grades for the 18 queries
-    # registered in round 9, (b) the 9 queries stale at r5, (c) 23 of
-    # the 49 queries whose latest grade is r6 — leading with the five
-    # bench-drift suspects (T23/V5/T19b/G10/T26) so their re-grade
-    # coincides with this round's §18 min-of-5 re-measure.
-    # r11 NOTE: after this window lands, rotate to the head: the 26
-    # remaining r6-latest queries (SD2_incremental_stats ...
-    # X7_author_display block below), plus every query first registered
-    # in round 10 (TPC-H partsupp wave Q2/Q9/Q11/Q16/Q20,
+    # ---- ROUND-11 WINDOW (first 50 = the driver's grading window) ----
+    # VERDICT r10 item 1: (a) first driver grades for the 8 queries
+    # registered in round 10 (TPC-H partsupp wave Q2/Q9/Q11/Q16/Q20,
     # T45_confidence_route, D15_lsh_band_store, D16_cluster_split),
-    # then the oldest r7
-    # grades.
-    # (a) round-9 registrations — first driver grades
-    "Q6_forecast_revenue",
-    "Q7_volume_shipping",
-    "Q8_market_share",
-    "Q10_returned_items",
-    "Q12_priority_line_counts",
-    "Q13_customer_order_distribution",
-    "Q14_promo_revenue",
-    "Q15_top_supplier",
-    "Q18_large_volume_customer",
-    "Q19_discounted_revenue",
-    "Q21_sole_blame_supplier",
-    "Q22_dormant_balance",
-    "T41_nb_model_store",
-    "T42_cm_store",
-    "T44_kmv_store",
-    "W16_rollup_store",
-    "T43_nb_calibration",
-    "V21_pq_trained_recall",
-    # (b) the 9 r5-stale grades
-    "ED3_calibration_curves",
-    "F1_point_lookup",
-    "F10_conditional_route",
-    "GEO4b_radius_sites_geodesic",
-    "J1_one_hop_traversal",
-    "S14_seed_statistics",
-    "S4_batch_key_lookup",
-    "T6_winnow_fingerprints",
-    "T21_boilerplate_frac",
-    # (c) 23 r6-latest grades: bench-drift suspects first, then the
-    # alphabetical head of the r6 block
-    "T23_bloom_membership",
-    "V5_ivf_recall",
-    "T19b_bpe_encode_kernel",
-    "G10_ebv_richness",
-    "T26_tfidf_topk",
-    "A2_group_by_type",
-    "A8_rollup_stats",
-    "D6_domain_cap",
-    "EX1_occurrence_export",
-    "F3_typed_predicate_scan",
-    "F5_pretty_name_lookup",
-    "F6_derived_column_match",
-    "F7_nodes_of_type",
-    "F8_substring_search",
-    "F9_nearest_year_select",
-    "G11_kcore",
-    "G13_weighted_sssp",
-    "M2_pivot_row_view",
-    "M3_shape_check",
-    "M4_transpose",
-    "O1_index_sort",
-    "O3_display_truncation",
-    "P1_typed_date_dispatch",
-    # ---- past the window: everything below is driver-green r5+ and
-    # re-verified every run by tests/test_oracle_parity.py ----
-    # remaining r6-latest grades — head of the r11 rotation (26)
+    # (b) the 26 remaining r6-latest queries, (c) the 16 oldest
+    # r7-latest grades.  After this window lands, zero registry
+    # queries are ungraded and none is older than r7.
+    # r12 NOTE: after this window lands, rotate to the head: any
+    # queries first registered in round 11 (GEO7/GEO8, ST1/ST2, ...),
+    # then the 33 remaining r7-latest grades (G17_clustering_coeff ...
+    # A6_next_id block below), then the oldest r8 grades.
+    # (a) round-10 registrations — first driver grades
+    "Q2_min_cost_supplier",
+    "Q9_product_profit",
+    "Q11_important_stock",
+    "Q16_supplier_relationship",
+    "Q20_excess_stock",
+    "T45_confidence_route",
+    "D15_lsh_band_store",
+    "D16_cluster_split",
+    # (b) the 26 remaining r6-latest grades
     "SD2_incremental_stats",
     "SD3_time_travel_read",
     "SD4_graph_time_travel",
@@ -143,7 +94,7 @@ PRIORITY: tuple[str, ...] = (
     "X13_validation_suite",
     "X5_old_date_normalization",
     "X7_author_display",
-    # r7-latest grades (49)
+    # (c) the 16 oldest r7-latest grades
     "T8_contamination_overlap",
     "D5_contamination_purge",
     "D7_split_leakage",
@@ -160,6 +111,60 @@ PRIORITY: tuple[str, ...] = (
     "A9_exact_median",
     "W10_decay_score",
     "PR3_psi_drift",
+    # ---- past the window: everything below is driver-green r7+ and
+    # re-verified every run by tests/test_oracle_parity.py ----
+    # r10-graded block (the former round-10 window, freshest grades)
+    "Q6_forecast_revenue",
+    "Q7_volume_shipping",
+    "Q8_market_share",
+    "Q10_returned_items",
+    "Q12_priority_line_counts",
+    "Q13_customer_order_distribution",
+    "Q14_promo_revenue",
+    "Q15_top_supplier",
+    "Q18_large_volume_customer",
+    "Q19_discounted_revenue",
+    "Q21_sole_blame_supplier",
+    "Q22_dormant_balance",
+    "T41_nb_model_store",
+    "T42_cm_store",
+    "T44_kmv_store",
+    "W16_rollup_store",
+    "T43_nb_calibration",
+    "V21_pq_trained_recall",
+    "ED3_calibration_curves",
+    "F1_point_lookup",
+    "F10_conditional_route",
+    "GEO4b_radius_sites_geodesic",
+    "J1_one_hop_traversal",
+    "S14_seed_statistics",
+    "S4_batch_key_lookup",
+    "T6_winnow_fingerprints",
+    "T21_boilerplate_frac",
+    "T23_bloom_membership",
+    "V5_ivf_recall",
+    "T19b_bpe_encode_kernel",
+    "G10_ebv_richness",
+    "T26_tfidf_topk",
+    "A2_group_by_type",
+    "A8_rollup_stats",
+    "D6_domain_cap",
+    "EX1_occurrence_export",
+    "F3_typed_predicate_scan",
+    "F5_pretty_name_lookup",
+    "F6_derived_column_match",
+    "F7_nodes_of_type",
+    "F8_substring_search",
+    "F9_nearest_year_select",
+    "G11_kcore",
+    "G13_weighted_sssp",
+    "M2_pivot_row_view",
+    "M3_shape_check",
+    "M4_transpose",
+    "O1_index_sort",
+    "O3_display_truncation",
+    "P1_typed_date_dispatch",
+    # remaining r7-latest grades (33) — head of the r12 rotation
     "D9_lsh_eval",
     "J10_bloom_semijoin",
     "EX2_shard_manifest",
