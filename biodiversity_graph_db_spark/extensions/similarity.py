@@ -14,6 +14,8 @@ arithmetic so both engines do identical IEEE math.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1090,7 +1092,11 @@ def recluster_ivf_index(
     _accept_ivf_rebuild(spark, path)
 
 
-def _accept_ivf_rebuild(spark: SparkSession, path: str) -> None:
+def _accept_ivf_rebuild(
+    spark: SparkSession,
+    path: str,
+    _between_check_and_mark: "Callable[[], None] | None" = None,
+) -> None:
     """Mark the rebuild at ``{path}__rebuild`` complete and roll the
     swap forward — the accept half of the candidate protocol.
 
@@ -1118,7 +1124,24 @@ def _accept_ivf_rebuild(spark: SparkSession, path: str) -> None:
                 "by a concurrent read?) — refusing to mark _COMPLETE; "
                 "re-stage the candidate and re-run the accept"
             )
+    if _between_check_and_mark is not None:  # test seam for the race below
+        _between_check_and_mark()
     fs.create(hpath(f"{tmp}/_COMPLETE"), True).close()
+    # Re-verify AFTER the marker lands: the exists-check above is
+    # check-then-act, so a concurrent reader's heal can still delete
+    # the unmarked candidate between the check and the create — which
+    # would leave exactly the fabricated-_COMPLETE state this guard
+    # exists to prevent.  If either dataset vanished in the window,
+    # retract the marker and raise; the tmp is back to the unmarked
+    # state the heal path already handles.  (ADVICE r10.)
+    for sub in ("centroids", "assigned"):
+        if not fs.exists(hpath(f"{tmp}/{sub}")):
+            fs.delete(hpath(f"{tmp}/_COMPLETE"), False)
+            raise RuntimeError(
+                f"ivf rebuild candidate at {tmp} lost {sub} between the "
+                "pre-check and the _COMPLETE write — marker retracted; "
+                "re-stage the candidate and re-run the accept"
+            )
     finish_ivf_rebuild(spark, path)
 
 

@@ -1576,6 +1576,15 @@ _PS_ARITY = 4
 def partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived partsupp relation (see block comment above)."""
     s_cnt = table(spark, sf_dir, "supplier").count()
+    if s_cnt < _PS_ARITY:
+        # The distinctness proof above requires S >= 4 (S DIV 4 >= 1);
+        # below that, step = 0 collapses the four suppkeys (and S = 0
+        # makes `% s_cnt` a modulo-by-zero).  Fail loudly rather than
+        # silently violating the 4-distinct-suppkeys-per-part contract
+        # Q9/Q16 rely on.  (ADVICE r10.)
+        raise ValueError(
+            f"partsupp_df requires |supplier| >= {_PS_ARITY}, got {s_cnt}"
+        )
     step = s_cnt // _PS_ARITY
     p = table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("ps_partkey")

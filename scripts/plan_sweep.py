@@ -213,7 +213,13 @@ def _window_is_unpartitioned(op: str) -> bool:
             if bracket == 0:
                 groups.append(op[start : idx + 1])
     if len(groups) >= 3:
-        return False
+        # Three groups = [funcs], [part], [order] — partitioned on this
+        # Spark's toString (empty specs are omitted, probed above).  But
+        # guard the format-drift case ADVICE r10 flagged: if a future
+        # Spark prints an empty partition spec as a literal `[]`, the
+        # middle group would be empty — treat that as unpartitioned
+        # rather than silently passing it.
+        return not groups[1].strip("[] \t")
     if len(groups) == 2:
         return bool(re.search(r"(ASC|DESC) NULLS", groups[1]))
     return True  # funcs only: no partition spec at all

@@ -745,6 +745,52 @@ class TestIvfRecluster:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_accept_retracts_marker_on_check_then_act_race(self, spark):
+        """ADVICE r10 (low): the pre-check in _accept_ivf_rebuild is
+        check-then-act — a concurrent reader's heal can delete the
+        unmarked candidate BETWEEN the exists-check and the _COMPLETE
+        write.  The post-create re-verify must retract the marker and
+        raise, leaving the tmp in the unmarked state finish's heal
+        already handles — never a fabricated _COMPLETE-only dir."""
+        import os
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pytest
+
+        from biodiversity_graph_db_spark.extensions.similarity import (
+            _accept_ivf_rebuild,
+            recluster_ivf_index,
+            write_ivf_index,
+        )
+
+        rng = np.random.default_rng(13)
+        vecs = np.abs(rng.normal(1.0, 0.3, (60, 8))).astype(np.float32)
+        base = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        tmp = tempfile.mkdtemp(prefix="ivf_accept_race_")
+        try:
+            path = f"{tmp}/idx"
+            write_ivf_index(base, path, n_centroids=4)
+            recluster_ivf_index(spark, path, n_centroids=4, swap=False)
+            assert os.path.exists(f"{path}__rebuild/centroids")
+
+            def heal_in_window():  # the concurrent reader's heal
+                shutil.rmtree(f"{path}__rebuild/centroids")
+
+            with pytest.raises(RuntimeError, match="marker retracted"):
+                _accept_ivf_rebuild(
+                    spark, path, _between_check_and_mark=heal_in_window
+                )
+            # no fabricated _COMPLETE-only dir: marker gone, and the
+            # torn tmp is the unmarked state the heal path drops
+            assert not os.path.exists(f"{path}__rebuild/_COMPLETE")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
 
 class TestRound6SecondWave:
     """D6 domain cap, T26 tf-idf, G13 weighted SSSP, V7 int8

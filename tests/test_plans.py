@@ -1873,3 +1873,20 @@ class TestPartsuppWavePlans:
         assert "LessThan(l_shipdate" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_partsupp_guards_degenerate_supplier_table(self, spark, sf_dir, tmp_path):
+        """ADVICE r10: partsupp_df's 4-distinct-suppkeys-per-part proof
+        requires |supplier| >= 4 (S DIV 4 >= 1).  Below that, step = 0
+        silently collapses the four rows (and S = 0 divides by zero) —
+        the derivation must raise instead."""
+        import pytest
+
+        from biodiversity_graph_db_spark.operators.joins import partsupp_df
+        from biodiversity_graph_db_spark.tables import table
+
+        tiny = str(tmp_path / "tiny_sf")
+        table(spark, sf_dir, "supplier").limit(2).write.parquet(
+            f"{tiny}/supplier.parquet"
+        )
+        with pytest.raises(ValueError, match="requires .supplier. >= 4"):
+            partsupp_df(spark, tiny)
