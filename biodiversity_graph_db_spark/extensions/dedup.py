@@ -1558,7 +1558,9 @@ def d15_lsh_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from biodiversity_graph_db_spark.streaming.ingest import (
+        compact_lsh_bands,
         drain_parquet_batches,
+        read_lsh_bands,
         run_lsh_bands,
     )
 
@@ -1575,11 +1577,13 @@ def d15_lsh_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: run_lsh_bands(s, f"{tmp}/store", f"{tmp}/ckpt"),
             tmp,
         )
+        # fold the three per-batch deltas into the compacted base, so
+        # the driver row grades the COMPACTED store's cells (the state
+        # a long-lived ingest actually serves dup probes from)
+        compact_lsh_bands(spark, f"{tmp}/store")
         return (
-            spark.read.parquet(f"{tmp}/store")
-            .select(
-                "doc_id", F.col("band").cast("long").alias("band"), "band_key"
-            )
+            read_lsh_bands(spark, f"{tmp}/store")
+            .select("doc_id", F.col("band").cast("long").alias("band"), "band_key")
             .orderBy("doc_id", "band")
             .localCheckpoint()  # materialize before the store dir dies
         )

@@ -867,7 +867,7 @@ def lsh_band_upsert(
     shingle → minhash → band the batch's documents (the E2/D1 kernel,
     extensions/dedup.py) and write the (doc_id, band, band_key) rows as
     the batch's OWN delta dataset
-    ``bands/app=<lineage>/batch=<id>/band=*``.
+    ``delta/app=<lineage>/batch=<id>/band=*``.
 
     Band rows are a PER-DOCUMENT deterministic function, so the merge
     is plain union — but a bounded-store rewrite (the KMV/CM pattern)
@@ -880,7 +880,10 @@ def lsh_band_upsert(
     exactly as it prunes a batch-built table.  This is how a 100 TB
     ingest keeps the near-dup index current: new documents band as they
     arrive, and membership/dup checks are equi-joins against the
-    maintained store — never a corpus re-shingle."""
+    maintained store — never a corpus re-shingle.  A long-lived stream
+    folds its accumulated deltas into ``base/`` with
+    ``compact_lsh_bands`` (VERDICT r10 item 3); ``read_lsh_bands`` is
+    the reader that merges both halves."""
     import hashlib
 
     from biodiversity_graph_db_spark.extensions.dedup import (
@@ -889,13 +892,117 @@ def lsh_band_upsert(
     )
 
     tag = hashlib.md5((app_id or "default").encode()).hexdigest()[:12]
-    out = f"{store_path}/app={tag}/batch={batch_id}"
+    out = f"{store_path}/delta/app={tag}/batch={batch_id}"
     bands = minhash_bands(
         batch.select(
             "doc_id", unigram_shingles(F.col("text")).alias("shingles")
         )
     )
     bands.write.mode("overwrite").partitionBy("band").parquet(out)
+
+
+def read_lsh_bands(spark: SparkSession, store_path: str) -> DataFrame:
+    """The dedup-facing view of the maintained band store: the
+    compacted ``base`` (ONE dataset, partitioned by band) plus any
+    per-batch deltas written since, columns
+    ``(doc_id, band_key, app, batch, band)``.
+
+    DELTA SHADOWS BASE on ``(app, batch)`` — the
+    ``read_shard_manifest`` rule (streaming/pipeline.py): a batch
+    present in both (a post-compaction checkpoint replay reborn its
+    delta dir, or a crash between the compaction swap and the delta
+    sweep left both copies) is read from the delta only.  The two
+    copies are identical by the idempotent-directory contract, so
+    shadowing makes both races invisible rather than double-counted.
+
+    Scale shape: ``band`` is the storage partition key on BOTH halves
+    (leaf key in the delta tree, partitionBy key in the base), so a
+    band-bucket dup probe prunes to one bucket per half regardless of
+    how the rows are split between them."""
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    finish_lsh_band_compaction(spark, store_path)
+    base_dir = f"{store_path}/base"
+    delta_dir = f"{store_path}/delta"
+    cols = [
+        F.col("doc_id"),
+        F.col("band_key"),
+        F.col("app").cast("string").alias("app"),
+        F.col("batch").cast("long").alias("batch"),
+        F.col("band").cast("long").alias("band"),
+    ]
+    has_base = _path_exists(spark, base_dir)
+    has_delta = _path_exists(spark, delta_dir)
+    if not has_base:
+        return spark.read.parquet(delta_dir).select(*cols)
+    base = spark.read.parquet(base_dir).select(*cols)
+    if not has_delta:
+        return base
+    delta = spark.read.parquet(delta_dir).select(*cols)
+    replayed = delta.select("app", "batch").distinct()
+    return base.join(replayed, ["app", "batch"], "left_anti").unionByName(
+        delta.select(*base.columns)
+    )
+
+
+def finish_lsh_band_compaction(spark: SparkSession, store_path: str) -> None:
+    """Roll the band-store compaction swap forward from ANY crash point
+    (the ``finish_manifest_compaction`` protocol): a complete merged
+    base (``_SUCCESS`` present) under ``__compact_tmp`` is promoted —
+    delete old base, rename tmp, sweep the folded deltas; an incomplete
+    tmp is discarded (the live store was never touched).  Run by every
+    read and every compaction, so no crash strands the store."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = f"{store_path}/base__compact_tmp"
+    if not fs.exists(hpath(tmp)):
+        return
+    if not fs.exists(hpath(f"{tmp}/_SUCCESS")):
+        fs.delete(hpath(tmp), True)  # merge died mid-write; store intact
+        return
+    dst = hpath(f"{store_path}/base")
+    fs.delete(dst, True)
+    if not fs.rename(hpath(tmp), dst) and not fs.exists(dst):
+        raise RuntimeError("lsh band compaction recovery rename failed")
+    fs.delete(hpath(f"{store_path}/delta"), True)
+
+
+def compact_lsh_bands(spark: SparkSession, store_path: str) -> None:
+    """Fold the per-batch band deltas into ``base`` — the band-store
+    twin of ``compact_shard_manifests`` / ``compact_ivf_deltas``
+    (VERDICT r10 item 3): ``read_lsh_bands`` answers identically before
+    and after (tested), but partition discovery goes back to ONE
+    dataset listing instead of one directory per micro-batch forever —
+    a long-lived ingest stream's listing cost otherwise grows linearly
+    with batch count, the exact degradation mode those two compactors
+    closed in r5/r8.
+
+    Unlike the manifest (driver-scale, coalesce(1)), the band table is
+    CORPUS-PROPORTIONAL — the merged base is written as a normal
+    distributed parquet dataset partitioned by ``band``, preserving the
+    bucket-prune property of the delta layout.  ``app``/``batch`` ride
+    along as data columns so the reader's delta-shadows-base rule keeps
+    absorbing post-compaction checkpoint replays.
+
+    CRASH-SAFE: merged base fully written (+``_SUCCESS``) under
+    ``__compact_tmp`` before the live store is touched;
+    ``finish_lsh_band_compaction`` completes the swap from any crash
+    point.  Single-maintainer contract (don't run concurrently with an
+    active stream's upserts); a replay AFTER compaction re-creates its
+    delta dir, which the reader shadows and the NEXT compaction folds."""
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    finish_lsh_band_compaction(spark, store_path)  # complete stranded swap
+    if not _path_exists(spark, f"{store_path}/delta"):
+        return
+    # no localCheckpoint: the merge is CORPUS-proportional, and the tmp
+    # write completes (action) before the swap deletes base/delta — the
+    # read never races its own inputs
+    merged = read_lsh_bands(spark, store_path)
+    tmp = f"{store_path}/base__compact_tmp"
+    merged.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    finish_lsh_band_compaction(spark, store_path)
 
 
 def run_lsh_bands(doc_stream: DataFrame, store_path: str, checkpoint: str):

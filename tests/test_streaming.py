@@ -1827,13 +1827,13 @@ class TestLshBandStore:
             store = f"{tmp}/store"
             ingest.lsh_band_upsert(docs, 0, store, app_id="A")
             once = sorted(
-                map(tuple, spark.read.parquet(store)
+                map(tuple, ingest.read_lsh_bands(spark, store)
                     .select("doc_id", "band", "band_key").collect())
             )
             # replay: same (app, batch) dir overwritten, store unchanged
             ingest.lsh_band_upsert(docs, 0, store, app_id="A")
             again = sorted(
-                map(tuple, spark.read.parquet(store)
+                map(tuple, ingest.read_lsh_bands(spark, store)
                     .select("doc_id", "band", "band_key").collect())
             )
             assert again == once
@@ -1849,7 +1849,102 @@ class TestLshBandStore:
             assert set(per_doc.values()) == {N_HASHES // BAND_SIZE}
             # a different lineage is NOT a replay: it lands beside
             ingest.lsh_band_upsert(docs, 0, store, app_id="B")
-            both = spark.read.parquet(store).count()
+            both = ingest.read_lsh_bands(spark, store).count()
             assert both == 2 * len(once)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_compaction_equivalence_heal_and_replay(self, spark, sf_dir):
+        """compact_lsh_bands folds the per-batch band deltas into ONE
+        base dataset partitioned by band (VERDICT r10 item 3 — the
+        manifest/IVF compactor discipline applied to the dedup-at-
+        ingest store): (a) read_lsh_bands is row-identical before and
+        after; (b) the delta tree is gone and the base is a single
+        dataset still partitioned by band; (c) a batch replayed AFTER
+        compaction (its delta dir reborn beside its folded base copy —
+        also the crash window between swap and sweep) is shadowed, not
+        double-counted, and the next compaction folds it; (d) an
+        incomplete compaction tmp is discarded by the reader-side heal;
+        (e) a completed-but-unswapped tmp is rolled forward."""
+        import os
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import ingest
+        from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+        from biodiversity_graph_db_spark.tables import table
+
+        docs = (
+            table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 60)
+            .select("doc_id", "text")
+            .localCheckpoint()
+        )
+        batches = [
+            docs.where(F.col("doc_id") % 3 == i).localCheckpoint()
+            for i in range(3)
+        ]
+        tmp = tempfile.mkdtemp(prefix="lsh_store_compact_")
+        store = f"{tmp}/store"
+        try:
+            for i, b in enumerate(batches):
+                ingest.lsh_band_upsert(b, i, store, app_id="appA")
+
+            def rows(df):
+                cols = sorted(df.columns)
+                return sorted(
+                    tuple(str(v) for v in r)
+                    for r in df.select(*cols).collect()
+                )
+
+            before = rows(ingest.read_lsh_bands(spark, store))
+            assert before
+
+            # (a)+(b) equivalence and single-dataset band-partitioned base
+            ingest.compact_lsh_bands(spark, store)
+            assert rows(ingest.read_lsh_bands(spark, store)) == before
+            assert not _path_exists(spark, f"{store}/delta")
+            assert _path_exists(spark, f"{store}/base")
+            assert any(
+                d.startswith("band=") for d in os.listdir(f"{store}/base")
+            )
+
+            # idempotent on an already-compacted store
+            ingest.compact_lsh_bands(spark, store)
+            assert rows(ingest.read_lsh_bands(spark, store)) == before
+
+            # (c) post-compaction checkpoint replay: batch 1's delta dir
+            # reappears beside its folded base copy — shadowed, and the
+            # next compaction folds it away again
+            ingest.lsh_band_upsert(batches[1], 1, store, app_id="appA")
+            assert _path_exists(spark, f"{store}/delta")
+            assert rows(ingest.read_lsh_bands(spark, store)) == before
+            ingest.compact_lsh_bands(spark, store)
+            assert rows(ingest.read_lsh_bands(spark, store)) == before
+            assert not _path_exists(spark, f"{store}/delta")
+
+            # a genuinely NEW batch after compaction merges in
+            ingest.lsh_band_upsert(batches[2], 9, store, app_id="appB")
+            grown = rows(ingest.read_lsh_bands(spark, store))
+            assert len(grown) > len(before)
+            ingest.compact_lsh_bands(spark, store)
+            assert rows(ingest.read_lsh_bands(spark, store)) == grown
+
+            # (d) incomplete tmp (no _SUCCESS): discarded, base intact
+            bad = f"{store}/base__compact_tmp"
+            os.makedirs(bad)
+            with open(f"{bad}/part-junk.parquet", "w") as f:
+                f.write("torn")
+            assert rows(ingest.read_lsh_bands(spark, store)) == grown
+            assert not _path_exists(spark, bad)
+
+            # (e) completed-but-unswapped tmp: move the live base into
+            # tmp position (it carries _SUCCESS from its parquet write)
+            # — the exact state after a crash just before the rename —
+            # and the reader-side heal promotes it
+            shutil.move(f"{store}/base", bad)
+            assert rows(ingest.read_lsh_bands(spark, store)) == grown
+            assert _path_exists(spark, f"{store}/base")
+            assert not _path_exists(spark, bad)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
