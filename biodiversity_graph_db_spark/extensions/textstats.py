@@ -2834,19 +2834,32 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_train = Σ_c n_docs_c — derived from the |classes|-row prior, never
     # a second (even column-pruned) pass over the corpus
     n_train = prior.agg(F.sum("n_docs").cast("long").alias("n"))
+    # Per-row likelihood = m·(qln(cnt_wc + 1) − qln(tot_c + V)), but both
+    # logs are functions of BOUNDED tables: qln(cnt+1) of the
+    # vocab×classes training counts, qln(tot_c + V) of the |classes| row
+    # penalty table.  Quantize them THERE (wc_q / pen, broadcast-scale,
+    # one transcendental per bounded row) so the corpus-proportional
+    # scoring stage is a log-free integer multiply-subtract — the r11 NB
+    # profile measured TWO log() calls per (test doc, word) × |classes|
+    # row in the inlined spelling.  An unmatched word's lq coalesces to
+    # qln(0 + 1) = 0; same BIGINT terms either way, so every consumer
+    # stays hash-exact vs _NB_SCORED_CTES.  The stage shape (ONE
+    # crossJoin + ONE broadcast join + ONE combinable groupBy) is kept
+    # deliberately — a factored matched⋈doclen spelling read nicer but
+    # added three AQE stages to an already latency-bound 20-job chain.
+    wc_q = wc.select("w", "c", qln(F.col("cnt") + 1).alias("lq"))
+    pen = classes.crossJoin(vocab).select(
+        "c", qln(F.col("tot") + F.col("v")).alias("pen")
+    )
     contrib = (
         dw.where(~F.col("is_train"))
-        .crossJoin(F.broadcast(classes))
-        .crossJoin(F.broadcast(vocab))
-        .join(F.broadcast(wc), ["w", "c"], "left")
+        .crossJoin(F.broadcast(pen))
+        .join(F.broadcast(wc_q), ["w", "c"], "left")
         .groupBy("doc_id", "c")
         .agg(
             F.sum(
                 F.col("m")
-                * (
-                    qln(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
-                    - qln(F.col("tot") + F.col("v"))
-                )
+                * (F.coalesce(F.col("lq"), F.lit(0)) - F.col("pen"))
             )
             .cast("long")
             .alias("tok_score")
@@ -2974,18 +2987,24 @@ def t37_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc,class) sum — at 100 TB this is two map-side-combinable
     reduces over the token stream, no corpus-sized shuffle beyond the
     (doc,word) collapse."""
-    from pyspark.sql import Window
-
+    # argmax as ONE map-side-combinable struct-min — min over
+    # (−score, c) is exactly (score DESC, c ASC) in exact BIGINT
+    # arithmetic, so no row_number window (and its partition sort over
+    # the docs×classes table) is needed (r11 NB profile)
     scored = _nb_scored(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
+            ).alias("b"),
+            F.max("lang").alias("true_lang"),  # constant within a doc
+        )
         .select(
             "doc_id",
-            F.col("lang").alias("true_lang"),
-            F.col("c").alias("pred_lang"),
-            F.col("score").alias("score_micronats"),
+            "true_lang",
+            F.col("b.c").alias("pred_lang"),
+            (-F.col("b.ns")).cast("long").alias("score_micronats"),
         )
         .orderBy("doc_id")
     )
@@ -3017,29 +3036,45 @@ _NB_PAIRS_CTES = (
 
 
 def _nb_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark mirror of ``_NB_PAIRS_CTES``'s ``pairs`` table."""
-    from pyspark.sql import Window
+    """Spark mirror of ``_NB_PAIRS_CTES``'s ``pairs`` table.
 
+    The rank-2 selection is ONE map-side-combinable aggregate — a
+    sorted collect_list of the (≤ |classes|) per-doc score structs —
+    not a row_number window: the window spelling paid an extra
+    partition sort over the docs×classes table for a top-2 the
+    |classes|-bounded array gives directly (r11 NB profile).  The
+    struct sorts (−score, c) ascending = (score DESC, c ASC), the
+    oracle's exact ordering, in exact BIGINT arithmetic."""
     scored = _nb_scored(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 2)
-        .groupBy("doc_id")
+    top2 = (
+        scored.groupBy("doc_id")
         .agg(
-            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("s1"),
-            F.max(F.when(F.col("rk") == 2, F.col("score"))).alias("s2"),
-            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("pred"),
-            F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score")).alias("ns"), F.col("c").alias("c")
+                    )
+                )
+            ).alias("arr"),
+            F.max("lang").alias("lang"),  # constant within a doc
         )
-        # single-class training split ⇒ no rank-2 ⇒ s2 NULL: the oracle's
-        # inner join on rk=2 drops those docs, and F.least would otherwise
-        # skip the NULL and band them into band 9 (ADVICE r9) — mirror the
-        # inner join so no margin is undefined downstream
-        .where(F.col("s2").isNotNull())
+    )
+    # single-class training split ⇒ no runner-up ⇒ arr[2] absent: the
+    # oracle's rk=2 inner join drops those docs (ADVICE r9) — mirror it
+    # so no margin is undefined downstream (try_element_at: ANSI-mode
+    # element_at THROWS on the 1-element array this edge produces)
+    second = F.try_element_at("arr", F.lit(2))
+    return (
+        top2.where(second.isNotNull())
         .select(
-            (F.col("s1") - F.col("s2")).cast("long").alias("margin"),
-            F.when(F.col("pred") == F.col("lang"), 1).otherwise(0).alias("ok"),
+            (second["ns"] - F.element_at("arr", 1)["ns"])
+            .cast("long")
+            .alias("margin"),
+            F.when(
+                F.element_at("arr", 1)["c"] == F.col("lang"), 1
+            )
+            .otherwise(0)
+            .alias("ok"),
         )
     )
 
