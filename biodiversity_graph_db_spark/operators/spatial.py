@@ -1102,3 +1102,358 @@ def geo4b_radius_sites_geodesic(
         )
         .orderBy("area_key")
     )
+
+
+# --- GEO7/GEO8: scale-safe answer shapes for the quadratic map questions ---
+# GEO3/GEO6's pair-list semantics is honestly quadratic — output pairs grow
+# ~100x per decade on the synthetic mint (SCALE §15/§23/§33: per-pair cost
+# flat, the quadratic is in the QUESTION).  These two rows are the bounded
+# spellings a 100x map workload actually wants (VERDICT r10 item 5): the
+# same containment/nearest questions answered with linear-sized outputs and
+# sub-quadratic plans.
+
+#: Fine grid (degrees) for the GEO7 covered-cell pre-aggregation.  Finer
+#: than GRID_DEG so that a typical area covers MANY wholly-interior cells;
+#: the domain stays bounded (360 x 180 cells) so the rollup is a synopsis.
+FINE_DEG = 1.0
+
+
+@query(
+    "GEO7_area_point_count",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE},
+    pts AS (
+      SELECT pt_lat, pt_lon FROM ctx_promoted
+      WHERE kind IN ('Site', 'SiteDMS')
+    ),
+    areas AS (
+      SELECT key AS area_key, lat_min, lat_max, lon_min, lon_max
+      FROM ctx_promoted WHERE kind = 'Area'
+    )
+    SELECT area_key, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM areas a JOIN pts p
+      ON  p.pt_lat >= a.lat_min AND p.pt_lat < a.lat_max
+      AND p.pt_lon >= a.lon_min AND p.pt_lon < a.lon_max
+    GROUP BY area_key
+    ORDER BY area_key
+    """,
+)
+def geo7_area_point_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-area point COUNT by covered-cell pre-aggregation — GEO3's
+    containment question with the quadratic taken out of the ENGINE
+    (Sedona-style filter-refine over a density rollup; the upgrade
+    GEO3's cardinality note names):
+
+    - points roll up ONCE onto a fine fixed grid (``FINE_DEG``) — a
+      map-side-combinable groupBy over a BOUNDED key domain (<= 360x180
+      cells), GEO5's shape;
+    - each area explodes to its covered cells (bounded per area:
+      O(area extent / FINE_DEG)) and joins the BROADCAST cell rollup;
+    - a covered cell wholly inside the half-open box contributes its
+      pre-aggregated count with NO per-point work; only cells straddling
+      the boundary re-join their points for the exact predicate.
+
+    The minted areas are integer-cornered, so on this data the boundary
+    set is EMPTY and the whole answer reads from the synopsis — per-point
+    work is one linear rollup pass regardless of how many areas contain
+    each point.  The boundary path stays in the plan for non-aligned
+    boxes; it re-joins only the straddling cells' points, never the
+    corpus.  Output: one row per non-empty area (linear), value-identical
+    to GEO3's n_points (the oracle is GEO3's own predicate).
+
+    100 TB shape: the quadratic (point, area) pair set is never
+    materialized — the rollup shuffle is bounded by the cell domain, the
+    area-cells join broadcasts the synopsis, and the boundary join's
+    point side is pruned to straddling cells by an equi-join on the cell
+    id.  Decade ratio is data-linear (SCALE r11)."""
+    promoted = promote_context_cols(
+        mint_context_nodes(spark, sf_dir)
+    ).localCheckpoint()
+    return area_point_count(promoted)
+
+
+def area_point_count(promoted: DataFrame) -> DataFrame:
+    """The GEO7 covered-cell count over an already-promoted context
+    table (the ``points_in_areas`` factoring) — separable so the
+    boundary-cell path, empty on the integer-cornered mint, is
+    unit-testable with fractional-corner areas."""
+    pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
+        "pt_lat",
+        "pt_lon",
+        F.floor(F.col("pt_lon") / FINE_DEG).alias("fx"),
+        F.floor(F.col("pt_lat") / FINE_DEG).alias("fy"),
+    )
+    cells = pts.groupBy("fx", "fy").agg(F.count(F.lit(1)).alias("cnt"))
+    # covered cells: every fine cell whose [c*FG, (c+1)*FG) range meets
+    # the half-open box — last covered index is ceil(max/FG) - 1
+    area_cells = (
+        promoted.where(F.col("kind") == "Area")
+        .select(
+            F.col("key").alias("area_key"),
+            "lat_min",
+            "lat_max",
+            "lon_min",
+            "lon_max",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lon_min") / FINE_DEG),
+                    F.ceil(F.col("lon_max") / FINE_DEG) - 1,
+                )
+            ).alias("fx"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lat_min") / FINE_DEG),
+                    F.ceil(F.col("lat_max") / FINE_DEG) - 1,
+                )
+            ).alias("fy"),
+        )
+    )
+    interior = (
+        (F.col("fx") * FINE_DEG >= F.col("lon_min"))
+        & ((F.col("fx") + 1) * FINE_DEG <= F.col("lon_max"))
+        & (F.col("fy") * FINE_DEG >= F.col("lat_min"))
+        & ((F.col("fy") + 1) * FINE_DEG <= F.col("lat_max"))
+    )
+    covered = area_cells.join(F.broadcast(cells), ["fx", "fy"])
+    interior_counts = (
+        covered.where(interior)
+        .groupBy("area_key")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+    # boundary cells re-join their points for the exact half-open check
+    # (empty on integer-cornered areas; the general path for any box)
+    boundary_counts = (
+        covered.where(~interior)
+        .select("area_key", "fx", "fy", "lat_min", "lat_max", "lon_min", "lon_max")
+        .join(pts, ["fx", "fy"])
+        .where(
+            (F.col("pt_lat") >= F.col("lat_min"))
+            & (F.col("pt_lat") < F.col("lat_max"))
+            & (F.col("pt_lon") >= F.col("lon_min"))
+            & (F.col("pt_lon") < F.col("lon_max"))
+        )
+        .groupBy("area_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        interior_counts.unionByName(boundary_counts)
+        .groupBy("area_key")
+        .agg(F.sum("n").cast("long").alias("n_points"))
+        .orderBy("area_key")
+    )
+
+
+#: Neighbours kept per area by the GEO8 top-k rollup.
+NEAREST_K = 3
+
+
+@query(
+    "GEO8_nearest_topk",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE},
+    pts AS (
+      SELECT key, pt_lat, pt_lon FROM ctx_promoted
+      WHERE kind IN ('Site', 'SiteDMS')
+    ),
+    areas AS (
+      SELECT key AS area_key,
+             (lat_min + lat_max) / 2.0 AS c_lat,
+             (lon_min + lon_max) / 2.0 AS c_lon
+      FROM ctx_promoted WHERE kind = 'Area'
+    ),
+    cand AS (
+      SELECT a.area_key, p.key AS site_key,
+             (p.pt_lat - a.c_lat) * (p.pt_lat - a.c_lat)
+             + (p.pt_lon - a.c_lon) * (p.pt_lon - a.c_lon) AS d2
+      FROM areas a JOIN pts p
+        ON (p.pt_lat - a.c_lat) * (p.pt_lat - a.c_lat)
+           + (p.pt_lon - a.c_lon) * (p.pt_lon - a.c_lon)
+           <= {RADIUS_DEG * RADIUS_DEG}
+    ),
+    ranked AS (
+      SELECT area_key, site_key, d2,
+             ROW_NUMBER() OVER (PARTITION BY area_key
+                                ORDER BY d2, site_key) AS rk
+      FROM cand
+    )
+    SELECT area_key, CAST(rk AS BIGINT) AS rk, site_key,
+           {sql_dquant('d2')} AS d2
+    FROM ranked WHERE rk <= {NEAREST_K}
+    ORDER BY area_key, rk
+    """,
+)
+def geo8_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest sites per area — GEO4's proximity question widened
+    from nearest-1 to a bounded per-area neighbour LIST (the map
+    workload's "show the 3 closest sites to every study region"), and
+    the bounded counterpart of emitting all radius pairs: output is
+    <= k rows per area, linear in areas at any corpus size.
+
+    The CANDIDATE set is count-pruned (the kNN grid-pruning idiom —
+    probe only as far as the synopsis proves necessary), because a
+    fixed-radius candidate join is quadratic when both sides grow (the
+    GEO3 adjudication; measured 19.8×/decade on the r11 first cut):
+
+    1. points roll up ONCE onto the fine grid (``FINE_DEG`` — GEO7's
+       bounded synopsis, broadcast);
+    2. each area scans the <= (2·max_ring+1)² synopsis cells around its
+       centroid cell and finds q* = the smallest Chebyshev cell ring
+       whose cumulative count reaches k; every point in rings <= q*
+       lies within euclidean (q*+1)·FINE_DEG·√2 of the centroid, so the
+       k nearest provably lie within r_bound = min(R, that) — the bound
+       SHRINKS as density grows (k points turn up in ever-closer rings),
+       which is exactly what keeps per-area candidate work ~O(k) instead
+       of O(points-within-R);
+    3. the candidate equi-join enumerates only cells within the area's
+       OWN r_bound (a column-valued sequence), filters d² <= r_bound²
+       AND d² <= R², and takes the per-area row_number <= k.
+
+    The pruning is a pure optimization: the DuckDB oracle is the
+    brute-force radius join + rank, so the parity gate proves the bound
+    never cuts a true top-k row.  Spark's WindowGroupLimit (plan-pinned)
+    pushes the rank bound below the window shuffle — each map task ships
+    at most k rows per area.  Ties on d2 break by site key in both
+    engines; d2 is transcendental-free degree-space arithmetic (GEO4's
+    determinism argument), quantized only at the output boundary.  (The
+    √2 in r_bound is driver-side float used ONLY for pruning, never in
+    output values.)  At densities where even one fine cell holds >> k
+    points, per-area work floors at the ~9-cell probe; the published
+    refinement beyond that is a multi-resolution synopsis (the W9
+    rollup), same shape one level down."""
+    from pyspark.sql import Window
+
+    promoted = promote_context_cols(
+        mint_context_nodes(spark, sf_dir)
+    ).localCheckpoint()
+    pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
+        F.col("key").alias("site_key"),
+        "pt_lat",
+        "pt_lon",
+        F.floor(F.col("pt_lon") / FINE_DEG).alias("fx"),
+        F.floor(F.col("pt_lat") / FINE_DEG).alias("fy"),
+    )
+    cells = pts.groupBy("fx", "fy").agg(F.count(F.lit(1)).alias("cnt"))
+    # rings 0..max_ring around the centroid cell cover every point
+    # within R: |lon − c_lon| <= R ⇒ cell offset <= floor(R/FG) + 1
+    max_ring = int(RADIUS_DEG / FINE_DEG) + 1
+    c_lat = (F.col("lat_min") + F.col("lat_max")) / 2.0
+    c_lon = (F.col("lon_min") + F.col("lon_max")) / 2.0
+    areas = promoted.where(F.col("kind") == "Area").select(
+        F.col("key").alias("area_key"),
+        c_lat.alias("c_lat"),
+        c_lon.alias("c_lon"),
+        F.floor(c_lon / FINE_DEG).alias("fx0"),
+        F.floor(c_lat / FINE_DEG).alias("fy0"),
+    )
+    off = list(range(-max_ring, max_ring + 1))
+    ring = F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy")))
+    probe = (
+        areas.select(
+            "area_key",
+            "fx0",
+            "fy0",
+            F.explode(F.array(*[F.lit(i) for i in off])).alias("dx"),
+        )
+        .select(
+            "area_key",
+            "fx0",
+            "fy0",
+            "dx",
+            F.explode(F.array(*[F.lit(i) for i in off])).alias("dy"),
+        )
+        .select(
+            "area_key",
+            (F.col("fx0") + F.col("dx")).alias("fx"),
+            (F.col("fy0") + F.col("dy")).alias("fy"),
+            ring.alias("ring"),
+        )
+        .join(F.broadcast(cells), ["fx", "fy"])
+        .groupBy("area_key")
+        .agg(
+            *[
+                F.sum(F.when(F.col("ring") <= q, F.col("cnt")).otherwise(0))
+                .alias(f"c{q}")
+                for q in range(max_ring + 1)
+            ]
+        )
+    )
+    # q* = first ring whose cumulative count reaches k (NULL: fewer than
+    # k points inside max_ring — probe everything out to R)
+    qstar = F.coalesce(
+        *[
+            F.when(F.col(f"c{q}") >= NEAREST_K, F.lit(q))
+            for q in range(max_ring + 1)
+        ]
+    )
+    sqrt2 = 1.4142135623730951
+    r_bound = F.when(
+        qstar.isNotNull(),
+        F.least(
+            F.lit(RADIUS_DEG), (qstar + 1) * F.lit(FINE_DEG * sqrt2)
+        ),
+    ).otherwise(F.lit(RADIUS_DEG))
+    bounded = probe.select(
+        "area_key",
+        r_bound.alias("r_bound"),
+        F.least(
+            F.floor(r_bound / FINE_DEG).cast("int") + 1, F.lit(max_ring)
+        ).alias("ring_lim"),
+    )
+    cand_cells = (
+        areas.join(bounded, "area_key")
+        .select(
+            "area_key",
+            "c_lat",
+            "c_lon",
+            "r_bound",
+            "fy0",
+            "ring_lim",
+            F.explode(
+                F.sequence(
+                    F.col("fx0") - F.col("ring_lim"),
+                    F.col("fx0") + F.col("ring_lim"),
+                )
+            ).alias("fx"),
+        )
+        .select(
+            "area_key",
+            "c_lat",
+            "c_lon",
+            "r_bound",
+            "fx",
+            F.explode(
+                F.sequence(
+                    F.col("fy0") - F.col("ring_lim"),
+                    F.col("fy0") + F.col("ring_lim"),
+                )
+            ).alias("fy"),
+        )
+    )
+    d2 = (F.col("pt_lat") - F.col("c_lat")) * (
+        F.col("pt_lat") - F.col("c_lat")
+    ) + (F.col("pt_lon") - F.col("c_lon")) * (
+        F.col("pt_lon") - F.col("c_lon")
+    )
+    cand = (
+        pts.join(cand_cells, ["fx", "fy"])
+        .where(
+            (d2 <= RADIUS_DEG * RADIUS_DEG)
+            & (d2 <= F.col("r_bound") * F.col("r_bound"))
+        )
+        .select("area_key", "site_key", d2.alias("d2"))
+    )
+    w = Window.partitionBy("area_key").orderBy("d2", "site_key")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NEAREST_K)
+        .select(
+            "area_key",
+            F.col("rk").cast("long").alias("rk"),
+            "site_key",
+            dquant(F.col("d2")).alias("d2"),
+        )
+        .orderBy("area_key", "rk")
+    )

@@ -1890,3 +1890,31 @@ class TestPartsuppWavePlans:
         )
         with pytest.raises(ValueError, match="requires .supplier. >= 4"):
             partsupp_df(spark, tiny)
+
+
+class TestScaleSafeGeoPlans:
+    """GEO7/GEO8 (VERDICT r10 item 5): the bounded answer shapes for the
+    quadratic map questions — their plans must never materialize the
+    pair set the GEO3/GEO6 semantics force."""
+
+    def test_geo7_broadcasts_the_synopsis_no_cartesian(self, spark, sf_dir):
+        """The cell rollup (bounded <=360x180 rows) must be the BUILD
+        side of a broadcast hash join — the corpus-sized point table is
+        never shuffled against areas — and the only corpus shuffle is
+        the map-side-combinable rollup itself."""
+        plan = _plan(spark, sf_dir, "GEO7_area_point_count")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_geo8_pushes_rank_below_the_window_shuffle(self, spark, sf_dir):
+        """The per-area top-k must plan as WindowGroupLimit (partial
+        group limit BEFORE the exchange, final after) over the grid
+        equi-join — each map task ships at most k rows per area, never
+        the full candidate set."""
+        plan = _plan(spark, sf_dir, "GEO8_nearest_topk")
+        assert "WindowGroupLimit" in plan
+        assert "Partial" in plan and "Final" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -290,3 +290,91 @@ class TestAntimeridianWrap:
         assert got[53] == 17    # arbitrary overshoot still wraps
         for in_range in (-18, 0, 17):
             assert got[in_range] == in_range
+
+
+class TestAreaPointCountBoundary:
+    """GEO7's covered-cell pre-aggregation: the minted areas are
+    integer-cornered so the oracle never exercises the boundary-cell
+    path — pin it here with fractional-corner areas against a Python
+    brute force of the same half-open bbox predicate."""
+
+    def test_fractional_corners_match_brute_force(self, spark):
+        import itertools
+
+        from biodiversity_graph_db_spark.operators.spatial import (
+            FINE_DEG,
+            area_point_count,
+        )
+
+        # points on a 0.25-degree lattice; areas with fractional corners
+        # chosen so every covered cell straddles a boundary somewhere
+        pts = [
+            (i, 0.25 * (i % 40) - 3.7, 0.25 * (i // 40) - 2.3)
+            for i in range(400)
+        ]
+        areas = [
+            ("a1", -2.55, 1.45, -3.15, 2.85),   # nothing aligned
+            ("a2", -0.5, 0.5, -0.5, 0.5),        # half-cell offsets
+            ("a3", 0.0, 2.0, -1.0, 1.0),         # fully aligned control
+            ("a4", -2.25, -2.20, 1.05, 1.10),    # sliver inside one cell
+        ]
+        rows = [
+            {
+                "key": f"p{i}",
+                "kind": "Site",
+                "pt_lat": lat,
+                "pt_lon": lon,
+                "lat_min": lat,
+                "lat_max": lat,
+                "lon_min": lon,
+                "lon_max": lon,
+            }
+            for i, lat, lon in pts
+        ] + [
+            {
+                "key": k,
+                "kind": "Area",
+                "pt_lat": None,
+                "pt_lon": None,
+                "lat_min": lat0,
+                "lat_max": lat1,
+                "lon_min": lon0,
+                "lon_max": lon1,
+            }
+            for k, lat0, lat1, lon0, lon1 in areas
+        ]
+        promoted = spark.createDataFrame(
+            rows,
+            "key string, kind string, pt_lat double, pt_lon double,"
+            " lat_min double, lat_max double, lon_min double,"
+            " lon_max double",
+        )
+        got = {
+            r.area_key: r.n_points
+            for r in area_point_count(promoted).collect()
+        }
+        want: dict[str, int] = {}
+        for k, lat0, lat1, lon0, lon1 in areas:
+            n = sum(
+                1
+                for _, lat, lon in pts
+                if lat0 <= lat < lat1 and lon0 <= lon < lon1
+            )
+            if n:
+                want[k] = n
+        assert got == want
+        # the test is only meaningful if the boundary path actually ran:
+        # at least one covered cell of a1/a2/a4 must be non-interior
+        assert any(
+            not (
+                lat0 <= cy * FINE_DEG
+                and (cy + 1) * FINE_DEG <= lat1
+                and lon0 <= cx * FINE_DEG
+                and (cx + 1) * FINE_DEG <= lon1
+            )
+            for k, lat0, lat1, lon0, lon1 in areas[:2]
+            for cx, cy in itertools.product(
+                range(int(lon0 // FINE_DEG), int(-(-lon1 // FINE_DEG))),
+                range(int(lat0 // FINE_DEG), int(-(-lat1 // FINE_DEG))),
+            )
+        )
