@@ -1148,3 +1148,177 @@ def ed6_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --- ST1/ST2: the last two streaming paths as driver rows -------------------
+# VERDICT r10 item 6: the watermark-dedup ingest and the stream-stream
+# attribution join were test-pinned (stream ≡ batch) but had no
+# registered-query form, unlike every other streaming maintainer
+# (W16/T41/T42/T44/D15).  Same recipe: a canned multi-batch drain inside
+# the registered query, the one-shot batch computation as the oracle.
+
+
+@query(
+    "ST1_stream_dedup",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+           FLOOR(value * 10000) / 10000.0 AS value_q
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def st1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idempotent-insert ingest path (U2 as a stream:
+    ``dedup_stream`` = watermark + ``dropDuplicatesWithinWatermark``)
+    as a DRIVER row: replay ~1/7 of the events table as exact
+    duplicate rows, drain base+duplicates through the real streaming
+    dedup as three micro-batches, and read the appended sink back.
+    The oracle is the PLAIN events table — every injected duplicate
+    must have been dropped by the stream, so the driver grades the
+    exactly-once ingest contract itself (a dedup failure shows as
+    extra rows; a state-eviction failure as missing ones).
+
+    The duplicate copies carry a different batch key than their
+    originals, so replays cross micro-batch boundaries — the state
+    lookup is exercised across batches, not within one buffer.  The
+    drain uses a watermark wider than the data span (35 days) because
+    canned file batches arrive in nondeterministic file order: with
+    the horizon wider than the skew no true duplicate can outrun the
+    eviction, mirroring how a production replay window is chosen
+    (bounded-state trade documented in ``dedup_stream``; SCALE §18
+    measured the horizon bounding state at gen_sf1)."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        dedup_stream,
+        drain_parquet_batches,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.withColumn("copy", F.lit(0))
+    dups = ev.where(F.col("event_id") % 7 == 0).withColumn(
+        "copy", F.lit(1)
+    )
+    feed = base.unionByName(dups).withColumn(
+        "bkey", F.col("event_id") + F.col("copy")
+    )
+    tmp = tempfile.mkdtemp(prefix="st1_dedup_")
+    try:
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+
+        def run(stream: DataFrame):
+            return (
+                dedup_stream(stream, watermark="35 days")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+            )
+
+        drain_parquet_batches(feed, "bkey", run, tmp)
+        return (
+            spark.read.parquet(out)
+            .select(
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("user_id").cast("long").alias("user_id"),
+                "event_type",
+                F.unix_timestamp("ts").alias("ts_s"),
+                (F.floor(F.col("value") * 10000) / 10000.0).alias("value_q"),
+            )
+            .orderBy("event_id")
+            .localCheckpoint()  # materialize before the sink dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "ST2_stream_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(FLOOR(epoch(pts)) AS BIGINT) AS purchase_s,
+           CAST(FLOOR(epoch(cts)) AS BIGINT) AS click_s,
+           CAST(FLOOR(value * 10000) AS BIGINT) AS value_x10000
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.cts <= p.pts
+     AND c.cts >= p.pts - INTERVAL '600 seconds'
+    ORDER BY purchase_id, click_id
+    """,
+)
+def st2_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-STREAM interval join (``attributed_purchases``: every
+    purchase joined to the same user's clicks in the preceding 10
+    minutes) as a DRIVER row: drain the events table as three canned
+    micro-batches through the real watermarked two-stream join — both
+    sides derived from ONE file stream, the self-join shape the
+    function's docstring mandates — and read the appended sink back.
+    The oracle is the batch interval equi-join of the same rows, so
+    the driver grades Spark's stream-stream state machine (buffer,
+    match, emit) against the declarative join itself.
+
+    Batches split on event_id, so a user's clicks and purchases land
+    in DIFFERENT micro-batches and matches must come from buffered
+    join STATE, not intra-batch co-presence.  Watermark wider than the
+    data span for the same file-order reason as ST1 — in production
+    the watermark is the attribution window's lateness bound and state
+    stays O(one window per user) (ingest.py contract; stream ≡ batch
+    additionally pinned bit-for-bit by tests at the tight watermark)."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        attributed_purchases,
+        drain_parquet_batches,
+    )
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tmp = tempfile.mkdtemp(prefix="st2_attrib_")
+    try:
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+
+        def run(stream: DataFrame):
+            cs = stream.where(F.col("event_type") == "click")
+            ps = stream.where(F.col("event_type") == "purchase")
+            return (
+                attributed_purchases(cs, ps, watermark="35 days")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+            )
+
+        drain_parquet_batches(ev, "event_id", run, tmp)
+        return (
+            spark.read.parquet(out)
+            .select(
+                "user_id",
+                F.col("purchase_id").cast("long").alias("purchase_id"),
+                F.col("click_id").cast("long").alias("click_id"),
+                "purchase_s",
+                "click_s",
+                "value_x10000",
+            )
+            .orderBy("purchase_id", "click_id")
+            .localCheckpoint()  # materialize before the sink dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

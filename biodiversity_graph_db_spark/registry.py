@@ -48,16 +48,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
     # ---- ROUND-11 WINDOW (first 50 = the driver's grading window) ----
-    # VERDICT r10 item 1: (a) first driver grades for the 8 queries
-    # registered in round 10 (TPC-H partsupp wave Q2/Q9/Q11/Q16/Q20,
+    # VERDICT r10 item 1, amended for this round's own registrations
+    # (the r10 lesson: new rows must not wait a round for their first
+    # grade): (a) first driver grades for the 8 queries registered in
+    # round 10 (TPC-H partsupp wave Q2/Q9/Q11/Q16/Q20,
     # T45_confidence_route, D15_lsh_band_store, D16_cluster_split),
-    # (b) the 26 remaining r6-latest queries, (c) the 16 oldest
+    # (a') first driver grades for the 4 round-11 registrations
+    # (GEO7/GEO8 scale-safe map shapes, ST1/ST2 streaming rows),
+    # (b) the 26 remaining r6-latest queries, (c) the 12 oldest
     # r7-latest grades.  After this window lands, zero registry
     # queries are ungraded and none is older than r7.
     # r12 NOTE: after this window lands, rotate to the head: any
-    # queries first registered in round 11 (GEO7/GEO8, ST1/ST2, ...),
-    # then the 33 remaining r7-latest grades (G17_clustering_coeff ...
-    # A6_next_id block below), then the oldest r8 grades.
+    # queries first registered in round 12, then the 37 remaining
+    # r7-latest grades (G17_clustering_coeff ... A6_next_id block
+    # below), then the oldest r8 grades.
+    # (a') round-11 registrations — first driver grades
+    "GEO7_area_point_count",
+    "GEO8_nearest_topk",
+    "ST1_stream_dedup",
+    "ST2_stream_attribution",
     # (a) round-10 registrations — first driver grades
     "Q2_min_cost_supplier",
     "Q9_product_profit",
@@ -94,7 +103,7 @@ PRIORITY: tuple[str, ...] = (
     "X13_validation_suite",
     "X5_old_date_normalization",
     "X7_author_display",
-    # (c) the 16 oldest r7-latest grades
+    # (c) the 12 oldest r7-latest grades
     "T8_contamination_overlap",
     "D5_contamination_purge",
     "D7_split_leakage",
@@ -107,10 +116,6 @@ PRIORITY: tuple[str, ...] = (
     "PR2_key_skew",
     "M5_sparse_matmul",
     "W9_multires_rollup",
-    "G17_clustering_coeff",
-    "A9_exact_median",
-    "W10_decay_score",
-    "PR3_psi_drift",
     # ---- past the window: everything below is driver-green r7+ and
     # re-verified every run by tests/test_oracle_parity.py ----
     # r10-graded block (the former round-10 window, freshest grades)
@@ -164,7 +169,11 @@ PRIORITY: tuple[str, ...] = (
     "O1_index_sort",
     "O3_display_truncation",
     "P1_typed_date_dispatch",
-    # remaining r7-latest grades (33) — head of the r12 rotation
+    # remaining r7-latest grades (37) — head of the r12 rotation
+    "G17_clustering_coeff",
+    "A9_exact_median",
+    "W10_decay_score",
+    "PR3_psi_drift",
     "D9_lsh_eval",
     "J10_bloom_semijoin",
     "EX2_shard_manifest",
