@@ -13,16 +13,24 @@ inside buckets exactly like MinHash LSH.
 Shingles are word 3-grams (unigrams degenerate on small vocabularies:
 every doc has the same token set, so signatures collapse and the band
 join blows up — measured 73k/125k "near-dup" pairs on the sf0.01 corpus
-vs 21 with 3-grams).  Signature width is 48 bits, all drawn from one md5:
-bit i<32 is the high bit of hex nibble i, bit 32+j is the second bit of
-nibble j — substring + integer SQL the DuckDB oracle replicates
-bit-for-bit.  48 bits → 12-bit bands (4096 values): band buckets stay
-collision-sparse (an 8-bit/256-value band was measured generating 201k
-candidate pairs from 5k docs — pure birthday collisions the Hamming
-verify then discards; 12-bit bands cut that ~100×, which is also the
-100 TB behaviour: bucket occupancy must track corpus size).  The sig
-fits a positive BIGINT so band extraction is plain division/modulo in
-both engines.
+vs 21 with 3-grams).  Signature width is 64 bits, all drawn from one
+md5: bit i<32 is the high bit of hex nibble i, bit 32+j the second bit
+of nibble j — substring + integer SQL the DuckDB oracle replicates
+bit-for-bit.  The 64 bits are carried as TWO positive 32-bit BIGINT
+halves (``sig_lo``/``sig_hi``) so band extraction stays plain
+division/modulo in both engines (one 64-bit value would go negative at
+bit 63, where // and % diverge across engines).
+
+64 bits → four 16-bit bands (65,536 values).  Band width is the
+scale governor: the r11 gen_sf10 probe measured the previous 48-bit /
+12-bit-band spelling fanning out 1.30M → 129.9M candidate pairs across
+one decade (100×/decade — the bounded 4×4,096-bucket domain makes
+occupancy, and therefore pair count, quadratic in the corpus), while
+the signature build itself stayed flat.  16-bit bands grow the bucket
+domain 16× and cut the same probe to data-appropriate candidate counts
+(SCALE §39); the published posture at still-larger corpora is the same
+move again — widen the signature/bands so bucket occupancy tracks
+corpus size, exactly like the E2 MinHash band/row trade.
 """
 
 from __future__ import annotations
@@ -35,27 +43,27 @@ from biodiversity_graph_db_spark.operators._util import cut, spread
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import fan_out, table
 
-N_BITS = 48
+N_BITS = 64
 N_BANDS = 4
-BAND_BITS = N_BITS // N_BANDS  # 12 bits → band values 0..4095
+BAND_BITS = N_BITS // N_BANDS  # 16 bits → band values 0..65535
 HAMMING_MAX = 3  # < N_BANDS, so banding is lossless at this radius
 
 
 # SIMD-in-a-register vote counting.  Signature-bit i comes from the four
 # 32-bit hash words h0..h3 (h_k = integer value of md5 hex nibbles
 # 8k..8k+7): bits 0..31 are the HIGH bit (bit 3) of nibble i, bits
-# 32..47 the SECOND bit (bit 2) of nibble i−32 — independent bits of the
+# 32..63 the SECOND bit (bit 2) of nibble i−32 — independent bits of the
 # same 128-bit hash.  Per row, (h >> shift) & 0x11111111 drops every
 # nibble's vote bit to the low position of its 4-bit slot; the 8
 # single-bit values are then spread into 16-bit lanes of two longs, so
-# the groupBy sums 12 packed longs + 1 count instead of 48 scalar
+# the groupBy sums 16 packed longs + 1 count instead of 64 scalar
 # CASE/substring aggregates (the 49-buffer hash-agg and its
 # 49-expression plan were the hot spot, executor- AND Catalyst-side).
 # Lane headroom: 16 bits, top lane bounded by the sign bit → correct for
 # ≤ 32,767 distinct shingles per doc (≈ 200 KB of text; chunk larger
 # docs upstream).
 
-_PACK_SPECS = [(w, 3) for w in range(4)] + [(w, 2) for w in range(2)]
+_PACK_SPECS = [(w, 3) for w in range(4)] + [(w, 2) for w in range(4)]
 
 
 def _packed_vote_cols() -> list[Column]:
@@ -90,12 +98,13 @@ def _vote_count(i: int) -> Column:
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, text) → (doc_id, sig): one groupBy with 12 lane-packed
-    bit-count sums + one count (map-side combinable, JVM-only — no UDF,
-    no second shuffle).
+    """(doc_id, text) → (doc_id, sig_lo, sig_hi): one groupBy with 16
+    lane-packed bit-count sums + one count (map-side combinable,
+    JVM-only — no UDF, no second shuffle).
 
     The ±1 vote for bit i sums to ``2·Σbit_i − n``, so sig bit i =
     (vote ≥ 0) = (2·Σbit_i ≥ n) — only the bit *counts* are aggregated.
+    The 64 signature bits land as two positive 32-bit halves.
     """
     ex = spread(docs).select(
         "doc_id",
@@ -116,22 +125,33 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count("*").alias("n"),
         *[F.sum(c).alias(c) for c in packed.columns if c != "doc_id"],
     )
-    sig = None
+    lo = hi = None
     for i in range(N_BITS):
         bit = F.when(
-            _vote_count(i) * 2 >= F.col("n"), F.lit(1 << i)
+            _vote_count(i) * 2 >= F.col("n"), F.lit(1 << (i % 32))
         ).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return votes.select("doc_id", sig.cast("long").alias("sig"))
+        if i < 32:
+            lo = bit if lo is None else lo + bit
+        else:
+            hi = bit if hi is None else hi + bit
+    return votes.select(
+        "doc_id",
+        lo.cast("long").alias("sig_lo"),
+        hi.cast("long").alias("sig_hi"),
+    )
 
 
-def band_values(sig: Column) -> list[Column]:
-    """Split the signature into N_BANDS integer band values (arithmetic
-    only, so Spark and the SQL oracle compute identically)."""
+def band_values(sig_lo: Column, sig_hi: Column) -> list[Column]:
+    """Split the two signature halves into N_BANDS integer band values
+    (arithmetic only, so Spark and the SQL oracle compute identically;
+    each half is a positive 32-bit value, so // and % agree across
+    engines)."""
     width = 2**BAND_BITS
     return [
-        ((sig / F.lit(width**b)).cast("long") % width).alias(f"band_{b}")
-        for b in range(N_BANDS)
+        (sig_lo % width).alias("band_0"),
+        (sig_lo / F.lit(width)).cast("long").alias("band_1"),
+        (sig_hi % width).alias("band_2"),
+        (sig_hi / F.lit(width)).cast("long").alias("band_3"),
     ]
 
 
@@ -146,10 +166,11 @@ def simhash_candidates(sigs: DataFrame, broadcast: bool = True) -> DataFrame:
     partitioned on (band, band_val)."""
     banded = sigs.select(
         "doc_id",
-        "sig",
-        F.posexplode(F.array(*band_values(F.col("sig")))).alias(
-            "band", "band_val"
-        ),
+        "sig_lo",
+        "sig_hi",
+        F.posexplode(
+            F.array(*band_values(F.col("sig_lo"), F.col("sig_hi")))
+        ).alias("band", "band_val"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -165,8 +186,10 @@ def simhash_candidates(sigs: DataFrame, broadcast: bool = True) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("a.sig_lo").alias("lo_a"),
+            F.col("a.sig_hi").alias("hi_a"),
+            F.col("b.sig_lo").alias("lo_b"),
+            F.col("b.sig_hi").alias("hi_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -182,12 +205,14 @@ def simhash_neardups(
     The signature table feeds both sides of the candidate self-join, so
     it is materialized with ``localCheckpoint`` — that both avoids
     computing the shingle+vote aggregation twice (once per join side)
-    AND truncates the 48-aggregate logical plan, which otherwise gets
+    AND truncates the 64-aggregate logical plan, which otherwise gets
     re-analyzed per join side (measured ~1.7 s of driver-side Catalyst
     time per run at sf0.1, larger than the actual execution)."""
     sigs = cut(simhash_signatures(docs))
     cand = simhash_candidates(sigs, broadcast=broadcast)
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     return (
         cand.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= hamming_max)
@@ -214,11 +239,16 @@ def _bit_vote_sql(i: int) -> str:
 _VOTES_SQL = ",\n             ".join(
     f"SUM({_bit_vote_sql(i)}) AS v{i}" for i in range(N_BITS)
 )
-_SIG_SQL = " + ".join(
-    f"(CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(N_BITS)
+_SIG_LO_SQL = " + ".join(
+    f"(CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
 )
-_BANDS_SQL = ", ".join(
-    f"(sig // {(2**BAND_BITS)**b}) % {2**BAND_BITS}" for b in range(N_BANDS)
+_SIG_HI_SQL = " + ".join(
+    f"(CASE WHEN v{i + 32} >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(32)
+)
+_W = 2**BAND_BITS
+_BANDS_SQL = (
+    f"sig_lo % {_W}, sig_lo // {_W}, sig_hi % {_W}, sig_hi // {_W}"
 )
 
 
@@ -235,28 +265,38 @@ _BANDS_SQL = ", ".join(
              {_VOTES_SQL}
       FROM hashed GROUP BY doc_id
     ),
-    sigs AS (SELECT doc_id, CAST({_SIG_SQL} AS BIGINT) AS sig FROM votes),
+    sigs AS (
+      SELECT doc_id,
+             CAST({_SIG_LO_SQL} AS BIGINT) AS sig_lo,
+             CAST({_SIG_HI_SQL} AS BIGINT) AS sig_hi
+      FROM votes
+    ),
     banded AS (
-      SELECT doc_id, sig, b.band, ([{_BANDS_SQL}])[b.band + 1] AS band_val
+      SELECT doc_id, sig_lo, sig_hi, b.band,
+             ([{_BANDS_SQL}])[b.band + 1] AS band_val
       FROM sigs CROSS JOIN (
         SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.sig AS sig_a, b.sig AS sig_b
+             a.sig_lo AS lo_a, a.sig_hi AS hi_a,
+             b.sig_lo AS lo_b, b.sig_hi AS hi_b
       FROM banded a
       JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
                     AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+                AS INTEGER) AS hamming
     FROM cand
-    WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+          <= {HAMMING_MAX}
     ORDER BY doc_a, doc_b
     """,
 )
 def e3_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over the full documents table: 32-bit
-    3-gram signatures, 4-band candidate join, Hamming ≤ 3 verify."""
+    """SimHash near-dup pairs over the full documents table: 64-bit
+    3-gram signatures (two 32-bit halves), four 16-bit-band candidate
+    join, Hamming ≤ 3 verify."""
     d = fan_out(table(spark, sf_dir, "documents"), spark)
     return simhash_neardups(d).orderBy("doc_a", "doc_b")
