@@ -169,6 +169,10 @@ HEADLINE = [
     # (fixed driver latency; 3 versioned log writes + integrity probes),
     # not data throughput — SD3 tracks the versioned-read cost.
     "GEO5_density_grid",
+    "GEO7_area_point_count",
+    "GEO8_nearest_topk",
+    "ST1_stream_dedup",
+    "ST2_stream_attribution",
     "D13_shared_spans",
     "V12_pq_adc_topk",
     # V13_pq_recall is oracle-graded but not a bench headline: it is

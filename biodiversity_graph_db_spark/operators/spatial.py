@@ -1177,13 +1177,22 @@ def area_point_count(promoted: DataFrame) -> DataFrame:
     table (the ``points_in_areas`` factoring) — separable so the
     boundary-cell path, empty on the integer-cornered mint, is
     unit-testable with fractional-corner areas."""
+    from biodiversity_graph_db_spark.operators._util import cut
+
     pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
         "pt_lat",
         "pt_lon",
         F.floor(F.col("pt_lon") / FINE_DEG).alias("fx"),
         F.floor(F.col("pt_lat") / FINE_DEG).alias("fy"),
     )
-    cells = pts.groupBy("fx", "fy").agg(F.count(F.lit(1)).alias("cnt"))
+    # the synopsis feeds BOTH branches (interior sum + boundary join)
+    # through `covered` — cut the bounded <=360x180-row table so the
+    # corpus rollup pass runs ONCE, not once per branch (r11 sweep).
+    # The area-side explode is also duplicated across the branches; it
+    # is pure per-row compute off the promoted checkpoint (no shuffle,
+    # areas x bounded cells) and stays cheaper than materializing the
+    # corpus-proportional `covered` would be.
+    cells = cut(pts.groupBy("fx", "fy").agg(F.count(F.lit(1)).alias("cnt")))
     # covered cells: every fine cell whose [c*FG, (c+1)*FG) range meets
     # the half-open box — last covered index is ceil(max/FG) - 1
     area_cells = (
@@ -1457,3 +1466,81 @@ def geo8_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("area_key", "rk")
     )
+
+
+@query(
+    "GEO9_density_store",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE}
+    SELECT CAST(FLOOR(pt_lon / {GRID_DEG}) AS BIGINT) AS cx,
+           CAST(FLOOR(pt_lat / {GRID_DEG}) AS BIGINT) AS cy,
+           COUNT(*) AS n_sites,
+           {sql_davg('pt_lat')} AS mean_lat,
+           {sql_davg('pt_lon')} AS mean_lon,
+           'contextnode_' || MIN(CAST(regexp_extract(key, '([0-9]+)$', 1)
+                                      AS BIGINT)) AS sample_site
+    FROM ctx_promoted
+    WHERE kind IN ('Site', 'SiteDMS')
+    GROUP BY cx, cy
+    ORDER BY cx, cy
+    """,
+)
+def geo9_density_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GEO5 density map MAINTAINED AT INGEST as a driver row (the
+    W16/T41/T42/T44/D15 pattern — the SPATIAL member of the
+    synopsis-store family, which had maintainers for every other
+    synopsis but not the map view): drain the promoted context rows
+    through ``run_grid_density`` as three real micro-batches and read
+    the maintained per-cell store back; the oracle is GEO5's one-shot
+    batch rollup, so stream-built ≡ batch-built is graded by the driver
+    on the exact cells a map overview reads.
+
+    Add-mergeability is the whole design: per-cell COUNT and
+    floor-scaled coordinate SUMS add under union (davg floors per ROW,
+    so stream-merged means equal batch means bit-for-bit — the same
+    identity that makes davg order-insensitive), the sample site merges
+    by MIN, and the store stays <= (360/G)x(180/G) rows no matter how
+    much history streamed through.  Replay safety is the CM (lineage,
+    batch_id) stamp — grouped sums would double-count a replayed
+    batch, so one is skipped, not re-merged."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        drain_parquet_batches,
+        run_grid_density,
+    )
+
+    promoted = promote_context_cols(mint_context_nodes(spark, sf_dir))
+    feed = promoted.select("key", "kind", "pt_lat", "pt_lon").withColumn(
+        "ck", F.regexp_extract(F.col("key"), "([0-9]+)$", 1).cast("long")
+    )
+    tmp = tempfile.mkdtemp(prefix="geo9_density_")
+    try:
+        drain_parquet_batches(
+            feed,
+            "ck",
+            lambda s: run_grid_density(s, f"{tmp}/store", f"{tmp}/ckpt"),
+            tmp,
+        )
+        store = spark.read.parquet(f"{tmp}/store")
+        return (
+            store.select(
+                "cx",
+                "cy",
+                "n_sites",
+                (F.col("lat_ssum") / F.col("n_sites") / 10000.0).alias(
+                    "mean_lat"
+                ),
+                (F.col("lon_ssum") / F.col("n_sites") / 10000.0).alias(
+                    "mean_lon"
+                ),
+                F.concat(F.lit("contextnode_"), F.col("min_site")).alias(
+                    "sample_site"
+                ),
+            )
+            .orderBy("cx", "cy")
+            .localCheckpoint()  # materialize before the store dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

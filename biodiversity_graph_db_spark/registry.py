@@ -53,18 +53,19 @@ PRIORITY: tuple[str, ...] = (
     # grade): (a) first driver grades for the 8 queries registered in
     # round 10 (TPC-H partsupp wave Q2/Q9/Q11/Q16/Q20,
     # T45_confidence_route, D15_lsh_band_store, D16_cluster_split),
-    # (a') first driver grades for the 4 round-11 registrations
-    # (GEO7/GEO8 scale-safe map shapes, ST1/ST2 streaming rows),
-    # (b) the 26 remaining r6-latest queries, (c) the 12 oldest
-    # r7-latest grades.  After this window lands, zero registry
-    # queries are ungraded and none is older than r7.
+    # (a') first driver grades for the 5 round-11 registrations
+    # (GEO7/GEO8/GEO9 scale-safe map shapes + density maintainer,
+    # ST1/ST2 streaming rows), (b) the 26 remaining r6-latest queries,
+    # (c) the 11 oldest r7-latest grades.  After this window lands,
+    # zero registry queries are ungraded and none is older than r7.
     # r12 NOTE: after this window lands, rotate to the head: any
-    # queries first registered in round 12, then the 37 remaining
-    # r7-latest grades (G17_clustering_coeff ... A6_next_id block
+    # queries first registered in round 12, then the 38 remaining
+    # r7-latest grades (W9_multires_rollup ... A6_next_id block
     # below), then the oldest r8 grades.
     # (a') round-11 registrations — first driver grades
     "GEO7_area_point_count",
     "GEO8_nearest_topk",
+    "GEO9_density_store",
     "ST1_stream_dedup",
     "ST2_stream_attribution",
     # (a) round-10 registrations — first driver grades
@@ -76,7 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "T45_confidence_route",
     "D15_lsh_band_store",
     "D16_cluster_split",
-    # (b) the 26 remaining r6-latest grades
+    # (b) the 26 remaining r6-latest grades (window slots 6-31)
     "SD2_incremental_stats",
     "SD3_time_travel_read",
     "SD4_graph_time_travel",
@@ -103,7 +104,7 @@ PRIORITY: tuple[str, ...] = (
     "X13_validation_suite",
     "X5_old_date_normalization",
     "X7_author_display",
-    # (c) the 12 oldest r7-latest grades
+    # (c) the 11 oldest r7-latest grades
     "T8_contamination_overlap",
     "D5_contamination_purge",
     "D7_split_leakage",
@@ -115,7 +116,6 @@ PRIORITY: tuple[str, ...] = (
     "G16_harmonic_landmarks",
     "PR2_key_skew",
     "M5_sparse_matmul",
-    "W9_multires_rollup",
     # ---- past the window: everything below is driver-green r7+ and
     # re-verified every run by tests/test_oracle_parity.py ----
     # r10-graded block (the former round-10 window, freshest grades)
@@ -169,7 +169,8 @@ PRIORITY: tuple[str, ...] = (
     "O1_index_sort",
     "O3_display_truncation",
     "P1_typed_date_dispatch",
-    # remaining r7-latest grades (37) — head of the r12 rotation
+    # remaining r7-latest grades (38) — head of the r12 rotation
+    "W9_multires_rollup",
     "G17_clustering_coeff",
     "A9_exact_median",
     "W10_decay_score",

@@ -1190,3 +1190,73 @@ def drain_parquet_batches(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise RuntimeError(f"canned drain did not finish in {timeout_s} s")
+
+
+def grid_density_upsert(
+    batch: DataFrame,
+    batch_id: int,
+    out_path: str,
+    app_id: str | None = None,
+) -> None:
+    """One micro-batch's density-grid merge (the GEO5 map synopsis
+    maintained at ingest): roll the batch's point contexts up to the
+    fixed lon/lat grid and fold into the store by grouped sum — counts
+    and floor-scaled coordinate sums ADD under union (the davg identity
+    is per-row floors, so stream-merged means equal batch means
+    bit-for-bit) and the sample site merges by MIN.  The store stays
+    <= (360/G)x(180/G) rows forever; replay safety is the CM/KMV
+    (lineage, batch_id) stamp — grouped sums double-count a replay, so
+    an already-applied batch is skipped (``_replayed``)."""
+    from biodiversity_graph_db_spark.operators.spatial import GRID_DEG
+    from biodiversity_graph_db_spark.streaming.pipeline import _path_exists
+
+    spark = batch.sparkSession
+    pts = batch.where(F.col("kind").isin("Site", "SiteDMS"))
+    fresh = pts.groupBy(
+        F.floor(F.col("pt_lon") / GRID_DEG).cast("long").alias("cx"),
+        F.floor(F.col("pt_lat") / GRID_DEG).cast("long").alias("cy"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sites"),
+        F.sum(F.floor(F.col("pt_lat") * 10000)).cast("long").alias("lat_ssum"),
+        F.sum(F.floor(F.col("pt_lon") * 10000)).cast("long").alias("lon_ssum"),
+        F.min(
+            F.regexp_extract(F.col("key"), "([0-9]+)$", 1).cast("long")
+        ).alias("min_site"),
+    )
+    if _path_exists(spark, out_path):
+        stored = spark.read.parquet(out_path)
+        if _replayed(stored, batch_id, app_id):
+            return  # replayed batch — its counts are already in
+        fresh = (
+            fresh.unionByName(stored.drop("last_batch", "last_app"))
+            .groupBy("cx", "cy")
+            .agg(
+                F.sum("n_sites").cast("long").alias("n_sites"),
+                F.sum("lat_ssum").cast("long").alias("lat_ssum"),
+                F.sum("lon_ssum").cast("long").alias("lon_ssum"),
+                F.min("min_site").alias("min_site"),
+            )
+        )
+    _stamp(fresh, batch_id, app_id).localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(out_path)
+
+
+def run_grid_density(ctx_stream: DataFrame, out_path: str, checkpoint: str):
+    """Streaming density-map maintenance — the SPATIAL member of the
+    synopsis-store family (NB/CM/KMV/rollup/IVF/LSH-band all have
+    maintainers; the map view GEO5 serves did not): each micro-batch of
+    promoted context rows folds into the bounded per-cell store, so the
+    "where is the evidence concentrated" overview is always current
+    without ever rescanning the context table.  Equivalence oracle: the
+    one-shot batch GEO5 rollup of the same rows (the GEO9 driver row
+    grades the maintained STORE CELLS against it)."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        grid_density_upsert(batch, batch_id, out_path, app_id=checkpoint)
+
+    return (
+        ctx_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1948,3 +1948,50 @@ class TestLshBandStore:
             assert not _path_exists(spark, bad)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestGridDensityStore:
+    def test_replay_skipped_new_lineage_merges(self, spark, sf_dir):
+        """The GEO9 grid-density store is a grouped-sum synopsis, so a
+        replayed (lineage, batch_id) must be SKIPPED (double-count
+        hazard) while a NEW lineage restarting at batch 0 keeps
+        merging — the CM/KMV stamp contract."""
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.operators.spatial import (
+            mint_context_nodes,
+            promote_context_cols,
+        )
+        from biodiversity_graph_db_spark.streaming import ingest
+
+        feed = (
+            promote_context_cols(mint_context_nodes(spark, sf_dir))
+            .select("key", "kind", "pt_lat", "pt_lon")
+            .localCheckpoint()
+        )
+        tmp = tempfile.mkdtemp(prefix="grid_density_")
+        try:
+            store = f"{tmp}/store"
+            ingest.grid_density_upsert(feed, 0, store, app_id="A")
+            once = sorted(
+                map(tuple, spark.read.parquet(store)
+                    .select("cx", "cy", "n_sites").collect())
+            )
+            assert once
+            # replay: same (lineage, batch) — skipped, store unchanged
+            ingest.grid_density_upsert(feed, 0, store, app_id="A")
+            assert sorted(
+                map(tuple, spark.read.parquet(store)
+                    .select("cx", "cy", "n_sites").collect())
+            ) == once
+            # new lineage restarting at 0 is NEW work: counts double
+            ingest.grid_density_upsert(feed, 0, store, app_id="B")
+            doubled = {
+                (r.cx, r.cy): r.n_sites
+                for r in spark.read.parquet(store).collect()
+            }
+            for cx, cy, n in once:
+                assert doubled[(cx, cy)] == 2 * n
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
