@@ -1918,20 +1918,44 @@ def d7_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table and scoring is one map-side join over the bigram stream.
 
 
-def char_bigrams(docs: DataFrame) -> DataFrame:
-    """(doc_id, bg) stream of adjacent character pairs of the
-    casefolded, space-collapsed text (T3's normalization), one explode
-    over the corpus.  Docs shorter than 2 normalized chars have no
-    bigrams and drop out."""
+def char_chars(docs: DataFrame) -> DataFrame:
+    """(doc_id, cs) — the casefolded, space-collapsed text (T3's
+    normalization) split once into its character array.  Docs shorter
+    than 2 normalized chars have no bigrams and drop out.
+
+    The array spelling is the O(length) path: the earlier
+    ``transform(sequence(1, len−1), i -> substring(t, i, 2))`` bigram
+    extraction was O(length²) PER DOCUMENT — ``UTF8String.substring``
+    scans from the string start to find the code-point offset, so a
+    300-char doc paid ~45k character copies for 300 bigrams (the r11
+    decade-4 probe measured the explode pass at 21 s/150M bigrams).
+    Splitting once and indexing the MATERIALIZED array (checkpointed by
+    the caller, so projection collapse cannot inline the split back
+    into the lambda and re-evaluate it per element) makes every bigram
+    O(1)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    d = spread(docs).select("doc_id", norm.alias("t")).where(
-        F.length("t") >= 2
+    return (
+        spread(docs)
+        .select("doc_id", F.split(norm, "").alias("cs"))
+        .where(F.size("cs") >= 2)
     )
-    return d.select(
+
+
+def char_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, bg) stream of adjacent character pairs — one explode
+    over the char arrays (see ``char_chars`` for why arrays)."""
+    return bigram_stream(char_chars(docs))
+
+
+def bigram_stream(chars: DataFrame) -> DataFrame:
+    """Explode a (doc_id, cs) char-array frame to its bigram stream."""
+    return chars.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(t) - 1),"
-                   " i -> substring(t, i, 2))")
+            F.expr(
+                "transform(slice(cs, 1, size(cs) - 1),"
+                " (c, i) -> concat(c, element_at(cs, i + 2)))"
+            )
         ).alias("bg"),
     )
 
@@ -1943,27 +1967,27 @@ def lm_perplexity(docs: DataFrame) -> DataFrame:
     (floor-quantized, scaled-BIGINT — order-independent and
     cross-engine exact).
 
-    Scale shape: ONE explode produces the bigram stream; a
-    (doc_id, bg) count [the only data-proportional shuffle] rolls up to
-    the global bigram counts, the prefix-char counts and the alphabet
-    size (all bounded by the alphabet); P(c2|c1) = (c(c1c2)+1) /
-    (c(c1.)+V) is evaluated on the bounded LM table, ln-quantized to
-    the 1e-6 grid (the T26/T27 discipline), and joined back as a
-    BROADCAST — scoring never shuffles the corpus a second time.  The
-    per-doc sum is exact integer arithmetic (cnt x quantized-ln), so
-    summation order can never change a score."""
-    # localCheckpoint (the E2/E3 discipline): dbg feeds BOTH the LM-
-    # training rollups and the scoring join — without a cut Spark
-    # re-evaluates the explode + first shuffle once per subtree (4x the
-    # dominant map stage, the exact D5/T8 bug family of VERDICT r6).
-    dbg = cut(
-        char_bigrams(docs)
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    Scale shape (re-planned after the r11 decade-4 probe, SCALE §40):
+    the checkpointed CUT is the normalized CHAR-ARRAY table — linear in
+    the text, feeding both passes below — and the corpus-sized
+    (doc_id, bg) collapse that used to be materialized (185M rows at
+    gen_sf40: its shuffle + checkpoint write was the whole query's
+    superlinear term) no longer exists.  Both consumers are map-side
+    combinable DIRECTLY from the bigram stream: the LM rollup partials
+    collapse to the alphabet² table inside each task, and the scoring
+    pass joins the BROADCAST quantized-ln table then partial-aggregates
+    per doc_id — the only data-proportional shuffles carry per-task
+    partials (alphabet²- and docs-bounded), never the bigram stream.
+    P(c2|c1) = (c(c1c2)+1) / (c(c1.)+V) on the bounded LM table,
+    ln-quantized to the 1e-6 grid (the T26/T27 discipline).  The
+    per-doc sum is exact integer arithmetic (quantized-ln summed per
+    instance ≡ cnt × quantized-ln), so summation order can never
+    change a score."""
+    chars = cut(char_chars(docs))  # feeds the LM pass AND the score pass
     lm = (
-        dbg.groupBy("bg")
-        .agg(F.sum("cnt").cast("long").alias("cbg"))
+        bigram_stream(chars)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cbg"))
         .localCheckpoint()  # alphabet-bounded; feeds 3 rollups
     )
     pre = lm.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
@@ -1991,11 +2015,12 @@ def lm_perplexity(docs: DataFrame) -> DataFrame:
         )
     )
     agg = (
-        dbg.join(F.broadcast(lmq), "bg")
+        bigram_stream(chars)
+        .join(F.broadcast(lmq), "bg")
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("long").alias("n_bigrams"),
-            F.sum(F.col("cnt") * F.col("qnll")).cast("long").alias("sum_s"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("qnll").cast("long").alias("sum_s"),
         )
     )
     return agg.select(

@@ -42,7 +42,19 @@ LANGS = ["en", "en", "en", "zh", "de", "fr", "es"]  # ~43% en like sf0.1
 
 
 def _write(outdir: str, name: str, cols: dict) -> None:
-    pq.write_table(pa.table(cols), os.path.join(outdir, f"{name}.parquet"))
+    # Bounded row groups (128k rows): pyarrow's default is 1Mi rows per
+    # group, which at sf >= 20 packs the whole documents table into 1-2
+    # groups — and a Spark byte-range split only reads row groups whose
+    # MIDPOINT it contains, so 30 of 32 splits read NOTHING and every
+    # corpus pass runs on 2 cores (measured: the T28 bigram explode at
+    # gen_sf40, 353 s -> linear after this fix; SCALE §40).  Real
+    # warehouse writers (Spark/Hive/Iceberg) emit many ~128 MB groups
+    # per file, so the bounded layout is also the representative one.
+    pq.write_table(
+        pa.table(cols),
+        os.path.join(outdir, f"{name}.parquet"),
+        row_group_size=131072,
+    )
 
 
 def _days(rng, lo_iso: str, n: int, span_days: int) -> np.ndarray:

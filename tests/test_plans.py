@@ -777,22 +777,27 @@ class TestBm25Plan:
 
 
 class TestLmPerplexityPlan:
-    def test_t28_lm_is_broadcast_scored_single_explode(self, spark, sf_dir):
+    def test_t28_lm_is_broadcast_scored_stream_direct(self, spark, sf_dir):
         """The trained bigram LM is alphabet-bounded and must join back
-        to the (doc, bigram) counts as a BROADCAST — a shuffled join
-        would move the corpus-proportional side twice; the bigram
-        stream must come from ONE explode (one Generate), and nothing
-        may fall to Python eval."""
+        to the bigram stream as a BROADCAST — a shuffled join would
+        move the corpus-proportional side twice — and nothing may fall
+        to Python eval.  After the r11 decade-4 re-plan (SCALE §40) the
+        materialized cut is the CHAR-ARRAY table, not the (doc, bg)
+        collapse: the scoring pass re-explodes the checkpointed arrays
+        (O(length) per doc, one Generate in the final plan — the LM
+        pass's Generate lives in the broadcast-build subtree), both
+        passes read the cut (ExistingRDD), and the corpus parquet is
+        never re-scanned."""
         plan = _plan(spark, sf_dir, "T28_lm_perplexity")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
-        # the (doc,bg) count is localCheckpoint-ed (it feeds the LM
-        # rollups AND the scoring join): the final plan must score off
-        # the materialized cut, never re-run the explode — more than
-        # one Generate means the D5/T8 re-evaluation bug is back
-        assert plan.count("Generate") <= 1, plan
+        # one Generate per pass over the checkpointed arrays; more
+        # means the split/explode is being re-evaluated per consumer
+        # (the D5/T8 re-evaluation bug)
+        assert plan.count("Generate") <= 2, plan
         assert "ExistingRDD" in plan
+        assert "Scan parquet" not in plan, plan
 
 
 class TestRound7SecondWavePlans:
