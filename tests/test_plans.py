@@ -1583,8 +1583,11 @@ class TestRound8Wave3Plans:
         2-column test-doc side; the tokenize and prior passes live
         behind their checkpoints): the model is a vocab x classes
         broadcast, scoring is broadcast joins + combinable sums, the
-        argmax is a WindowGroupLimit k-heap — no cartesian blowup, no
-        Python, no second text scan."""
+        argmax is a map-side-combinable struct-min AGGREGATE — the r11
+        NB re-plan (SCALE §37) replaced the row_number window (and its
+        partition sort over docs×classes) with min(struct(−score, c)),
+        so the plan must hold NO window at all — no cartesian blowup,
+        no Python, no second text scan."""
         import re
 
         plan = _plan(spark, sf_dir, "T37_nb_langid")
@@ -1596,7 +1599,8 @@ class TestRound8Wave3Plans:
         assert "Generate" not in plan, plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
-        assert len(re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.MULTILINE)) >= 1
+        assert "Window" not in plan, plan  # argmax is an aggregate now
+        assert "min(struct(" in plan, plan
 
     def test_t38_dsir_zero_rescan_takeordered(self, spark, sf_dir):
         """DSIR scoring runs entirely off the checkpointed (doc, word,
