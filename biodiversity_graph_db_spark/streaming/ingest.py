@@ -933,6 +933,15 @@ def read_lsh_bands(spark: SparkSession, store_path: str) -> DataFrame:
     ]
     has_base = _path_exists(spark, base_dir)
     has_delta = _path_exists(spark, delta_dir)
+    if not has_base and not has_delta:
+        # a reader pointed at a store no upsert has touched yet: an
+        # empty band table, not an opaque path-not-found AnalysisException
+        # (ADVICE r11) — same five-column schema as the populated reads.
+        return spark.createDataFrame(
+            [],
+            "doc_id long, band_key string, app string,"
+            " batch long, band long",
+        )
     if not has_base:
         return spark.read.parquet(delta_dir).select(*cols)
     base = spark.read.parquet(base_dir).select(*cols)
@@ -945,27 +954,74 @@ def read_lsh_bands(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
+#: Sidecar (inside the merged base) naming the delta dirs a compaction
+#: actually folded — the sweep's scope.  Underscore-prefixed, so parquet
+#: readers of ``base/`` treat it as hidden metadata.
+_FOLDED_SIDECAR = "_folded_dirs.txt"
+
+
+def _sweep_folded_deltas(spark: SparkSession, store_path: str) -> None:
+    """Delete exactly the delta dirs named by the promoted base's
+    sidecar, then the sidecar itself.  No sidecar → sweep nothing
+    (strictly safe: un-swept folded deltas are shadowed by the reader's
+    delta-over-base rule and re-folded by the next compaction)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    side = hpath(f"{store_path}/base/{_FOLDED_SIDECAR}")
+    if not fs.exists(side):
+        return
+    stream = fs.open(side)
+    try:
+        listing = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    for rel in listing.splitlines():
+        rel = rel.strip()
+        if rel:
+            fs.delete(hpath(f"{store_path}/delta/{rel}"), True)
+    # prune now-empty app=/delta dirs so discovery cost doesn't creep
+    delta = hpath(f"{store_path}/delta")
+    if fs.exists(delta):
+        for app_st in fs.listStatus(delta):
+            if app_st.isDirectory() and not fs.listStatus(app_st.getPath()):
+                fs.delete(app_st.getPath(), True)
+        if not fs.listStatus(delta):
+            fs.delete(delta, True)
+    fs.delete(side, False)
+
+
 def finish_lsh_band_compaction(spark: SparkSession, store_path: str) -> None:
     """Roll the band-store compaction swap forward from ANY crash point
     (the ``finish_manifest_compaction`` protocol): a complete merged
     base (``_SUCCESS`` present) under ``__compact_tmp`` is promoted —
     delete old base, rename tmp, sweep the folded deltas; an incomplete
     tmp is discarded (the live store was never touched).  Run by every
-    read and every compaction, so no crash strands the store."""
+    read and every compaction, so no crash strands the store.
+
+    The sweep deletes ONLY the (app, batch) dirs the compaction's
+    sidecar records as actually folded (ADVICE r11): a genuinely NEW
+    batch upserted between the merge-read and the sweep survives to the
+    next compaction instead of being deleted unfolded.  The sidecar
+    rides inside the promoted base, so a crash between rename and sweep
+    resumes here on the next read."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
     tmp = f"{store_path}/base__compact_tmp"
-    if not fs.exists(hpath(tmp)):
-        return
-    if not fs.exists(hpath(f"{tmp}/_SUCCESS")):
-        fs.delete(hpath(tmp), True)  # merge died mid-write; store intact
-        return
-    dst = hpath(f"{store_path}/base")
-    fs.delete(dst, True)
-    if not fs.rename(hpath(tmp), dst) and not fs.exists(dst):
-        raise RuntimeError("lsh band compaction recovery rename failed")
-    fs.delete(hpath(f"{store_path}/delta"), True)
+    if fs.exists(hpath(tmp)):
+        if not fs.exists(hpath(f"{tmp}/_SUCCESS")):
+            fs.delete(hpath(tmp), True)  # merge died mid-write; store intact
+        else:
+            dst = hpath(f"{store_path}/base")
+            fs.delete(dst, True)
+            if not fs.rename(hpath(tmp), dst) and not fs.exists(dst):
+                raise RuntimeError(
+                    "lsh band compaction recovery rename failed"
+                )
+    _sweep_folded_deltas(spark, store_path)
 
 
 def compact_lsh_bands(spark: SparkSession, store_path: str) -> None:
@@ -996,12 +1052,32 @@ def compact_lsh_bands(spark: SparkSession, store_path: str) -> None:
     finish_lsh_band_compaction(spark, store_path)  # complete stranded swap
     if not _path_exists(spark, f"{store_path}/delta"):
         return
+    # Record the (app, batch) dirs this compaction is about to fold —
+    # the sweep deletes exactly these, so a NEW batch upserted after
+    # this listing (single-maintainer contract notwithstanding) is
+    # never deleted unfolded (ADVICE r11).
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    folded = [
+        f"{app.getPath().getName()}/{b.getPath().getName()}"
+        for app in fs.globStatus(hpath(f"{store_path}/delta/app=*"))
+        for b in fs.listStatus(app.getPath())
+        if b.isDirectory()
+    ]
     # no localCheckpoint: the merge is CORPUS-proportional, and the tmp
     # write completes (action) before the swap deletes base/delta — the
     # read never races its own inputs
     merged = read_lsh_bands(spark, store_path)
     tmp = f"{store_path}/base__compact_tmp"
     merged.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    # sidecar AFTER the parquet job: a crash in between promotes a base
+    # with no sidecar, which sweeps nothing — safe (shadowed), unclean
+    out = fs.create(hpath(f"{tmp}/{_FOLDED_SIDECAR}"), True)
+    try:
+        out.write(bytearray("\n".join(folded).encode("utf-8")))
+    finally:
+        out.close()
     finish_lsh_band_compaction(spark, store_path)
 
 

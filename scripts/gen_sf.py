@@ -62,6 +62,70 @@ def _days(rng, lo_iso: str, n: int, span_days: int) -> np.ndarray:
     return base + rng.integers(0, span_days, n).astype("timedelta64[D]")
 
 
+# Per-table builders shared with gen_sf_subset.py (ADVICE r11: the
+# subset generator imported these blocks by copy, and silent drift would
+# skew cross-decade scaling ratios) — one spelling, both entry points.
+
+
+def gen_customer(sf: float, outdir: str) -> None:
+    n_cust = int(150_000 * sf)
+    rng = np.random.default_rng(101)
+    k = np.arange(n_cust)
+    _write(outdir, "customer", {
+        "c_custkey": k,
+        "c_name": [f"Customer#{i:09d}" for i in k],
+        "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
+        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+        "c_mktsegment": [SEGMENTS[i] for i in rng.integers(0, 5, n_cust)],
+    })
+
+
+def gen_events(sf: float, outdir: str) -> None:
+    n_ev = int(1_000_000 * sf)
+    n_user = int(15_000 * sf)
+    rng = np.random.default_rng(106)
+    secs = np.sort(rng.uniform(0, 30 * 86400, n_ev))
+    _write(outdir, "events", {
+        "event_id": np.arange(n_ev),
+        "ts": (np.datetime64("2024-01-01")
+               + (secs * 1e6).astype("timedelta64[us]")),
+        "user_id": rng.integers(0, n_user, n_ev),
+        "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
+        "value": np.round(rng.exponential(50.0, n_ev), 2),
+        "props": [f'{{"k": {v}}}' for v in rng.integers(0, 100, n_ev)],
+    })
+
+
+def gen_documents(sf: float, outdir: str) -> None:
+    # documents: ~5% near-dups of an earlier doc (3 words swapped for
+    # 'dup'), a handful of exact dups — the sf0.1 dedup structure
+    n_doc = int(50_000 * sf)
+    rng = np.random.default_rng(107)
+    texts: list[str] = []
+    for i in range(n_doc):
+        r = rng.random()
+        if i > 10 and r < 0.05:
+            base = texts[int(rng.integers(0, i))].split(" ")
+            if r < 0.002:
+                texts.append(" ".join(base))  # exact dup
+                continue
+            for _ in range(3):
+                base[int(rng.integers(0, len(base)))] = "dup"
+            texts.append(" ".join(base))
+        else:
+            nw = int(rng.integers(10, 101))
+            texts.append(" ".join(
+                VOCAB[j] for j in rng.integers(0, len(VOCAB), nw)
+            ))
+    _write(outdir, "documents", {
+        "doc_id": np.arange(n_doc),
+        "text": texts,
+        "lang": [LANGS[i] for i in rng.integers(0, len(LANGS), n_doc)],
+        "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+
+
 def generate(sf: float, outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
     n_cust = int(150_000 * sf)
@@ -83,15 +147,7 @@ def generate(sf: float, outdir: str) -> None:
         "n_regionkey": (np.arange(25) % 5).astype(np.int32),
     })
 
-    rng = np.random.default_rng(101)
-    k = np.arange(n_cust)
-    _write(outdir, "customer", {
-        "c_custkey": k,
-        "c_name": [f"Customer#{i:09d}" for i in k],
-        "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
-        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
-        "c_mktsegment": [SEGMENTS[i] for i in rng.integers(0, 5, n_cust)],
-    })
+    gen_customer(sf, outdir)
 
     rng = np.random.default_rng(102)
     _write(outdir, "supplier", {
@@ -149,44 +205,8 @@ def generate(sf: float, outdir: str) -> None:
         "l_shipdate": ship.astype("datetime64[us]"),
     })
 
-    rng = np.random.default_rng(106)
-    secs = np.sort(rng.uniform(0, 30 * 86400, n_ev))
-    _write(outdir, "events", {
-        "event_id": np.arange(n_ev),
-        "ts": (np.datetime64("2024-01-01")
-               + (secs * 1e6).astype("timedelta64[us]")),
-        "user_id": rng.integers(0, n_user, n_ev),
-        "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
-        "value": np.round(rng.exponential(50.0, n_ev), 2),
-        "props": [f'{{"k": {v}}}' for v in rng.integers(0, 100, n_ev)],
-    })
-
-    # documents: ~5% near-dups of an earlier doc (3 words swapped for
-    # 'dup'), a handful of exact dups — the sf0.1 dedup structure
-    rng = np.random.default_rng(107)
-    texts: list[str] = []
-    for i in range(n_doc):
-        r = rng.random()
-        if i > 10 and r < 0.05:
-            base = texts[int(rng.integers(0, i))].split(" ")
-            if r < 0.002:
-                texts.append(" ".join(base))  # exact dup
-                continue
-            for _ in range(3):
-                base[int(rng.integers(0, len(base)))] = "dup"
-            texts.append(" ".join(base))
-        else:
-            nw = int(rng.integers(10, 101))
-            texts.append(" ".join(
-                VOCAB[j] for j in rng.integers(0, len(VOCAB), nw)
-            ))
-    _write(outdir, "documents", {
-        "doc_id": np.arange(n_doc),
-        "text": texts,
-        "lang": [LANGS[i] for i in rng.integers(0, len(LANGS), n_doc)],
-        "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
-        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
-    })
+    gen_events(sf, outdir)
+    gen_documents(sf, outdir)
 
     rng = np.random.default_rng(108)
     labels = rng.integers(0, 10, n_emb).astype(np.int32)

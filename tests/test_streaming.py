@@ -1950,6 +1950,92 @@ class TestLshBandStore:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+    def test_read_untouched_store_is_empty_not_error(self, spark, tmp_path):
+        """A reader pointed at a store path no upsert has touched yet
+        gets an EMPTY five-column frame, not a parquet path-not-found
+        AnalysisException (ADVICE r11) — read_lsh_bands is the store's
+        public reader and must be total."""
+        from biodiversity_graph_db_spark.streaming import ingest
+
+        out = ingest.read_lsh_bands(spark, str(tmp_path / "never_written"))
+        assert out.columns == ["doc_id", "band_key", "app", "batch", "band"]
+        assert out.count() == 0
+
+    def test_concurrent_new_batch_survives_sweep(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """The sweep deletes ONLY the delta dirs the compaction's
+        sidecar records as folded (ADVICE r11): a new batch upserted
+        between the fold listing and the sweep keeps its delta dir, its
+        rows stay visible throughout, and the NEXT compaction folds it
+        — never deleted unfolded."""
+        import os
+        import shutil
+        import tempfile
+
+        from biodiversity_graph_db_spark.streaming import ingest
+        from biodiversity_graph_db_spark.tables import table
+
+        docs = (
+            table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+            .localCheckpoint()
+        )
+        early = docs.where(F.col("doc_id") % 2 == 0).localCheckpoint()
+        late = docs.where(F.col("doc_id") % 2 == 1).localCheckpoint()
+        tmp = tempfile.mkdtemp(prefix="lsh_store_race_")
+        store = f"{tmp}/store"
+        try:
+            ingest.lsh_band_upsert(early, 0, store, app_id="appA")
+
+            def rows(df):
+                cols = sorted(df.columns)
+                return sorted(
+                    tuple(str(v) for v in r)
+                    for r in df.select(*cols).collect()
+                )
+
+            want_early = rows(ingest.read_lsh_bands(spark, store))
+
+            # inject the racing upsert AFTER compact's fold listing but
+            # BEFORE its merge-read (the widest destruction window the
+            # old whole-tree sweep had)
+            real_read = ingest.read_lsh_bands
+            injected = {"done": False}
+
+            def read_with_race(s, path):
+                if not injected["done"]:
+                    injected["done"] = True
+                    ingest.lsh_band_upsert(late, 7, store, app_id="appB")
+                return real_read(s, path)
+
+            monkeypatch.setattr(ingest, "read_lsh_bands", read_with_race)
+            ingest.compact_lsh_bands(spark, store)
+            monkeypatch.setattr(ingest, "read_lsh_bands", real_read)
+
+            # the racing batch's delta dir survived the sweep …
+            assert os.path.isdir(f"{store}/delta")
+            surviving = [
+                f"{a}/{b}"
+                for a in os.listdir(f"{store}/delta")
+                for b in os.listdir(f"{store}/delta/{a}")
+            ]
+            assert any("batch=7" in d for d in surviving)
+            # … and every row (early + late, each exactly once) is
+            # visible — expected built from an independent scratch store
+            ingest.lsh_band_upsert(late, 7, f"{tmp}/scratch", app_id="appB")
+            want_late = rows(real_read(spark, f"{tmp}/scratch"))
+            got = rows(real_read(spark, store))
+            assert got == sorted(want_early + want_late)
+            # the next compaction folds it in and the store stays equal
+            ingest.compact_lsh_bands(spark, store)
+            assert rows(real_read(spark, store)) == got
+            assert not os.path.isdir(f"{store}/delta")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 class TestGridDensityStore:
     def test_replay_skipped_new_lineage_merges(self, spark, sf_dir):
         """The GEO9 grid-density store is a grouped-sum synopsis, so a
