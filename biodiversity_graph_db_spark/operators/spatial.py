@@ -1177,6 +1177,21 @@ def area_point_count(promoted: DataFrame) -> DataFrame:
     table (the ``points_in_areas`` factoring) — separable so the
     boundary-cell path, empty on the integer-cornered mint, is
     unit-testable with fractional-corner areas."""
+    interior_counts, boundary_counts = area_point_count_parts(promoted)
+    return (
+        interior_counts.unionByName(boundary_counts)
+        .groupBy("area_key")
+        .agg(F.sum("n").cast("long").alias("n_points"))
+        .orderBy("area_key")
+    )
+
+
+def area_point_count_parts(
+    promoted: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The two GEO7 branches, separately: (interior synopsis sums,
+    boundary filter-refine counts) — exposed so non-hollowness of each
+    branch is assertable per mint (the D7/T9 discipline)."""
     from biodiversity_graph_db_spark.operators._util import cut
 
     pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
@@ -1247,12 +1262,92 @@ def area_point_count(promoted: DataFrame) -> DataFrame:
         .groupBy("area_key")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    return (
-        interior_counts.unionByName(boundary_counts)
-        .groupBy("area_key")
-        .agg(F.sum("n").cast("long").alias("n_points"))
-        .orderBy("area_key")
+    return interior_counts, boundary_counts
+
+
+def _shift_areas_fractional(promoted: DataFrame) -> DataFrame:
+    """Shift every Area's bbox by a key-derived FRACTIONAL offset
+    (lat += (k%3)·0.25 + 0.25 ∈ {0.25, 0.5, 0.75};
+    lon += (k%5)·0.2 + 0.1 ∈ {0.1 … 0.9}) — same 10°×20° extent, but
+    no corner sits on the FINE_DEG lattice, so every area owns a
+    non-empty ring of boundary cells.  Quarter/fifth-degree deltas are
+    exact in binary/decimal-derived doubles the same way in Spark and
+    DuckDB, keeping the oracle hashable."""
+    k = F.regexp_extract(F.col("key"), "([0-9]+)$", 1).cast("long")
+    dlat = (k % 3).cast("double") * 0.25 + 0.25
+    dlon = (k % 5).cast("double") * 0.2 + 0.1
+    is_area = F.col("kind") == "Area"
+    return promoted.select(
+        "key",
+        "kind",
+        "pt_lat",
+        "pt_lon",
+        F.when(is_area, F.col("lat_min") + dlat)
+        .otherwise(F.col("lat_min"))
+        .alias("lat_min"),
+        F.when(is_area, F.col("lat_max") + dlat)
+        .otherwise(F.col("lat_max"))
+        .alias("lat_max"),
+        F.when(is_area, F.col("lon_min") + dlon)
+        .otherwise(F.col("lon_min"))
+        .alias("lon_min"),
+        F.when(is_area, F.col("lon_max") + dlon)
+        .otherwise(F.col("lon_max"))
+        .alias("lon_max"),
     )
+
+
+@query(
+    "GEO7b_area_point_count_frac",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE},
+    pts AS (
+      SELECT pt_lat, pt_lon FROM ctx_promoted
+      WHERE kind IN ('Site', 'SiteDMS')
+    ),
+    areas AS (
+      -- CAST the literals (DuckDB's bare 0.2/0.1 are DECIMAL where
+      -- Spark's are DOUBLE) and parenthesize the DELTA so the adds
+      -- associate exactly as Spark's bound + precomputed-delta does —
+      -- bound + 0.6 + 0.1 and bound + (0.6 + 0.1) differ in IEEE
+      SELECT key AS area_key,
+             lat_min + ((CAST(regexp_extract(key, '([0-9]+)$', 1) AS BIGINT)
+                         % 3) * CAST(0.25 AS DOUBLE)
+                        + CAST(0.25 AS DOUBLE)) AS lat_min,
+             lat_max + ((CAST(regexp_extract(key, '([0-9]+)$', 1) AS BIGINT)
+                         % 3) * CAST(0.25 AS DOUBLE)
+                        + CAST(0.25 AS DOUBLE)) AS lat_max,
+             lon_min + ((CAST(regexp_extract(key, '([0-9]+)$', 1) AS BIGINT)
+                         % 5) * CAST(0.2 AS DOUBLE)
+                        + CAST(0.1 AS DOUBLE)) AS lon_min,
+             lon_max + ((CAST(regexp_extract(key, '([0-9]+)$', 1) AS BIGINT)
+                         % 5) * CAST(0.2 AS DOUBLE)
+                        + CAST(0.1 AS DOUBLE)) AS lon_max
+      FROM ctx_promoted WHERE kind = 'Area'
+    )
+    SELECT area_key, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM areas a JOIN pts p
+      ON  p.pt_lat >= a.lat_min AND p.pt_lat < a.lat_max
+      AND p.pt_lon >= a.lon_min AND p.pt_lon < a.lon_max
+    GROUP BY area_key
+    ORDER BY area_key
+    """,
+)
+def geo7b_area_point_count_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO7 with FRACTIONAL-CORNER areas (VERDICT r11 item 2): the
+    integer-cornered GEO7 mint makes the boundary-cell set empty by
+    construction, so its driver grade proves only the interior-synopsis
+    branch.  This row shifts every area off the FINE_DEG lattice by a
+    key-derived quarter/fifth-degree delta, so EVERY area has a
+    non-empty boundary ring and the driver-graded answer provably flows
+    through BOTH branches — the pre-aggregated interior sum AND the
+    straddling-cell filter-refine re-join (``area_point_count``,
+    non-hollowness pinned by tests).  The oracle stays GEO3's exact
+    half-open containment predicate over the shifted boxes."""
+    promoted = promote_context_cols(
+        mint_context_nodes(spark, sf_dir)
+    ).localCheckpoint()
+    return area_point_count(_shift_areas_fractional(promoted))
 
 
 #: Neighbours kept per area by the GEO8 top-k rollup.

@@ -378,3 +378,29 @@ class TestAreaPointCountBoundary:
                 range(int(lat0 // FINE_DEG), int(-(-lat1 // FINE_DEG))),
             )
         )
+
+    def test_geo7b_mint_drives_both_branches(self, spark):
+        """Non-hollowness of the GEO7b driver row (VERDICT r11 item 2):
+        on the fractional-corner mint at the grading SF, BOTH branches
+        of area_point_count contribute non-empty counts — the driver
+        grade is load-bearing for the boundary filter-refine path, not
+        only the interior synopsis."""
+        from biodiversity_graph_db_spark.operators.spatial import (
+            _shift_areas_fractional,
+            area_point_count_parts,
+            mint_context_nodes,
+            promote_context_cols,
+        )
+
+        promoted = promote_context_cols(
+            mint_context_nodes(spark, "/root/testdata/sf0.01")
+        ).localCheckpoint()
+        interior, boundary = area_point_count_parts(
+            _shift_areas_fractional(promoted)
+        )
+        n_int, n_bnd = interior.count(), boundary.count()
+        assert n_int > 0, "interior branch hollow on the GEO7b mint"
+        assert n_bnd > 0, "boundary branch hollow on the GEO7b mint"
+        # and the unshifted GEO7 mint stays interior-only by design
+        _, bnd0 = area_point_count_parts(promoted)
+        assert bnd0.count() == 0
