@@ -1322,3 +1322,207 @@ def st2_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- ST3/ST4: the applyInPandasWithState paths as driver rows ----------------
+# VERDICT r11 item 4: closed_sessions and asof_enrich were stream ≡ batch
+# test-pinned but had no registered-query form.  Their state walks carry a
+# batch-monotone-arrival ordering contract (events arrive per key in
+# event-time order across micro-batches — how a broker delivers them), so
+# the drain is drain_parquet_batches_ORDERED: time-ranged batch files with
+# pinned ascending mtimes.
+
+#: Session gap for the ST3 driver row.  The sf events mint averages a few
+#: events per user per month, so a day-scale gap yields a real mix of
+#: single- and multi-event sessions (the 30-minute production default
+#: would make nearly every event its own session on this mint).
+ST3_GAP_S = 86_400
+
+
+@query(
+    "ST3_session_store",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > CAST({ST3_GAP_S} AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM seq
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(FLOOR(value * 10000) AS BIGINT)) / 10000.0
+             AS total_value
+    FROM sess GROUP BY user_id, session_no
+    ORDER BY user_id, start_s
+    """,
+)
+def st3_session_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeout-based stateful sessionization (``closed_sessions``, the
+    applyInPandasWithState operator with custom per-session payloads)
+    as a DRIVER row: drain the events table through the real session
+    state machine as three event-time-ordered micro-batches plus a
+    final ``__flush__`` heartbeat file (one per user, 4 gaps past the
+    corpus max — the Kafka-tombstone drain hook the operator defines),
+    so every open session closes deterministically and the emitted set
+    is TOTAL.  The oracle is the batch lag-gap + running-sum
+    sessionization (W4's shape) with the same µs gap rule, scaled-int
+    value totals, and (ts, event_id) tie order — so the driver grades
+    the stateful walk (open/extend/close, cross-batch state carry)
+    against the declarative twin.  State is one open session per user,
+    bounded by |active users| at any corpus size."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        closed_sessions,
+        drain_parquet_batches_ordered,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0].mx
+    flush = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            (F.lit(10**9) + F.col("user_id")).alias("event_id"),
+            F.timestamp_micros(
+                F.unix_micros(F.lit(mx)) + 4 * ST3_GAP_S * 10**6
+            ).alias("ts"),
+            "user_id",
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="st3_sessions_")
+    try:
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+
+        def run(stream: DataFrame):
+            return (
+                closed_sessions(
+                    stream, gap_seconds=ST3_GAP_S, watermark="40 days"
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+            )
+
+        drain_parquet_batches_ordered(
+            ev, ["ts", "event_id"], run, tmp, last_batch=flush
+        )
+        return (
+            spark.read.parquet(out)
+            .select(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.unix_timestamp("session_start").alias("start_s"),
+                F.unix_timestamp("session_end").alias("end_s"),
+                F.col("n_events").cast("long").alias("n_events"),
+                "total_value",
+            )
+            .orderBy("user_id", "start_s")
+            .localCheckpoint()  # materialize before the sink dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "ST4_asof_enrich",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM e
+          WHERE event_type = 'click'),
+    p AS (SELECT event_id AS pid, user_id, ts AS pts FROM e
+          WHERE event_type = 'purchase'),
+    j AS (
+      SELECT c.click_id, c.user_id, c.ts, p.pid, p.pts
+      FROM c LEFT JOIN p
+        ON p.user_id = c.user_id AND p.pts <= c.ts
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY click_id
+        ORDER BY pts DESC NULLS LAST, pid DESC NULLS LAST) AS rk
+      FROM j
+    )
+    SELECT CAST(click_id AS BIGINT) AS click_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+           CAST(pid AS BIGINT) AS prior_purchase_id
+    FROM r WHERE rk = 1
+    ORDER BY click_id
+    """,
+)
+def st4_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment (``asof_enrich`` — the J9
+    AS-OF join as an applyInPandasWithState stream: every click emitted
+    with the user's most recent purchase at-or-before it) as a DRIVER
+    row: drain clicks+purchases through the real state machine as three
+    event-time-ordered micro-batches and read the appended sink back.
+    No flush is needed — clicks emit in the batch they arrive; the
+    ordering contract (purchases visible to every later click,
+    purchase-before-click at equal ts) is exactly what the ordered
+    drain provides and what a feature store's ingest broker guarantees.
+    The oracle is the batch as-of join (greatest purchase ts ≤ click
+    ts, ties by max purchase id — J9's union-trick semantics).  NOTE
+    the event mint never collides click/purchase timestamps, so max-pid
+    alone is a total tie-break; state is one (pid, ts) pair per user —
+    O(|users|) at any corpus size."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        asof_enrich,
+        drain_parquet_batches_ordered,
+    )
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tmp = tempfile.mkdtemp(prefix="st4_asof_")
+    try:
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+
+        def run(stream: DataFrame):
+            return (
+                asof_enrich(stream, watermark="40 days")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+            )
+
+        drain_parquet_batches_ordered(ev, ["ts", "event_id"], run, tmp)
+        return (
+            spark.read.parquet(out)
+            .select(
+                F.col("click_id").cast("long").alias("click_id"),
+                F.col("user_id").cast("long").alias("user_id"),
+                F.unix_timestamp("ts").alias("ts_s"),
+                F.col("prior_purchase_id").cast("long").alias(
+                    "prior_purchase_id"
+                ),
+            )
+            .orderBy("click_id")
+            .localCheckpoint()  # materialize before the sink dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1268,6 +1268,63 @@ def drain_parquet_batches(
         raise RuntimeError(f"canned drain did not finish in {timeout_s} s")
 
 
+def drain_parquet_batches_ordered(
+    df: DataFrame,
+    order_cols: list[str],
+    run,
+    tmp: str,
+    n_batches: int = 3,
+    last_batch: DataFrame | None = None,
+    timeout_s: int = 600,
+) -> None:
+    """Event-time-ORDERED canned drain — the harness behind the
+    stateful-operator driver rows (ST3/ST4), whose operators carry the
+    batch-monotone-arrival ordering contract ``drain_parquet_batches``'
+    modulo split can't honor: range-split ``df`` on ``order_cols`` into
+    ``n_batches`` files and PIN ascending mtimes (FileStreamSource
+    orders pending files by modification time, the property the
+    streaming test fixtures already rely on), so batch i holds the i-th
+    time slice and every key's events arrive in event-time order across
+    micro-batches — exactly how a production ingest delivers them.
+
+    ``last_batch`` (e.g. per-key ``__flush__`` heartbeats, or a
+    watermark-advancing sentinel) lands as the FINAL file, after all
+    data batches.  Local-filesystem harness by design (the driver rows
+    and tests drain from tempdirs); production streams read Kafka/object
+    storage where arrival order is the broker's."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    spark = df.sparkSession
+    src = f"{tmp}/src"
+    (
+        df.repartitionByRange(n_batches, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    if last_batch is not None:
+        last_batch.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/_last"
+        )
+        lp = glob.glob(f"{tmp}/_last/part-*.parquet")[0]
+        shutil.copy(lp, f"{src}/part-zz-last.parquet")
+    now = time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+        os.utime(p, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run(stream).start()
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"ordered drain did not finish in {timeout_s} s")
+
+
 def grid_density_upsert(
     batch: DataFrame,
     batch_id: int,
