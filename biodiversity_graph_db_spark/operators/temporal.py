@@ -1237,17 +1237,61 @@ def st1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query(
-    "ST2_stream_attribution",
-    oracle="""
-    WITH c AS (
+#: Shared click-mint CTE for ST2/ST2b (VERDICT r11 item 5: at sf0.01 the
+#: organic mint yields only 9 in-window click→purchase pairs — too thin a
+#: grade for the stream-stream state machine).  Every EVEN purchase gets a
+#: deterministic synthetic click 1–600 s before it (µs-exact integer
+#: timestamp arithmetic, identical in both engines), so the interval join
+#: matches in the hundreds at the grading SF while ODD purchases stay
+#: mostly unattributed — the ST2b outer arm's population.
+_ST2_MINT_SQL = """
+    minted AS (
+      SELECT event_id + 1000000000 AS m_id,
+             make_timestamp(epoch_us(ts)
+                            - (event_id % 600 + 1)
+                              * CAST(1000000 AS BIGINT)) AS m_ts,
+             user_id
+      FROM events
+      WHERE event_type = 'purchase' AND event_id % 2 = 0
+    ),
+    c AS (
       SELECT user_id, event_id AS click_id, ts AS cts
       FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, m_id AS click_id, m_ts AS cts FROM minted
     ),
     p AS (
       SELECT user_id, event_id AS purchase_id, ts AS pts, value
       FROM events WHERE event_type = 'purchase'
     )
+"""
+
+
+def _st2_feed(ev: DataFrame) -> DataFrame:
+    """The Spark side of the ST2 mint: real click/purchase events plus
+    the deterministic per-even-purchase synthetic click."""
+    minted = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 2 == 0)
+    ).select(
+        (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+        F.timestamp_micros(
+            F.unix_micros("ts")
+            - ((F.col("event_id") % 600) + 1) * F.lit(1_000_000)
+        ).alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    return ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(minted)
+
+
+@query(
+    "ST2_stream_attribution",
+    oracle=f"""
+    WITH {_ST2_MINT_SQL}
     SELECT p.user_id,
            CAST(purchase_id AS BIGINT) AS purchase_id,
            CAST(click_id AS BIGINT) AS click_id,
@@ -1274,11 +1318,16 @@ def st2_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Batches split on event_id, so a user's clicks and purchases land
     in DIFFERENT micro-batches and matches must come from buffered
-    join STATE, not intra-batch co-presence.  Watermark wider than the
-    data span for the same file-order reason as ST1 — in production
-    the watermark is the attribution window's lateness bound and state
-    stays O(one window per user) (ingest.py contract; stream ≡ batch
-    additionally pinned bit-for-bit by tests at the tight watermark)."""
+    join STATE, not intra-batch co-presence (the minted click's id is
+    ≡ purchase_id + 1 mod 3, so every minted pair crosses batches
+    too).  Watermark wider than the data span for the same file-order
+    reason as ST1 — in production the watermark is the attribution
+    window's lateness bound and state stays O(one window per user)
+    (ingest.py contract; stream ≡ batch additionally pinned
+    bit-for-bit by tests at the tight watermark).  The feed is
+    densified with the deterministic ``_st2_feed`` click mint
+    (VERDICT r11 item 5) so the grade covers hundreds of in-window
+    matches at sf0.01 instead of the organic 9."""
     import shutil
     import tempfile
 
@@ -1287,8 +1336,10 @@ def st2_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain_parquet_batches,
     )
 
-    ev = table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("click", "purchase")
+    ev = _st2_feed(
+        table(spark, sf_dir, "events").where(
+            F.col("event_type").isin("click", "purchase")
+        )
     )
     tmp = tempfile.mkdtemp(prefix="st2_attrib_")
     try:
@@ -1318,6 +1369,103 @@ def st2_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_x10000",
             )
             .orderBy("purchase_id", "click_id")
+            .localCheckpoint()  # materialize before the sink dir dies
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "ST2b_unattributed",
+    oracle=f"""
+    WITH {_ST2_MINT_SQL}
+    SELECT p.user_id,
+           CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(FLOOR(epoch(pts)) AS BIGINT) AS purchase_s,
+           CAST(FLOOR(value * 10000) AS BIGINT) AS value_x10000
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.cts <= p.pts
+     AND c.cts >= p.pts - INTERVAL '600 seconds'
+    WHERE c.click_id IS NULL
+    ORDER BY purchase_id
+    """,
+)
+def st2b_unattributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT-OUTER arm of the stream-stream attribution join as a
+    DRIVER row (VERDICT r11 item 5): purchases with NO qualifying click
+    in the preceding 10 minutes — the unattributed-conversion report.
+    Spark holds each outer row until the click-side watermark proves no
+    future click can match, so under a finite drain the emitted outer
+    set is only a prefix; this row makes it TOTAL by appending one
+    final sentinel file (a click+purchase pair for user −1, minted 36
+    days past the corpus max) through the event-time-ORDERED drain —
+    the sentinel advances both sides' watermarks one day past every
+    real purchase's window, and the availableNow no-data batch then
+    flushes every remaining outer row.  The oracle is the batch left
+    outer join filtered to non-matches, so the driver grades the state
+    machine's EVICTION path (emit-on-watermark-expiry), the complement
+    of ST2's match path.  Same densified mint as ST2: odd purchases
+    are the mostly-unattributed population (hundreds at sf0.01)."""
+    import shutil
+    import tempfile
+
+    from biodiversity_graph_db_spark.streaming.ingest import (
+        attributed_purchases,
+        drain_parquet_batches_ordered,
+    )
+
+    ev = _st2_feed(
+        table(spark, sf_dir, "events").where(
+            F.col("event_type").isin("click", "purchase")
+        )
+    ).localCheckpoint()
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0].mx
+    sentinel = spark.createDataFrame(
+        [(2 * 10**9, mx, -1, "click", 0.0, None),
+         (2 * 10**9 + 1, mx, -1, "purchase", 0.0, None)],
+        ev.schema,
+    ).select(
+        "event_id",
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.lit(36 * 86_400 * 1_000_000).cast("long")
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    tmp = tempfile.mkdtemp(prefix="st2b_unattr_")
+    try:
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+
+        def run(stream: DataFrame):
+            cs = stream.where(F.col("event_type") == "click")
+            ps = stream.where(F.col("event_type") == "purchase")
+            return (
+                attributed_purchases(
+                    cs, ps, watermark="35 days", how="left_outer"
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+            )
+
+        drain_parquet_batches_ordered(
+            ev, ["ts", "event_id"], run, tmp, last_batch=sentinel
+        )
+        return (
+            spark.read.parquet(out)
+            .where(F.col("click_id").isNull() & (F.col("user_id") >= 0))
+            .select(
+                "user_id",
+                F.col("purchase_id").cast("long").alias("purchase_id"),
+                "purchase_s",
+                "value_x10000",
+            )
+            .orderBy("purchase_id")
             .localCheckpoint()  # materialize before the sink dir dies
         )
     finally:
