@@ -1353,6 +1353,12 @@ def geo7b_area_point_count_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Neighbours kept per area by the GEO8 top-k rollup.
 NEAREST_K = 3
 
+#: Second (fine) synopsis level for GEO8's multi-resolution probe
+#: (VERDICT r11 item 3): eighth-degree cells, domain bounded by
+#: 2880×1440.  W2_RINGS fine rings cover 2° around each centroid.
+FINE2_DEG = 0.125
+W2_RINGS = 16
+
 
 @query(
     "GEO8_nearest_topk",
@@ -1396,24 +1402,34 @@ def geo8_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded counterpart of emitting all radius pairs: output is
     <= k rows per area, linear in areas at any corpus size.
 
-    The CANDIDATE set is count-pruned (the kNN grid-pruning idiom —
-    probe only as far as the synopsis proves necessary), because a
-    fixed-radius candidate join is quadratic when both sides grow (the
-    GEO3 adjudication; measured 19.8×/decade on the r11 first cut):
+    The CANDIDATE set is count-pruned over a MULTI-RESOLUTION synopsis
+    (the kNN grid-pruning idiom — probe only as far as the counts prove
+    necessary), because a fixed-radius candidate join is quadratic when
+    both sides grow (the GEO3 adjudication; 19.8×/decade on the r11
+    first cut) and a single-level bound floors at one cell's density
+    (VERDICT r11 item 3: once a FINE_DEG cell holds >> k points,
+    per-area work grew with cell density again):
 
-    1. points roll up ONCE onto the fine grid (``FINE_DEG`` — GEO7's
-       bounded synopsis, broadcast);
-    2. each area scans the <= (2·max_ring+1)² synopsis cells around its
-       centroid cell and finds q* = the smallest Chebyshev cell ring
-       whose cumulative count reaches k; every point in rings <= q*
-       lies within euclidean (q*+1)·FINE_DEG·√2 of the centroid, so the
-       k nearest provably lie within r_bound = min(R, that) — the bound
-       SHRINKS as density grows (k points turn up in ever-closer rings),
-       which is exactly what keeps per-area candidate work ~O(k) instead
-       of O(points-within-R);
-    3. the candidate equi-join enumerates only cells within the area's
-       OWN r_bound (a column-valued sequence), filters d² <= r_bound²
-       AND d² <= R², and takes the per-area row_number <= k.
+    1. points roll up ONCE onto the two-level grid — ``FINE2_DEG``
+       cells carrying their ``FINE_DEG`` parent (one groupBy; the
+       coarse level is a driver-free rollup of the fine one, the W9
+       multires shape);
+    2. LEVEL-1 probe (as before): each area scans the
+       <= (2·max_ring+1)² coarse cells around its centroid and finds
+       q*₁ = the smallest Chebyshev ring whose cumulative count reaches
+       k → r₁ = (q*₁+1)·FINE_DEG·√2;
+    3. LEVEL-2 probe: the same scan over the <= (2·W2_RINGS+1)² fine
+       cells (covering W2_RINGS·FINE2_DEG = 2° around the centroid)
+       → r₂ = (q*₂+1)·FINE2_DEG·√2 — in dense regions k points appear
+       within a few EIGHTH-degree rings, so r₂ keeps shrinking long
+       after r₁ has floored at one coarse cell (√2·FINE_DEG);
+    4. r_bound = min(R, r₁, r₂); areas with r_bound <= W2_RINGS·FINE2
+       enumerate candidate cells at the FINE2 level (<= 35² cells, but
+       typically ~5²·k points), the rest at the FINE level — so the
+       per-area candidate set tracks ~O(k) at ANY density instead of
+       O(points-per-cell);
+    5. the candidate equi-join filters d² <= min(R, r_bound)² and takes
+       the per-area row_number <= k.
 
     The pruning is a pure optimization: the DuckDB oracle is the
     brute-force radius join + rank, so the parity gate proves the bound
@@ -1422,24 +1438,44 @@ def geo8_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most k rows per area.  Ties on d2 break by site key in both
     engines; d2 is transcendental-free degree-space arithmetic (GEO4's
     determinism argument), quantized only at the output boundary.  (The
-    √2 in r_bound is driver-side float used ONLY for pruning, never in
-    output values.)  At densities where even one fine cell holds >> k
-    points, per-area work floors at the ~9-cell probe; the published
-    refinement beyond that is a multi-resolution synopsis (the W9
-    rollup), same shape one level down."""
-    from pyspark.sql import Window
-
+    √2 in the bounds is driver-side float used ONLY for pruning, never
+    in output values.)  100 TB note: the fine synopsis is bounded by
+    its 2880×1440 cell domain (~100 MB worst case, broadcastable); a
+    deployment needing finer levels would partition the synopsis by
+    coarse cell (H3-style) instead of broadcasting, same plan shape."""
     promoted = promote_context_cols(
         mint_context_nodes(spark, sf_dir)
     ).localCheckpoint()
+    return nearest_topk(promoted)
+
+
+def nearest_topk(promoted: DataFrame) -> DataFrame:
+    """The GEO8 two-level count-pruned kNN over an already-promoted
+    context table — separable (the area_point_count factoring) so the
+    DENSE path, rarely selected on the sparse test mints, is
+    unit-testable against brute force on minted dense clusters."""
+    from pyspark.sql import Window
+
     pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
         F.col("key").alias("site_key"),
         "pt_lat",
         "pt_lon",
         F.floor(F.col("pt_lon") / FINE_DEG).alias("fx"),
         F.floor(F.col("pt_lat") / FINE_DEG).alias("fy"),
+        F.floor(F.col("pt_lon") / FINE2_DEG).alias("fx2"),
+        F.floor(F.col("pt_lat") / FINE2_DEG).alias("fy2"),
     )
-    cells = pts.groupBy("fx", "fy").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE corpus rollup; the coarse synopsis is a rollup of the fine one
+    # ((fx2, fy2) determines (fx, fy)), cut so both probes and the
+    # candidate stage read the materialized bounded table
+    from biodiversity_graph_db_spark.operators._util import cut
+
+    cells2 = cut(
+        pts.groupBy("fx", "fy", "fx2", "fy2").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    cells = cells2.groupBy("fx", "fy").agg(F.sum("cnt").alias("cnt"))
     # rings 0..max_ring around the centroid cell cover every point
     # within R: |lon − c_lon| <= R ⇒ cell offset <= floor(R/FG) + 1
     max_ring = int(RADIUS_DEG / FINE_DEG) + 1
@@ -1451,103 +1487,174 @@ def geo8_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_lon.alias("c_lon"),
         F.floor(c_lon / FINE_DEG).alias("fx0"),
         F.floor(c_lat / FINE_DEG).alias("fy0"),
+        F.floor(c_lon / FINE2_DEG).alias("fx20"),
+        F.floor(c_lat / FINE2_DEG).alias("fy20"),
     )
-    off = list(range(-max_ring, max_ring + 1))
-    ring = F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy")))
-    probe = (
-        areas.select(
-            "area_key",
-            "fx0",
-            "fy0",
-            F.explode(F.array(*[F.lit(i) for i in off])).alias("dx"),
+
+    def ring_probe(ar, cell_counts, x0, y0, half_width, n_rings, tag):
+        """Per-area cumulative ring counts over one synopsis level:
+        explode the (2·half_width+1)² offset window, broadcast-join the
+        bounded cell rollup, and sum per ring — the shared shape of the
+        level-1 and level-2 probes."""
+        ring = F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy")))
+        seq = F.sequence(F.lit(-half_width), F.lit(half_width))
+        return (
+            ar.select("area_key", x0, y0, F.explode(seq).alias("dx"))
+            .select("area_key", x0, y0, "dx", F.explode(seq).alias("dy"))
+            .select(
+                "area_key",
+                (F.col(x0) + F.col("dx")).alias("gx"),
+                (F.col(y0) + F.col("dy")).alias("gy"),
+                ring.alias("ring"),
+            )
+            .join(F.broadcast(cell_counts), ["gx", "gy"])
+            .groupBy("area_key")
+            .agg(
+                *[
+                    F.sum(
+                        F.when(F.col("ring") <= q, F.col("cnt")).otherwise(0)
+                    ).alias(f"{tag}{q}")
+                    for q in range(n_rings + 1)
+                ]
+            )
         )
-        .select(
-            "area_key",
-            "fx0",
-            "fy0",
-            "dx",
-            F.explode(F.array(*[F.lit(i) for i in off])).alias("dy"),
-        )
-        .select(
-            "area_key",
-            (F.col("fx0") + F.col("dx")).alias("fx"),
-            (F.col("fy0") + F.col("dy")).alias("fy"),
-            ring.alias("ring"),
-        )
-        .join(F.broadcast(cells), ["fx", "fy"])
-        .groupBy("area_key")
-        .agg(
+
+    def first_ring_reaching_k(tag, n_rings):
+        return F.coalesce(
             *[
-                F.sum(F.when(F.col("ring") <= q, F.col("cnt")).otherwise(0))
-                .alias(f"c{q}")
-                for q in range(max_ring + 1)
+                F.when(F.col(f"{tag}{q}") >= NEAREST_K, F.lit(q))
+                for q in range(n_rings + 1)
             ]
         )
+
+    probe1 = ring_probe(
+        areas,
+        cells.select(
+            F.col("fx").alias("gx"), F.col("fy").alias("gy"), "cnt"
+        ),
+        "fx0",
+        "fy0",
+        max_ring,
+        max_ring,
+        "c",
     )
-    # q* = first ring whose cumulative count reaches k (NULL: fewer than
-    # k points inside max_ring — probe everything out to R)
-    qstar = F.coalesce(
-        *[
-            F.when(F.col(f"c{q}") >= NEAREST_K, F.lit(q))
-            for q in range(max_ring + 1)
-        ]
+    # The level-2 probe fans out (2·W2_RINGS+1)² rows per area — gate it
+    # to areas where it CAN tighten the bound: the fine window covers
+    # [c ± 2°] ⊆ coarse ring 3, so with < k points in ring 3 (c3 < k)
+    # the fine probe provably finds nothing and r1 stands.  Sparse
+    # corpora thus skip the fan-out almost everywhere; dense corpora pay
+    # it exactly where it converts O(cell-density) candidate work to
+    # O(k).
+    helped = areas.join(
+        probe1.where(F.col(f"c{min(3, max_ring)}") >= NEAREST_K).select(
+            "area_key"
+        ),
+        "area_key",
+        "left_semi",
+    )
+    probe2 = ring_probe(
+        helped,
+        cells2.select(
+            F.col("fx2").alias("gx"), F.col("fy2").alias("gy"), "cnt"
+        ),
+        "fx20",
+        "fy20",
+        W2_RINGS,
+        W2_RINGS,
+        "d",
     )
     sqrt2 = 1.4142135623730951
-    r_bound = F.when(
-        qstar.isNotNull(),
-        F.least(
-            F.lit(RADIUS_DEG), (qstar + 1) * F.lit(FINE_DEG * sqrt2)
-        ),
-    ).otherwise(F.lit(RADIUS_DEG))
-    bounded = probe.select(
-        "area_key",
-        r_bound.alias("r_bound"),
-        F.least(
-            F.floor(r_bound / FINE_DEG).cast("int") + 1, F.lit(max_ring)
-        ).alias("ring_lim"),
+    qstar1 = first_ring_reaching_k("c", max_ring)
+    qstar2 = first_ring_reaching_k("d", W2_RINGS)
+    r1 = F.when(
+        qstar1.isNotNull(), (qstar1 + 1) * F.lit(FINE_DEG * sqrt2)
     )
-    cand_cells = (
-        areas.join(bounded, "area_key")
-        .select(
-            "area_key",
-            "c_lat",
-            "c_lon",
-            "r_bound",
-            "fy0",
-            "ring_lim",
-            F.explode(
-                F.sequence(
-                    F.col("fx0") - F.col("ring_lim"),
-                    F.col("fx0") + F.col("ring_lim"),
-                )
-            ).alias("fx"),
-        )
-        .select(
-            "area_key",
-            "c_lat",
-            "c_lon",
-            "r_bound",
-            "fx",
-            F.explode(
-                F.sequence(
-                    F.col("fy0") - F.col("ring_lim"),
-                    F.col("fy0") + F.col("ring_lim"),
-                )
-            ).alias("fy"),
-        )
+    r2 = F.when(
+        qstar2.isNotNull(), (qstar2 + 1) * F.lit(FINE2_DEG * sqrt2)
+    )
+    # least() skips NULLs: an area the level-2 window can't bound falls
+    # back to r1, and one with < k points inside max_ring probes out to R
+    r_bound = F.least(F.lit(RADIUS_DEG), r1, r2)
+    bounded = (
+        probe1.join(probe2, "area_key", "left")
+        .select("area_key", r_bound.alias("r_bound"))
     )
     d2 = (F.col("pt_lat") - F.col("c_lat")) * (
         F.col("pt_lat") - F.col("c_lat")
     ) + (F.col("pt_lon") - F.col("c_lon")) * (
         F.col("pt_lon") - F.col("c_lon")
     )
-    cand = (
-        pts.join(cand_cells, ["fx", "fy"])
-        .where(
-            (d2 <= RADIUS_DEG * RADIUS_DEG)
-            & (d2 <= F.col("r_bound") * F.col("r_bound"))
+
+    def enumerate_cells(ar, cell_deg, x0, y0, gx_src, gy_src, lim_cap):
+        """Explode each area's candidate cell window at one grid level
+        (column-valued sequence bounded by the area's own r_bound)."""
+        ring_lim = F.least(
+            F.floor(F.col("r_bound") / cell_deg).cast("int") + 1,
+            F.lit(lim_cap),
         )
+        return (
+            ar.withColumn("ring_lim", ring_lim)
+            .select(
+                "area_key",
+                "c_lat",
+                "c_lon",
+                "r_bound",
+                y0,
+                "ring_lim",
+                F.explode(
+                    F.sequence(
+                        F.col(x0) - F.col("ring_lim"),
+                        F.col(x0) + F.col("ring_lim"),
+                    )
+                ).alias(gx_src),
+            )
+            .select(
+                "area_key",
+                "c_lat",
+                "c_lon",
+                "r_bound",
+                gx_src,
+                F.explode(
+                    F.sequence(
+                        F.col(y0) - F.col("ring_lim"),
+                        F.col(y0) + F.col("ring_lim"),
+                    )
+                ).alias(gy_src),
+            )
+        )
+
+    with_bounds = areas.join(bounded, "area_key")
+    dense_cutoff = W2_RINGS * FINE2_DEG  # level-2 enumeration range
+    dense_cells = enumerate_cells(
+        with_bounds.where(F.col("r_bound") <= dense_cutoff),
+        FINE2_DEG,
+        "fx20",
+        "fy20",
+        "fx2",
+        "fy2",
+        W2_RINGS + 1,
+    )
+    sparse_cells = enumerate_cells(
+        with_bounds.where(F.col("r_bound") > dense_cutoff),
+        FINE_DEG,
+        "fx0",
+        "fy0",
+        "fx",
+        "fy",
+        max_ring,
+    )
+    keep = (d2 <= RADIUS_DEG * RADIUS_DEG) & (
+        d2 <= F.col("r_bound") * F.col("r_bound")
+    )
+    cand = (
+        pts.join(dense_cells, ["fx2", "fy2"])
+        .where(keep)
         .select("area_key", "site_key", d2.alias("d2"))
+        .unionByName(
+            pts.join(sparse_cells, ["fx", "fy"])
+            .where(keep)
+            .select("area_key", "site_key", d2.alias("d2"))
+        )
     )
     w = Window.partitionBy("area_key").orderBy("d2", "site_key")
     return (

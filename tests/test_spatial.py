@@ -379,6 +379,91 @@ class TestAreaPointCountBoundary:
             )
         )
 
+    def test_geo8_dense_cluster_matches_brute_force(self, spark):
+        """GEO8's multi-resolution probe (VERDICT r11 item 3): when one
+        FINE_DEG cell holds >> k points, the level-2 bound must shrink
+        the candidate set WITHOUT cutting any true top-k row.  Minted
+        clusters force both enumeration paths: area d1 sits on a 60-pt
+        cluster packed inside one eighth-degree cell (q*2 = 0 ⇒
+        r_bound <= 0.18 <= the 2° dense cutoff — the dense branch by
+        construction), area s1 has only far-flung points (r_bound from
+        level 1 > 2° — the sparse branch).  Brute force over the same
+        rows is the oracle, including d2 tie-breaks by site key."""
+        from biodiversity_graph_db_spark.operators.spatial import (
+            NEAREST_K,
+            RADIUS_DEG,
+            nearest_topk,
+        )
+
+        pts = []
+        # dense cluster: 60 points inside one 0.125-deg cell near (10.06, 20.06)
+        for i in range(60):
+            pts.append(
+                (f"p{i:04d}", 10.0 + (i % 8) * 0.015, 20.0 + (i // 8) * 0.015)
+            )
+        # sparse neighbourhood: a handful of points 2.5-4.5 deg from (-30, -40)
+        for j, (dlat, dlon) in enumerate(
+            [(2.5, 0.0), (0.0, 3.0), (-3.5, 0.0), (0.0, -4.5), (3.0, 3.0)]
+        ):
+            pts.append((f"q{j}", -30.0 + dlat, -40.0 + dlon))
+        # areas: centroid = box middle; d1 over the cluster, s1 over the voids
+        areas = [
+            ("d1", 10.06 - 5.0, 10.06 + 5.0, 20.06 - 10.0, 20.06 + 10.0),
+            ("s1", -30.0 - 5.0, -30.0 + 5.0, -40.0 - 10.0, -40.0 + 10.0),
+        ]
+        rows = [
+            {
+                "key": k,
+                "kind": "Site",
+                "pt_lat": lat,
+                "pt_lon": lon,
+                "lat_min": lat,
+                "lat_max": lat,
+                "lon_min": lon,
+                "lon_max": lon,
+            }
+            for k, lat, lon in pts
+        ] + [
+            {
+                "key": k,
+                "kind": "Area",
+                "pt_lat": None,
+                "pt_lon": None,
+                "lat_min": lat0,
+                "lat_max": lat1,
+                "lon_min": lon0,
+                "lon_max": lon1,
+            }
+            for k, lat0, lat1, lon0, lon1 in areas
+        ]
+        promoted = spark.createDataFrame(
+            rows,
+            "key string, kind string, pt_lat double, pt_lon double,"
+            " lat_min double, lat_max double, lon_min double,"
+            " lon_max double",
+        )
+        got = [
+            (r.area_key, r.rk, r.site_key)
+            for r in nearest_topk(promoted).collect()
+        ]
+        want = []
+        for k, lat0, lat1, lon0, lon1 in areas:
+            c_lat, c_lon = (lat0 + lat1) / 2.0, (lon0 + lon1) / 2.0
+            cand = sorted(
+                (
+                    (plat - c_lat) ** 2 + (plon - c_lon) ** 2,
+                    key,
+                )
+                for key, plat, plon in pts
+                if (plat - c_lat) ** 2 + (plon - c_lon) ** 2
+                <= RADIUS_DEG * RADIUS_DEG
+            )
+            for rk, (_, key) in enumerate(cand[:NEAREST_K], start=1):
+                want.append((k, rk, key))
+        assert sorted(got) == sorted(want)
+        # the dense area's top-k must come from the cluster cell
+        assert all(s.startswith("p") for a, _, s in got if a == "d1")
+
     def test_geo7b_mint_drives_both_branches(self, spark):
         """Non-hollowness of the GEO7b driver row (VERDICT r11 item 2):
         on the fractional-corner mint at the grading SF, BOTH branches
