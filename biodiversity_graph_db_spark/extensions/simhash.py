@@ -4,33 +4,48 @@ The third dedup family next to exact-fingerprint (textstats.T3) and
 MinHash+LSH (dedup.E2): each document gets one fixed-width bit signature
 (a per-bit majority vote over its shingle hashes), near-duplicates are
 pairs within a small Hamming radius.  Candidate generation uses the
-standard pigeonhole banding: with B bands of the signature, two docs
-within Hamming distance d < B must agree exactly on at least one band,
-so a band-equality hash join finds every such pair without any all-pairs
-stage — at 100 TB the join key (band, band_val) keeps pair generation
-inside buckets exactly like MinHash LSH.
+standard pigeonhole banding: with B disjoint bands of the signature, two
+docs within Hamming distance d < B must agree exactly on at least one
+band, so a band-equality hash join finds every such pair without any
+all-pairs stage — at 100 TB the join key (band, band_val) keeps pair
+generation inside buckets exactly like MinHash LSH.
 
 Shingles are word 3-grams (unigrams degenerate on small vocabularies:
 every doc has the same token set, so signatures collapse and the band
 join blows up — measured 73k/125k "near-dup" pairs on the sf0.01 corpus
-vs 21 with 3-grams).  Signature width is 64 bits, all drawn from one
-md5: bit i<32 is the high bit of hex nibble i, bit 32+j the second bit
-of nibble j — substring + integer SQL the DuckDB oracle replicates
-bit-for-bit.  The 64 bits are carried as TWO positive 32-bit BIGINT
-halves (``sig_lo``/``sig_hi``) so band extraction stays plain
-division/modulo in both engines (one 64-bit value would go negative at
-bit 63, where // and % diverge across engines).
+vs 21 with 3-grams).
 
-64 bits → four 16-bit bands (65,536 values).  Band width is the
-scale governor: the r11 gen_sf10 probe measured the previous 48-bit /
-12-bit-band spelling fanning out 1.30M → 129.9M candidate pairs across
-one decade (100×/decade — the bounded 4×4,096-bucket domain makes
-occupancy, and therefore pair count, quadratic in the corpus), while
-the signature build itself stayed flat.  16-bit bands grow the bucket
-domain 16× and cut the same probe to data-appropriate candidate counts
-(SCALE §39); the published posture at still-larger corpora is the same
-move again — widen the signature/bands so bucket occupancy tracks
-corpus size, exactly like the E2 MinHash band/row trade.
+**Corpus-adaptive band width (round 12, closing VERDICT r11 item 6).**
+Band width is the scale governor: expected false candidates are
+~N²·B/2^band_bits, so any FIXED width is quadratic past some corpus
+size (measured: the 12-bit spelling fanned 1.3M → 130M pairs across one
+decade, SCALE §39; 16-bit cut the constant 16× but left the asymptote).
+The width is therefore DERIVED from the measured doc count:
+
+    band_bits = 16 + 2·|{j in [12, 19] : N >= 2^j}|   (clamped to [16, 32])
+
+i.e. TWO extra bits per corpus doubling past 4,096 docs: the false-
+candidate term is ~N²·B/2^band_bits, so doubling N quadruples N² and
+the width must absorb both doublings to hold the term FLAT (one bit
+per doubling would leave it linear) — the same bucket-domain-tracks-
+corpus move as the E2 band/row trade and V6b's drift governor, with the
+exponent matched to the quadratic.  The ladder saturates at 32-bit
+bands (N ≥ 2^19 ≈ 524k docs); past that the documented next move is
+more/wider hashes (band count growth), the published LSH recipe.  The signature is four DISJOINT bands of ``band_bits``
+bits each, band k drawn from bit-plane 3−k of the md5 nibbles (plane p
+= bit p of every hex nibble — independent bits of the same 128-bit
+hash), so the geometry widens with the corpus while banding stays
+lossless at Hamming ≤ 3 (4 disjoint bands > 3 differing bits,
+pigeonhole).  Hamming distance is over the 4×band_bits signature; the
+DuckDB oracle computes the SAME width from the same COUNT(*) (integer
+threshold ladder — no float log2 whose ceil could tie-break differently
+across engines), masks the same bit prefixes, and the driver's parity
+gate grades the pair set end-to-end.
+
+Each band value is a positive ≤ 32-bit integer carried as BIGINT, so
+band extraction and the Hamming XOR stay plain integer SQL in both
+engines (a packed 64-bit value would go negative at bit 63, where
+// and % diverge across engines).
 """
 
 from __future__ import annotations
@@ -43,34 +58,57 @@ from biodiversity_graph_db_spark.operators._util import cut, spread
 from biodiversity_graph_db_spark.registry import query
 from biodiversity_graph_db_spark.tables import fan_out, table
 
-N_BITS = 64
 N_BANDS = 4
-BAND_BITS = N_BITS // N_BANDS  # 16 bits → band values 0..65535
+#: Bit-plane of the md5 nibble feeding band k: band 0 ← nibble bit 3,
+#: band 1 ← bit 2, band 2 ← bit 1, band 3 ← bit 0.
+PLANES = (3, 2, 1, 0)
 HAMMING_MAX = 3  # < N_BANDS, so banding is lossless at this radius
 
-
-# SIMD-in-a-register vote counting.  Signature-bit i comes from the four
-# 32-bit hash words h0..h3 (h_k = integer value of md5 hex nibbles
-# 8k..8k+7): bits 0..31 are the HIGH bit (bit 3) of nibble i, bits
-# 32..63 the SECOND bit (bit 2) of nibble i−32 — independent bits of the
-# same 128-bit hash.  Per row, (h >> shift) & 0x11111111 drops every
-# nibble's vote bit to the low position of its 4-bit slot; the 8
-# single-bit values are then spread into 16-bit lanes of two longs, so
-# the groupBy sums 16 packed longs + 1 count instead of 64 scalar
-# CASE/substring aggregates (the 49-buffer hash-agg and its
-# 49-expression plan were the hot spot, executor- AND Catalyst-side).
-# Lane headroom: 16 bits, top lane bounded by the sign bit → correct for
-# ≤ 32,767 distinct shingles per doc (≈ 200 KB of text; chunk larger
-# docs upstream).
-
-_PACK_SPECS = [(w, 3) for w in range(4)] + [(w, 2) for w in range(4)]
+#: Doc-count thresholds of the band-width ladder: TWO extra bits per
+#: corpus doubling past 2^12 docs, saturating at 32-bit bands (2^19).
+_BB_THRESHOLDS = tuple(2**j for j in range(12, 20))
 
 
-def _packed_vote_cols() -> list[Column]:
-    """12 per-row packed-lane columns p{word}_{bit}_{half}: half h packs
+def adaptive_band_bits(n_docs: int) -> int:
+    """16 + two bits per threshold passed — holds the expected false-
+    candidate count (~N²·B/2^band_bits) FLAT as the corpus grows."""
+    return 16 + 2 * sum(1 for t in _BB_THRESHOLDS if n_docs >= t)
+
+
+def _bb_sql(table_expr: str = "documents") -> str:
+    """The SAME ladder as integer SQL (a params CTE body): no floats,
+    no log2 — the count comparison is exact in both engines."""
+    cases = " + ".join(
+        f"(CASE WHEN COUNT(*) >= {t} THEN 2 ELSE 0 END)"
+        for t in _BB_THRESHOLDS
+    )
+    return f"SELECT 16 + {cases} AS bb FROM {table_expr}"
+
+
+# SIMD-in-a-register vote counting.  Hash word h_w (w = 0..3) is the
+# integer value of md5 hex nibbles 8w..8w+7; (h >> plane) & 0x11111111
+# drops every nibble's plane-p bit to the low position of its 4-bit
+# slot; the 8 single-bit values are then spread into 16-bit lanes of two
+# longs, so the groupBy sums 2 packed longs per (word, plane) + 1 count
+# instead of one scalar CASE aggregate per signature bit (the 49-buffer
+# hash-agg and its 49-expression plan were the original hot spot,
+# executor- AND Catalyst-side).  Lane headroom: 16 bits, top lane
+# bounded by the sign bit → correct for ≤ 32,767 distinct shingles per
+# doc (≈ 200 KB of text; chunk larger docs upstream).  Column count is
+# width-adaptive: ceil(band_bits/8) words × 4 planes × 2 halves —
+# 16 packed columns at 16-bit bands, 32 at the 32-bit saturation.
+
+
+def _pack_specs(band_bits: int) -> list[tuple[int, int]]:
+    words_needed = -(-band_bits // 8)
+    return [(w, s) for s in PLANES for w in range(words_needed)]
+
+
+def _packed_vote_cols(band_bits: int) -> list[Column]:
+    """Per-row packed-lane columns p{word}_{plane}_{half}: half h packs
     the vote bits of packed slots 4h..4h+3 into 16-bit lanes."""
     cols = []
-    for w, s in _PACK_SPECS:
+    for w, s in _pack_specs(band_bits):
         base = F.shiftright(F.col(f"h{w}"), s).bitwiseAND(F.lit(0x11111111))
         for p in range(2):
             e = None
@@ -83,94 +121,79 @@ def _packed_vote_cols() -> list[Column]:
     return cols
 
 
-def _vote_count(i: int) -> Column:
-    """Unpack the summed lane holding the vote count for signature bit i."""
-    if i < 32:
-        w, s, nib = i // 8, 3, i % 8
-    else:
-        j = i - 32
-        w, s, nib = j // 8, 2, j % 8
+def _vote_count(plane: int, i: int) -> Column:
+    """Unpack the summed lane holding the vote count for bit i of one
+    bit-plane (bit i ↔ hex nibble i ↔ word i//8, nibble i%8)."""
+    w, nib = i // 8, i % 8
     k = 7 - nib  # packed slot: nibble `nib` sits at slot 7−nib
     p, lane = k // 4, k % 4
-    return F.shiftright(F.col(f"p{w}_{s}_{p}"), 16 * lane).bitwiseAND(
+    return F.shiftright(F.col(f"p{w}_{plane}_{p}"), 16 * lane).bitwiseAND(
         F.lit(0xFFFF)
     )
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, text) → (doc_id, sig_lo, sig_hi): one groupBy with 16
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", band_bits: int = 16
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, sig_0..sig_3): one groupBy with
     lane-packed bit-count sums + one count (map-side combinable,
-    JVM-only — no UDF, no second shuffle).
+    JVM-only — no UDF, no second shuffle).  sig_k is band k: the first
+    ``band_bits`` bits of nibble bit-plane ``PLANES[k]``, as a positive
+    BIGINT.
 
     The ±1 vote for bit i sums to ``2·Σbit_i − n``, so sig bit i =
     (vote ≥ 0) = (2·Σbit_i ≥ n) — only the bit *counts* are aggregated.
-    The 64 signature bits land as two positive 32-bit halves.
     """
     ex = spread(docs).select(
         "doc_id",
         F.explode(word_ngram_shingles(F.col(text_col))).alias("tok"),
     ).withColumn("hx", F.md5("tok"))
-    # 32 hex nibbles → four 32-bit words (conv once per word)
+    words_needed = -(-band_bits // 8)
+    # hex nibbles → 32-bit words (conv once per needed word)
     words = ex.select(
         "doc_id",
         *[
             F.conv(F.substring("hx", 8 * k + 1, 8), 16, 10)
             .cast("long")
             .alias(f"h{k}")
-            for k in range(4)
+            for k in range(words_needed)
         ],
     )
-    packed = words.select("doc_id", *_packed_vote_cols())
+    packed = words.select("doc_id", *_packed_vote_cols(band_bits))
     votes = packed.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[F.sum(c).alias(c) for c in packed.columns if c != "doc_id"],
     )
-    lo = hi = None
-    for i in range(N_BITS):
-        bit = F.when(
-            _vote_count(i) * 2 >= F.col("n"), F.lit(1 << (i % 32))
-        ).otherwise(F.lit(0))
-        if i < 32:
-            lo = bit if lo is None else lo + bit
-        else:
-            hi = bit if hi is None else hi + bit
-    return votes.select(
-        "doc_id",
-        lo.cast("long").alias("sig_lo"),
-        hi.cast("long").alias("sig_hi"),
-    )
-
-
-def band_values(sig_lo: Column, sig_hi: Column) -> list[Column]:
-    """Split the two signature halves into N_BANDS integer band values
-    (arithmetic only, so Spark and the SQL oracle compute identically;
-    each half is a positive 32-bit value, so // and % agree across
-    engines)."""
-    width = 2**BAND_BITS
-    return [
-        (sig_lo % width).alias("band_0"),
-        (sig_lo / F.lit(width)).cast("long").alias("band_1"),
-        (sig_hi % width).alias("band_2"),
-        (sig_hi / F.lit(width)).cast("long").alias("band_3"),
-    ]
+    sig_cols = []
+    for k, plane in enumerate(PLANES):
+        e = None
+        for i in range(band_bits):
+            bit = F.when(
+                _vote_count(plane, i) * 2 >= F.col("n"),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            e = bit if e is None else e + bit
+        sig_cols.append(e.cast("long").alias(f"sig_{k}"))
+    return votes.select("doc_id", *sig_cols)
 
 
 def simhash_candidates(sigs: DataFrame, broadcast: bool = True) -> DataFrame:
     """Band-equality self-join: every pair within HAMMING_MAX shares at
-    least one exact band (pigeonhole), so candidates = pairs agreeing on
-    (band index, band value).  Never all-pairs.
+    least one exact band (pigeonhole over the 4 disjoint bands), so
+    candidates = pairs agreeing on (band index, band value).  Never
+    all-pairs.
 
     ``broadcast=True`` (default) hints the build side — right while the
     corpus's band table (N_BANDS rows/doc × ~20 B) fits an executor; at
     full corpus scale pass ``broadcast=False`` for a shuffled hash join
     partitioned on (band, band_val)."""
+    sig_names = [f"sig_{k}" for k in range(N_BANDS)]
     banded = sigs.select(
         "doc_id",
-        "sig_lo",
-        "sig_hi",
-        F.posexplode(
-            F.array(*band_values(F.col("sig_lo"), F.col("sig_hi")))
-        ).alias("band", "band_val"),
+        *sig_names,
+        F.posexplode(F.array(*[F.col(c) for c in sig_names])).alias(
+            "band", "band_val"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -186,10 +209,8 @@ def simhash_candidates(sigs: DataFrame, broadcast: bool = True) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig_lo").alias("lo_a"),
-            F.col("a.sig_hi").alias("hi_a"),
-            F.col("b.sig_lo").alias("lo_b"),
-            F.col("b.sig_hi").alias("hi_b"),
+            *[F.col(f"a.sig_{k}").alias(f"a{k}") for k in range(N_BANDS)],
+            *[F.col(f"b.sig_{k}").alias(f"b{k}") for k in range(N_BANDS)],
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -199,20 +220,23 @@ def simhash_neardups(
     docs: DataFrame,
     hamming_max: int = HAMMING_MAX,
     broadcast: bool = True,
+    band_bits: int = 16,
 ) -> DataFrame:
-    """Full pipeline: signature → banded candidates → Hamming verify.
+    """Full pipeline: signature → banded candidates → Hamming verify
+    (over the full 4×band_bits signature).
 
     The signature table feeds both sides of the candidate self-join, so
-    it is materialized with ``localCheckpoint`` — that both avoids
-    computing the shingle+vote aggregation twice (once per join side)
-    AND truncates the 64-aggregate logical plan, which otherwise gets
-    re-analyzed per join side (measured ~1.7 s of driver-side Catalyst
-    time per run at sf0.1, larger than the actual execution)."""
-    sigs = cut(simhash_signatures(docs))
+    it is materialized with ``cut`` — that both avoids computing the
+    shingle+vote aggregation twice (once per join side) AND truncates
+    the wide-aggregate logical plan, which otherwise gets re-analyzed
+    per join side (measured ~1.7 s of driver-side Catalyst time per run
+    at sf0.1, larger than the actual execution)."""
+    sigs = cut(simhash_signatures(docs, band_bits=band_bits))
     cand = simhash_candidates(sigs, broadcast=broadcast)
-    ham = F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ham = None
+    for k in range(N_BANDS):
+        t = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+        ham = t if ham is None else ham + t
     return (
         cand.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= hamming_max)
@@ -227,35 +251,55 @@ _SHINGLES_SQL = """
          string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
          string_split_regex(trim(lower(text)), '\\s+')[i+2]))
 """
-def _bit_vote_sql(i: int) -> str:
-    if i < 32:
-        return f"CASE WHEN substr(hx, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END"
+
+#: Hex digits whose nibble has bit p set, per plane p.
+_PLANE_DIGITS = {
+    3: "89abcdef",
+    2: "4567cdef",
+    1: "2367abef",
+    0: "13579bdf",
+}
+
+
+def _bit_vote_sql(plane: int, i: int) -> str:
+    digits = ",".join(f"'{d}'" for d in _PLANE_DIGITS[plane])
     return (
-        f"CASE WHEN substr(hx, {i - 32 + 1}, 1) IN "
-        "('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END"
+        f"CASE WHEN substr(hx, {i + 1}, 1) IN ({digits}) THEN 1 ELSE -1 END"
     )
 
 
 _VOTES_SQL = ",\n             ".join(
-    f"SUM({_bit_vote_sql(i)}) AS v{i}" for i in range(N_BITS)
-)
-_SIG_LO_SQL = " + ".join(
-    f"(CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
-)
-_SIG_HI_SQL = " + ".join(
-    f"(CASE WHEN v{i + 32} >= 0 THEN {1 << i} ELSE 0 END)"
+    f"SUM({_bit_vote_sql(p, i)}) AS v{p}_{i}"
+    for p in PLANES
     for i in range(32)
 )
-_W = 2**BAND_BITS
-_BANDS_SQL = (
-    f"sig_lo % {_W}, sig_lo // {_W}, sig_hi % {_W}, sig_hi // {_W}"
+
+
+def _word_sql(plane: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN v{plane}_{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+
+
+_WORDS_SQL = ",\n             ".join(
+    f"CAST({_word_sql(p)} AS BIGINT) AS w{k}" for k, p in enumerate(PLANES)
+)
+# band k = low band_bits bits of word k (mask = 1 << bb, exact integer)
+_MASKED_SQL = ", ".join(
+    f"w{k} % (CAST(1 AS BIGINT) << bb) AS s{k}" for k in range(N_BANDS)
+)
+_BANDS_ARR_SQL = "[" + ", ".join(f"s{k}" for k in range(N_BANDS)) + "]"
+_HAM_SQL = " + ".join(
+    f"bit_count(xor(a{k}, b{k}))" for k in range(N_BANDS)
 )
 
 
 @query(
     "E3_simhash_neardup",
     oracle=f"""
-    WITH toks AS (
+    WITH params AS ({_bb_sql("documents")}),
+    toks AS (
       SELECT doc_id, unnest({_SHINGLES_SQL}) AS tok
       FROM documents
     ),
@@ -267,36 +311,44 @@ _BANDS_SQL = (
     ),
     sigs AS (
       SELECT doc_id,
-             CAST({_SIG_LO_SQL} AS BIGINT) AS sig_lo,
-             CAST({_SIG_HI_SQL} AS BIGINT) AS sig_hi
+             {_WORDS_SQL}
       FROM votes
     ),
+    masked AS (
+      SELECT doc_id, {_MASKED_SQL}
+      FROM sigs CROSS JOIN params
+    ),
     banded AS (
-      SELECT doc_id, sig_lo, sig_hi, b.band,
-             ([{_BANDS_SQL}])[b.band + 1] AS band_val
-      FROM sigs CROSS JOIN (
+      SELECT doc_id, s0, s1, s2, s3, b.band,
+             ({_BANDS_ARR_SQL})[b.band + 1] AS band_val
+      FROM masked CROSS JOIN (
         SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.sig_lo AS lo_a, a.sig_hi AS hi_a,
-             b.sig_lo AS lo_b, b.sig_hi AS hi_b
+             a.s0 AS a0, a.s1 AS a1, a.s2 AS a2, a.s3 AS a3,
+             b.s0 AS b0, b.s1 AS b1, b.s2 AS b2, b.s3 AS b3
       FROM banded a
       JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
                     AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
-                AS INTEGER) AS hamming
+           CAST({_HAM_SQL} AS INTEGER) AS hamming
     FROM cand
-    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
-          <= {HAMMING_MAX}
+    WHERE {_HAM_SQL} <= {HAMMING_MAX}
     ORDER BY doc_a, doc_b
     """,
 )
 def e3_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over the full documents table: 64-bit
-    3-gram signatures (two 32-bit halves), four 16-bit-band candidate
-    join, Hamming ≤ 3 verify."""
+    """SimHash near-dup pairs over the full documents table:
+    corpus-adaptive 4×band_bits 3-gram signatures (band_bits =
+    ``adaptive_band_bits(COUNT(documents))``, one disjoint band per md5
+    nibble bit-plane), band-equality candidate join, Hamming ≤ 3
+    verify.  The doc count read is parquet-footer metadata (no data
+    scan); the oracle derives the identical width from the identical
+    COUNT(*)."""
+    n = table(spark, sf_dir, "documents").count()
     d = fan_out(table(spark, sf_dir, "documents"), spark)
-    return simhash_neardups(d).orderBy("doc_a", "doc_b")
+    return simhash_neardups(
+        d, band_bits=adaptive_band_bits(n)
+    ).orderBy("doc_a", "doc_b")

@@ -68,6 +68,21 @@ def spread(df):
     at-scale layout, where this guard must NOT fire — it is a no-op
     and adds no Exchange.
 
+    SECOND guard (VERDICT r11 item 7, the reader side of SCALE §40):
+    a byte-range split only reads row groups whose MIDPOINT it
+    contains, so externally-written parquet with FAT row groups can
+    present plenty of splits while almost all of them read nothing —
+    the §40 generator fix can't help with files the engine merely
+    RECEIVES.  When the partition count looks healthy, probe the
+    source files' parquet footers (driver-side metadata read, one
+    ``num_row_groups`` per file, stopping as soon as enough groups are
+    found): fewer row groups than cores means the scan is
+    row-group-starved no matter what the split count says, and the
+    same cheap repartition restores the map parallelism.  Probing is
+    best-effort — non-file sources, remote schemes pyarrow can't reach
+    here, or any footer error skip the guard rather than fail the
+    query.
+
     Apply AFTER source-level filters (so pushdown is preserved) and
     only in front of compute-bound maps; scan-bound queries would pay
     the Exchange for nothing."""
@@ -75,7 +90,40 @@ def spread(df):
     par = sc.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
+    if _row_group_starved(df, par):
+        return df.repartition(par)
     return df
+
+
+def _row_group_starved(df, par: int) -> bool:
+    """True when the DataFrame's source files hold fewer parquet row
+    groups than ``par`` — the many-splits-few-groups layout where most
+    byte-range splits decode nothing."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    if not files:
+        return False
+    import pyarrow.parquet as pq
+
+    groups = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return False  # remote scheme: leave it to the writer's layout
+        try:
+            groups += pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            return False
+        if groups >= par:
+            return False
+    return groups < par
 
 
 def cut(df):
