@@ -47,28 +47,79 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # a previous round and (b) still covered every run by the local oracle-
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-11 WINDOW (first 50 = the driver's grading window) ----
-    # VERDICT r10 item 1, amended for this round's own registrations
-    # (the r10 lesson: new rows must not wait a round for their first
-    # grade): (a) first driver grades for the 8 queries registered in
-    # round 10 (TPC-H partsupp wave Q2/Q9/Q11/Q16/Q20,
-    # T45_confidence_route, D15_lsh_band_store, D16_cluster_split),
-    # (a') first driver grades for the 5 round-11 registrations
-    # (GEO7/GEO8/GEO9 scale-safe map shapes + density maintainer,
-    # ST1/ST2 streaming rows), (b) the 26 remaining r6-latest queries,
-    # (c) the 11 oldest r7-latest grades.  After this window lands,
-    # zero registry queries are ungraded and none is older than r7.
-    # r12 NOTE: after this window lands, rotate to the head: any
-    # queries first registered in round 12, then the 38 remaining
-    # r7-latest grades (W9_multires_rollup ... A6_next_id block
-    # below), then the oldest r8 grades.
-    # (a') round-11 registrations — first driver grades
-    "GEO7_area_point_count",
+    # ---- ROUND-12 WINDOW (first 50 = the driver's grading window) ----
+    # The r11 note executed: (a) first driver grades for the 4 round-12
+    # registrations (GEO7b fractional-corner boundary path, ST2b
+    # left-outer attribution, ST3 stateful sessionization, ST4 as-of
+    # enrichment), (b) re-grades for the 3 queries whose SEMANTICS or
+    # feed changed this round (ST2 densified mint, GEO8 multi-resolution
+    # probe, E3 corpus-adaptive band width), (c) the 38 remaining
+    # r7-latest grades, (d) the 5 oldest r8 grades.  After this window
+    # lands, no registry query's latest grade is older than r8.
+    # r13 NOTE: after this window lands, rotate to the head: any
+    # queries first registered in round 13, then the remaining 44
+    # r8-latest grades (C2_radiocarbon_calibrate ... V11_filtered_recall
+    # block below), then the oldest r9 grades.
+    # (a) round-12 registrations — first driver grades
+    "GEO7b_area_point_count_frac",
+    "ST2b_unattributed",
+    "ST3_session_store",
+    "ST4_asof_enrich",
+    # (b) changed this round — re-grades
+    "ST2_stream_attribution",
     "GEO8_nearest_topk",
+    "E3_simhash_neardup",
+    # (c) the 38 remaining r7-latest grades
+    "W9_multires_rollup",
+    "G17_clustering_coeff",
+    "A9_exact_median",
+    "W10_decay_score",
+    "PR3_psi_drift",
+    "D9_lsh_eval",
+    "J10_bloom_semijoin",
+    "EX2_shard_manifest",
+    "F12_json_extract",
+    "A10_grouped_mode",
+    "G18_link_prediction",
+    "C3_rate_changepoint",
+    "U8_scd2_history",
+    "A11_salted_distinct",
+    "T31_temperature_mix",
+    "G19_personalized_pagerank",
+    "V9_filtered_topk",
+    "D10_semdedup_eval",
+    "O5_keyset_page",
+    "T32_curation_audit",
+    "W12_ohlc_bars",
+    "W13_funnel_conversion",
+    "PR4_joinsize_estimate",
+    "W14_zscore_anomalies",
+    "MM4_media_neardup",
+    "ED4_time_weighted_avg",
+    "A12_grouping_sets_distinct",
+    "V10_filtered_indexed",
+    "W15_rolling_actives",
+    "T33_readability",
+    "T34_hapax_profile",
+    "F13_embedded_id_audit",
+    "G20_degree_profile",
+    "C4_seasonality_profile",
+    "A1_gen_statistics",
+    "A3_merge_into_index",
+    "A4_duplicate_guard",
+    "A6_next_id",
+    # (d) the 5 oldest r8 grades
+    "C2_radiocarbon_calibrate",
+    "C5_retention_cohorts",
+    "D11_prefix_dup",
+    "D12_source_overlap",
+    "E1_ngram_jaccard_topk",
+    # ---- past the window: everything below is driver-green r8+ and
+    # re-verified every run by tests/test_oracle_parity.py ----
+    # r11-graded block (the former round-11 window, freshest grades)
+    "GEO7_area_point_count",
     "GEO9_density_store",
     "ST1_stream_dedup",
-    "ST2_stream_attribution",
-    # (a) round-10 registrations — first driver grades
     "Q2_min_cost_supplier",
     "Q9_product_profit",
     "Q11_important_stock",
@@ -77,7 +128,6 @@ PRIORITY: tuple[str, ...] = (
     "T45_confidence_route",
     "D15_lsh_band_store",
     "D16_cluster_split",
-    # (b) the 26 remaining r6-latest grades (window slots 6-31)
     "SD2_incremental_stats",
     "SD3_time_travel_read",
     "SD4_graph_time_travel",
@@ -104,7 +154,6 @@ PRIORITY: tuple[str, ...] = (
     "X13_validation_suite",
     "X5_old_date_normalization",
     "X7_author_display",
-    # (c) the 11 oldest r7-latest grades
     "T8_contamination_overlap",
     "D5_contamination_purge",
     "D7_split_leakage",
@@ -116,9 +165,7 @@ PRIORITY: tuple[str, ...] = (
     "G16_harmonic_landmarks",
     "PR2_key_skew",
     "M5_sparse_matmul",
-    # ---- past the window: everything below is driver-green r7+ and
-    # re-verified every run by tests/test_oracle_parity.py ----
-    # r10-graded block (the former round-10 window, freshest grades)
+    # r10-graded block
     "Q6_forecast_revenue",
     "Q7_volume_shipping",
     "Q8_market_share",
@@ -169,53 +216,8 @@ PRIORITY: tuple[str, ...] = (
     "O1_index_sort",
     "O3_display_truncation",
     "P1_typed_date_dispatch",
-    # remaining r7-latest grades (38) — head of the r12 rotation
-    "W9_multires_rollup",
-    "G17_clustering_coeff",
-    "A9_exact_median",
-    "W10_decay_score",
-    "PR3_psi_drift",
-    "D9_lsh_eval",
-    "J10_bloom_semijoin",
-    "EX2_shard_manifest",
-    "F12_json_extract",
-    "A10_grouped_mode",
-    "G18_link_prediction",
-    "C3_rate_changepoint",
-    "U8_scd2_history",
-    "A11_salted_distinct",
-    "T31_temperature_mix",
-    "G19_personalized_pagerank",
-    "V9_filtered_topk",
-    "D10_semdedup_eval",
-    "O5_keyset_page",
-    "T32_curation_audit",
-    "W12_ohlc_bars",
-    "W13_funnel_conversion",
-    "PR4_joinsize_estimate",
-    "W14_zscore_anomalies",
-    "MM4_media_neardup",
-    "ED4_time_weighted_avg",
-    "A12_grouping_sets_distinct",
-    "V10_filtered_indexed",
-    "W15_rolling_actives",
-    "T33_readability",
-    "T34_hapax_profile",
-    "F13_embedded_id_audit",
-    "G20_degree_profile",
-    "C4_seasonality_profile",
-    "A1_gen_statistics",
-    "A3_merge_into_index",
-    "A4_duplicate_guard",
-    "A6_next_id",
-    # r8-latest grades (50)
-    "C2_radiocarbon_calibrate",
-    "C5_retention_cohorts",
-    "D11_prefix_dup",
-    "D12_source_overlap",
-    "E1_ngram_jaccard_topk",
+    # remaining r8-latest grades (44) — head of the r13 rotation
     "E2_minhash_lsh_neardup",
-    "E3_simhash_neardup",
     "E4_fuzzy_name_match",
     "ED1_edge_date_range",
     "ED5_interarrival_median",
