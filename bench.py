@@ -222,6 +222,15 @@ HEADLINE = [
     "Q16_supplier_relationship",
     "Q20_excess_stock",
     "T45_confidence_route",
+    # round-12 additions: the fractional-corner boundary path (GEO7's
+    # filter-refine branch, previously cost-free on the aligned mint)
+    # and the as-of enrichment stream (its per-row throughput is the
+    # cheapest of the four stateful drains — the one worth tracking).
+    # ST2b/ST3 are oracle-graded but not bench headlines: 4-file ordered
+    # drains whose time is trigger latency (the ST1/ST2 precedent
+    # already tracks the stream-stream and dedup machinery).
+    "GEO7b_area_point_count_frac",
+    "ST4_asof_enrich",
     # T41/T42/T44/W16/D15 (maintainer-store drains) and V21 (trained-PQ
     # A/B harness) are oracle-graded but not bench headlines: their
     # one-shot times are 3-micro-batch STREAM DRAINS (fixed trigger
