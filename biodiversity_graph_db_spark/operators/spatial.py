@@ -1166,10 +1166,21 @@ def geo7_area_point_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     area-cells join broadcasts the synopsis, and the boundary join's
     point side is pruned to straddling cells by an equi-join on the cell
     id.  Decade ratio is data-linear (SCALE r11)."""
-    promoted = promote_context_cols(
-        mint_context_nodes(spark, sf_dir)
+    return area_point_count(_promoted_spread(spark, sf_dir))
+
+
+def _promoted_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promoted context table, SPREAD before the checkpoint: the GEO7/
+    GEO8 family explodes each Area to ~200 covered cells off this
+    frame, and the customer parquet arrives as ONE byte-range split
+    well past gen_sf10 (the r12 sf40 probe stalled its ×200 generate on
+    a single core before this guard — the same starvation class as
+    SCALE §40, on the checkpoint instead of the row groups)."""
+    from biodiversity_graph_db_spark.operators._util import spread
+
+    return spread(
+        promote_context_cols(mint_context_nodes(spark, sf_dir))
     ).localCheckpoint()
-    return area_point_count(promoted)
 
 
 def area_point_count(promoted: DataFrame) -> DataFrame:
@@ -1344,10 +1355,9 @@ def geo7b_area_point_count_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddling-cell filter-refine re-join (``area_point_count``,
     non-hollowness pinned by tests).  The oracle stays GEO3's exact
     half-open containment predicate over the shifted boxes."""
-    promoted = promote_context_cols(
-        mint_context_nodes(spark, sf_dir)
-    ).localCheckpoint()
-    return area_point_count(_shift_areas_fractional(promoted))
+    return area_point_count(
+        _shift_areas_fractional(_promoted_spread(spark, sf_dir))
+    )
 
 
 #: Neighbours kept per area by the GEO8 top-k rollup.
@@ -1443,10 +1453,7 @@ def geo8_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 2880×1440 cell domain (~100 MB worst case, broadcastable); a
     deployment needing finer levels would partition the synopsis by
     coarse cell (H3-style) instead of broadcasting, same plan shape."""
-    promoted = promote_context_cols(
-        mint_context_nodes(spark, sf_dir)
-    ).localCheckpoint()
-    return nearest_topk(promoted)
+    return nearest_topk(_promoted_spread(spark, sf_dir))
 
 
 def nearest_topk(promoted: DataFrame) -> DataFrame:
