@@ -1463,6 +1463,31 @@ def nearest_topk(promoted: DataFrame) -> DataFrame:
     unit-testable against brute force on minted dense clusters."""
     from pyspark.sql import Window
 
+    dense_cand, sparse_cand = nearest_topk_parts(promoted)
+    cand = dense_cand.unionByName(sparse_cand)
+    w = Window.partitionBy("area_key").orderBy("d2", "site_key")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NEAREST_K)
+        .select(
+            "area_key",
+            F.col("rk").cast("long").alias("rk"),
+            "site_key",
+            dquant(F.col("d2")).alias("d2"),
+        )
+        .orderBy("area_key", "rk")
+    )
+
+
+def nearest_topk_parts(
+    promoted: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The two GEO8 candidate branches, separately: (FINE2-level dense
+    enumeration, FINE-level sparse enumeration), each as
+    (area_key, site_key, d2) candidate rows — exposed so non-hollowness
+    of EACH branch is assertable per mint (the GEO7
+    ``area_point_count_parts`` / D7/T9 discipline)."""
+
     pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
         F.col("key").alias("site_key"),
         "pt_lat",
@@ -1545,13 +1570,12 @@ def nearest_topk(promoted: DataFrame) -> DataFrame:
         max_ring,
         "c",
     )
-    # The level-2 probe fans out (2·W2_RINGS+1)² rows per area — gate it
-    # to areas where it CAN tighten the bound: the fine window covers
-    # [c ± 2°] ⊆ coarse ring 3, so with < k points in ring 3 (c3 < k)
-    # the fine probe provably finds nothing and r1 stands.  Sparse
-    # corpora thus skip the fan-out almost everywhere; dense corpora pay
-    # it exactly where it converts O(cell-density) candidate work to
-    # O(k).
+    # The level-2 probe is gated to areas where it CAN tighten the
+    # bound: the fine window covers [c ± 2°] ⊆ coarse ring 3, so with
+    # < k points in ring 3 (c3 < k) the fine probe provably finds
+    # nothing and r1 stands.  Sparse corpora thus skip it almost
+    # everywhere; dense corpora pay it exactly where it converts
+    # O(cell-density) candidate work to O(k).
     helped = areas.join(
         probe1.where(F.col(f"c{min(3, max_ring)}") >= NEAREST_K).select(
             "area_key"
@@ -1559,16 +1583,54 @@ def nearest_topk(promoted: DataFrame) -> DataFrame:
         "area_key",
         "left_semi",
     )
-    probe2 = ring_probe(
-        helped,
-        cells2.select(
-            F.col("fx2").alias("gx"), F.col("fy2").alias("gy"), "cnt"
-        ),
-        "fx20",
-        "fy20",
-        W2_RINGS,
-        W2_RINGS,
-        "d",
+    # Explode at the COARSE granularity, not the fine: the fine window
+    # fx20±W2_RINGS is ⊆ the 5×5 coarse block around the centroid
+    # (fx20−16 >= 8·(fx0−2) and fx20+16 < 8·(fx0+3)), so joining the
+    # fine synopsis through its coarse PARENT keys enumerates 25 rows
+    # per area instead of (2·W2_RINGS+1)² = 1,089 — the join fans out
+    # only to OCCUPIED fine cells (~10 per coarse cell on uniform
+    # corpora), cutting the probe ~4× where the r12 first cut made
+    # gate-passing sparse corpora (gen_sf10: every area) 2× slower
+    # than the single-level r11 plan.  The ring-≤-W2_RINGS filter
+    # reproduces the fine window exactly.
+    ring2 = 2
+    seq2 = F.sequence(F.lit(-ring2), F.lit(ring2))
+    fine_ring = F.greatest(
+        F.abs(F.col("fx2") - F.col("fx20")),
+        F.abs(F.col("fy2") - F.col("fy20")),
+    )
+    probe2 = (
+        helped.select(
+            "area_key", "fx0", "fy0", "fx20", "fy20",
+            F.explode(seq2).alias("dx"),
+        )
+        .select(
+            "area_key",
+            "fy0",
+            "fx20",
+            "fy20",
+            (F.col("fx0") + F.col("dx")).alias("fx"),
+            F.explode(seq2).alias("dy"),
+        )
+        .select(
+            "area_key",
+            "fx20",
+            "fy20",
+            "fx",
+            (F.col("fy0") + F.col("dy")).alias("fy"),
+        )
+        .join(F.broadcast(cells2), ["fx", "fy"])
+        .where(fine_ring <= W2_RINGS)
+        .select("area_key", fine_ring.alias("ring"), "cnt")
+        .groupBy("area_key")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("ring") <= q, F.col("cnt")).otherwise(0)
+                ).alias(f"d{q}")
+                for q in range(W2_RINGS + 1)
+            ]
+        )
     )
     sqrt2 = 1.4142135623730951
     qstar1 = first_ring_reaching_k("c", max_ring)
@@ -1653,27 +1715,148 @@ def nearest_topk(promoted: DataFrame) -> DataFrame:
     keep = (d2 <= RADIUS_DEG * RADIUS_DEG) & (
         d2 <= F.col("r_bound") * F.col("r_bound")
     )
-    cand = (
+    return (
         pts.join(dense_cells, ["fx2", "fy2"])
         .where(keep)
-        .select("area_key", "site_key", d2.alias("d2"))
-        .unionByName(
-            pts.join(sparse_cells, ["fx", "fy"])
-            .where(keep)
-            .select("area_key", "site_key", d2.alias("d2"))
-        )
+        .select("area_key", "site_key", d2.alias("d2")),
+        pts.join(sparse_cells, ["fx", "fy"])
+        .where(keep)
+        .select("area_key", "site_key", d2.alias("d2")),
     )
-    w = Window.partitionBy("area_key").orderBy("d2", "site_key")
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= NEAREST_K)
-        .select(
-            "area_key",
-            F.col("rk").cast("long").alias("rk"),
-            "site_key",
-            dquant(F.col("d2")).alias("d2"),
+
+
+#: Largest key the GEO8b mint compresses into the dense window.  A
+#: FIXED window + a FIXED finest grid + a linearly-growing clustered
+#: population would make per-area candidate work Θ(N) once every
+#: FINE2 cell holds ≫ k points (exact kNN must score every point in
+#: the covering cells — the density floor of any finite-level
+#: synopsis, measured: the uncapped mint OOM'd a 16 GB gen_sf10
+#: probe).  Capping the clustered keys bounds the window at ≤ 10,000
+#: locations at ANY corpus size — below every grading SF's key range
+#: (sf0.1 = 15,000 customers), so the driver-graded answer is
+#: unchanged while decade probes stay runnable forever.
+_CLUSTER_KEY_CAP = 20_000
+
+
+def _cluster_even_keys(promoted: DataFrame) -> DataFrame:
+    """Compress every EVEN-keyed location (sites and areas alike) up to
+    ``_CLUSTER_KEY_CAP`` into a dense 2°×2° window with the affine map
+    lat → 10.0 + (lat + 90.0)/90.0, lon → 20.0 + (lon + 180.0)/180.0;
+    odd keys keep their global positions.  The even half of the corpus
+    then carries FINE2-scale density (≥ 2 points per eighth-degree cell
+    at the grading SF) while the odd half stays sparse — so ONE mint
+    exercises BOTH GEO8 enumeration branches.  The map is two exact
+    double literals per axis applied in a fixed order; DuckDB replays
+    it bit-for-bit (every operand is DOUBLE from the first add, so no
+    DECIMAL arithmetic path opens up — the GEO7b literal discipline)."""
+    k = F.regexp_extract(F.col("key"), "([0-9]+)$", 1).cast("long")
+    even = ((k % 2) == 0) & (k <= _CLUSTER_KEY_CAP)
+
+    def tlat(c: Column) -> Column:
+        return F.lit(10.0) + ((c + F.lit(90.0)) / F.lit(90.0))
+
+    def tlon(c: Column) -> Column:
+        return F.lit(20.0) + ((c + F.lit(180.0)) / F.lit(180.0))
+
+    def pick(col: str, t) -> Column:
+        return (
+            F.when(even, t(F.col(col))).otherwise(F.col(col)).alias(col)
         )
-        .orderBy("area_key", "rk")
+
+    return promoted.select(
+        "key",
+        "kind",
+        pick("pt_lat", tlat),
+        pick("pt_lon", tlon),
+        pick("lat_min", tlat),
+        pick("lat_max", tlat),
+        pick("lon_min", tlon),
+        pick("lon_max", tlon),
+    )
+
+
+#: The even-key cluster transform as DuckDB SQL (exactly the Spark
+#: expression order: literal + ((bound + literal) / literal)).
+_CLUSTER_LAT_SQL = (
+    "CASE WHEN (CAST(regexp_extract(key, '([0-9]+)$', 1) AS BIGINT)"
+    " % 2) = 0 AND CAST(regexp_extract(key, '([0-9]+)$', 1) AS BIGINT)"
+    " <= 20000 THEN CAST(10 AS DOUBLE)"
+    " + (({c} + CAST(90 AS DOUBLE)) / CAST(90 AS DOUBLE))"
+    " ELSE {c} END"
+)
+_CLUSTER_LON_SQL = (
+    "CASE WHEN (CAST(regexp_extract(key, '([0-9]+)$', 1) AS BIGINT)"
+    " % 2) = 0 AND CAST(regexp_extract(key, '([0-9]+)$', 1) AS BIGINT)"
+    " <= 20000 THEN CAST(20 AS DOUBLE)"
+    " + (({c} + CAST(180 AS DOUBLE)) / CAST(180 AS DOUBLE))"
+    " ELSE {c} END"
+)
+
+
+@query(
+    "GEO8b_nearest_topk_dense",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE},
+    pts AS (
+      SELECT key,
+             {_CLUSTER_LAT_SQL.format(c='pt_lat')} AS pt_lat,
+             {_CLUSTER_LON_SQL.format(c='pt_lon')} AS pt_lon
+      FROM ctx_promoted
+      WHERE kind IN ('Site', 'SiteDMS')
+    ),
+    areas AS (
+      -- transform EACH bound, then average: the Spark side computes
+      -- the centroid from the transformed bbox, and IEEE addition does
+      -- not commute with the affine map
+      SELECT key AS area_key,
+             ({_CLUSTER_LAT_SQL.format(c='lat_min')}
+              + {_CLUSTER_LAT_SQL.format(c='lat_max')}) / 2.0 AS c_lat,
+             ({_CLUSTER_LON_SQL.format(c='lon_min')}
+              + {_CLUSTER_LON_SQL.format(c='lon_max')}) / 2.0 AS c_lon
+      FROM ctx_promoted WHERE kind = 'Area'
+    ),
+    cand AS (
+      SELECT a.area_key, p.key AS site_key,
+             (p.pt_lat - a.c_lat) * (p.pt_lat - a.c_lat)
+             + (p.pt_lon - a.c_lon) * (p.pt_lon - a.c_lon) AS d2
+      FROM areas a JOIN pts p
+        ON (p.pt_lat - a.c_lat) * (p.pt_lat - a.c_lat)
+           + (p.pt_lon - a.c_lon) * (p.pt_lon - a.c_lon)
+           <= {RADIUS_DEG * RADIUS_DEG}
+    ),
+    ranked AS (
+      SELECT area_key, site_key, d2,
+             ROW_NUMBER() OVER (PARTITION BY area_key
+                                ORDER BY d2, site_key) AS rk
+      FROM cand
+    )
+    SELECT area_key, CAST(rk AS BIGINT) AS rk, site_key,
+           {sql_dquant('d2')} AS d2
+    FROM ranked WHERE rk <= {NEAREST_K}
+    ORDER BY area_key, rk
+    """,
+)
+def geo8b_nearest_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO8 on a DENSITY-SPLIT mint: even-keyed locations compressed
+    into one 2°×2° window, odd keys left at their global spread
+    (``_cluster_even_keys``).  On the standard mint the grading SF
+    never selects the FINE2 enumeration branch (measured sf0.01:
+    0 dense candidates — every area's r_bound stays coarse), so the
+    GEO8 driver row proves only the sparse path — the exact
+    hollow-grade pattern VERDICT r11 found for GEO7's boundary branch.
+    Here the clustered half puts ≥ k points within a few eighth-degree
+    rings of every even area (dense branch), while the scattered half
+    keeps coarse bounds (sparse branch) — non-hollowness of BOTH
+    branches on this mint is pinned by tests, and the oracle is the
+    same brute-force radius join + rank over the transformed
+    coordinates, so the driver grade proves the multi-resolution
+    pruning cuts no true top-k row at either density.  The clustered
+    population is capped at ``_CLUSTER_KEY_CAP`` keys (identical below
+    sf≈0.13, i.e. at every grading SF) so the adversarial window's
+    density is bounded at any corpus size — see the cap's comment for
+    the Θ(cell-density) floor it sidesteps."""
+    return nearest_topk(
+        _cluster_even_keys(_promoted_spread(spark, sf_dir))
     )
 
 

@@ -48,20 +48,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
     # ---- ROUND-12 WINDOW (first 50 = the driver's grading window) ----
-    # The r11 note executed: (a) first driver grades for the 4 round-12
-    # registrations (GEO7b fractional-corner boundary path, ST2b
-    # left-outer attribution, ST3 stateful sessionization, ST4 as-of
-    # enrichment), (b) re-grades for the 3 queries whose SEMANTICS or
-    # feed changed this round (ST2 densified mint, GEO8 multi-resolution
-    # probe, E3 corpus-adaptive band width), (c) the 38 remaining
-    # r7-latest grades, (d) the 5 oldest r8 grades.  After this window
-    # lands, no registry query's latest grade is older than r8.
+    # The r11 note executed: (a) first driver grades for the 5 round-12
+    # registrations (GEO7b fractional-corner boundary path, GEO8b
+    # dense-branch kNN, ST2b left-outer attribution, ST3 stateful
+    # sessionization, ST4 as-of enrichment), (b) re-grades for the 3
+    # queries whose SEMANTICS or feed changed this round (ST2 densified
+    # mint, GEO8 multi-resolution probe, E3 corpus-adaptive band
+    # width), (c) the 38 remaining r7-latest grades, (d) the 4 oldest
+    # r8 grades.  After this window lands, no registry query's latest
+    # grade is older than r8.
     # r13 NOTE: after this window lands, rotate to the head: any
     # queries first registered in round 13, then the remaining 44
     # r8-latest grades (C2_radiocarbon_calibrate ... V11_filtered_recall
     # block below), then the oldest r9 grades.
     # (a) round-12 registrations — first driver grades
     "GEO7b_area_point_count_frac",
+    "GEO8b_nearest_topk_dense",
     "ST2b_unattributed",
     "ST3_session_store",
     "ST4_asof_enrich",

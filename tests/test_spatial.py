@@ -489,3 +489,29 @@ class TestAreaPointCountBoundary:
         # and the unshifted GEO7 mint stays interior-only by design
         _, bnd0 = area_point_count_parts(promoted)
         assert bnd0.count() == 0
+
+    def test_geo8b_mint_drives_both_branches(self, spark):
+        """Non-hollowness of the GEO8b driver row (the GEO7b discipline
+        applied to GEO8's branch pair): on the even-key clustered mint
+        at the grading SF, BOTH candidate-enumeration branches are
+        non-empty — the clustered half selects the FINE2 dense path,
+        the scattered half the FINE sparse path — while the STANDARD
+        mint never selects the dense branch at all (which is why GEO8's
+        own driver grade needs GEO8b beside it)."""
+        from biodiversity_graph_db_spark.operators.spatial import (
+            _cluster_even_keys,
+            mint_context_nodes,
+            nearest_topk_parts,
+            promote_context_cols,
+        )
+
+        promoted = promote_context_cols(
+            mint_context_nodes(spark, "/root/testdata/sf0.01")
+        ).localCheckpoint()
+        dense, sparse = nearest_topk_parts(_cluster_even_keys(promoted))
+        assert dense.count() > 0, "dense branch hollow on the GEO8b mint"
+        assert sparse.count() > 0, "sparse branch hollow on the GEO8b mint"
+        # the standard mint never reaches FINE2 enumeration at this SF —
+        # documented hollowness that GEO8b exists to cover
+        dense0, _ = nearest_topk_parts(promoted)
+        assert dense0.count() == 0
