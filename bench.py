@@ -230,6 +230,7 @@ HEADLINE = [
     # drains whose time is trigger latency (the ST1/ST2 precedent
     # already tracks the stream-stream and dedup machinery).
     "GEO7b_area_point_count_frac",
+    "GEO7c_polygon_point_count",
     "GEO8b_nearest_topk_dense",
     "ST4_asof_enrich",
     # T41/T42/T44/W16/D15 (maintainer-store drains) and V21 (trained-PQ

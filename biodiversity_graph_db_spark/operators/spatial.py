@@ -1360,6 +1360,306 @@ def geo7b_area_point_count_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- GEO7c: covered-cell pre-aggregation for TRUE polygons ----------------
+
+#: Key-derived chamfer extents of the GEO7c pentagon mint (the top-left
+#: corner of the standard 20°×10° rectangle is clipped by the segment
+#: (lon0, lat0+10−b) → (lon0+a, lat0+10); a ∈ 1..7, b ∈ 1..5).
+_PENT_A_MOD, _PENT_B_MOD = 7, 5
+
+
+def _pentagon_cols(k: Column) -> tuple[Column, Column, Column, Column]:
+    """(lon0, lat0, a, b) as LONG columns — the same lat0/lon0 integer
+    derivation as ``mint_context_nodes``'s rectangle, so the pentagon is
+    the SAME area with one corner clipped."""
+    lat0 = (k * 5) % 80 - 40
+    lon0 = (k * 3) % 300 - 150
+    return lon0, lat0, k % _PENT_A_MOD + 1, k % _PENT_B_MOD + 1
+
+
+def _pentagon_poly(k: Column) -> Column:
+    """The closed pentagon ring as ``array<struct<lon,lat>>`` (the
+    ``wkt_polygon_points`` shape, closing vertex repeated), all vertices
+    integer-valued doubles."""
+    lon0, lat0, a, b = _pentagon_cols(k)
+
+    def pt(lon: Column, lat: Column) -> Column:
+        return F.struct(
+            lon.cast("double").alias("lon"), lat.cast("double").alias("lat")
+        )
+
+    return F.array(
+        pt(lon0, lat0),
+        pt(lon0 + 20, lat0),
+        pt(lon0 + 20, lat0 + 10),
+        pt(lon0 + a, lat0 + 10),
+        pt(lon0, lat0 + 10 - b),
+        pt(lon0, lat0),
+    )
+
+
+def _pentagon_raycast(
+    lat: Column, lon: Column, lon0: Column, lat0: Column,
+    pa: Column, pb: Column,
+) -> Column:
+    """The pentagon's even-odd ray-cast UNROLLED over its five edges as
+    plain codegen'd column arithmetic — semantically identical to
+    ``point_in_polygon_col`` over ``_pentagon_poly`` (same per-edge
+    expression ``(x2−x1)·(lat−y1)/(y2−y1)+x1``, same XOR chain, same
+    IEEE values since the vertices are the same integer doubles), but
+    it stays inside whole-stage codegen where the array fold is
+    CodegenFallback — the gen_sf40 probe measured the interpreted fold
+    as ~4× the entire rest of the query (1.2B straddle-cell
+    candidates).  Equality with the fold spelling is pinned by the
+    brute-force test."""
+    verts = [
+        (lon0, lat0),
+        (lon0 + 20, lat0),
+        (lon0 + 20, lat0 + 10),
+        (lon0 + pa, lat0 + 10),
+        (lon0, lat0 + 10 - pb),
+        (lon0, lat0),
+    ]
+    inside: Column | None = None
+    for i in range(5):
+        x1, y1 = (c.cast("double") for c in verts[i])
+        x2, y2 = (c.cast("double") for c in verts[i + 1])
+        crosses = ((y1 > lat) != (y2 > lat)) & (
+            lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        )
+        inside = crosses if inside is None else (inside != crosses)
+    assert inside is not None
+    return inside
+
+
+def _pentagon_oracle_predicate() -> str:
+    """The DuckDB twin of ``point_in_polygon_col`` over the minted
+    pentagon: five crossing terms XOR-chained, each the literal
+    expression order of the Spark column (``(x2−x1)·(lat−y1)/(y2−y1)+x1``
+    on integer-exact DOUBLE vertices), with the horizontal-edge
+    division guarded by CASE (Spark's ``false AND x`` three-valued
+    collapse is a CASE in DuckDB — same boolean, no div-by-zero
+    semantics dependence)."""
+    k = "CAST(regexp_extract(a.key, '([0-9]+)$', 1) AS BIGINT)"
+    lat0 = f"(({k} * 5) % 80 - 40)"
+    lon0 = f"(({k} * 3) % 300 - 150)"
+    pa = f"({k} % {_PENT_A_MOD} + 1)"
+    pb = f"({k} % {_PENT_B_MOD} + 1)"
+    verts = [
+        (lon0, lat0),
+        (f"({lon0} + 20)", lat0),
+        (f"({lon0} + 20)", f"({lat0} + 10)"),
+        (f"({lon0} + {pa})", f"({lat0} + 10)"),
+        (lon0, f"({lat0} + 10 - {pb})"),
+        (lon0, lat0),
+    ]
+    expr = None
+    for i in range(5):
+        x1, y1 = verts[i]
+        x2, y2 = verts[i + 1]
+        d = lambda e: f"CAST({e} AS DOUBLE)"
+        term = (
+            f"(CASE WHEN ({d(y1)} > p.pt_lat) <> ({d(y2)} > p.pt_lat)"
+            f" THEN p.pt_lon < ({d(x2)} - {d(x1)})"
+            f" * (p.pt_lat - {d(y1)}) / ({d(y2)} - {d(y1)}) + {d(x1)}"
+            f" ELSE FALSE END)"
+        )
+        expr = term if expr is None else f"({expr} <> {term})"
+    return expr
+
+
+@query(
+    "GEO7c_polygon_point_count",
+    oracle=f"""
+    WITH {CTX_ORACLE_CTE},
+    pts AS (
+      SELECT pt_lat, pt_lon FROM ctx_promoted
+      WHERE kind IN ('Site', 'SiteDMS')
+    ),
+    areas AS (
+      SELECT key FROM ctx_promoted WHERE kind = 'Area'
+    )
+    SELECT a.key AS area_key, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM areas a JOIN pts p ON {_pentagon_oracle_predicate()}
+    GROUP BY area_key
+    ORDER BY area_key
+    """,
+)
+def geo7c_polygon_point_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO7's covered-cell pre-aggregation for TRUE polygons — the
+    upgrade the GEO3 docstring names ("count interior cells from a
+    per-cell rollup, exact-check only boundary cells ... for polygon
+    families with testable cell coverage", the Sedona/PBSM filter-refine
+    idiom): per-area containment COUNTS where the area is a convex
+    PENTAGON (the standard rectangle mint with a key-derived chamfer
+    clipping its top-left corner), not a bbox.
+
+    The scale-critical property GEO7 pioneered survives the polygon
+    generalization: per-point work is ONE bounded grid rollup; interior
+    cells contribute pre-aggregated counts with NO per-point geometry;
+    rectangle-edge boundary cells refine with the exact codegen'd
+    half-open box test (provably ≡ the ray-cast there — see
+    ``polygon_point_count_parts``); only the O(chamfer-length) cells
+    the polygon's oblique edge actually crosses re-join their points
+    for the exact even-odd ray-cast (``point_in_polygon_col`` — the
+    same predicate GEO3 applies to every candidate pair), and the
+    clipped-corner cells are dropped with no per-point work at all.
+
+    Exactness is split by construction: interior-cell classification
+    runs in pure INTEGER arithmetic (cell corners and pentagon vertices
+    are integers; a cell is interior only if all four corners satisfy
+    all five half-planes STRICTLY, so every point of the half-open cell
+    sits ≥ 1/√(a²+b²) ≈ 0.1° inside every edge — a float ray-cast
+    cannot flip at that margin, its decision band being ~1 ulp around
+    the edge lines), while boundary points get the float ray-cast whose
+    DuckDB twin (``_pentagon_oracle_predicate``) replays the identical
+    IEEE expression tree, so the oracle's brute-force join is
+    bit-compatible on every point including ones ON the boundary."""
+    return polygon_point_count(_promoted_spread(spark, sf_dir))
+
+
+def polygon_point_count(promoted: DataFrame) -> DataFrame:
+    """Interior-synopsis + box-refine + ray-cast-refine sum (the
+    ``area_point_count`` factoring for pentagon areas)."""
+    interior, box_bnd, ray_bnd = polygon_point_count_parts(promoted)
+    return (
+        interior.unionByName(box_bnd)
+        .unionByName(ray_bnd)
+        .groupBy("area_key")
+        .agg(F.sum("n").cast("long").alias("n_points"))
+        .orderBy("area_key")
+    )
+
+
+def polygon_point_count_parts(
+    promoted: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three GEO7c branches, separately (the D7/T9 non-hollowness
+    discipline): (interior synopsis sums, rectangle-boundary box-refine
+    counts, chamfer-straddling ray-cast counts).  Every pentagon owns
+    cells in ALL THREE classes by construction.
+
+    Cell classification is pure INTEGER arithmetic on the chamfer
+    functional s(corner) = a·(lat − (lat0+10−b)) − b·(lon − lon0):
+
+    - all 4 corners s < 0 and rect-strict → INTERIOR (synopsis);
+    - all 4 corners s > 0 → the clipped-corner region: every point is
+      provably outside, the cell is DROPPED with no per-point work
+      (ray-cast parity = chamfer-crossing XOR right-edge = T XOR T);
+    - s straddles 0 → the chamfer line meets the cell: exact even-odd
+      RAY-CAST per point (float-safe: off-line points are decided
+      identically in both engines, on-line points by the shared
+      expression tree);
+    - s all < 0 but a rect bound non-strict → the ray cast provably
+      collapses to the HALF-OPEN BOX test (vertical-edge crossings are
+      exact ``lon < x1`` — 0·(lat−y1)/dy contributes signed zero — and
+      the chamfer term is deterministically false at ≥ 1/b ≈ 0.2°
+      right of the line), so these cells refine with the cheap
+      codegen'd box predicate, never the interpreted fold.
+
+    The ray-cast therefore runs on O(chamfer length) ≈ a+b+2 cells per
+    area instead of the whole O(perimeter) boundary — measured 5×+ on
+    the gen_sf10 probe, where the all-boundary ray-cast spelling was
+    the dominant cost."""
+    from biodiversity_graph_db_spark.operators._util import cut
+
+    pts = promoted.where(F.col("kind").isin("Site", "SiteDMS")).select(
+        "pt_lat",
+        "pt_lon",
+        F.floor(F.col("pt_lon") / FINE_DEG).alias("fx"),
+        F.floor(F.col("pt_lat") / FINE_DEG).alias("fy"),
+    )
+    cells = cut(pts.groupBy("fx", "fy").agg(F.count(F.lit(1)).alias("cnt")))
+    k = F.regexp_extract(F.col("key"), "([0-9]+)$", 1).cast("long")
+    lon0, lat0, pa, pb = _pentagon_cols(k)
+    areas = promoted.where(F.col("kind") == "Area").select(
+        F.col("key").alias("area_key"),
+        lon0.alias("lon0"),
+        lat0.alias("lat0"),
+        pa.alias("pa"),
+        pb.alias("pb"),
+        _pentagon_poly(k).alias("poly"),
+    )
+    # covered cells: the pentagon's bbox is the full rectangle (it
+    # touches all four sides), FINE_DEG = 1.0 ⇒ integer cell indices
+    covered = (
+        areas.select(
+            "*",
+            F.explode(
+                F.sequence(F.col("lon0"), F.col("lon0") + 19)
+            ).alias("fx"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.col("lat0"), F.col("lat0") + 9)
+            ).alias("fy"),
+        )
+    )
+    # chamfer functional at the four corners (longs — exact)
+    y1 = F.col("lat0") + 10 - F.col("pb")
+
+    def s_at(cx: Column, cy: Column) -> Column:
+        return F.col("pa") * (cy - y1) - F.col("pb") * (cx - F.col("lon0"))
+
+    corners = [
+        s_at(F.col("fx"), F.col("fy")),
+        s_at(F.col("fx") + 1, F.col("fy")),
+        s_at(F.col("fx"), F.col("fy") + 1),
+        s_at(F.col("fx") + 1, F.col("fy") + 1),
+    ]
+    s_max = F.greatest(*corners)
+    s_min = F.least(*corners)
+    rect_strict = (
+        (F.col("fx") > F.col("lon0"))
+        & (F.col("fx") + 1 < F.col("lon0") + 20)
+        & (F.col("fy") > F.col("lat0"))
+        & (F.col("fy") + 1 < F.col("lat0") + 10)
+    )
+    interior = rect_strict & (s_max < 0)
+    straddle = (s_min <= 0) & (s_max >= 0)
+    box_only = (s_max < 0) & ~rect_strict
+
+    interior_counts = (
+        covered.where(interior)
+        .select("area_key", "fx", "fy")
+        .join(F.broadcast(cells), ["fx", "fy"])
+        .groupBy("area_key")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+    box_boundary_counts = (
+        covered.where(box_only)
+        .select("area_key", "lon0", "lat0", "fx", "fy")
+        .join(pts, ["fx", "fy"])
+        .where(
+            (F.col("pt_lat") >= F.col("lat0").cast("double"))
+            & (F.col("pt_lat") < (F.col("lat0") + 10).cast("double"))
+            & (F.col("pt_lon") >= F.col("lon0").cast("double"))
+            & (F.col("pt_lon") < (F.col("lon0") + 20).cast("double"))
+        )
+        .groupBy("area_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    raycast_counts = (
+        covered.where(straddle)
+        .select("area_key", "lon0", "lat0", "pa", "pb", "fx", "fy")
+        .join(pts, ["fx", "fy"])
+        .where(
+            _pentagon_raycast(
+                F.col("pt_lat"),
+                F.col("pt_lon"),
+                F.col("lon0"),
+                F.col("lat0"),
+                F.col("pa"),
+                F.col("pb"),
+            )
+        )
+        .groupBy("area_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return interior_counts, box_boundary_counts, raycast_counts
+
+
 #: Neighbours kept per area by the GEO8 top-k rollup.
 NEAREST_K = 3
 

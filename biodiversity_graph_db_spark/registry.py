@@ -48,13 +48,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # parity replica of the same gate (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
     # ---- ROUND-12 WINDOW (first 50 = the driver's grading window) ----
-    # The r11 note executed: (a) first driver grades for the 5 round-12
-    # registrations (GEO7b fractional-corner boundary path, GEO8b
+    # The r11 note executed: (a) first driver grades for the 6 round-12
+    # registrations (GEO7b fractional-corner boundary path, GEO7c
+    # polygon covered-cell counts, GEO8b
     # dense-branch kNN, ST2b left-outer attribution, ST3 stateful
     # sessionization, ST4 as-of enrichment), (b) re-grades for the 3
     # queries whose SEMANTICS or feed changed this round (ST2 densified
     # mint, GEO8 multi-resolution probe, E3 corpus-adaptive band
-    # width), (c) the 38 remaining r7-latest grades, (d) the 4 oldest
+    # width), (c) the 38 remaining r7-latest grades, (d) the 3 oldest
     # r8 grades.  After this window lands, no registry query's latest
     # grade is older than r8.
     # r13 NOTE: after this window lands, rotate to the head: any
@@ -63,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     # block below), then the oldest r9 grades.
     # (a) round-12 registrations — first driver grades
     "GEO7b_area_point_count_frac",
+    "GEO7c_polygon_point_count",
     "GEO8b_nearest_topk_dense",
     "ST2b_unattributed",
     "ST3_session_store",
@@ -110,7 +112,8 @@ PRIORITY: tuple[str, ...] = (
     "A3_merge_into_index",
     "A4_duplicate_guard",
     "A6_next_id",
-    # (d) the 5 oldest r8 grades
+    # (d) the oldest r8 grades (the first 3 fit the 50-query window;
+    # D12/E1 head the r13 rotation with the other r8-latest grades)
     "C2_radiocarbon_calibrate",
     "C5_retention_cohorts",
     "D11_prefix_dup",

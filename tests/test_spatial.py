@@ -490,6 +490,59 @@ class TestAreaPointCountBoundary:
         _, bnd0 = area_point_count_parts(promoted)
         assert bnd0.count() == 0
 
+    def test_geo7c_mint_drives_both_branches_and_matches_brute_force(
+        self, spark
+    ):
+        """GEO7c: (a) non-hollowness — the pentagon mint keeps ALL
+        THREE branches live at the grading SF (interior synopsis,
+        rectangle-boundary box refine, chamfer ray-cast refine); (b)
+        the filter-refine answer equals the brute-force all-pairs
+        ray-cast (the classification is result-invisible)."""
+        from pyspark.sql import functions as F
+
+        from biodiversity_graph_db_spark.operators.spatial import (
+            _pentagon_poly,
+            mint_context_nodes,
+            point_in_polygon_col,
+            polygon_point_count,
+            polygon_point_count_parts,
+            promote_context_cols,
+        )
+
+        promoted = promote_context_cols(
+            mint_context_nodes(spark, "/root/testdata/sf0.01")
+        ).localCheckpoint()
+        interior, box_bnd, ray_bnd = polygon_point_count_parts(promoted)
+        assert interior.count() > 0, "interior branch hollow"
+        assert box_bnd.count() > 0, "box-refine branch hollow"
+        assert ray_bnd.count() > 0, "ray-cast branch hollow"
+
+        got = {
+            r["area_key"]: r["n_points"]
+            for r in polygon_point_count(promoted).collect()
+        }
+        k = F.regexp_extract(F.col("key"), "([0-9]+)$", 1).cast("long")
+        areas = promoted.where(F.col("kind") == "Area").select(
+            F.col("key").alias("area_key"),
+            _pentagon_poly(k).alias("poly"),
+        )
+        pts = promoted.where(
+            F.col("kind").isin("Site", "SiteDMS")
+        ).select("pt_lat", "pt_lon")
+        brute = {
+            r["area_key"]: r["n"]
+            for r in areas.crossJoin(pts)
+            .where(
+                point_in_polygon_col(
+                    F.col("pt_lat"), F.col("pt_lon"), F.col("poly")
+                )
+            )
+            .groupBy("area_key")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        assert got == brute
+
     def test_geo8b_mint_drives_both_branches(self, spark):
         """Non-hollowness of the GEO8b driver row (the GEO7b discipline
         applied to GEO8's branch pair): on the even-key clustered mint
