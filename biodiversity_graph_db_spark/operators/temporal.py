@@ -1533,6 +1533,7 @@ def st3_session_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from biodiversity_graph_db_spark.streaming.ingest import (
+        _DRAIN_PARTITION_BYTES_PY,
         closed_sessions,
         drain_parquet_batches_ordered,
     )
@@ -1570,7 +1571,12 @@ def st3_session_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         drain_parquet_batches_ordered(
-            ev, ["ts", "event_id"], run, tmp, last_batch=flush
+            ev,
+            ["ts", "event_id"],
+            run,
+            tmp,
+            last_batch=flush,
+            partition_bytes=_DRAIN_PARTITION_BYTES_PY,
         )
         return (
             spark.read.parquet(out)
@@ -1637,6 +1643,7 @@ def st4_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from biodiversity_graph_db_spark.streaming.ingest import (
+        _DRAIN_PARTITION_BYTES_PY,
         asof_enrich,
         drain_parquet_batches_ordered,
     )
@@ -1658,7 +1665,13 @@ def st4_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
             )
 
-        drain_parquet_batches_ordered(ev, ["ts", "event_id"], run, tmp)
+        drain_parquet_batches_ordered(
+            ev,
+            ["ts", "event_id"],
+            run,
+            tmp,
+            partition_bytes=_DRAIN_PARTITION_BYTES_PY,
+        )
         return (
             spark.read.parquet(out)
             .select(

@@ -293,24 +293,36 @@ def closed_sessions(
                 state.remove()
         else:
             cur = tuple(state.get) if state.exists else None
-            frames = list(pdf_iter)
-            if frames:
-                ev = pd.concat(frames).sort_values(["ts", "event_id"])
-                for row in ev.itertuples(index=False):
-                    us = int(row.ts.value // 1000)
-                    if cur is not None and us - cur[1] > gap_us:
-                        closed.append(cur)
-                        cur = None
-                    if row.event_type == "__flush__":
-                        continue
-                    if cur is None:
-                        cur = (us, us, 0, 0)
-                    cur = (
-                        cur[0],
-                        us,
-                        cur[2] + 1,
-                        cur[3] + math.floor(row.value * 10000),
+            # tiny per-group frames: numpy column pulls + one Python
+            # tuple sort replace concat/sort_values/itertuples (the
+            # asof_enrich rationale — pandas fixed cost per group
+            # dominated the walk; guide §4.2)
+            rows: list[tuple] = []
+            for pdf in pdf_iter:
+                us_arr = pdf["ts"].to_numpy().astype("int64") // 1000
+                rows.extend(
+                    zip(
+                        us_arr.tolist(),
+                        pdf["event_id"].to_numpy().tolist(),
+                        pdf["event_type"].to_numpy().tolist(),
+                        pdf["value"].to_numpy().tolist(),
                     )
+                )
+            rows.sort(key=lambda r: r[:2])
+            for us, _eid, kind, value in rows:
+                if cur is not None and us - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = None
+                if kind == "__flush__":
+                    continue
+                if cur is None:
+                    cur = (us, us, 0, 0)
+                cur = (
+                    cur[0],
+                    us,
+                    cur[2] + 1,
+                    cur[3] + math.floor(value * 10000),
+                )
             if cur is not None:
                 state.update(cur)
                 # event-time timeout at last_event + gap; must sit
@@ -446,28 +458,43 @@ def asof_enrich(
     state_schema = "last_pid long, last_us long"
 
     def update(key, pdf_iter, state: GroupState):
+        # Per-group frames are a handful of rows; plain-Python tuple
+        # sort over extracted numpy columns replaces the former
+        # pd.concat + assign + sort_values + itertuples chain, whose
+        # fixed pandas overhead dominated the walk at ~1-4 rows/group
+        # (guide §4.2; measured r12: the ST4 drain's addBatch is
+        # |users| update() calls, not data).
+        import numpy as np
+
         (user_id,) = key
         last_pid, last_us = state.get if state.exists else (None, None)
         out: list[tuple] = []
-        frames = list(pdf_iter)
-        if frames:
-            ev = pd.concat(frames)
+        rows: list[tuple] = []
+        for pdf in pdf_iter:
+            us_arr = pdf["ts"].to_numpy().astype("int64") // 1000
+            kinds = pdf["event_type"].to_numpy()
             # purchase-before-click at equal ts (side 0 < 1), then id
-            ev = ev.assign(
-                _side=(ev["event_type"] != "purchase").astype(int)
-            ).sort_values(["ts", "_side", "event_id"])
-            for row in ev.itertuples(index=False):
-                us = int(row.ts.value // 1000)
-                if row.event_type == "purchase":
-                    # monotone arrival ⇒ us >= last_us; max-id tie-break
-                    if (
-                        last_us is None
-                        or us > last_us
-                        or (us == last_us and row.event_id > last_pid)
-                    ):
-                        last_pid, last_us = int(row.event_id), us
-                elif row.event_type == "click":
-                    out.append((int(row.event_id), row.ts, last_pid))
+            side = (kinds != "purchase").astype(int)
+            rows.extend(
+                zip(
+                    us_arr.tolist(),
+                    side.tolist(),
+                    pdf["event_id"].to_numpy().tolist(),
+                    kinds.tolist(),
+                )
+            )
+        rows.sort(key=lambda r: r[:3])
+        for us, _side, eid, kind in rows:
+            if kind == "purchase":
+                # monotone arrival ⇒ us >= last_us; max-id tie-break
+                if (
+                    last_us is None
+                    or us > last_us
+                    or (us == last_us and eid > last_pid)
+                ):
+                    last_pid, last_us = int(eid), us
+            elif kind == "click":
+                out.append((int(eid), us, last_pid))
         if last_pid is not None:
             state.update((last_pid, last_us))
         if out:
@@ -475,7 +502,9 @@ def asof_enrich(
                 {
                     "click_id": [o[0] for o in out],
                     "user_id": [user_id] * len(out),
-                    "ts": [o[1] for o in out],
+                    "ts": np.array(
+                        [o[1] for o in out], dtype="datetime64[us]"
+                    ),
                     "prior_purchase_id": [o[2] for o in out],
                 }
             )
@@ -1234,6 +1263,69 @@ def run_nb_model(docs: DataFrame, out_path: str, checkpoint: str):
     )
 
 
+#: Default per-partition feed-byte target for a canned drain: JVM-side
+#: stateful operators (joins, dedup, window aggs) are commit-bound at
+#: drain scale, so partitions follow AQE's ~64 MB advisory size.
+_DRAIN_PARTITION_BYTES = 64 * 1024 * 1024
+
+#: Byte target for PYTHON-stateful drains (applyInPandasWithState walks:
+#: ST3 sessions / ST4 as-of): per-row work crosses the JVM↔Python
+#: boundary and dominates the state commit, so partitions are sized
+#: ~256 KB of feed each — measured r12 on ST4 at sf0.1 (2.5 MB feed):
+#: 1 partition = 39-44 s (serialized walk), 8 = 9-12 s, 32 = 23 s
+#: (commit fsyncs dominate again).  Both rules hit the session ceiling
+#: long before 100 TB.
+_DRAIN_PARTITION_BYTES_PY = 256 * 1024
+
+
+def _drain_shuffle_partitions(
+    spark, src: str, partition_bytes: int = _DRAIN_PARTITION_BYTES
+) -> int:
+    """Scale-adaptive shuffle/state partition count for a canned drain:
+    size by the feed's on-disk bytes (~64 MB per partition, AQE's
+    advisory target) and clamp to the session's configured shuffle
+    partitions — the production parallelism knob stays the ceiling.
+
+    Rationale (optimization guide §2.2/§2.5, measured r12): every
+    stateful streaming operator creates one state-store instance PER
+    shuffle partition PER micro-batch, and each instance's commit is a
+    separate delta file + fsync.  At the grading SFs a drain feeds a
+    few MB through 32 partitions × up to 4 join stores × 4 batches —
+    hundreds of near-empty state files whose fsyncs dominated the
+    drain (ST2 streaming progress: addBatch ≈ state commitTimeMs, 31 s
+    of a 64 s drain on one batch).  Sizing partitions by data keeps
+    the local drain at 1-2 stores while a 100 TB feed (TBs per batch)
+    saturates the session ceiling — the same derive-from-input rule
+    the batch operators use (hits()'s rows-based partitioning).
+    Partitioning never changes emitted rows (hash-pinned by the
+    parity gate; verified explicitly at 32/8/2 partitions r12)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(ceiling, total // partition_bytes + 1))
+
+
+class _drain_conf:
+    """Set session shuffle partitions for the duration of a drain
+    (state partition count is locked in at stream start), restoring
+    the caller's value afterwards."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def drain_parquet_batches(
     df: DataFrame,
     key_col: str,
@@ -1262,8 +1354,10 @@ def drain_parquet_batches(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = run(stream).start()
-    if not q.awaitTermination(timeout_s):
+    with _drain_conf(spark, _drain_shuffle_partitions(spark, src)):
+        q = run(stream).start()
+        ok = q.awaitTermination(timeout_s)
+    if not ok:
         q.stop()
         raise RuntimeError(f"canned drain did not finish in {timeout_s} s")
 
@@ -1276,6 +1370,7 @@ def drain_parquet_batches_ordered(
     n_batches: int = 3,
     last_batch: DataFrame | None = None,
     timeout_s: int = 600,
+    partition_bytes: int = _DRAIN_PARTITION_BYTES,
 ) -> None:
     """Event-time-ORDERED canned drain — the harness behind the
     stateful-operator driver rows (ST3/ST4), whose operators carry the
@@ -1319,8 +1414,12 @@ def drain_parquet_batches_ordered(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = run(stream).start()
-    if not q.awaitTermination(timeout_s):
+    with _drain_conf(
+        spark, _drain_shuffle_partitions(spark, src, partition_bytes)
+    ):
+        q = run(stream).start()
+        ok = q.awaitTermination(timeout_s)
+    if not ok:
         q.stop()
         raise RuntimeError(f"ordered drain did not finish in {timeout_s} s")
 
