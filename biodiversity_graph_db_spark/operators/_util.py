@@ -54,7 +54,7 @@ def sql_dquant(expr: str) -> str:
     return f"FLOOR(({expr}) * 10000) / 10000.0"
 
 
-def spread(df):
+def spread(df, probe=None):
     """Small-source parallelism guard for EXPENSIVE map stages (the
     md5-n-gram / shingle / tokenize family): a parquet source smaller
     than one split scans as a single partition, which serializes the
@@ -85,12 +85,21 @@ def spread(df):
 
     Apply AFTER source-level filters (so pushdown is preserved) and
     only in front of compute-bound maps; scan-bound queries would pay
-    the Exchange for nothing."""
+    the Exchange for nothing.
+
+    ``probe``: optionally inspect THIS frame's partitioning/row groups
+    instead of ``df``'s.  The ``df.rdd`` probe compiles the whole plan
+    to an RDD DAG — cheap on a bare scan, but a measurable driver cost
+    on a deep computed frame.  When ``df`` derives from ``probe`` by
+    narrow transformations only (select/filter/withColumn — anything
+    that preserves the scan's partitioning), probing the source scan
+    answers the same question for a one-node plan compile."""
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    src = probe if probe is not None else df
+    if src.rdd.getNumPartitions() < par:
         return df.repartition(par)
-    if _row_group_starved(df, par):
+    if _row_group_starved(src, par):
         return df.repartition(par)
     return df
 

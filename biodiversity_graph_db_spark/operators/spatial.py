@@ -1178,8 +1178,27 @@ def _promoted_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE §40, on the checkpoint instead of the row groups)."""
     from biodiversity_graph_db_spark.operators._util import spread
 
+    # Project to the 8 typed columns every GEO7/GEO8-family consumer
+    # reads BEFORE the checkpoint (guide §2.3): the payload JSON and
+    # WKT strings are promote-time artifacts none of them touches, and
+    # materializing them into the checkpoint paid their to_json/
+    # format_string compute plus block memory for nothing.  The spread
+    # probe inspects the raw customer scan (one-node plan) instead of
+    # compiling the full mint+promote frame to an RDD DAG twice per
+    # call — the mint is narrow over the scan, so the partition answer
+    # is identical.
+    promoted = promote_context_cols(mint_context_nodes(spark, sf_dir)).select(
+        "key",
+        "kind",
+        "pt_lat",
+        "pt_lon",
+        "lat_min",
+        "lat_max",
+        "lon_min",
+        "lon_max",
+    )
     return spread(
-        promote_context_cols(mint_context_nodes(spark, sf_dir))
+        promoted, probe=table(spark, sf_dir, "customer")
     ).localCheckpoint()
 
 
@@ -1859,16 +1878,24 @@ def nearest_topk_parts(
             ]
         )
 
-    probe1 = ring_probe(
-        areas,
-        cells.select(
-            F.col("fx").alias("gx"), F.col("fy").alias("gy"), "cnt"
-        ),
-        "fx0",
-        "fy0",
-        max_ring,
-        max_ring,
-        "c",
+    # probe1 feeds THREE consumers (the level-2 gate, the r_bound
+    # combine, and through them both enumeration branches' subtrees) —
+    # cut the ≤|areas|-row table so the 169-cell explode + broadcast
+    # join + 7-way conditional sum runs ONCE, not once per consumer
+    # (r12 plan audit: the un-cut probe tower appeared 4× in the final
+    # union plan, 22 Exchanges for a bounded-synopsis question).
+    probe1 = cut(
+        ring_probe(
+            areas,
+            cells.select(
+                F.col("fx").alias("gx"), F.col("fy").alias("gy"), "cnt"
+            ),
+            "fx0",
+            "fy0",
+            max_ring,
+            max_ring,
+            "c",
+        )
     )
     # The level-2 probe is gated to areas where it CAN tighten the
     # bound: the fine window covers [c ± 2°] ⊆ coarse ring 3, so with
@@ -1944,7 +1971,10 @@ def nearest_topk_parts(
     # least() skips NULLs: an area the level-2 window can't bound falls
     # back to r1, and one with < k points inside max_ring probes out to R
     r_bound = F.least(F.lit(RADIUS_DEG), r1, r2)
-    bounded = (
+    # same rule for the combined bound: with_bounds feeds BOTH the
+    # dense and sparse enumeration branches of the union — cut the
+    # (area_key, r_bound) table so the probe2 tower runs once.
+    bounded = cut(
         probe1.join(probe2, "area_key", "left")
         .select("area_key", r_bound.alias("r_bound"))
     )
