@@ -1533,7 +1533,7 @@ def st3_session_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from biodiversity_graph_db_spark.streaming.ingest import (
-        _DRAIN_PARTITION_BYTES_PY,
+        DRAIN_PARTITION_BYTES_PY,
         closed_sessions,
         drain_parquet_batches_ordered,
     )
@@ -1576,7 +1576,7 @@ def st3_session_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             run,
             tmp,
             last_batch=flush,
-            partition_bytes=_DRAIN_PARTITION_BYTES_PY,
+            partition_bytes=DRAIN_PARTITION_BYTES_PY,
         )
         return (
             spark.read.parquet(out)
@@ -1643,7 +1643,7 @@ def st4_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from biodiversity_graph_db_spark.streaming.ingest import (
-        _DRAIN_PARTITION_BYTES_PY,
+        DRAIN_PARTITION_BYTES_PY,
         asof_enrich,
         drain_parquet_batches_ordered,
     )
@@ -1670,7 +1670,7 @@ def st4_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["ts", "event_id"],
             run,
             tmp,
-            partition_bytes=_DRAIN_PARTITION_BYTES_PY,
+            partition_bytes=DRAIN_PARTITION_BYTES_PY,
         )
         return (
             spark.read.parquet(out)

@@ -1271,11 +1271,18 @@ _DRAIN_PARTITION_BYTES = 64 * 1024 * 1024
 #: Byte target for PYTHON-stateful drains (applyInPandasWithState walks:
 #: ST3 sessions / ST4 as-of): per-row work crosses the JVM↔Python
 #: boundary and dominates the state commit, so partitions are sized
-#: ~256 KB of feed each — measured r12 on ST4 at sf0.1 (2.5 MB feed):
-#: 1 partition = 39-44 s (serialized walk), 8 = 9-12 s, 32 = 23 s
-#: (commit fsyncs dominate again).  Both rules hit the session ceiling
-#: long before 100 TB.
-_DRAIN_PARTITION_BYTES_PY = 256 * 1024
+#: ~128 KB of feed each.  U-curve measured on the ST4 drain at sf0.1
+#: (2.5 MB feed): 1 partition = 39-44 s (serialized walk, r12),
+#: 8 = 5.0-5.4 s, **16 = 4.1-4.3 s (this rule)**, 32 = 4.4-4.9 s
+#: (state-commit fsyncs take over) — r13 re-sweep after the r12 numpy
+#: state-walk fix moved the optimum one notch wider.  Both rules hit
+#: the session ceiling long before 100 TB.
+_DRAIN_PARTITION_BYTES_PY = 128 * 1024
+
+#: Public aliases (ADVICE r12: temporal.py imported the underscore
+#: name; the sizing rules are part of the drain harness's contract).
+DRAIN_PARTITION_BYTES = _DRAIN_PARTITION_BYTES
+DRAIN_PARTITION_BYTES_PY = _DRAIN_PARTITION_BYTES_PY
 
 
 def _drain_shuffle_partitions(
@@ -1306,7 +1313,18 @@ def _drain_shuffle_partitions(
         for f in files:
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
-    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # managed platforms ship non-numeric values (e.g. 'auto');
+        # fall back to the context's parallelism (ADVICE r12)
+        ceiling = spark.sparkContext.defaultParallelism
+    if total == 0:
+        # byte probe found no local parquet (non-local src, empty dir):
+        # never under-partition a real deployment's drain — keep the
+        # session ceiling rather than collapsing to 1 (VERDICT r12
+        # item 4)
+        return max(1, ceiling)
     return max(1, min(ceiling, total // partition_bytes + 1))
 
 
@@ -1326,6 +1344,55 @@ class _drain_conf:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+def write_feed_batches(
+    df: DataFrame, key_col: str, tmp: str, n_batches: int = 3
+) -> str:
+    """Write ``df`` as ``n_batches`` one-file parquet batches under
+    ``{tmp}/src`` in a SINGLE pass (r13, guide §6/§2.4): the former
+    one-filtered-write-per-batch loop computed ``df`` n_batches times
+    (each pass re-scanning the source and re-running the feed's mint/
+    union); now the batch id is a partition column written once
+    (``repartition(n, __b)`` sends every batch value to exactly one
+    task, so each ``__b=i`` dir holds exactly one file carrying
+    ``df``'s own columns), and the files move into ``src`` with PINNED
+    ascending mtimes — the batch order the sequential writes used to
+    imply (FileStreamSource orders pending files by modification
+    time).  Split semantics are unchanged: batch i = rows with
+    ``key_col % n_batches == i``; rows whose key is NULL or negative
+    stay out of the feed exactly as the old ``WHERE`` dropped them."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    src = f"{tmp}/src"
+    staged = f"{tmp}/_staged"
+    (
+        df.withColumn("__b", F.col(key_col) % n_batches)
+        .repartition(n_batches, "__b")
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    os.makedirs(src, exist_ok=True)
+    for i in range(n_batches):
+        parts = sorted(glob.glob(f"{staged}/__b={i}/part-*.parquet"))
+        if not parts:
+            # empty slice: the old per-slice writer still emitted one
+            # empty (schema-only) file — preserve the batch count
+            df.where(F.lit(False)).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{staged}/__b={i}")
+            parts = sorted(glob.glob(f"{staged}/__b={i}/part-*.parquet"))
+        for j, p in enumerate(parts):
+            shutil.move(p, f"{src}/part-{i:05d}-{j:05d}.parquet")
+    shutil.rmtree(staged, ignore_errors=True)
+    now = _time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+        os.utime(p, (now + i, now + i))
+    return src
+
+
 def drain_parquet_batches(
     df: DataFrame,
     key_col: str,
@@ -1342,13 +1409,13 @@ def drain_parquet_batches(
     the availableNow drain finishes.  The maintained store then holds
     the n-way MERGED state, which each driver row's oracle compares to
     the one-shot batch computation — the add-mergeability equivalence
-    graded by the driver instead of only by tests."""
+    graded by the driver instead of only by tests.
+
+    Feed write is SINGLE-PASS (r13, guide §6/§2.4): see
+    ``write_feed_batches``."""
     spark = df.sparkSession
     src = f"{tmp}/src"
-    for i in range(n_batches):
-        df.where(F.col(key_col) % n_batches == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    write_feed_batches(df, key_col, tmp, n_batches)
     stream = (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1356,9 +1423,15 @@ def drain_parquet_batches(
     )
     with _drain_conf(spark, _drain_shuffle_partitions(spark, src)):
         q = run(stream).start()
-        ok = q.awaitTermination(timeout_s)
+        try:
+            ok = q.awaitTermination(timeout_s)
+        finally:
+            # stop a timed-out/raising query INSIDE the conf scope, so
+            # cleanup happens before the session partitioning is
+            # restored (ADVICE r12)
+            if q.isActive:
+                q.stop()
     if not ok:
-        q.stop()
         raise RuntimeError(f"canned drain did not finish in {timeout_s} s")
 
 
@@ -1418,9 +1491,14 @@ def drain_parquet_batches_ordered(
         spark, _drain_shuffle_partitions(spark, src, partition_bytes)
     ):
         q = run(stream).start()
-        ok = q.awaitTermination(timeout_s)
+        try:
+            ok = q.awaitTermination(timeout_s)
+        finally:
+            # stop a timed-out/raising query INSIDE the conf scope
+            # (ADVICE r12)
+            if q.isActive:
+                q.stop()
     if not ok:
-        q.stop()
         raise RuntimeError(f"ordered drain did not finish in {timeout_s} s")
 
 
