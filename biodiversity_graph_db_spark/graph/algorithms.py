@@ -30,6 +30,48 @@ from pyspark.sql import functions as F
 RANK_UNIT = 1_000_000  # PageRank fixed-point micro-units
 
 
+def _derived_partitions(df: DataFrame, rows_per_partition: int = 50_000) -> int:
+    """~1 partition per ``rows_per_partition`` rows, capped by the
+    session's shuffle parallelism — the loop-partitioning rule pagerank
+    documented (tiny graphs must not fan out to the session default;
+    100 TB graphs saturate the ceiling).  Counting materializes the
+    caller's cache, which every iterative caller wants anyway."""
+    spark = df.sparkSession
+    try:
+        ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        ceiling = spark.sparkContext.defaultParallelism
+    return max(1, min(ceiling, df.count() // rows_per_partition + 1))
+
+
+class _shuffle_scope:
+    """Scope ``spark.sql.shuffle.partitions`` to an iterative loop's
+    derived partition count (restored on exit, exception-safe).
+
+    Guide §2.4: the loop's cached sides are hash-partitioned on the
+    join key at the DERIVED count, but every per-iteration
+    groupBy/join otherwise plans its Exchange at the SESSION count —
+    EnsureRequirements then re-shuffles the cached side (or the
+    aggregation output) every round to reconcile the two.  Planning
+    the whole loop at one count makes the aggregation Exchange land
+    directly on the cached sides' partitioning, so each iteration runs
+    exactly ONE Exchange (the inherent message shuffle).  Callers must
+    MATERIALIZE (localCheckpoint/count) inside the scope — the conf is
+    read at plan time, i.e. at the first action.  Serial-harness
+    assumption as _drain_conf: a concurrently planned query in the
+    same session would pick up the scoped value."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _pairs(edges: DataFrame) -> DataFrame:
     """First two columns → (src, dst), deduplicated."""
     a, b = edges.columns[:2]
@@ -85,59 +127,69 @@ def pagerank(
     it)."""
     e = _pairs(edges).cache()
     if partitions is None:
-        default = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        partitions = max(1, min(default, e.count() // 50_000 + 1))
-    e = e.repartition(partitions, "src")
-    nodes = (
-        e.select(F.col("src").alias("key"))
-        .unionByName(e.select(F.col("dst").alias("key")))
-        .dropDuplicates()
-        .repartition(partitions, "key")
-        .cache()
-    )
-    n = nodes.count()
-    d_pct = int(round(damping * 100))
-    base = int((RANK_UNIT * (100 - d_pct)) // (100 * n))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    out = e.join(deg, "src").repartition(partitions, "src").cache()
-    out.count()  # materialize the static join side once
-    ranks = nodes.withColumn("rank_micro", F.lit(int(RANK_UNIT // n)))
-    for i in range(iterations):
-        # rename before the join: ranks shares lineage with out (both
-        # derive from e), and a bare `out.src == ranks.key` predicate
-        # can MISBIND under self-join ambiguity resolution (observed in
-        # the personalized variant: vertices wearing their neighbor's
-        # mass) — the renamed columns are unambiguous by construction
-        r = ranks.select(
-            F.col("key").alias("_r_key"), F.col("rank_micro").alias("_r_m")
+        partitions = _derived_partitions(e)
+    # plan AND execute the whole loop at the derived count
+    # (_shuffle_scope): the per-iteration contrib aggregation then
+    # shuffles straight onto nodes'/out's partitioning — one Exchange
+    # per iteration instead of three (the contrib groupBy at the
+    # session count forced EnsureRequirements to re-shuffle the cached
+    # nodes side in every nodes⋈contrib AND the ranks side of the next
+    # round's out⋈ranks; r12 before-plan: 3 Exchanges per round).
+    with _shuffle_scope(e.sparkSession, partitions):
+        e = e.repartition(partitions, "src")
+        nodes = (
+            e.select(F.col("src").alias("key"))
+            .unionByName(e.select(F.col("dst").alias("key")))
+            .dropDuplicates()
+            .repartition(partitions, "key")
+            .cache()
         )
-        contrib = (
-            out.join(r, F.col("src") == F.col("_r_key"))
-            .select(
-                F.col("dst").alias("key"),
-                F.floor(
-                    (F.col("_r_m") * d_pct) / (100 * F.col("deg"))
-                ).alias("c"),
+        n = nodes.count()
+        d_pct = int(round(damping * 100))
+        base = int((RANK_UNIT * (100 - d_pct)) // (100 * n))
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        out = e.join(deg, "src").repartition(partitions, "src").cache()
+        out.count()  # materialize the static join side once
+        ranks = nodes.withColumn("rank_micro", F.lit(int(RANK_UNIT // n)))
+        for i in range(iterations):
+            # rename before the join: ranks shares lineage with out (both
+            # derive from e), and a bare `out.src == ranks.key` predicate
+            # can MISBIND under self-join ambiguity resolution (observed in
+            # the personalized variant: vertices wearing their neighbor's
+            # mass) — the renamed columns are unambiguous by construction
+            r = ranks.select(
+                F.col("key").alias("_r_key"), F.col("rank_micro").alias("_r_m")
             )
-            .groupBy("key")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = (
-            nodes.join(contrib, "key", "left")
-            .select(
-                "key",
-                (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
-                .cast("long")
-                .alias("rank_micro"),
+            contrib = (
+                out.join(r, F.col("src") == F.col("_r_key"))
+                .select(
+                    F.col("dst").alias("key"),
+                    F.floor(
+                        (F.col("_r_m") * d_pct) / (100 * F.col("deg"))
+                    ).alias("c"),
+                )
+                .groupBy("key")
+                .agg(F.sum("c").alias("in_mass"))
             )
-        )
-        if (
-            checkpoint_every
-            and i % checkpoint_every == checkpoint_every - 1
-            and i < iterations - 1
-        ):
-            ranks = ranks.localCheckpoint()
-    return ranks
+            ranks = (
+                nodes.join(contrib, "key", "left")
+                .select(
+                    "key",
+                    (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
+                    .cast("long")
+                    .alias("rank_micro"),
+                )
+            )
+            if (
+                checkpoint_every
+                and i % checkpoint_every == checkpoint_every - 1
+                and i < iterations - 1
+            ):
+                ranks = ranks.localCheckpoint()
+        # materialize INSIDE the scope — the conf is read at plan time,
+        # so a lazy return would hand the caller's action the restored
+        # session count and re-introduce the reconciliation Exchanges
+        return ranks.localCheckpoint()
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -177,24 +229,38 @@ def shortest_paths(
     """
     spark = edges.sparkSession
     e = _pairs(edges).cache()
-    visited = spark.createDataFrame(
-        [(lm, lm, 0) for lm in landmarks], "key string, landmark string, dist int"
-    )
-    frontier = visited
-    for d in range(1, max_hops + 1):
-        nxt = (
-            frontier.alias("f")
-            .join(e.alias("e"), F.col("f.key") == F.col("e.src"))
-            .select(F.col("e.dst").alias("key"), F.col("f.landmark").alias("landmark"))
-            .dropDuplicates()
-            .join(visited.select("key", "landmark"), ["key", "landmark"], "left_anti")
-            .withColumn("dist", F.lit(d))
-            .cache()
+    # loop-scoped partitioning (r13, see _shuffle_scope) + the edge
+    # relation pre-hashed on the frontier join key, so each hop's
+    # expansion reuses the cached Exchange
+    partitions = _derived_partitions(e)
+    with _shuffle_scope(spark, partitions):
+        e = e.repartition(partitions, "src").cache()
+        visited = spark.createDataFrame(
+            [(lm, lm, 0) for lm in landmarks],
+            "key string, landmark string, dist int",
         )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+        frontier = visited
+        for d in range(1, max_hops + 1):
+            nxt = (
+                frontier.alias("f")
+                .join(e.alias("e"), F.col("f.key") == F.col("e.src"))
+                .select(
+                    F.col("e.dst").alias("key"),
+                    F.col("f.landmark").alias("landmark"),
+                )
+                .dropDuplicates()
+                .join(
+                    visited.select("key", "landmark"),
+                    ["key", "landmark"],
+                    "left_anti",
+                )
+                .withColumn("dist", F.lit(d))
+                .cache()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
     return visited
 
 
@@ -215,37 +281,49 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     eager per-round ``localCheckpoint`` IS the optimum here: 5 tiny
     actions, linear plans, ~2.0 s."""
     und = undirect(edges).cache()
-    labels = und.select(F.col("src").alias("key")).dropDuplicates().withColumn(
-        "label", F.col("key")
-    )
-    for i in range(max_iter):
-        # ambiguity-safe rename (the pagerank-loop fix): labels shares
-        # lineage with und in round 1, and `und.dst == labels.key` can
-        # misbind under self-join resolution
-        lab_r = labels.select(
-            F.col("key").alias("_l_key"), F.col("label").alias("label")
-        )
-        votes = (
-            und.join(lab_r, F.col("dst") == F.col("_l_key"))
-            .groupBy(F.col("src").alias("k"), "label")
-            .agg(F.count("*").alias("n"))
-        )
-        best = (
-            votes.groupBy("k")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("n")).alias("neg_n"), F.col("label").alias("l")
-                    )
-                ).alias("top")
-            )
-            .select(F.col("k").alias("key"), F.col("top.l").alias("new_label"))
-        )
+    # loop-scoped partitioning (r13, see _shuffle_scope): LPA's rounds
+    # are eager (per-round localCheckpoint), so every vote/argmax/carry
+    # shuffle planned inside the scope lands at the derived count
+    # instead of fanning a tiny graph out to the session default
+    partitions = _derived_partitions(und)
+    with _shuffle_scope(und.sparkSession, partitions):
+        und = und.repartition(partitions, "dst").cache()
         labels = (
-            labels.join(best, "key", "left")
-            .select("key", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint()
+            und.select(F.col("src").alias("key"))
+            .dropDuplicates()
+            .withColumn("label", F.col("key"))
         )
+        for i in range(max_iter):
+            # ambiguity-safe rename (the pagerank-loop fix): labels shares
+            # lineage with und in round 1, and `und.dst == labels.key` can
+            # misbind under self-join resolution
+            lab_r = labels.select(
+                F.col("key").alias("_l_key"), F.col("label").alias("label")
+            )
+            votes = (
+                und.join(lab_r, F.col("dst") == F.col("_l_key"))
+                .groupBy(F.col("src").alias("k"), "label")
+                .agg(F.count("*").alias("n"))
+            )
+            best = (
+                votes.groupBy("k")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("n")).alias("neg_n"),
+                            F.col("label").alias("l"),
+                        )
+                    ).alias("top")
+                )
+                .select(
+                    F.col("k").alias("key"), F.col("top.l").alias("new_label")
+                )
+            )
+            labels = (
+                labels.join(best, "key", "left")
+                .select("key", F.coalesce("new_label", "label").alias("label"))
+                .localCheckpoint()
+            )
     return labels
 
 
@@ -506,51 +584,67 @@ def hits(
     without the cut the plan tree doubles per half-step."""
     e = _pairs(edges).cache()
     if partitions is None:
-        default = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        partitions = max(1, min(default, e.count() // 50_000 + 1))
-    e = e.repartition(partitions, "src").cache()
-    nodes = (
-        e.select(F.col("src").alias("key"))
-        .unionByName(e.select(F.col("dst").alias("key")))
-        .dropDuplicates()
-        .repartition(partitions, "key")
-        .cache()
-    )
-
-    def _norm(raw: DataFrame) -> DataFrame:
-        # localCheckpoint is load-bearing: ``raw`` feeds BOTH the global
-        # max and the rescale — left unmaterialized, each half-step
-        # doubles the plan tree (2^(2*iterations) analysis blowup).
-        raw = raw.localCheckpoint()
-        mx = raw.agg(F.max("raw").alias("mx"))
-        return raw.crossJoin(F.broadcast(mx)).select(
-            "key",
-            F.expr(f"(raw * {RANK_UNIT}) div mx").cast("long").alias("score"),
+        partitions = _derived_partitions(e)
+    with _shuffle_scope(e.sparkSession, partitions):
+        # BOTH edge orientations cached pre-partitioned (r13): each
+        # half-step joins on the OTHER key (hub step on src, authority
+        # step on dst), so one orientation alone re-shuffled the whole
+        # edge relation every other half-step — 2·iterations avoidable
+        # edge Exchanges.  Memory is 2× the (bounded) pair set, the
+        # standard both-directions trade a message-passing engine makes.
+        e_src = e.repartition(partitions, "src").cache()
+        e_dst = e.repartition(partitions, "dst").cache()
+        by_key = {"src": e_src, "dst": e_dst}
+        nodes = (
+            e_src.select(F.col("src").alias("key"))
+            .unionByName(e_src.select(F.col("dst").alias("key")))
+            .dropDuplicates()
+            .repartition(partitions, "key")
+            .cache()
         )
 
-    def _gather(scores: DataFrame, edge_key: str, group_key: str) -> DataFrame:
-        # ambiguity-safe rename (the pagerank-loop fix): the first
-        # half-step's scores derive from e's own vertex set
-        s_r = scores.select(
-            F.col("key").alias("_s_key"), F.col("score").alias("score")
-        )
-        m = (
-            e.join(s_r, F.col(edge_key) == F.col("_s_key"))
-            .groupBy(F.col(group_key).alias("key"))
-            .agg(F.sum("score").alias("m"))
-        )
-        return nodes.join(m, "key", "left").select(
-            "key", F.coalesce("m", F.lit(0)).cast("long").alias("raw")
-        )
+        def _norm(raw: DataFrame) -> DataFrame:
+            # localCheckpoint is load-bearing: ``raw`` feeds BOTH the global
+            # max and the rescale — left unmaterialized, each half-step
+            # doubles the plan tree (2^(2*iterations) analysis blowup).
+            raw = raw.localCheckpoint()
+            mx = raw.agg(F.max("raw").alias("mx"))
+            return raw.crossJoin(F.broadcast(mx)).select(
+                "key",
+                F.expr(f"(raw * {RANK_UNIT}) div mx")
+                .cast("long")
+                .alias("score"),
+            )
 
-    h = nodes.withColumn("score", F.lit(int(RANK_UNIT)))
-    a = None
-    for _ in range(iterations):
-        a = _norm(_gather(h, "src", "dst"))
-        h = _norm(_gather(a, "dst", "src"))
-    return h.select("key", F.col("score").alias("hub_micro")).join(
-        a.select("key", F.col("score").alias("auth_micro")), "key"
-    )
+        def _gather(
+            scores: DataFrame, edge_key: str, group_key: str
+        ) -> DataFrame:
+            # ambiguity-safe rename (the pagerank-loop fix): the first
+            # half-step's scores derive from e's own vertex set
+            s_r = scores.select(
+                F.col("key").alias("_s_key"), F.col("score").alias("score")
+            )
+            m = (
+                by_key[edge_key]
+                .join(s_r, F.col(edge_key) == F.col("_s_key"))
+                .groupBy(F.col(group_key).alias("key"))
+                .agg(F.sum("score").alias("m"))
+            )
+            return nodes.join(m, "key", "left").select(
+                "key", F.coalesce("m", F.lit(0)).cast("long").alias("raw")
+            )
+
+        h = nodes.withColumn("score", F.lit(int(RANK_UNIT)))
+        a = None
+        for _ in range(iterations):
+            a = _norm(_gather(h, "src", "dst"))
+            h = _norm(_gather(a, "dst", "src"))
+        # materialize inside the scope (the pagerank rationale)
+        return (
+            h.select("key", F.col("score").alias("hub_micro"))
+            .join(a.select("key", F.col("score").alias("auth_micro")), "key")
+            .localCheckpoint()
+        )
 
 
 def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -782,56 +876,60 @@ def personalized_pagerank(
     # graph (the session default over-fans small graphs — mostly-empty
     # tasks dominate per-round cost), hash both loop sides on the join
     # key once, and materialize the static degree-annotated edge side
-    # so every round reuses its Exchange instead of re-shuffling
-    default = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    partitions = max(1, min(default, e.count() // 50_000 + 1))
-    e = e.repartition(partitions, "src")
-    nodes = (
-        e.select(F.col("src").alias("key"))
-        .unionByName(e.select(F.col("dst").alias("key")))
-        .dropDuplicates()
-        .repartition(partitions, "key")
-        .cache()
-    )
-    s = len(sources)
-    d_pct = int(round(damping * 100))
-    base_amt = int((RANK_UNIT * (100 - d_pct)) // (100 * s))
-    init_amt = int(RANK_UNIT // s)
-    is_src = F.col("key").isin(list(sources))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    out = e.join(deg, "src").repartition(partitions, "src").cache()
-    out.count()  # materialize the static join side once
-    ranks = nodes.withColumn(
-        "ppr_micro",
-        F.when(is_src, F.lit(init_amt)).otherwise(F.lit(0)).cast("long"),
-    )
-    for i in range(iterations):
-        # rename before the join: ranks shares lineage with out (both
-        # derive from e), and the bare `out.src == ranks.key` predicate
-        # can MISBIND under self-join ambiguity resolution — observed
-        # as rank values attributed to the wrong vertex on a 4-node
-        # path (each vertex wearing its neighbor's mass)
-        r = ranks.select(
-            F.col("key").alias("_r_key"), F.col("ppr_micro").alias("_r_m")
+    # so every round reuses its Exchange instead of re-shuffling.
+    # _shuffle_scope (r13): plan the loop at the derived count so the
+    # contrib aggregation lands on that partitioning — one Exchange per
+    # iteration (see pagerank).
+    partitions = _derived_partitions(e)
+    with _shuffle_scope(e.sparkSession, partitions):
+        e = e.repartition(partitions, "src")
+        nodes = (
+            e.select(F.col("src").alias("key"))
+            .unionByName(e.select(F.col("dst").alias("key")))
+            .dropDuplicates()
+            .repartition(partitions, "key")
+            .cache()
         )
-        contrib = (
-            out.join(r, F.col("src") == F.col("_r_key"))
-            .select(
-                F.col("dst").alias("key"),
-                F.floor(
-                    (F.col("_r_m") * d_pct) / (100 * F.col("deg"))
-                ).alias("c"),
+        s = len(sources)
+        d_pct = int(round(damping * 100))
+        base_amt = int((RANK_UNIT * (100 - d_pct)) // (100 * s))
+        init_amt = int(RANK_UNIT // s)
+        is_src = F.col("key").isin(list(sources))
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        out = e.join(deg, "src").repartition(partitions, "src").cache()
+        out.count()  # materialize the static join side once
+        ranks = nodes.withColumn(
+            "ppr_micro",
+            F.when(is_src, F.lit(init_amt)).otherwise(F.lit(0)).cast("long"),
+        )
+        for i in range(iterations):
+            # rename before the join: ranks shares lineage with out (both
+            # derive from e), and the bare `out.src == ranks.key` predicate
+            # can MISBIND under self-join ambiguity resolution — observed
+            # as rank values attributed to the wrong vertex on a 4-node
+            # path (each vertex wearing its neighbor's mass)
+            r = ranks.select(
+                F.col("key").alias("_r_key"), F.col("ppr_micro").alias("_r_m")
             )
-            .groupBy("key")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = nodes.join(contrib, "key", "left").select(
-            "key",
-            (
-                F.when(is_src, F.lit(base_amt)).otherwise(F.lit(0))
-                + F.coalesce("in_mass", F.lit(0))
+            contrib = (
+                out.join(r, F.col("src") == F.col("_r_key"))
+                .select(
+                    F.col("dst").alias("key"),
+                    F.floor(
+                        (F.col("_r_m") * d_pct) / (100 * F.col("deg"))
+                    ).alias("c"),
+                )
+                .groupBy("key")
+                .agg(F.sum("c").alias("in_mass"))
             )
-            .cast("long")
-            .alias("ppr_micro"),
-        )
-    return ranks.where(F.col("ppr_micro") > 0)
+            ranks = nodes.join(contrib, "key", "left").select(
+                "key",
+                (
+                    F.when(is_src, F.lit(base_amt)).otherwise(F.lit(0))
+                    + F.coalesce("in_mass", F.lit(0))
+                )
+                .cast("long")
+                .alias("ppr_micro"),
+            )
+        # materialize inside the scope (the pagerank rationale)
+        return ranks.where(F.col("ppr_micro") > 0).localCheckpoint()

@@ -317,26 +317,37 @@ def kcore_peel(
     same one-shuffle-per-iteration budget as PageRank/LPA;
     localCheckpoint truncates the per-round lineage.  Input ``und`` is
     the canonical undirected edge list (a < b)."""
-    edges = und
-    for _ in range(rounds):
-        deg = (
+    from biodiversity_graph_db_spark.graph.algorithms import (
+        _derived_partitions,
+        _shuffle_scope,
+    )
+
+    # materialize the input once (round 0 otherwise recomputes the
+    # upstream graph mint for BOTH its consumers), then run the eager
+    # peel loop at the derived partition count (r13, _shuffle_scope)
+    edges = und.localCheckpoint()
+    partitions = _derived_partitions(edges)
+    with _shuffle_scope(edges.sparkSession, partitions):
+        for _ in range(rounds):
+            deg = (
+                edges.select(F.col("a").alias("v"))
+                .unionByName(edges.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            alive = deg.where(F.col("c") >= k).select("v")
+            edges = (
+                edges.join(alive.withColumnRenamed("v", "a"), "a")
+                .join(alive.withColumnRenamed("v", "b"), "b")
+                .localCheckpoint()
+            )
+        return (
             edges.select(F.col("a").alias("v"))
             .unionByName(edges.select(F.col("b").alias("v")))
             .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        alive = deg.where(F.col("c") >= k).select("v")
-        edges = (
-            edges.join(alive.withColumnRenamed("v", "a"), "a")
-            .join(alive.withColumnRenamed("v", "b"), "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
             .localCheckpoint()
         )
-    return (
-        edges.select(F.col("a").alias("v"))
-        .unionByName(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-    )
 
 
 def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:

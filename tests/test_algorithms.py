@@ -402,3 +402,96 @@ class TestPersonalizedPagerank:
         got = {r.key for r in
                personalized_pagerank(e, ["s"], iterations=4).collect()}
         assert got == {"s", "x"}  # the p/q component reports nothing
+
+
+class TestShuffleScope:
+    """r13 loop-partitioning mechanism (guide §2.4): when an iterative
+    round is PLANNED inside ``algorithms._shuffle_scope`` at the same
+    count its cached sides were hashed to, every Exchange in the round
+    (the aggregation shuffle, the cached sides' own repartitions) lands
+    at the LOOP count — the keyed joins are co-partitioned and no
+    reconciliation Exchange appears.  Planned at the (different)
+    session count instead, the aggregation shuffles at the session
+    count and EnsureRequirements re-shuffles a cached side to
+    reconcile the two counts.
+
+    Probe: the partition count of every hashpartitioning(...) argument
+    in the formatted plan (cache is used exactly as the real loops do;
+    counting Exchange NODES textually would double-count the cached
+    subtrees formatted mode reprints per consumer).  NOTE
+    localCheckpoint would NOT work as the loop's static-side
+    materializer: LogicalRDD comes back with UnknownPartitioning, so
+    every round would re-shuffle both join sides — cache/
+    InMemoryTableScan preserves the partitioning, which is why the
+    loops cache their static sides and only checkpoint to cut lineage.
+    """
+
+    P = 2
+
+    @classmethod
+    def _round_plan(cls, spark, scoped: bool) -> str:
+        import contextlib
+
+        p = cls.P
+        e = _edges(
+            spark, [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(40)]
+        )
+        scope = (
+            algorithms._shuffle_scope(spark, p)
+            if scoped
+            else contextlib.nullcontext()
+        )
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            with scope:
+                e2 = e.repartition(p, "src").cache()
+                nodes = (
+                    e2.select(F.col("src").alias("key"))
+                    .unionByName(e2.select(F.col("dst").alias("key")))
+                    .dropDuplicates()
+                    .repartition(p, "key")
+                    .cache()
+                )
+                e2.count()
+                nodes.count()
+                r = nodes.select(
+                    F.col("key").alias("_r_key"), F.lit(1).alias("_r_m")
+                )
+                contrib = (
+                    e2.join(r, F.col("src") == F.col("_r_key"))
+                    .groupBy(F.col("dst").alias("key"))
+                    .agg(F.sum("_r_m").alias("in_mass"))
+                )
+                ranks = nodes.join(contrib, "key", "left")
+                return ranks._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            e2.unpersist()
+            nodes.unpersist()
+
+    @staticmethod
+    def _exchange_counts(plan: str) -> set[int]:
+        import re
+
+        return {
+            int(n)
+            for n in re.findall(r"hashpartitioning\([^()]+, (\d+)\)", plan)
+        }
+
+    def test_scoped_round_every_exchange_at_loop_count(self, spark):
+        plan = self._round_plan(spark, scoped=True)
+        assert self._exchange_counts(plan) == {self.P}, plan
+
+    def test_unscoped_round_pays_reconciliation_exchanges(self, spark):
+        sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if sess == self.P:
+            pytest.skip("session count happens to equal the loop count")
+        plan = self._round_plan(spark, scoped=False)
+        # the aggregation shuffled at the session count, so the round
+        # mixes partition counts — the mismatch the scope removes
+        assert sess in self._exchange_counts(plan), plan

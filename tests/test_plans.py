@@ -1042,11 +1042,15 @@ class TestRound7FourthWavePlans:
 
     def test_g19_ppr_keyed_joins_no_cartesian(self, spark, sf_dir):
         """Each PPR round is one keyed join + combinable mass sum; the
-        teleport vector is a column expression, never a driver map."""
+        teleport vector is a column expression, never a driver map.
+        r13: the loop now materializes inside its shuffle scope (one
+        Exchange per round — graph/algorithms._shuffle_scope), so the
+        visible plan is the checkpoint scan; the per-round aggregation
+        shape is pinned by test_graph's loop-scope probe instead."""
         plan = _plan(spark, sf_dir, "G19_personalized_pagerank")
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
-        assert plan.count("HashAggregate") >= 2
+        assert "ExistingRDD" in plan  # the in-scope materialization
 
     def test_v9_label_filter_pushed_to_scan(self, spark, sf_dir):
         """The metadata predicate must reach the parquet scan as a
