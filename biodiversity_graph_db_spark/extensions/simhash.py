@@ -106,30 +106,38 @@ def _pack_specs(band_bits: int) -> list[tuple[int, int]]:
 
 def _packed_vote_cols(band_bits: int) -> list[Column]:
     """Per-row packed-lane columns p{word}_{plane}_{half}: half h packs
-    the vote bits of packed slots 4h..4h+3 into 16-bit lanes."""
+    the vote bits of packed slots 4h..4h+3 into 16-bit lanes.
+
+    Each column is built as ONE ``F.expr`` SQL string (r13, guide §7.3
+    planning cost): the Column-algebra spelling issued ~20 Py4J
+    round-trips per packed column (~500 per query), which profiling put
+    at ~1.5 s of DRIVER time per E3 run at sf0.1 — larger than the
+    signature computation itself.  The SQL parse lands the identical
+    Catalyst tree (shiftright/&/shiftleft over the same literals) in a
+    single JVM call per column."""
     cols = []
     for w, s in _pack_specs(band_bits):
-        base = F.shiftright(F.col(f"h{w}"), s).bitwiseAND(F.lit(0x11111111))
+        base = f"(shiftright(h{w}, {s}) & {0x11111111})"
         for p in range(2):
-            e = None
+            terms = []
             for lane in range(4):
                 k = 4 * p + lane
-                b = F.shiftright(base, 4 * k).bitwiseAND(F.lit(1))
-                term = F.shiftleft(b, 16 * lane) if lane else b
-                e = term if e is None else e + term
-            cols.append(e.alias(f"p{w}_{s}_{p}"))
+                b = f"(shiftright({base}, {4 * k}) & 1)"
+                terms.append(f"shiftleft({b}, {16 * lane})" if lane else b)
+            cols.append(
+                F.expr(" + ".join(terms)).alias(f"p{w}_{s}_{p}")
+            )
     return cols
 
 
-def _vote_count(plane: int, i: int) -> Column:
+def _vote_count_sql(plane: int, i: int) -> str:
     """Unpack the summed lane holding the vote count for bit i of one
-    bit-plane (bit i ↔ hex nibble i ↔ word i//8, nibble i%8)."""
+    bit-plane (bit i ↔ hex nibble i ↔ word i//8, nibble i%8) — as a SQL
+    fragment (see `_packed_vote_cols` for why strings)."""
     w, nib = i // 8, i % 8
     k = 7 - nib  # packed slot: nibble `nib` sits at slot 7−nib
     p, lane = k // 4, k % 4
-    return F.shiftright(F.col(f"p{w}_{plane}_{p}"), 16 * lane).bitwiseAND(
-        F.lit(0xFFFF)
-    )
+    return f"(shiftright(p{w}_{plane}_{p}, {16 * lane}) & {0xFFFF})"
 
 
 def simhash_signatures(
@@ -166,14 +174,15 @@ def simhash_signatures(
     )
     sig_cols = []
     for k, plane in enumerate(PLANES):
-        e = None
-        for i in range(band_bits):
-            bit = F.when(
-                _vote_count(plane, i) * 2 >= F.col("n"),
-                F.lit(1 << i).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            e = bit if e is None else e + bit
-        sig_cols.append(e.cast("long").alias(f"sig_{k}"))
+        bits = " + ".join(
+            f"(CASE WHEN ({_vote_count_sql(plane, i)} * 2) >= n"
+            f" THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(band_bits)
+        )
+        sig_cols.append(
+            F.expr(f"CAST(({bits}) AS BIGINT)").alias(f"sig_{k}")
+        )
     return votes.select("doc_id", *sig_cols)
 
 

@@ -140,64 +140,72 @@ def normalize_dms(dms: Column) -> Column:
     )
 
 
+# Static SQL spellings of the mint/promote projections (r13, guide
+# §7.3 planning cost).  The Column-algebra builders issued ~1,700 Py4J
+# round-trips per mint+promote construction — measured ~0.5 s of DRIVER
+# time per call, paid by each of the 15 GEO headline queries on every
+# bench run.  These strings are built ONCE at import; each query
+# construction is then a single selectExpr (one JVM parse), landing the
+# identical Catalyst tree — verified by canonical plan diff against the
+# Column spelling and by the full GEO parity suite.
+_K = "c_custkey"
+_MINT_KIND = (
+    f"CASE WHEN ({_K} % 3) = 0 THEN 'Site' "
+    f"WHEN ({_K} % 3) = 1 THEN 'SiteDMS' ELSE 'Area' END"
+)
+# fractional literals carry the D suffix: a bare 10.0 parses as
+# DECIMAL(3,1) in SQL (decimal-28,6 arithmetic, a DIFFERENT result
+# type), while the Column spelling's F.lit(10.0) is a DOUBLE
+_MINT_SITE_LAT = (
+    f"CASE WHEN ({_K} % 3) = 0"
+    f" THEN ((({_K} * 37) % 1200) / 10.0D) - 60.0D END"
+)
+_MINT_SITE_LON = (
+    f"CASE WHEN ({_K} % 3) = 0"
+    f" THEN ((({_K} * 91) % 3600) / 10.0D) - 180.0D END"
+)
+# format string '%d°%d'%d"%s,…' — the embedded single quotes double up
+_MINT_DMS = (
+    f"CASE WHEN ({_K} % 3) = 1 THEN format_string("
+    "'%d°%d''%d\"%s,%d°%d''%d\"%s', "
+    f"({_K} * 7) % 89, ({_K} * 11) % 60, ({_K} * 13) % 60, "
+    f"CASE WHEN ({_K} % 2) = 0 THEN 'N' ELSE 'S' END, "
+    f"({_K} * 17) % 179, ({_K} * 19) % 60, ({_K} * 23) % 60, "
+    f"CASE WHEN ({_K} % 5) < 3 THEN 'E' ELSE 'W' END) END"
+)
+_LAT0 = f"(({_K} * 5) % 80) - 40"
+_LON0 = f"(({_K} * 3) % 300) - 150"
+_MINT_WKT = (
+    f"CASE WHEN ({_K} % 3) = 2 THEN format_string("
+    "'POLYGON((%d %d,%d %d,%d %d,%d %d,%d %d))', "
+    f"{_LON0}, {_LAT0}, ({_LON0}) + 20, {_LAT0}, "
+    f"({_LON0}) + 20, ({_LAT0}) + 10, {_LON0}, ({_LAT0}) + 10, "
+    f"{_LON0}, {_LAT0}) END"
+)
+_MINT_EXPRS = (
+    f"concat('contextnode_', CAST({_K} AS STRING)) AS key",
+    f"{_MINT_KIND} AS kind",
+    f"{_MINT_SITE_LAT} AS site_lat",
+    f"{_MINT_SITE_LON} AS site_lon",
+    f"{_MINT_DMS} AS dms",
+    f"{_MINT_WKT} AS wkt",
+    f"to_json(named_struct('kind', {_MINT_KIND}, 'lat', {_MINT_SITE_LAT},"
+    f" 'lon', {_MINT_SITE_LON}, 'dms', {_MINT_DMS}, 'wkt', {_MINT_WKT}))"
+    " AS payload",
+)
+
+
 def mint_context_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ContextNodes carrying each SamplingLocation variant
     in its native stored form — DD doubles for Site, a DMS *string* for
     SiteDMS, a WKT *string* for Area (Population.fs:154-171) — plus the
     canonical JSON payload, mirroring how the reference serializes the
-    DU.  Promotion (below) must recover coordinates from the strings."""
-    k = F.col("c_custkey")
-    kind = (
-        F.when(k % 3 == 0, F.lit("Site"))
-        .when(k % 3 == 1, F.lit("SiteDMS"))
-        .otherwise(F.lit("Area"))
-    )
-    site_lat = F.when(k % 3 == 0, ((k * 37) % 1200) / F.lit(10.0) - F.lit(60.0))
-    site_lon = F.when(k % 3 == 0, ((k * 91) % 3600) / F.lit(10.0) - F.lit(180.0))
-    dms = F.when(
-        k % 3 == 1,
-        F.format_string(
-            "%d°%d'%d\"%s,%d°%d'%d\"%s",
-            (k * 7) % 89,
-            (k * 11) % 60,
-            (k * 13) % 60,
-            F.when(k % 2 == 0, F.lit("N")).otherwise(F.lit("S")),
-            (k * 17) % 179,
-            (k * 19) % 60,
-            (k * 23) % 60,
-            F.when(k % 5 < 3, F.lit("E")).otherwise(F.lit("W")),
-        ),
-    )
-    lat0 = (k * 5) % 80 - 40
-    lon0 = (k * 3) % 300 - 150
-    wkt = F.when(
-        k % 3 == 2,
-        F.format_string(
-            "POLYGON((%d %d,%d %d,%d %d,%d %d,%d %d))",
-            lon0, lat0,
-            lon0 + 20, lat0,
-            lon0 + 20, lat0 + 10,
-            lon0, lat0 + 10,
-            lon0, lat0,
-        ),
-    )
-    return table(spark, sf_dir, "customer").select(
-        F.concat(F.lit("contextnode_"), k.cast("string")).alias("key"),
-        kind.alias("kind"),
-        site_lat.alias("site_lat"),
-        site_lon.alias("site_lon"),
-        dms.alias("dms"),
-        wkt.alias("wkt"),
-        F.to_json(
-            F.struct(
-                kind.alias("kind"),
-                site_lat.alias("lat"),
-                site_lon.alias("lon"),
-                dms.alias("dms"),
-                wkt.alias("wkt"),
-            )
-        ).alias("payload"),
-    )
+    DU.  Promotion (below) must recover coordinates from the strings.
+
+    Spelled as one static selectExpr (see `_MINT_EXPRS`): identical
+    plan to the Column-algebra form, ~1,700 fewer Py4J round-trips per
+    construction."""
+    return table(spark, sf_dir, "customer").selectExpr(*_MINT_EXPRS)
 
 
 def _dms_component(dms: Column, d: int, m: int, s: int, hemi: int) -> Column:
@@ -220,39 +228,75 @@ def _dms_component(dms: Column, d: int, m: int, s: int, hemi: int) -> Column:
     return (deg + minute / F.lit(60.0) + sec / F.lit(3600.0)) * sign
 
 
+def _dms_component_sql(d: int, m: int, s: int, hemi: int) -> str:
+    """`_dms_component` as a static SQL fragment (see `_MINT_EXPRS` for
+    why strings) — same split + arithmetic tree, one JVM parse."""
+    p = "split(dms, '[°''\",]')"
+    deg = f"CAST(element_at({p}, {d}) AS DOUBLE)"
+    minute = f"CAST(element_at({p}, {m}) AS DOUBLE)"
+    sec = f"CAST(element_at({p}, {s}) AS DOUBLE)"
+    sign = (
+        f"CASE WHEN element_at({p}, {hemi}) IN ('N', 'E')"
+        " THEN 1.0D ELSE -1.0D END"
+    )
+    return f"(({deg} + ({minute} / 60.0D)) + ({sec} / 3600.0D)) * ({sign})"
+
+
+# token positions: [latd, latm, lats, latH, lond, lonm, lons, lonH]
+# (the ',' separator is consumed by the split char class)
+_PT_LAT = (
+    "CASE WHEN (kind = 'Site') THEN site_lat WHEN (kind = 'SiteDMS')"
+    f" THEN {_dms_component_sql(1, 2, 3, 4)} END"
+)
+_PT_LON = (
+    "CASE WHEN (kind = 'Site') THEN site_lon WHEN (kind = 'SiteDMS')"
+    f" THEN {_dms_component_sql(5, 6, 7, 8)} END"
+)
+# wkt_polygon_points(wkt) as SQL: regex group 1 of the POLYGON((…))
+# body, split on ',', each pair try_cast to (lon, lat) doubles
+_WKT_INNER = "regexp_extract(wkt, '^POLYGON[ ]?\\\\(\\\\((.*)\\\\)\\\\)', 1)"
+_WKT_PTS = (
+    f"CASE WHEN ({_WKT_INNER} != '') THEN transform(split({_WKT_INNER}, ','),"
+    " p -> named_struct("
+    "'lon', try_cast(element_at(split(trim(p), ' '), 1) AS DOUBLE), "
+    "'lat', try_cast(element_at(split(trim(p), ' '), 2) AS DOUBLE))) END"
+)
+
+
+def _bbox_sql(agg: str, axis: str, pt: str) -> str:
+    return (
+        f"CASE WHEN (kind = 'Area')"
+        f" THEN {agg}(transform({_WKT_PTS}, p -> p.{axis}))"
+        f" ELSE {pt} END"
+    )
+
+
+_PROMOTE_EXPRS = (
+    "key",
+    "kind",
+    "payload",
+    "wkt",  # kept for exact polygon tests downstream (GEO3)
+    f"{_PT_LAT} AS pt_lat",
+    f"{_PT_LON} AS pt_lon",
+    f"{_bbox_sql('array_min', 'lat', _PT_LAT)} AS lat_min",
+    f"{_bbox_sql('array_max', 'lat', _PT_LAT)} AS lat_max",
+    f"{_bbox_sql('array_min', 'lon', _PT_LON)} AS lon_min",
+    f"{_bbox_sql('array_max', 'lon', _PT_LON)} AS lon_max",
+)
+
+
 def promote_context_cols(nodes: DataFrame) -> DataFrame:
     """Normalize every SamplingLocation variant to typed point + bbox
     columns, once at write time: Site passes its DD doubles through,
     SiteDMS is parsed by regexp (no UDF), Area's bbox is the min/max of
     the parsed WKT vertex array.  Stored parquet then carries plain
     double columns with row-group min/max statistics — the bbox
-    predicate pushes down to the scan like any numeric range filter."""
-    is_site = F.col("kind") == "Site"
-    is_dms = F.col("kind") == "SiteDMS"
-    is_area = F.col("kind") == "Area"
-    pt_lat = F.when(is_site, F.col("site_lat")).when(
-        is_dms, _dms_component(F.col("dms"), 1, 2, 3, 4)
-    )
-    pt_lon = F.when(is_site, F.col("site_lon")).when(
-        is_dms, _dms_component(F.col("dms"), 5, 6, 7, 8)
-    )
-    # token positions: [latd, latm, lats, latH, lond, lonm, lons, lonH]
-    # (the ',' separator is consumed by the split char class)
-    pts = wkt_polygon_points(F.col("wkt"))
-    lats = F.transform(pts, lambda p: p["lat"])
-    lons = F.transform(pts, lambda p: p["lon"])
-    return nodes.select(
-        "key",
-        "kind",
-        "payload",
-        "wkt",  # kept for exact polygon tests downstream (GEO3)
-        pt_lat.alias("pt_lat"),
-        pt_lon.alias("pt_lon"),
-        F.when(is_area, F.array_min(lats)).otherwise(pt_lat).alias("lat_min"),
-        F.when(is_area, F.array_max(lats)).otherwise(pt_lat).alias("lat_max"),
-        F.when(is_area, F.array_min(lons)).otherwise(pt_lon).alias("lon_min"),
-        F.when(is_area, F.array_max(lons)).otherwise(pt_lon).alias("lon_max"),
-    )
+    predicate pushes down to the scan like any numeric range filter.
+
+    Spelled as one static selectExpr (see `_MINT_EXPRS` for why):
+    identical plan to the Column-algebra form, one JVM parse per
+    construction."""
+    return nodes.selectExpr(*_PROMOTE_EXPRS)
 
 
 # --- stored context table (promote-at-write, partition-pruned) ------------

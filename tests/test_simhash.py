@@ -32,6 +32,51 @@ def _docs(spark, n=80):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+class TestSignatureReference:
+    def test_signatures_match_hashlib_reference(self, spark):
+        """Bit-exact pin of the signature math against an INDEPENDENT
+        Python reference (hashlib.md5 + per-bit majority vote) — the
+        r13 expr-string rewrite of the packed-lane construction must
+        land the identical signatures at a non-byte-aligned width
+        (18 = sf0.1's ladder step, exercising the partial third word)
+        and at saturation (32)."""
+        import hashlib
+
+        docs = _docs(spark, 12)
+        rows = {r.doc_id: r.text for r in docs.collect()}
+        for bb in (18, 32):
+            got = {
+                r.doc_id: (r.sig_0, r.sig_1, r.sig_2, r.sig_3)
+                for r in simhash_signatures(docs, band_bits=bb).collect()
+            }
+            for doc_id, text in rows.items():
+                toks = text.strip().lower().split()
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + 3])
+                        for i in range(len(toks) - 2)
+                    )
+                )
+                n = len(grams)
+                # votes[plane][i]: how many shingles set bit `plane` of
+                # hex nibble i (nibble i = word i//8, char 8*(i//8)+i%8)
+                votes = [[0] * 32 for _ in range(4)]
+                for g in grams:
+                    hx = hashlib.md5(g.encode()).hexdigest()
+                    for i in range(32):
+                        nib = int(hx[i], 16)
+                        for plane in range(4):
+                            votes[plane][i] += (nib >> plane) & 1
+                sigs = []
+                for plane in (3, 2, 1, 0):  # PLANES order = band order
+                    s = 0
+                    for i in range(bb):
+                        if 2 * votes[plane][i] >= n:
+                            s |= 1 << i
+                    sigs.append(s)
+                assert got[doc_id] == tuple(sigs), (doc_id, bb)
+
+
 class TestAdaptiveBandWidth:
     def test_ladder_values(self):
         # two bits per doubling past 4,096 docs, saturating at 32
