@@ -3031,7 +3031,15 @@ def km_quantize(emb: DataFrame) -> DataFrame:
 
 def km_seed_centroids(emb: DataFrame, evq: DataFrame) -> DataFrame:
     """Deterministic seeds: the first _KM_K vectors by vec_id (the
-    _CENTS_SQL rule every IVF oracle replays), in quantized long form."""
+    _CENTS_SQL rule every IVF oracle replays), in quantized long form.
+
+    NOT checkpointed (r13): the k×64-row table has exactly one
+    consumer — the next ``km_assign``'s broadcast build — so a
+    localCheckpoint here only added a sequential job barrier before a
+    loop that is job-count-bound (guide §2.6 idle-capacity: V17 and
+    V19 are 9–11 tiny sequential actions at any SF).  The seed plan is
+    2 levels deep over the checkpointed ``evq``, so lineage stays
+    bounded without it."""
     return (
         evq.join(
             F.broadcast(
@@ -3040,7 +3048,6 @@ def km_seed_centroids(emb: DataFrame, evq: DataFrame) -> DataFrame:
             F.col("vec_id") == F.col("seed_id"),
         )
         .select(F.col("vec_id").alias("cent_id"), "dim", F.col("vq").alias("cq"))
-        .localCheckpoint()
     )
 
 
@@ -3070,7 +3077,16 @@ def km_assign(evq: DataFrame, cents_df: DataFrame) -> DataFrame:
 def km_update(evq: DataFrame, assign_df: DataFrame) -> DataFrame:
     """One Lloyd update: per-(centroid, dim) FLOOR(mean) back onto the
     integer grid — one keyed reduce to a k×64 table.  Empty clusters
-    simply drop out (both engines agree)."""
+    simply drop out (both engines agree).
+
+    NOT checkpointed (r13): the update's only consumer is the next
+    ``km_assign``'s broadcast build, and ``assign_df`` is already a
+    checkpoint — so the update plan is bounded at 2 levels deep per
+    round regardless.  Its old localCheckpoint added one sequential
+    job barrier per Lloyd round (3 per refine, 2 per V19 train) on a
+    query family whose cost IS job latency, while the computation
+    itself still runs exactly once (inside the broadcast build of the
+    round's assign job)."""
     return (
         assign_df.join(evq, "vec_id")
         .groupBy("cent_id", "dim")
@@ -3079,7 +3095,6 @@ def km_update(evq: DataFrame, assign_df: DataFrame) -> DataFrame:
             .cast("long")
             .alias("cq")
         )
-        .localCheckpoint()
     )
 
 

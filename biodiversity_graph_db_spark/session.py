@@ -27,6 +27,20 @@ def get_spark(app_name: str = "biodiversity-graph-db-spark") -> SparkSession:
         # sized by AQE's advisory target instead of a static number.
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # AQE sort-merge -> shuffled-hash rewrite (guide §3.1, r13):
+        # convert ONLY when every post-shuffle map partition is below
+        # this threshold, i.e. the per-partition hash build is bounded
+        # at the advisory partition size — the size guard, not a blind
+        # preferSortMergeJoin flip, so a skewed or huge join keeps the
+        # spill-safe SMJ.  Static plans (and their pins) are unchanged;
+        # the rewrite happens at runtime.  Measured on the SMJ-bearing
+        # bench queries (same-session alternating A/B, outputs
+        # identical): Q5 1.18x, V20 1.22x, G17 1.23x, D10 1.13x,
+        # SD2 1.12x, rest flat within noise.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         # Arrow transfer for pandas_udf / applyInPandas / toPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
